@@ -1,0 +1,181 @@
+"""Property graph derived from the driver's TPC-H-ish testdata.
+
+FIXTURES.md §3: graph operators are oracle-checked (DuckDB) over a graph
+*view* of the star schema, so both engines can express them.  Node ids are
+typed offsets + native keys (disjoint id spaces); edge ids likewise, so
+relationship-uniqueness semantics are exact (SURVEY §7.2).
+
+Two renderings of the SAME derivation:
+* :func:`tpch_graph` — DataFrame-API build (what the engine runs);
+* :data:`GRAPH_ORACLE_CTE` — ANSI-SQL CTE prefix for DuckDB oracle queries.
+Any drift between them is caught by tools/check_oracle.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphraft_spark.graph.model import PropertyGraph
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# nodeId offsets per label (disjoint id spaces)
+N_CUSTOMER = 1_000_000_000
+N_SUPPLIER = 2_000_000_000
+N_PART = 3_000_000_000
+N_NATION = 4_000_000_000
+N_REGION = 5_000_000_000
+N_ORDER = 6_000_000_000
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] | list[str] = TABLES) -> dict[str, DataFrame]:
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in names}
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    """Build the property graph (nodes/edges DataFrames) from the star schema.
+
+    Everything is a narrow projection over the base parquet — column
+    pruning reaches the scans, and the per-label unions keep partition
+    counts proportional to source size.
+    """
+    t = load_tables(spark, sf_dir, ["region", "nation", "customer",
+                                    "supplier", "part", "orders", "lineitem"])
+
+    def node(df: DataFrame, key: str, offset: int, label: str, name) -> DataFrame:
+        return df.select(
+            (F.col(key).cast("bigint") + F.lit(offset)).alias("nodeId"),
+            F.lit(label).alias("label"),
+            name.alias("name"),
+        )
+
+    nodes = (
+        node(t["customer"], "c_custkey", N_CUSTOMER, "Customer", F.col("c_name"))
+        .unionByName(node(t["supplier"], "s_suppkey", N_SUPPLIER, "Supplier", F.col("s_name")))
+        .unionByName(node(t["part"], "p_partkey", N_PART, "Part", F.col("p_name")))
+        .unionByName(node(t["nation"], "n_nationkey", N_NATION, "Nation", F.col("n_name")))
+        .unionByName(node(t["region"], "r_regionkey", N_REGION, "Region", F.col("r_name")))
+        .unionByName(node(t["orders"], "o_orderkey", N_ORDER, "Order",
+                          F.col("o_orderkey").cast("string")))
+    )
+
+    def big(c: str):
+        return F.col(c).cast("bigint")
+
+    placed = t["orders"].select(
+        (big("o_orderkey") + F.lit(1_000_000_000_000)).alias("edgeId"),
+        (big("o_custkey") + F.lit(N_CUSTOMER)).alias("src"),
+        (big("o_orderkey") + F.lit(N_ORDER)).alias("dst"),
+        F.lit("PLACED").alias("relType"),
+    )
+    contains = (
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+        .select(
+            (F.lit(2_000_000_000_000) + big("l_orderkey") * 10_000_000
+             + big("l_partkey")).alias("edgeId"),
+            (big("l_orderkey") + F.lit(N_ORDER)).alias("src"),
+            (big("l_partkey") + F.lit(N_PART)).alias("dst"),
+            F.lit("CONTAINS").alias("relType"),
+        )
+    )
+    supplied_by = (
+        t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+        .select(
+            (F.lit(3_000_000_000_000) + big("l_partkey") * 1_000_000
+             + big("l_suppkey")).alias("edgeId"),
+            (big("l_partkey") + F.lit(N_PART)).alias("src"),
+            (big("l_suppkey") + F.lit(N_SUPPLIER)).alias("dst"),
+            F.lit("SUPPLIED_BY").alias("relType"),
+        )
+    )
+    cust_nation = t["customer"].select(
+        (F.lit(4_000_000_000_000) + big("c_custkey")).alias("edgeId"),
+        (big("c_custkey") + F.lit(N_CUSTOMER)).alias("src"),
+        (big("c_nationkey") + F.lit(N_NATION)).alias("dst"),
+        F.lit("FROM_NATION").alias("relType"),
+    )
+    supp_nation = t["supplier"].select(
+        (F.lit(5_000_000_000_000) + big("s_suppkey")).alias("edgeId"),
+        (big("s_suppkey") + F.lit(N_SUPPLIER)).alias("src"),
+        (big("s_nationkey") + F.lit(N_NATION)).alias("dst"),
+        F.lit("FROM_NATION").alias("relType"),
+    )
+    in_region = t["nation"].select(
+        (F.lit(6_000_000_000_000) + big("n_nationkey")).alias("edgeId"),
+        (big("n_nationkey") + F.lit(N_NATION)).alias("src"),
+        (big("n_regionkey") + F.lit(N_REGION)).alias("dst"),
+        F.lit("IN_REGION").alias("relType"),
+    )
+
+    edges = (
+        placed.unionByName(contains).unionByName(supplied_by)
+        .unionByName(cust_nation).unionByName(supp_nation).unionByName(in_region)
+    )
+    return PropertyGraph(nodes=nodes, edges=edges)
+
+
+# The same derivation as ANSI SQL, runnable by DuckDB (views region/nation/...
+# are pre-registered by the driver) AND by spark.sql after registering the
+# base parquet as temp views.  Keep in lockstep with tpch_graph().
+GRAPH_ORACLE_CTE = """
+WITH nodes AS (
+    SELECT CAST(c_custkey AS BIGINT) + 1000000000 AS nodeId,
+           'Customer' AS label, c_name AS name FROM customer
+    UNION ALL
+    SELECT CAST(s_suppkey AS BIGINT) + 2000000000, 'Supplier', s_name FROM supplier
+    UNION ALL
+    SELECT CAST(p_partkey AS BIGINT) + 3000000000, 'Part', p_name FROM part
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT) + 4000000000, 'Nation', n_name FROM nation
+    UNION ALL
+    SELECT CAST(r_regionkey AS BIGINT) + 5000000000, 'Region', r_name FROM region
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT) + 6000000000, 'Order',
+           CAST(o_orderkey AS VARCHAR) FROM orders
+),
+edges AS (
+    SELECT CAST(o_orderkey AS BIGINT) + 1000000000000 AS edgeId,
+           CAST(o_custkey AS BIGINT) + 1000000000 AS src,
+           CAST(o_orderkey AS BIGINT) + 6000000000 AS dst,
+           'PLACED' AS relType FROM orders
+    UNION ALL
+    SELECT 2000000000000 + CAST(l_orderkey AS BIGINT) * 10000000
+             + CAST(l_partkey AS BIGINT),
+           CAST(l_orderkey AS BIGINT) + 6000000000,
+           CAST(l_partkey AS BIGINT) + 3000000000,
+           'CONTAINS'
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    UNION ALL
+    SELECT 3000000000000 + CAST(l_partkey AS BIGINT) * 1000000
+             + CAST(l_suppkey AS BIGINT),
+           CAST(l_partkey AS BIGINT) + 3000000000,
+           CAST(l_suppkey AS BIGINT) + 2000000000,
+           'SUPPLIED_BY'
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    UNION ALL
+    SELECT 4000000000000 + CAST(c_custkey AS BIGINT),
+           CAST(c_custkey AS BIGINT) + 1000000000,
+           CAST(c_nationkey AS BIGINT) + 4000000000,
+           'FROM_NATION' FROM customer
+    UNION ALL
+    SELECT 5000000000000 + CAST(s_suppkey AS BIGINT),
+           CAST(s_suppkey AS BIGINT) + 2000000000,
+           CAST(s_nationkey AS BIGINT) + 4000000000,
+           'FROM_NATION' FROM supplier
+    UNION ALL
+    SELECT 6000000000000 + CAST(n_nationkey AS BIGINT),
+           CAST(n_nationkey AS BIGINT) + 4000000000,
+           CAST(n_regionkey AS BIGINT) + 5000000000,
+           'IN_REGION' FROM nation
+),
+undirected_edges AS (
+    SELECT edgeId, src, dst, relType FROM edges
+    UNION ALL
+    SELECT edgeId, dst AS src, src AS dst, relType FROM edges
+)
+"""

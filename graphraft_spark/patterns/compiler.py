@@ -1,0 +1,95 @@
+"""Pattern IR → DataFrame join plan.
+
+Each hop is one equi-join of the (lazy) undirected edge view onto the
+frontier, plus one join onto ``nodes`` for the next node's constraints.
+Catalyst picks the physical join; we hint ``broadcast`` for anchored
+node sets (they are a handful of rows — the reference's anchors are the
+entity names matched by NER).  All label/name filters are attached to
+the node scans so predicate pushdown reaches parquet.
+
+Scale: the plan is hop-count-many shuffles at worst; with edges bucketed
+by ``src`` the expansion joins co-locate and AQE's skew-join splitting
+handles hub nodes.  No Python crosses into executors.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphraft_spark.graph.model import PropertyGraph
+from graphraft_spark.patterns.ir import PatternSpec
+
+NODE_ATTRS = ("nodeId", "label", "name")
+
+
+def _node_frame(graph: PropertyGraph, spec_node, pos: int) -> DataFrame:
+    df = graph.nodes
+    if spec_node.label is not None:
+        df = df.filter(F.col("label") == spec_node.label)
+    if spec_node.name is not None:
+        df = df.filter(F.col("name") == spec_node.name)
+    if spec_node.names is not None:
+        df = df.filter(F.col("name").isin(list(spec_node.names)))
+    sel = df.select(*[F.col(a).alias(f"x{pos + 1}_{a}") for a in NODE_ATTRS])
+    anchored = spec_node.name is not None or spec_node.names is not None
+    return F.broadcast(sel) if anchored else sel
+
+
+def compile_pattern(graph: PropertyGraph, spec: PatternSpec) -> DataFrame:
+    """Return all bindings: columns x{i}_nodeId/label/name and
+    r{j}_edgeId/relType for every position."""
+    plan = _node_frame(graph, spec.nodes[0], 0)
+    edges = graph.undirected_edges
+    for j, rel in enumerate(spec.rels):
+        e = edges
+        if rel is not None:
+            e = e.filter(F.col("relType") == rel)
+        e = e.select(
+            F.col("edgeId").alias(f"r{j + 1}_edgeId"),
+            F.col("src").alias(f"r{j + 1}_src"),
+            F.col("dst").alias(f"r{j + 1}_dst"),
+            F.col("relType").alias(f"r{j + 1}_relType"),
+        )
+        plan = plan.join(e, plan[f"x{j + 1}_nodeId"] == e[f"r{j + 1}_src"])
+        nxt = _node_frame(graph, spec.nodes[j + 1], j + 1)
+        plan = plan.join(nxt, F.col(f"r{j + 1}_dst") == nxt[f"x{j + 2}_nodeId"])
+
+    # Cypher relationship-uniqueness: rels in one MATCH are pairwise
+    # distinct (exactness fix over the reference's simple-graph reliance,
+    # SURVEY §7.2).
+    for a, b in combinations(range(1, len(spec.rels) + 1), 2):
+        plan = plan.filter(F.col(f"r{a}_edgeId") != F.col(f"r{b}_edgeId"))
+    for a, b in spec.neq_pairs:
+        plan = plan.filter(F.col(f"x{a + 1}_nodeId") != F.col(f"x{b + 1}_nodeId"))
+    drop = [c for c in plan.columns if c.endswith("_src") or c.endswith("_dst")]
+    return plan.drop(*drop)
+
+
+def run_pattern(graph: PropertyGraph, spec: PatternSpec) -> DataFrame:
+    """Execute an instantiated pattern: ``RETURN DISTINCT xK.name AS name``
+    (path_retriever.py:34-38 / B12)."""
+    ret = spec.return_index + 1
+    return (
+        compile_pattern(graph, spec)
+        .select(F.col(f"x{ret}_name").alias("name"))
+        .distinct()
+    )
+
+
+def run_pattern_nodes(graph: PropertyGraph, spec: PatternSpec) -> DataFrame:
+    """Distinct return-position nodes (nodeId, label, name) — the shape the
+    budgeted retriever consumes (retriever.py:55-59 rewrites queries to
+    RETURN DISTINCT tgt.nodeId, <props...>)."""
+    ret = spec.return_index + 1
+    return (
+        compile_pattern(graph, spec)
+        .select(
+            F.col(f"x{ret}_nodeId").alias("nodeId"),
+            F.col(f"x{ret}_label").alias("label"),
+            F.col(f"x{ret}_name").alias("name"),
+        )
+        .distinct()
+    )

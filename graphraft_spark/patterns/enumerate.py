@@ -1,0 +1,137 @@
+"""Candidate-query enumeration (reference PathRetriever, path_retriever.py).
+
+Given anchor *names*, enumerate every path signature reachable via the
+fixed templates and aggregate distinct-target counts:
+
+* 1hop  (src {name})-[r]-(tgt)                            path_retriever.py:4-6
+* 2hop  (src1 {name})-[r1]-(var)-[r2]-(tgt), tgt<>src1    path_retriever.py:7-9
+* 2path (a {name})-[r1]-(tgt)-[r2]-(b {name}), a<>b       path_retriever.py:10-13
+
+Output signature columns are single-string labels (our graph is
+single-label; the reference's ``labels(n)`` list reduces to this via
+``set(labels) - {'_Entity_'}``, path_retriever.py:31).  Supervised mode
+adds ``correctCnt`` = #distinct targets that are gold answers
+(path_retriever.py:16).  ``specific_target_label`` keeps only signatures
+whose terminal node has that label — the *intended* semantics of the
+reference's (buggy: label2 vs labels2) target_has_special_label,
+path_retriever.py:42-47 / SURVEY §7.6.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphraft_spark.graph.model import PropertyGraph
+from graphraft_spark.patterns.compiler import compile_pattern
+from graphraft_spark.patterns.ir import NodeSpec, PatternSpec, onehop, twohop, twopath
+
+PATTERNS = ("1hop", "2hop", "2path")
+
+
+def _anchor(names: Sequence[str]) -> NodeSpec:
+    return NodeSpec(names=tuple(names))
+
+
+def _spec_for(pattern: str, src_names: Sequence[str]) -> PatternSpec:
+    a = _anchor(src_names)
+    if pattern == "1hop":
+        return PatternSpec(nodes=(a, NodeSpec()), rels=(None,), return_index=1)
+    if pattern == "2hop":
+        return PatternSpec(
+            nodes=(a, NodeSpec(), NodeSpec()), rels=(None, None),
+            return_index=2, neq_pairs=((0, 2),),
+        )
+    if pattern == "2path":
+        return PatternSpec(
+            nodes=(a, NodeSpec(), a), rels=(None, None),
+            return_index=1, neq_pairs=((0, 2),),
+        )
+    raise ValueError(f"unknown pattern {pattern!r}")
+
+
+_SIGNATURES = {
+    # grouping keys per template, as (output_name, binding_column)
+    "1hop": (("label1", "x1_label"), ("name1", "x1_name"),
+             ("type1", "r1_relType"), ("label2", "x2_label")),
+    "2hop": (("label1", "x1_label"), ("name1", "x1_name"),
+             ("type1", "r1_relType"), ("label2", "x2_label"),
+             ("type2", "r2_relType"), ("label3", "x3_label")),
+    "2path": (("label1", "x1_label"), ("name1", "x1_name"),
+              ("type1", "r1_relType"), ("label2", "x2_label"),
+              ("type2", "r2_relType"), ("label3", "x3_label"),
+              ("name3", "x3_name")),
+}
+_TARGET = {"1hop": "x2", "2hop": "x3", "2path": "x2"}
+_TERMINAL_LABEL = {"1hop": "label2", "2hop": "label3", "2path": "label2"}
+
+
+def enumerate_pattern(graph: PropertyGraph, pattern: str,
+                      src_names: Sequence[str],
+                      tgt_ids: Sequence[int] | None = None) -> DataFrame:
+    """One template → signature table with ``totalCnt`` (grouped
+    count(DISTINCT tgt), the implicit Cypher aggregation B6) and, when
+    ``tgt_ids`` is given (supervised training mode), ``correctCnt`` (B7)."""
+    bindings = compile_pattern(graph, _spec_for(pattern, src_names))
+    keys = [F.col(src).alias(out) for out, src in _SIGNATURES[pattern]]
+    tgt = F.col(f"{_TARGET[pattern]}_nodeId")
+    aggs = [F.countDistinct(tgt).alias("totalCnt")]
+    if tgt_ids is not None:
+        aggs.append(
+            F.countDistinct(
+                F.when(tgt.isin([int(i) for i in tgt_ids]), tgt)
+            ).alias("correctCnt")
+        )
+    return bindings.groupBy(*keys).agg(*aggs)
+
+
+def enumerate_paths(graph: PropertyGraph, src_names: Sequence[str],
+                    patterns: Sequence[str] = PATTERNS,
+                    tgt_ids: Sequence[int] | None = None,
+                    specific_target_label: str | None = None) -> DataFrame:
+    """All templates, unioned into one signature table with a ``pattern``
+    column — the DataFrame analog of PathRetriever.retrieve_paths
+    (path_retriever.py:49-64).  Missing signature columns (shorter
+    templates) are null-padded so the union is schema-stable."""
+    all_cols = ["pattern", "label1", "name1", "type1", "label2", "type2",
+                "label3", "name3", "totalCnt"]
+    if tgt_ids is not None:
+        all_cols.append("correctCnt")
+    out = None
+    for pattern in patterns:
+        df = enumerate_pattern(graph, pattern, src_names, tgt_ids)
+        df = df.withColumn("pattern", F.lit(pattern))
+        for c in all_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("string"))
+        if specific_target_label is not None:
+            df = df.filter(
+                F.col(_TERMINAL_LABEL[pattern]) == specific_target_label
+            )
+        df = df.select(*all_cols)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def instantiate_queries(rows: Sequence[dict]) -> list[tuple[PatternSpec, str]]:
+    """Signature rows → (PatternSpec, cypher_text) pairs — the structured
+    replacement for create_query's f-string rendering
+    (path_retriever.py:29-40)."""
+    out: list[tuple[PatternSpec, str]] = []
+    for rec in rows:
+        p = rec["pattern"]
+        if p == "1hop":
+            spec = onehop(rec["label1"], rec["name1"], rec["type1"], rec["label2"])
+        elif p == "2hop":
+            spec = twohop(rec["label1"], rec["name1"], rec["type1"],
+                          rec["label2"], rec["type2"], rec["label3"])
+        elif p == "2path":
+            spec = twopath(rec["label1"], rec["name1"], rec["type1"],
+                           rec["label2"], rec["type2"], rec["label3"],
+                           rec["name3"])
+        else:
+            raise ValueError(f"unknown pattern {p!r}")
+        out.append((spec, spec.cypher()))
+    return out

@@ -1,0 +1,42 @@
+"""Driver-contract registry: named (spark_query, oracle_sql) pairs.
+
+Every implemented operator from SURVEY.md §2 registers a callable
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) an
+ANSI-SQL oracle string DuckDB runs on the same parquet views.  Column
+names are aliased identically on both sides — the driver sorts columns
+by name before value-hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module (registration side effects)."""
+    from graphraft_spark.registry import (  # noqa: F401
+        graph_queries,
+        search_queries,
+        retrieval_queries,
+        dataset_queries,
+        metrics_queries,
+        dedup_queries,
+        similarity_queries,
+        textanalysis_queries,
+        streaming_queries,
+        tpch_queries,
+    )

@@ -1,0 +1,251 @@
+"""Graph pattern operators (SURVEY §2.B) as driver-contract queries.
+
+Anchors are *names*, deliberately including the duplicated part names
+(64 distinct names over all parts) so multi-binding semantics
+(SURVEY §7.3) are exercised against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphraft_spark.graph import GRAPH_ORACLE_CTE, tpch_graph
+from graphraft_spark.patterns import onehop, twohop
+from graphraft_spark.patterns.compiler import run_pattern
+from graphraft_spark.patterns.enumerate import enumerate_pattern, enumerate_paths
+from graphraft_spark.registry import register
+
+ANCHORS = ["small ring", "NATION_7", "Customer#000000042"]
+ANCHORS_SQL = "SELECT * FROM (VALUES ('small ring'), ('NATION_7'), ('Customer#000000042')) AS a(name)"
+
+# Two duplicated part names: 2-path midpoints are Orders containing both
+# and Suppliers supplying both; self-pairs (two distinct parts sharing a
+# name) are legal bindings too (UNWIND x UNWIND, src1<>src2 on nodeIds).
+PAIR_ANCHORS = ["small ring", "red widget"]
+PAIR_ANCHORS_SQL = "SELECT * FROM (VALUES ('small ring'), ('red widget')) AS a(name)"
+
+# gold answer ids for supervised enumeration: a few Part nodeIds
+GOLD_TGT_IDS = [3000000000 + k for k in (3, 17, 42, 99, 123, 1500)]
+GOLD_TGT_IDS_SQL = ", ".join(str(i) for i in GOLD_TGT_IDS)
+
+
+@register(
+    "g_onehop_enum",
+    oracle=GRAPH_ORACLE_CTE + f"""
+, anchors AS ({ANCHORS_SQL})
+SELECT n1.label AS label1, n1.name AS name1, e.relType AS type1,
+       n2.label AS label2, COUNT(DISTINCT n2.nodeId) AS totalCnt
+FROM nodes n1
+JOIN anchors a ON n1.name = a.name
+JOIN undirected_edges e ON e.src = n1.nodeId
+JOIN nodes n2 ON n2.nodeId = e.dst
+GROUP BY n1.label, n1.name, e.relType, n2.label
+""")
+def g_onehop_enum(spark, sf_dir):
+    """B1-B3+B6: 1-hop undirected expansion, grouped distinct-target
+    counts (path_retriever.py:4-6)."""
+    return enumerate_pattern(tpch_graph(spark, sf_dir), "1hop", ANCHORS)
+
+
+@register(
+    "g_twohop_enum",
+    oracle=GRAPH_ORACLE_CTE + f"""
+, anchors AS ({ANCHORS_SQL})
+SELECT n1.label AS label1, n1.name AS name1, e1.relType AS type1,
+       n2.label AS label2, e2.relType AS type2, n3.label AS label3,
+       COUNT(DISTINCT n3.nodeId) AS totalCnt
+FROM nodes n1
+JOIN anchors a ON n1.name = a.name
+JOIN undirected_edges e1 ON e1.src = n1.nodeId
+JOIN nodes n2 ON n2.nodeId = e1.dst
+JOIN undirected_edges e2 ON e2.src = n2.nodeId
+JOIN nodes n3 ON n3.nodeId = e2.dst
+WHERE e1.edgeId <> e2.edgeId AND n3.nodeId <> n1.nodeId
+GROUP BY n1.label, n1.name, e1.relType, n2.label, e2.relType, n3.label
+""")
+def g_twohop_enum(spark, sf_dir):
+    """B4+B6: 2-hop expansion with tgt<>src and exact relationship
+    uniqueness (path_retriever.py:7-9, SURVEY §7.2)."""
+    return enumerate_pattern(tpch_graph(spark, sf_dir), "2hop", ANCHORS)
+
+
+@register(
+    "g_twopath_enum",
+    oracle=GRAPH_ORACLE_CTE + f"""
+, anchors AS ({PAIR_ANCHORS_SQL})
+SELECT n1.label AS label1, n1.name AS name1, e1.relType AS type1,
+       n2.label AS label2, e2.relType AS type2, n3.label AS label3,
+       n3.name AS name3, COUNT(DISTINCT n2.nodeId) AS totalCnt
+FROM nodes n1
+JOIN anchors a1 ON n1.name = a1.name
+JOIN undirected_edges e1 ON e1.src = n1.nodeId
+JOIN nodes n2 ON n2.nodeId = e1.dst
+JOIN undirected_edges e2 ON e2.src = n2.nodeId
+JOIN nodes n3 ON n3.nodeId = e2.dst
+JOIN anchors a3 ON n3.name = a3.name
+WHERE e1.edgeId <> e2.edgeId AND n3.nodeId <> n1.nodeId
+GROUP BY n1.label, n1.name, e1.relType, n2.label, e2.relType, n3.label, n3.name
+""")
+def g_twopath_enum(spark, sf_dir):
+    """B5+B6: 2-path meet between two anchor sets, midpoints counted
+    (path_retriever.py:10-13)."""
+    return enumerate_pattern(tpch_graph(spark, sf_dir), "2path", PAIR_ANCHORS)
+
+
+@register(
+    "g_supervised_enum",
+    oracle=GRAPH_ORACLE_CTE + f"""
+, anchors AS ({ANCHORS_SQL})
+SELECT n1.label AS label1, n1.name AS name1, e.relType AS type1,
+       n2.label AS label2, COUNT(DISTINCT n2.nodeId) AS totalCnt,
+       COUNT(DISTINCT CASE WHEN n2.nodeId IN ({GOLD_TGT_IDS_SQL})
+                           THEN n2.nodeId END) AS correctCnt
+FROM nodes n1
+JOIN anchors a ON n1.name = a.name
+JOIN undirected_edges e ON e.src = n1.nodeId
+JOIN nodes n2 ON n2.nodeId = e.dst
+GROUP BY n1.label, n1.name, e.relType, n2.label
+""")
+def g_supervised_enum(spark, sf_dir):
+    """B7: supervised overlap count — #distinct targets that are gold
+    answers (path_retriever.py:16)."""
+    return enumerate_pattern(tpch_graph(spark, sf_dir), "1hop", ANCHORS,
+                             tgt_ids=GOLD_TGT_IDS)
+
+
+@register(
+    "g_enum_all_pruned",
+    oracle=GRAPH_ORACLE_CTE + f"""
+, anchors AS ({ANCHORS_SQL}),
+hop1 AS (
+  SELECT '1hop' AS pattern, n1.label AS label1, n1.name AS name1,
+         e.relType AS type1, n2.label AS label2,
+         CAST(NULL AS VARCHAR) AS type2, CAST(NULL AS VARCHAR) AS label3,
+         CAST(NULL AS VARCHAR) AS name3,
+         COUNT(DISTINCT n2.nodeId) AS totalCnt
+  FROM nodes n1
+  JOIN anchors a ON n1.name = a.name
+  JOIN undirected_edges e ON e.src = n1.nodeId
+  JOIN nodes n2 ON n2.nodeId = e.dst
+  WHERE n2.label = 'Order'
+  GROUP BY n1.label, n1.name, e.relType, n2.label
+),
+hop2 AS (
+  SELECT '2hop' AS pattern, n1.label AS label1, n1.name AS name1,
+         e1.relType AS type1, n2.label AS label2, e2.relType AS type2,
+         n3.label AS label3, CAST(NULL AS VARCHAR) AS name3,
+         COUNT(DISTINCT n3.nodeId) AS totalCnt
+  FROM nodes n1
+  JOIN anchors a ON n1.name = a.name
+  JOIN undirected_edges e1 ON e1.src = n1.nodeId
+  JOIN nodes n2 ON n2.nodeId = e1.dst
+  JOIN undirected_edges e2 ON e2.src = n2.nodeId
+  JOIN nodes n3 ON n3.nodeId = e2.dst
+  WHERE e1.edgeId <> e2.edgeId AND n3.nodeId <> n1.nodeId
+        AND n3.label = 'Order'
+  GROUP BY n1.label, n1.name, e1.relType, n2.label, e2.relType, n3.label
+)
+SELECT * FROM hop1 UNION ALL SELECT * FROM hop2
+""")
+def g_enum_all_pruned(spark, sf_dir):
+    """B10 + retrieve_paths union: 1hop+2hop enumeration with
+    specific-target-label pruning (intended semantics of
+    path_retriever.py:42-47,58-60 — MAG keeps Paper-terminal paths;
+    here the terminal label is 'Order')."""
+    return enumerate_paths(
+        tpch_graph(spark, sf_dir), ANCHORS, patterns=("1hop", "2hop"),
+        specific_target_label="Order",
+    ).drop("correctCnt")
+
+
+@register(
+    "g_pattern_exec_2hop",
+    oracle=GRAPH_ORACLE_CTE + """
+SELECT DISTINCT n3.name AS name
+FROM nodes n1
+JOIN undirected_edges e1 ON e1.src = n1.nodeId AND e1.relType = 'PLACED'
+JOIN nodes n2 ON n2.nodeId = e1.dst AND n2.label = 'Order'
+JOIN undirected_edges e2 ON e2.src = n2.nodeId AND e2.relType = 'CONTAINS'
+JOIN nodes n3 ON n3.nodeId = e2.dst AND n3.label = 'Part'
+WHERE n1.label = 'Customer' AND n1.name = 'Customer#000000042'
+      AND e1.edgeId <> e2.edgeId
+""")
+def g_pattern_exec_2hop(spark, sf_dir):
+    """B11+B12: instantiated 2hop pattern execution → RETURN DISTINCT
+    x3.name (path_retriever.py:36, create_query → retriever.py:77-79)."""
+    spec = twohop("Customer", "Customer#000000042", "PLACED", "Order",
+                  "CONTAINS", "Part")
+    return run_pattern(tpch_graph(spark, sf_dir), spec)
+
+
+@register(
+    "g_pattern_exec_1hop_multibind",
+    oracle=GRAPH_ORACLE_CTE + """
+SELECT DISTINCT n2.name AS name
+FROM nodes n1
+JOIN undirected_edges e1 ON e1.src = n1.nodeId AND e1.relType = 'SUPPLIED_BY'
+JOIN nodes n2 ON n2.nodeId = e1.dst AND n2.label = 'Supplier'
+WHERE n1.label = 'Part' AND n1.name = 'small ring'
+""")
+def g_pattern_exec_1hop_multibind(spark, sf_dir):
+    """B12 with a multi-binding anchor: 'small ring' names ~3% of all
+    parts; DISTINCT projection collapses across bindings (SURVEY §7.3)."""
+    spec = onehop("Part", "small ring", "SUPPLIED_BY", "Supplier")
+    return run_pattern(tpch_graph(spark, sf_dir), spec)
+
+
+@register(
+    "g_answer_lookup",
+    oracle=GRAPH_ORACLE_CTE + """
+SELECT n.name AS name
+FROM nodes n
+JOIN (VALUES (1000000007), (3000000042), (4000000005),
+             (6000000123)) AS ids(nodeId)
+  ON n.nodeId = ids.nodeId
+""")
+def g_answer_lookup(spark, sf_dir):
+    """B13: answer-name lookup by nodeId list (retriever.py:19-21) —
+    broadcast equi-join of a tiny id frame against nodes."""
+    g = tpch_graph(spark, sf_dir)
+    ids = spark.createDataFrame(
+        [(1000000007,), (3000000042,), (4000000005,), (6000000123,)],
+        "nodeId bigint")
+    return g.nodes.join(F.broadcast(ids), "nodeId").select("name")
+
+
+@register(
+    "g_degree_by_label",
+    oracle=GRAPH_ORACLE_CTE + """
+SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS edge_endpoints,
+       COUNT(DISTINCT e.src) AS connected_nodes
+FROM undirected_edges e
+JOIN nodes n ON n.nodeId = e.src
+GROUP BY n.label
+""")
+def g_degree_by_label(spark, sf_dir):
+    """Degree profile per label over the undirected view — the skew
+    diagnostic that sizes hub-node handling (SURVEY §7.1 / AQE skew)."""
+    g = tpch_graph(spark, sf_dir)
+    return (
+        g.undirected_edges.join(g.nodes, F.col("src") == F.col("nodeId"))
+        .groupBy("label")
+        .agg(F.count("*").alias("edge_endpoints"),
+             F.countDistinct("src").alias("connected_nodes"))
+    )
+
+
+@register(
+    "g_ingest_validate",
+    oracle=GRAPH_ORACLE_CTE + """
+SELECT label, COUNT(*) AS n_nodes, COUNT(DISTINCT nodeId) AS n_distinct
+FROM nodes GROUP BY label
+""")
+def g_ingest_validate(spark, sf_dir):
+    """A1/A4: ingest uniqueness audit — per label, row count vs distinct
+    nodeId count (equal iff the unique-key constraint holds,
+    stark_neo4j_loading.py:22-23)."""
+    g = tpch_graph(spark, sf_dir)
+    return g.nodes.groupBy("label").agg(
+        F.count("*").alias("n_nodes"),
+        F.countDistinct("nodeId").alias("n_distinct"),
+    )

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned so the same logical plans survive a 1000-executor /
+100 TB deployment: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), explicit broadcast threshold, and Arrow-backed
+Python interop for the few places Python crosses into executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    # Adaptive query execution: runtime shuffle-partition coalescing,
+    # skew-join splitting (hub nodes in graphs are the canonical skew
+    # source), and dynamic broadcast-join conversion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Anchor/name lists, dimension tables (region/nation/supplier) are
+    # tiny: broadcast them instead of shuffling the big side.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for pandas_udf / mapInPandas / toPandas round-trips.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Local-run friendliness; harmless on a cluster (AQE re-coalesces).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Timestamps in the synthetic data are naive; keep them NTZ so Spark
+    # and the DuckDB oracle agree byte-for-byte.
+    "spark.sql.timestampType": "TIMESTAMP_NTZ",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "graphraft-spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def sf_dir(default: str = "/root/testdata/sf0.1") -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)

@@ -1,0 +1,141 @@
+"""Golden tests for the pattern engine on the hand-built fixture graph
+(FIXTURES.md §4 golden queries 1-4)."""
+
+from pyspark.sql import functions as F
+
+from graphraft_spark.patterns import onehop, twohop, twopath
+from graphraft_spark.patterns.compiler import run_pattern
+from graphraft_spark.patterns.enumerate import (
+    enumerate_pattern,
+    enumerate_paths,
+    instantiate_queries,
+)
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_onehop_enumeration_counts(tiny_graph):
+    out = enumerate_pattern(tiny_graph, "1hop", ["Ada"])
+    got = rows(out)
+    # Both Adas bind: Ada-WRITES-Paper reaches papers 10,11 (Ada#1) and
+    # 12 (Ada#2) → one signature row, totalCnt=3 distinct papers.
+    assert ("Author", "Ada", "WRITES", "Paper", 3) in got
+    assert ("Author", "Ada", "AFFILIATED_WITH", "Institution", 1) in got
+    assert len(got) == 2
+
+
+def test_onehop_supervised_counts(tiny_graph):
+    out = enumerate_pattern(tiny_graph, "1hop", ["Ada"], tgt_ids=[10, 12, 999])
+    got = {tuple(r) for r in out.collect()}
+    assert ("Author", "Ada", "WRITES", "Paper", 3, 2) in got
+    assert ("Author", "Ada", "AFFILIATED_WITH", "Institution", 1, 0) in got
+
+
+def test_twohop_excludes_src_and_reuses_no_edge(tiny_graph):
+    out = enumerate_pattern(tiny_graph, "2hop", ["Bob"])
+    got = rows(out)
+    # Bob-WRITES-P11-CITES-P10 exists; tgt<>src1 and edge-uniqueness
+    # must not block it, but Bob-...-Bob must be gone.
+    assert ("Author", "Bob", "WRITES", "Paper", "CITES", "Paper", 1) in got
+    for r in got:
+        assert not (r[3] == "Author" and r[6] >= 1 and r[0] == "Author"
+                    and r[1] == "Bob" and r[5] == "Author" and False)
+    # Author targets via shared institution/paper exist but never Bob himself:
+    ada_via_inst = [r for r in got if r == ("Author", "Bob",
+                    "AFFILIATED_WITH", "Institution", "AFFILIATED_WITH",
+                    "Author", 1)]
+    assert ada_via_inst, got
+
+
+def test_both_direction_cites_pair_distinct_edges(tiny_graph):
+    # P10 and P11 cite each other (edges 107,108). 1hop from P-alpha via
+    # CITES: neighbors are P-beta (via BOTH 107 and 108 — counted once by
+    # DISTINCT tgt) and P-gamma (109 in-edge) → totalCnt = 2.
+    out = enumerate_pattern(tiny_graph, "1hop", ["P-alpha"])
+    got = rows(out)
+    assert ("Paper", "P-alpha", "CITES", "Paper", 2) in got
+    # 2hop P-alpha-CITES-P-beta-CITES-P-alpha is blocked by tgt<>src,
+    # but P-alpha -e107- P-beta -e108- P-alpha would need tgt=src anyway;
+    # crucially e107/e108 are distinct edges so P-alpha-CITES-P11-CITES-tgt
+    # with tgt<>P10 yields nothing extra — check no self row:
+    two = enumerate_pattern(tiny_graph, "2hop", ["P-alpha"])
+    for r in two.collect():
+        assert not (r["label3"] == "Paper" and r["totalCnt"] == 0)
+
+
+def test_twopath_meet_and_self_pairs(tiny_graph):
+    out = enumerate_pattern(tiny_graph, "2path", ["Ada", "Bob"])
+    got = rows(out)
+    # Ada(1) and Bob share P-beta (11) via WRITES/WRITES and MIT via AFF.
+    assert ("Author", "Ada", "WRITES", "Paper", "WRITES", "Author", "Bob", 1) in got
+    assert ("Author", "Ada", "AFFILIATED_WITH", "Institution",
+            "AFFILIATED_WITH", "Author", "Bob", 1) in got
+    # Self-pair Ada/Ada: two distinct Ada nodes share no mid node → absent.
+    assert not any(r[1] == "Ada" and r[6] == "Ada" for r in got)
+
+
+def test_pattern_exec_distinct_names(tiny_graph):
+    spec = onehop("Author", "Ada", "WRITES", "Paper")
+    got = rows(run_pattern(tiny_graph, spec))
+    assert got == {("P-alpha",), ("P-beta",), ("P-gamma",)}
+
+    spec2 = twohop("Author", "Bob", "WRITES", "Paper", "CITES", "Paper")
+    got2 = rows(run_pattern(tiny_graph, spec2))
+    # P11 cites/cited-by P10 (both edges); P13 has no cites.
+    assert got2 == {("P-alpha",)}
+
+    spec3 = twopath("Author", "Ada", "WRITES", "Paper", "WRITES",
+                    "Author", "Bob")
+    got3 = rows(run_pattern(tiny_graph, spec3))
+    assert got3 == {("P-beta",)}
+
+
+def test_instantiate_queries_roundtrip(tiny_graph):
+    enum = enumerate_paths(tiny_graph, ["Ada"], patterns=("1hop", "2hop"))
+    recs = [r.asDict() for r in enum.collect()]
+    pairs = instantiate_queries(recs)
+    assert len(pairs) == len(recs)
+    spec, cypher = next(
+        (s, c) for (s, c), r in zip(pairs, recs)
+        if r["pattern"] == "1hop" and r["type1"] == "WRITES")
+    assert cypher == ('MATCH (x1:Author {name: "Ada"})-[r1:WRITES]-(x2:Paper) '
+                      'RETURN DISTINCT x2.name AS name')
+    # executing the instantiated spec reproduces the enumerated count
+    n = run_pattern(tiny_graph, spec).count()
+    assert n == 3
+
+
+def test_cypher_renderer_escapes_quotes():
+    spec = onehop("Part", 'a "quoted" name', "CONTAINS", "Order")
+    assert '\\"quoted\\"' in spec.cypher()
+
+
+def test_undirected_degrees(tiny_graph):
+    deg = {r["nodeId"]: r["degree"] for r in tiny_graph.degrees().collect()}
+    assert deg[30] == 4  # hub topic
+    assert deg[10] == 5  # WRITES in + CITES out + 2 CITES in + HAS_TOPIC
+    assert deg[2] == 1
+
+
+def test_validate_passes_and_catches(spark, tiny_graph):
+    tiny_graph.validate()
+    from graphraft_spark.graph.model import PropertyGraph
+
+    bad = PropertyGraph(
+        nodes=tiny_graph.nodes.union(tiny_graph.nodes.limit(1)),
+        edges=tiny_graph.edges,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate nodeId"):
+        bad.validate()
+    dangling = PropertyGraph(
+        nodes=tiny_graph.nodes,
+        edges=tiny_graph.edges.union(
+            spark.createDataFrame([(999, 1, 12345, "WRITES")],
+                                  tiny_graph.edges.schema)),
+    )
+    with pytest.raises(ValueError, match="endpoint"):
+        dangling.validate()
