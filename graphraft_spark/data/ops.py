@@ -1,0 +1,100 @@
+"""Batch dataset operators (SURVEY §2.E) — the HF-`datasets` pipeline steps
+(llm1.py / llm2.py / training notebooks) as native column expressions.
+
+The reference's .map/.filter lambdas with num_proc=8 are embarrassingly
+parallel row ops — exactly Spark's model; everything here stays in
+whole-stage codegen (no Python in executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sort_parallel_arrays(queries: Column, hits: Column,
+                         num_results: Column) -> Column:
+    """E5 (llm1.py:53-58): sort three parallel arrays by composite key
+    (hits DESC, num_results ASC), *stable* w.r.t. original positions —
+    Python's sorted() is stable, so the original index is the final
+    tie-break.  Returns ARRAY<STRUCT<query, hits, num_results>> in
+    sorted order (callers project the fields they need).
+
+    Implemented as index-array → struct zip → natural (lexicographic)
+    array_sort on (-hits, num_results, idx): one codegen'd expression,
+    no explode/shuffle.
+    """
+    idx = F.sequence(F.lit(1), F.size(queries))
+    zipped = F.transform(
+        idx,
+        lambda i: F.struct(
+            (-F.element_at(hits, i)).alias("k1"),
+            F.element_at(num_results, i).alias("k2"),
+            i.alias("k3"),
+            F.element_at(queries, i).alias("q"),
+        ),
+    )
+    return F.transform(
+        F.array_sort(zipped),
+        lambda x: F.struct(
+            x["q"].alias("query"),
+            (-x["k1"]).alias("hits"),
+            x["k2"].alias("num_results"),
+        ),
+    )
+
+
+def best_label_is_good(sorted_arr: Column, n_answers: Column,
+                       min_precision: float = 0.1,
+                       min_recall: float = 1.0) -> Column:
+    """E6 (llm1.py:61-66): training-example quality gate on the best
+    query after E5 ordering — precision = hits/num_results ≥ 0.1 AND
+    recall = hits/|answers| ≥ 1.0."""
+    best = F.element_at(sorted_arr, 1)
+    hits = best["hits"].cast("double")
+    return (
+        (F.size(sorted_arr) > 0)
+        & (best["num_results"] > 0) & (n_answers > 0)
+        & (hits / best["num_results"] >= min_precision)
+        & (hits / n_answers >= min_recall)
+    )
+
+
+def head_n(df: DataFrame, n: int, order_by: list[Column]) -> DataFrame:
+    """E3: head-N on a *defined* order (the reference's
+    .filter(lambda _, i: i < n, with_indices=True) relies on dataset
+    order; distributed frames need an explicit one)."""
+    w = Window.orderBy(*order_by)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n).drop("__rn"))
+
+
+def repair_queries(queries: Column) -> Column:
+    """E8 (generate_training_data_llm2.ipynb cell 7): string repair pass
+    over query arrays — RETURN x → RETURN DISTINCT x."""
+    return F.transform(
+        queries,
+        lambda q: F.regexp_replace(q, r"RETURN x", "RETURN DISTINCT x"),
+    )
+
+
+def power_law_rank_sample(n_candidates: Column, key: Column,
+                          n_samples: int = 5, alpha: float = 0.1) -> Column:
+    """E7 (generate_training_data_llm2.ipynb cell 5): biased rank sampling
+    for LLM2 training — inverse-CDF x**(1/alpha) pushes mass toward
+    top-ranked queries.  Deterministic u_i from ``key`` (hash-free
+    modular arithmetic so any engine reproduces it); duplicates dropped;
+    returned ranks ascending (1-based).  Deviation from the reference:
+    it *re*-samples until 5 distinct ranks — we take ≤ n_samples
+    distinct draws; the ranking-bias property (the supervised signal)
+    is preserved while staying a pure expression.
+    """
+    draws = F.sequence(F.lit(1), F.lit(n_samples))
+    u = lambda i: ((key * 7919 + i * 104659) % 104729) / 104729.0  # noqa: E731
+    rank = lambda i: F.least(  # noqa: E731
+        n_candidates,
+        F.floor(F.pow(u(i), 1.0 / alpha) * n_candidates).cast("int") + 1,
+    )
+    return F.array_sort(F.array_distinct(
+        F.filter(F.transform(draws, rank), lambda r: r.isNotNull())
+    ))

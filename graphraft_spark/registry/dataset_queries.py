@@ -1,1 +1,193 @@
-"""Placeholder — populated in a later milestone."""
+"""Dataset/dataflow operators (SURVEY §2.E) as oracle-checked queries.
+
+A qa_with_cypher_queries-shaped table is derived per customer from
+orders: parallel arrays (queries, hits, num_results) ordered by
+orderkey — the exact shape llm1.py:53-66 sorts and gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphraft_spark.data import (
+    best_label_is_good,
+    head_n,
+    power_law_rank_sample,
+    repair_queries,
+    sort_parallel_arrays,
+)
+from graphraft_spark.registry import register
+
+_QA_SQL = """
+qa AS (
+    SELECT CAST(o_custkey AS BIGINT) AS id,
+           list(CAST(o_orderkey AS VARCHAR) ORDER BY o_orderkey) AS queries,
+           list(o_orderkey % 5 ORDER BY o_orderkey) AS hits,
+           list(o_orderkey % 11 + 1 ORDER BY o_orderkey) AS num_results
+    FROM orders GROUP BY o_custkey
+)"""
+
+_SORTED_SQL = """
+sorted AS (
+    SELECT id, queries, list_sort(list_transform(
+        range(1, len(queries) + 1),
+        i -> {'k1': -hits[i], 'k2': num_results[i], 'k3': i,
+              'q': queries[i]})) AS s
+    FROM qa
+)"""
+
+
+def _qa(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    arr = lambda c: F.transform(  # noqa: E731
+        F.array_sort(F.collect_list(F.struct(F.col("o_orderkey").alias("k"),
+                                             c.alias("v")))),
+        lambda x: x["v"])
+    return (
+        o.groupBy(F.col("o_custkey").cast("bigint").alias("id"))
+        .agg(
+            arr(F.col("o_orderkey").cast("string")).alias("queries"),
+            arr(F.col("o_orderkey") % 5).alias("hits"),
+            arr(F.col("o_orderkey") % 11 + 1).alias("num_results"),
+        )
+    )
+
+
+def _sorted(spark, sf_dir):
+    qa = _qa(spark, sf_dir)
+    return qa.withColumn(
+        "s", sort_parallel_arrays(F.col("queries"), F.col("hits"),
+                                  F.col("num_results")))
+
+
+@register(
+    "e_parallel_sort",
+    oracle=f"""
+WITH {_QA_SQL.strip()},
+{_SORTED_SQL.strip()}
+SELECT id, s[1].q AS best_query, -s[1].k1 AS best_hits,
+       s[1].k2 AS best_num_results,
+       list_transform(s, x -> x.q) AS sorted_queries
+FROM sorted
+""")
+def e_parallel_sort(spark, sf_dir):
+    """E5: intra-row parallel-array sort by (hits DESC, num_results ASC),
+    stable (llm1.py:53-58) — one codegen'd expression per row, no
+    explode/shuffle."""
+    return _sorted(spark, sf_dir).select(
+        "id",
+        F.element_at("s", 1)["query"].alias("best_query"),
+        F.element_at("s", 1)["hits"].alias("best_hits"),
+        F.element_at("s", 1)["num_results"].alias("best_num_results"),
+        F.transform("s", lambda x: x["query"]).alias("sorted_queries"),
+    )
+
+
+@register(
+    "e_quality_gate",
+    oracle=f"""
+WITH {_QA_SQL.strip()},
+{_SORTED_SQL.strip()}
+SELECT id, s[1].q AS best_query, -s[1].k1 AS best_hits
+FROM sorted
+WHERE len(s) > 0 AND s[1].k2 > 0 AND (id % 4 + 1) > 0
+      AND CAST(-s[1].k1 AS DOUBLE) / s[1].k2 >= 0.1
+      AND CAST(-s[1].k1 AS DOUBLE) / (id % 4 + 1) >= 1.0
+""")
+def e_quality_gate(spark, sf_dir):
+    """E6: best_label_is_good gate (llm1.py:61-66): precision ≥ 0.1 and
+    recall ≥ 1.0 on the best-sorted query; n_answers stand-in = id%4+1."""
+    df = _sorted(spark, sf_dir)
+    gate = best_label_is_good(F.col("s"), (F.col("id") % 4 + 1))
+    return df.filter(gate).select(
+        "id",
+        F.element_at("s", 1)["query"].alias("best_query"),
+        F.element_at("s", 1)["hits"].alias("best_hits"),
+    )
+
+
+@register(
+    "e_rank_sample",
+    oracle=f"""
+WITH {_QA_SQL.strip()},
+sampled AS (
+    SELECT id, queries,
+           list_sort(list_distinct(list_transform(
+               range(1, 6),
+               i -> LEAST(len(queries),
+                          CAST(floor(pow(((id * 7919 + i * 104659) % 104729)
+                                         / 104729.0, 10.0)
+                                     * len(queries)) AS INT) + 1)))) AS ranks
+    FROM qa
+)
+SELECT id, ranks,
+       list_transform(ranks, r -> queries[r]) AS top_queries
+FROM sampled
+""")
+def e_rank_sample(spark, sf_dir):
+    """E7: power-law rank sampling (alpha=0.1, 5 draws) for LLM2
+    training-query selection (generate_training_data_llm2.ipynb cell 5),
+    with a deterministic modular-arithmetic u so it is oracle-checkable
+    (SURVEY §7.8: nondeterminism quarantine)."""
+    qa = _qa(spark, sf_dir)
+    ranks = power_law_rank_sample(F.size("queries"), F.col("id"))
+    return (
+        qa.withColumn("ranks", ranks)
+        .select("id", "ranks",
+                F.transform("ranks", lambda r: F.element_at(
+                    F.col("queries"), r)).alias("top_queries"))
+    )
+
+
+@register(
+    "e_repair_head",
+    oracle="""
+WITH qa AS (
+    SELECT CAST(o_custkey AS BIGINT) AS id,
+           list('MATCH (x) RETURN x WHERE ' || CAST(o_orderkey AS VARCHAR)
+                ORDER BY o_orderkey) AS queries
+    FROM orders GROUP BY o_custkey
+)
+SELECT id,
+       list_transform(queries,
+           q -> replace(q, 'RETURN x', 'RETURN DISTINCT x')) AS repaired
+FROM qa ORDER BY id LIMIT 50
+""")
+def e_repair_head(spark, sf_dir):
+    """E8+E3: string repair pass over query arrays (RETURN x → RETURN
+    DISTINCT x, notebook cell 7) + head-N on a defined order."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    qa = (
+        o.groupBy(F.col("o_custkey").cast("bigint").alias("id"))
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.concat(F.lit("MATCH (x) RETURN x WHERE "),
+                         F.col("o_orderkey").cast("string")).alias("v")))),
+            lambda x: x["v"]).alias("queries"))
+    )
+    out = qa.select("id", repair_queries(F.col("queries")).alias("repaired"))
+    return head_n(out, 50, [F.col("id")])
+
+
+@register(
+    "e_embedding_join",
+    oracle="""
+SELECT CAST(o_custkey AS BIGINT) AS id, COUNT(*) AS n_orders, e.embedding
+FROM orders o JOIN embeddings e ON e.vec_id = o_custkey
+WHERE o_custkey < 100
+GROUP BY o_custkey, e.embedding
+""")
+def e_embedding_join(spark, sf_dir):
+    """E9: attach q_emb by question id (the reference loads a .pt dict and
+    maps it row-wise, notebook cell 8) — a plain equi-join, broadcast by
+    Catalyst when the embedding side is small."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        o.filter(F.col("o_custkey") < 100)
+        .join(e, F.col("vec_id") == F.col("o_custkey"))
+        .groupBy(F.col("o_custkey").cast("bigint").alias("id"), "embedding")
+        .agg(F.count("*").alias("n_orders"))
+        .select("id", "n_orders", "embedding")
+    )

@@ -1,1 +1,247 @@
-"""Placeholder — populated in a later milestone."""
+"""Budgeted retrieval dataflow (SURVEY §2.D) as oracle-checked queries.
+
+Batch shape: 5 questions (qid 0-4), each with two overlapping ranked
+"pattern query" result streams over customers (queryIdx 1 ⊃ queryIdx 0)
+plus a vector-candidate pool (customers of the same nation — exercising
+exclusion — and all suppliers).  Similarity is a deterministic pseudo
+score both engines compute identically in integer math:
+``((nodeId % 100000) * 7919 % 104729) / 104729.0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from graphraft_spark.registry import register
+from graphraft_spark.retrieve import budgeted_accumulate, retrieve_data
+from graphraft_spark.retrieve.budget import token_budgeted_accumulate
+
+MAX_NODES = 12
+EF = 40
+
+_PSIM = "((nodeId % 100000) * 7919 % 104729) / 104729.0"
+
+
+def _psim(col):
+    return ((col % 100000) * 7919 % 104729) / 104729.0
+
+
+def _results(spark, sf_dir):
+    """(qid, queryIdx, nodeId, similarity, pattern) — two overlapping
+    streams per question."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    qids = spark.createDataFrame([(i,) for i in range(5)], "qid bigint")
+    base = cust.crossJoin(F.broadcast(qids)).withColumn(
+        "nodeId", F.col("c_custkey").cast("bigint") + 1_000_000_000)
+    q0 = (base.filter(F.col("c_nationkey") == F.col("qid"))
+          .withColumn("queryIdx", F.lit(0)))
+    q1 = (base.filter((F.col("c_nationkey") == F.col("qid"))
+                      | (F.col("c_nationkey") == F.col("qid") + 5))
+          .withColumn("queryIdx", F.lit(1)))
+    return (
+        q0.unionByName(q1)
+        .select(
+            "qid", "queryIdx", "nodeId",
+            _psim(F.col("nodeId")).alias("similarity"),
+            F.concat(F.lit("q"), F.col("queryIdx").cast("string"),
+                     F.lit("#"), F.col("qid").cast("string")).alias("pattern"),
+        )
+    )
+
+
+_RESULTS_SQL = f"""
+results AS (
+    SELECT qid, queryIdx, nodeId, {_PSIM} AS similarity,
+           'q' || CAST(queryIdx AS VARCHAR) || '#' || CAST(qid AS VARCHAR)
+               AS pattern
+    FROM (
+        SELECT q.qid, 0 AS queryIdx,
+               CAST(c_custkey AS BIGINT) + 1000000000 AS nodeId
+        FROM customer, (VALUES (0),(1),(2),(3),(4)) q(qid)
+        WHERE c_nationkey = q.qid
+        UNION ALL
+        SELECT q.qid, 1,
+               CAST(c_custkey AS BIGINT) + 1000000000
+        FROM customer, (VALUES (0),(1),(2),(3),(4)) q(qid)
+        WHERE c_nationkey = q.qid OR c_nationkey = q.qid + 5
+    )
+)"""
+
+
+def _candidates(spark, sf_dir):
+    """Vector top-up pool: top-EF per qid over (same-nation customers ∪
+    all suppliers) by pseudo-similarity — the global-vector-index analog
+    with guaranteed overlap against kept nodes."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    qids = spark.createDataFrame([(i,) for i in range(5)], "qid bigint")
+    c = (cust.crossJoin(F.broadcast(qids))
+         .filter(F.col("c_nationkey") == F.col("qid"))
+         .select("qid", (F.col("c_custkey").cast("bigint")
+                         + 1_000_000_000).alias("nodeId")))
+    s = (supp.crossJoin(F.broadcast(qids))
+         .select("qid", (F.col("s_suppkey").cast("bigint")
+                         + 2_000_000_000).alias("nodeId")))
+    pool = c.unionByName(s).withColumn("similarity", _psim(F.col("nodeId")))
+    w = Window.partitionBy("qid").orderBy(F.desc("similarity"), F.asc("nodeId"))
+    return (pool.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= EF).drop("rn"))
+
+
+_CANDIDATES_SQL = f"""
+cand_pool AS (
+    SELECT q.qid, CAST(c_custkey AS BIGINT) + 1000000000 AS nodeId
+    FROM customer, (VALUES (0),(1),(2),(3),(4)) q(qid)
+    WHERE c_nationkey = q.qid
+    UNION ALL
+    SELECT q.qid, CAST(s_suppkey AS BIGINT) + 2000000000
+    FROM supplier, (VALUES (0),(1),(2),(3),(4)) q(qid)
+),
+candidates AS (
+    SELECT qid, nodeId, similarity FROM (
+        SELECT qid, nodeId, {_PSIM} AS similarity,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY {_PSIM} DESC, nodeId) AS rn
+        FROM cand_pool
+    ) WHERE rn <= {EF}
+)"""
+
+# the exact accumulate algorithm in SQL (shared by both oracle queries):
+# rank per stream -> first-seen -> seen_order -> crossing row -> kept +
+# provenance strictly before the crossing row.
+_ACCUM_SQL = f"""
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, queryIdx
+                                 ORDER BY similarity DESC, nodeId) AS rank
+    FROM results
+),
+first_seen AS (
+    SELECT qid, nodeId,
+           MIN(queryIdx * 1000000 + rank) AS fkey,
+           MIN(similarity) AS similarity
+    FROM ranked GROUP BY qid, nodeId
+),
+ordered AS (
+    SELECT qid, nodeId, similarity,
+           fkey // 1000000 AS queryIdx, fkey % 1000000 AS rank,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY fkey) AS seen_order
+    FROM first_seen
+),
+crossing AS (
+    SELECT qid, queryIdx AS cross_q, rank AS cross_r
+    FROM ordered WHERE seen_order = {MAX_NODES}
+),
+kept AS (
+    SELECT qid, nodeId, similarity, queryIdx, rank
+    FROM ordered WHERE seen_order < {MAX_NODES}
+),
+consumed AS (
+    SELECT r.* FROM ranked r LEFT JOIN crossing c USING (qid)
+    WHERE c.cross_q IS NULL OR r.queryIdx < c.cross_q
+          OR (r.queryIdx = c.cross_q AND r.rank < c.cross_r)
+),
+provenance AS (
+    SELECT qid, nodeId,
+           list(pattern ORDER BY queryIdx, rank) AS patterns
+    FROM consumed GROUP BY qid, nodeId
+)"""
+
+
+@register(
+    "r_budget_accumulate",
+    oracle=f"""
+WITH {_RESULTS_SQL.strip()},
+{_ACCUM_SQL.strip()}
+SELECT k.qid, k.nodeId, ROUND(k.similarity, 6) AS similarity,
+       CAST(k.queryIdx AS INT) AS queryIdx, CAST(k.rank AS INT) AS rank,
+       p.patterns
+FROM kept k JOIN provenance p ON k.qid = p.qid AND k.nodeId = p.nodeId
+""")
+def r_budget_accumulate(spark, sf_dir):
+    """D2+D3+D4: windowed first-seen dedup, provenance pattern
+    accumulation, node-budget stop with drop-the-crosser
+    (retriever.py:75-90)."""
+    out = budgeted_accumulate(_results(spark, sf_dir), MAX_NODES)
+    return out.select(
+        "qid", "nodeId", F.round("similarity", 6).alias("similarity"),
+        F.col("queryIdx").cast("int").alias("queryIdx"),
+        F.col("rank").cast("int").alias("rank"), "patterns")
+
+
+@register(
+    "r_retrieve_data",
+    oracle=f"""
+WITH {_RESULTS_SQL.strip()},
+{_CANDIDATES_SQL.strip().lstrip()},
+{_ACCUM_SQL.strip().lstrip()},
+kept_n AS (SELECT qid, COUNT(*) AS k FROM kept GROUP BY qid),
+topup AS (
+    SELECT qid, nodeId, similarity FROM (
+        SELECT c.qid, c.nodeId, c.similarity,
+               ROW_NUMBER() OVER (PARTITION BY c.qid
+                                  ORDER BY c.similarity DESC, c.nodeId) AS rn,
+               COALESCE(n.k, 0) AS k
+        FROM candidates c
+        LEFT JOIN kept ke ON ke.qid = c.qid AND ke.nodeId = c.nodeId
+        LEFT JOIN kept_n n ON n.qid = c.qid
+        WHERE ke.nodeId IS NULL
+    ) WHERE rn <= GREATEST(0, {MAX_NODES} - 1 - k)
+)
+SELECT k.qid, k.nodeId, ROUND(k.similarity, 6) AS similarity, p.patterns,
+       'pattern' AS source
+FROM kept k JOIN provenance p ON k.qid = p.qid AND k.nodeId = p.nodeId
+UNION ALL
+SELECT qid, nodeId, ROUND(similarity, 6), ['No pattern'], 'vector'
+FROM topup
+""")
+def r_retrieve_data(spark, sf_dir):
+    """D1-D7 end-to-end: budgeted pattern accumulation + vector top-up
+    with exclusion; ≤ max_nodes-1 nodes per question when the budget
+    fires (retriever.py:71-109)."""
+    out = retrieve_data(_results(spark, sf_dir), _candidates(spark, sf_dir),
+                        MAX_NODES)
+    return out.select(
+        "qid", "nodeId", F.round("similarity", 6).alias("similarity"),
+        "patterns", "source")
+
+
+@register(
+    "r_token_budget",
+    oracle=f"""
+WITH {_RESULTS_SQL.strip()},
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, queryIdx
+                                 ORDER BY similarity DESC, nodeId) AS rank,
+           CAST(nodeId % 7 + 1 AS BIGINT) AS tok
+    FROM results
+),
+first_seen AS (
+    SELECT qid, nodeId, MIN(queryIdx * 1000000 + rank) AS fkey,
+           MIN(similarity) AS similarity, MIN(tok) AS tok
+    FROM ranked GROUP BY qid, nodeId
+),
+ordered AS (
+    SELECT qid, nodeId, similarity,
+           fkey // 1000000 AS queryIdx, fkey % 1000000 AS rank,
+           SUM(tok) OVER (PARTITION BY qid ORDER BY fkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM first_seen
+)
+SELECT qid, nodeId, ROUND(similarity, 6) AS similarity,
+       CAST(queryIdx AS INT) AS queryIdx, CAST(rank AS INT) AS rank,
+       CAST(cum_tok AS BIGINT) AS cum_tok
+FROM ordered WHERE cum_tok < 40
+""")
+def r_token_budget(spark, sf_dir):
+    """D5: token-count budget — running sum over consumption order,
+    keep while cum < max_tokens (retriever.py:66-69).  Token length
+    here is a deterministic per-node stand-in (nodeId%7+1); production
+    passes a tokenizer pandas_udf column."""
+    out = token_budgeted_accumulate(
+        _results(spark, sf_dir), max_tokens=40,
+        token_len=(F.col("nodeId") % 7 + 1).cast("bigint"))
+    return out.select(
+        "qid", "nodeId", F.round("similarity", 6).alias("similarity"),
+        F.col("queryIdx").cast("int").alias("queryIdx"),
+        F.col("rank").cast("int").alias("rank"), "cum_tok")

@@ -1,1 +1,161 @@
-"""Placeholder — populated in a later milestone."""
+"""Vector & text search operators (SURVEY §2.C) as oracle-checked queries.
+
+Similarity values are computed in DOUBLE on both engines (the parquet
+stores float32 — DuckDB casts via ``CAST(... AS DOUBLE[])``, Spark casts
+per element) and rounded to 6 decimals in the *output* so the driver's
+value hash is stable; ordering uses the unrounded values with vec_id
+tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from graphraft_spark.graph import GRAPH_ORACLE_CTE, tpch_graph
+from graphraft_spark.registry import register
+from graphraft_spark.search.text import fulltext_match
+from graphraft_spark.search.vector import dot_col
+
+Q_VEC_ID = 7  # query vector = embeddings row; unit-norm ⇒ cosine = dot
+
+# DuckDB-side query vector as a scalar subquery
+_QSQL = f"(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {Q_VEC_ID})"
+
+
+def _scored(spark, sf_dir):
+    """embeddings × (1-row broadcast query vector) with dot similarity —
+    stays one scan + broadcast nested loop; no shuffle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = (emb.filter(F.col("vec_id") == Q_VEC_ID)
+           .select(F.col("embedding").alias("q_emb")))
+    return (
+        emb.crossJoin(F.broadcast(qdf))
+        .withColumn("similarity", dot_col(F.col("embedding"), F.col("q_emb")))
+        .drop("q_emb")
+    )
+
+
+@register(
+    "s_fulltext_match",
+    oracle=GRAPH_ORACLE_CTE + """
+SELECT DISTINCT name FROM nodes
+WHERE lower(trim('  SMALL Ring ')) = lower(trim(name))
+""")
+def s_fulltext_match(spark, sf_dir):
+    """C1: normalized-equality entity match (ner.py:111-113) — case-folded,
+    trimmed; multi-binding name collapses to one DISTINCT row."""
+    g = tpch_graph(spark, sf_dir)
+    return fulltext_match(g.nodes, "  SMALL Ring ")
+
+
+@register(
+    "s_knn_topk",
+    oracle=f"""
+SELECT vec_id,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), {_QSQL}), 6)
+           AS similarity
+FROM embeddings
+ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), {_QSQL}) DESC, vec_id
+LIMIT 10
+""")
+def s_knn_topk(spark, sf_dir):
+    """C2/C5: exact brute-force cosine top-k — TakeOrderedAndProject
+    physical plan (per-partition top-k, driver merge; no global sort)."""
+    return (
+        _scored(spark, sf_dir)
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("similarity", 6).alias("similarity"))
+    )
+
+
+@register(
+    "s_knn_excluding",
+    oracle=f"""
+WITH topk AS (
+    SELECT vec_id,
+           list_dot_product(CAST(embedding AS DOUBLE[]), {_QSQL}) AS sim
+    FROM embeddings
+    ORDER BY sim DESC, vec_id
+    LIMIT 25
+)
+SELECT vec_id, ROUND(sim, 6) AS similarity FROM topk
+WHERE vec_id NOT IN (7, 3, 11, 400)
+""")
+def s_knn_excluding(spark, sf_dir):
+    """C4: vector KNN with exclusion, faithful to the reference's order
+    of operations (retriever.py:14-17): top-ef FIRST, then WHERE NOT IN
+    — excluded hits reduce the returned count.  Exclusion is a broadcast
+    left-anti join."""
+    top = (
+        _scored(spark, sf_dir)
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(25)
+    )
+    ex = top.sparkSession.createDataFrame(
+        [(7,), (3,), (11,), (400,)], "vec_id bigint")
+    return (
+        top.join(F.broadcast(ex), "vec_id", "left_anti")
+        .select("vec_id", F.round("similarity", 6).alias("similarity"))
+    )
+
+
+@register(
+    "s_knn_per_group",
+    oracle=f"""
+SELECT label, vec_id, ROUND(sim, 6) AS similarity
+FROM (
+    SELECT label, vec_id,
+           list_dot_product(CAST(embedding AS DOUBLE[]), {_QSQL}) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY label
+                              ORDER BY list_dot_product(
+                                  CAST(embedding AS DOUBLE[]), {_QSQL}) DESC,
+                              vec_id) AS rn
+    FROM embeddings
+)
+WHERE rn <= 3
+""")
+def s_knn_per_group(spark, sf_dir):
+    """Partitioned top-k: top-3 per label via window row_number — the
+    shape that scales (hash-partition by group, per-partition heap;
+    no global sort of 100 TB)."""
+    w = Window.partitionBy("label").orderBy(F.desc("similarity"), F.asc("vec_id"))
+    return (
+        _scored(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", F.round("similarity", 6).alias("similarity"))
+    )
+
+
+@register(
+    "s_cosine_pair",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])))), 6)
+           AS cosine
+FROM embeddings a JOIN embeddings b
+  ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id < 20
+""")
+def s_cosine_pair(spark, sf_dir):
+    """C3: full cosine (dot / norms) as a native expression between
+    consecutive vectors — the scalar the retriever sorts by
+    (retriever.py:59)."""
+    from graphraft_spark.search.vector import cosine_col
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.filter(F.col("id_a") < 20)
+        .join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b",
+                F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cosine"))
+    )

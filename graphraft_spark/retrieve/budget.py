@@ -1,0 +1,181 @@
+"""Budgeted top-k retrieval dataflow (reference Retriever.retrieve_data,
+retriever.py:71-109).
+
+The reference streams each ranked query's rows in similarity order,
+deduping by nodeId (first-seen wins), accumulating provenance patterns,
+and stopping when the node budget is crossed — *dropping the node that
+crossed the line* (retriever.py:87-90), then topping up from a global
+vector index under the same stop rule (retriever.py:96-107).
+
+Batch-first design: the operator is a pure DataFrame transform over a
+``results`` frame covering MANY questions at once —
+``(qid, queryIdx, nodeId, similarity, pattern, <props...>)`` — with every
+window partitioned by ``qid``.  That is the 100 TB shape: one shuffle by
+question id, per-question state never leaves its partition, no driver
+loop.  The reference's single-question REPL call is the 1-row case.
+
+Exact consumption-order semantics (SURVEY §7.5), derived from the
+sequential loop:
+
+* rows of query ``i`` are consumed in (similarity DESC, nodeId) order;
+  queries in index order — global order = (queryIdx, rank);
+* a node's owner row is its first appearance; later re-encounters only
+  append their pattern string (flat append — the *intended* semantics of
+  the reference's nested-list append bug, retriever.py:83 / SURVEY §7.6);
+* let B = ceil(pattern_rate * max_nodes); consumption stops at the row
+  that first makes the distinct-node count reach B, and that row's node
+  is deleted ⇒ kept nodes are exactly those with first-seen order < B,
+  and pattern provenance only accumulates from rows strictly before the
+  crossing row;
+* vector top-up: candidates are the global top-``ef`` by similarity
+  *first*, then already-found ids are excluded (retriever.py:14-17);
+  the same stop rule at rate 1 ⇒ the final set has at most
+  ``max_nodes - 1`` nodes whenever the budget fires.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_Q = "qid"
+
+
+def _ranked(results: DataFrame) -> DataFrame:
+    w = (Window.partitionBy(_Q, "queryIdx")
+         .orderBy(F.desc("similarity"), F.asc("nodeId")))
+    return results.withColumn("rank", F.row_number().over(w))
+
+
+def budgeted_accumulate(results: DataFrame, max_nodes: int,
+                        pattern_rate: float = 1.0,
+                        prop_cols: tuple[str, ...] = ()) -> DataFrame:
+    """D2+D3+D4: first-seen dedup + provenance accumulation + node-budget
+    stop over per-question result streams.
+
+    Returns one row per kept node:
+    ``(qid, nodeId, similarity, <props...>, patterns ARRAY<STRING>,
+    queryIdx, rank)`` where queryIdx/rank locate the first-seen row.
+    """
+    budget = math.ceil(pattern_rate * max_nodes)
+    ranked = _ranked(results).select(
+        _Q, "queryIdx", "rank", "nodeId", "similarity", "pattern", *prop_cols)
+
+    first = (
+        ranked.groupBy(_Q, "nodeId")
+        .agg(
+            F.min(F.struct("queryIdx", "rank")).alias("fp"),
+            F.first("similarity").alias("similarity"),
+            *[F.first(c).alias(c) for c in prop_cols],
+        )
+        .select(_Q, "nodeId", F.col("fp.queryIdx").alias("queryIdx"),
+                F.col("fp.rank").alias("rank"), "similarity", *prop_cols)
+    )
+    w_seen = Window.partitionBy(_Q).orderBy("queryIdx", "rank")
+    first = first.withColumn("seen_order", F.row_number().over(w_seen))
+
+    # the crossing row per qid (None if the budget never fires)
+    crossing = (
+        first.filter(F.col("seen_order") == budget)
+        .select(_Q, F.col("queryIdx").alias("cross_q"),
+                F.col("rank").alias("cross_r"))
+    )
+    kept = (
+        first.filter(F.col("seen_order") < budget)
+        .drop("seen_order")
+    )
+
+    # provenance: every consumed row (strictly before the crossing row)
+    # whose node was kept, patterns in consumption order
+    consumed = ranked.join(crossing, _Q, "left").filter(
+        F.col("cross_q").isNull()
+        | (F.col("queryIdx") < F.col("cross_q"))
+        | ((F.col("queryIdx") == F.col("cross_q"))
+           & (F.col("rank") < F.col("cross_r")))
+    )
+    patterns = (
+        consumed.groupBy(_Q, "nodeId")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("queryIdx", "rank", "pattern"))
+        ).alias("pp"))
+        .select(_Q, "nodeId",
+                F.transform("pp", lambda x: x["pattern"]).alias("patterns"))
+    )
+    return kept.join(patterns, [_Q, "nodeId"])
+
+
+def vector_topup(candidates: DataFrame, kept: DataFrame, max_nodes: int,
+                 prop_cols: tuple[str, ...] = ()) -> DataFrame:
+    """D6: fill the remaining budget from vector-KNN candidates
+    ``(qid, nodeId, similarity, <props...>)`` (already top-ef per qid),
+    excluding kept nodes, same drop-the-crosser stop at rate 1
+    (retriever.py:96-107).  take = min(available, max(0, max_nodes-1-k)).
+    """
+    kept_n = kept.groupBy(_Q).agg(F.count("*").alias("k"))
+    cand = (
+        candidates.join(kept.select(_Q, "nodeId"), [_Q, "nodeId"], "left_anti")
+        .join(F.broadcast(kept_n), _Q, "left")
+        .na.fill({"k": 0})
+    )
+    # take = min(available, max(0, max_nodes-1-k)); rn is bounded by
+    # available, so the single row_number filter implements the min.
+    w = Window.partitionBy(_Q).orderBy(F.desc("similarity"), F.asc("nodeId"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn")
+                <= F.greatest(F.lit(0), F.lit(max_nodes) - 1 - F.col("k")))
+        .select(_Q, "nodeId", "similarity", *prop_cols,
+                F.array(F.lit("No pattern")).alias("patterns"))
+    )
+
+
+def retrieve_data(results: DataFrame, candidates: DataFrame,
+                  max_nodes: int, pattern_rate: float = 1.0,
+                  prop_cols: tuple[str, ...] = ()) -> DataFrame:
+    """D1-D7 end-to-end: budgeted pattern accumulation + vector top-up,
+    unioned — per question, ≤ max_nodes-1 nodes whenever the budget
+    fires, each carrying similarity, props, and provenance patterns."""
+    kept = budgeted_accumulate(results, max_nodes, pattern_rate, prop_cols)
+    up = vector_topup(candidates, kept, max_nodes, prop_cols)
+    return (
+        kept.select(_Q, "nodeId", "similarity", *prop_cols, "patterns")
+        .withColumn("source", F.lit("pattern"))
+        .unionByName(up.withColumn("source", F.lit("vector")))
+    )
+
+
+def token_budgeted_accumulate(results: DataFrame, max_tokens: int,
+                              token_len: Column | None = None,
+                              rate: float = 1.0) -> DataFrame:
+    """D5: token-count budget variant (retriever.py:32-46,66-69): stop
+    when the formatted node data reaches ``rate * max_tokens`` tokens.
+
+    ``token_len`` is a Column over the input row giving that node's
+    formatted token count (default: whitespace token count of
+    ``pattern`` + ``node_text`` if present — callers pass a tokenizer
+    pandas_udf for model-exact counts).  Simplification vs reference:
+    counted text is the node's first-seen formatting (the reference
+    re-formats after each pattern append; counts differ slightly but
+    monotonicity and the drop-the-crosser rule are preserved).
+    """
+    if token_len is None:
+        src = F.col("node_text") if "node_text" in results.columns else F.col("pattern")
+        token_len = F.size(F.split(src, r"\s+"))
+    ranked = _ranked(results).withColumn("tok", token_len)
+    first = (
+        ranked.groupBy(_Q, "nodeId")
+        .agg(F.min(F.struct("queryIdx", "rank")).alias("fp"),
+             F.first("similarity").alias("similarity"),
+             F.first("tok").alias("tok"))
+        .select(_Q, "nodeId", F.col("fp.queryIdx").alias("queryIdx"),
+                F.col("fp.rank").alias("rank"), "similarity", "tok")
+    )
+    w = (Window.partitionBy(_Q).orderBy("queryIdx", "rank")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        first.withColumn("cum_tok", F.sum("tok").over(w))
+        .filter(F.col("cum_tok") < rate * max_tokens)
+        .drop("tok")
+    )

@@ -1,0 +1,91 @@
+"""Fulltext / normalized entity matching (reference ner.py:95-120).
+
+The reference's "fulltext search" is a Neo4j fulltext-index probe whose
+results are then *exact-matched* after case folding + Unicode NFC:
+``normalize(lower(name)) = normalize(lower($string))`` (ner.py:111-113).
+The index is only a candidate generator, so the exact semantics is a
+normalized-equality join — which is what we run, letting Catalyst pick
+a broadcast hash join for the tiny entity list.
+
+Unicode NFC has no native Spark expression; ASCII-only data needs only
+``lower(trim(...))``.  ``nfc_normalize`` upgrades matching to true NFC
+via an Arrow-batched pandas UDF when requested (kept off the default
+path so DuckDB-oracle comparisons stay expressible).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphraft_spark.graph.model import PropertyGraph
+
+
+def norm_col(c: Column, nfc: bool = False) -> Column:
+    if nfc:
+        return nfc_normalize(F.lower(F.trim(c)))
+    return F.lower(F.trim(c))
+
+
+try:  # pandas_udf needs pyarrow; keep import-safe
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc_normalize(s: "pd.Series") -> "pd.Series":
+        import unicodedata
+
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+except Exception:  # pragma: no cover
+    nfc_normalize = None
+
+
+def fulltext_match(nodes: DataFrame, query_string: str,
+                   label: str | None = None, nfc: bool = False) -> DataFrame:
+    """C1: all node names equal to ``query_string`` under normalization,
+    optionally restricted to a label ('_Entity_' = no restriction,
+    ner.py:95-114).  Returns DISTINCT names (the reference extends
+    ``node_names`` with every hit)."""
+    df = nodes
+    if label is not None and label != "_Entity_":
+        df = df.filter(F.col("label") == label)
+    return (
+        df.filter(norm_col(F.col("name"), nfc) == norm_col(F.lit(query_string), nfc))
+        .select("name")
+        .distinct()
+    )
+
+
+def match_entities(spark: SparkSession, graph: PropertyGraph,
+                   entities: Sequence[tuple[str, str]],
+                   encoder=None, k: int = 100, nfc: bool = False) -> list[str]:
+    """C1+C2: the reference's _match_labeled_entities loop (ner.py:95-120):
+    per (label, string) entity, fulltext-match; on zero hits fall back to
+    vector search over name embeddings, LIMIT 1.
+
+    ``encoder`` is the pluggable text-embedding seam (the reference calls
+    genai.vector.encode/OpenAI); tests pass a deterministic function.
+    Entity lists are tiny (1-4 per question) so this drives one small
+    Spark job per entity — batch pipelines should use the set-based
+    operators directly.
+    """
+    names: list[str] = []
+    for label, string in entities:
+        hits = [r["name"] for r in
+                fulltext_match(graph.nodes, string, label, nfc).collect()]
+        if hits:
+            names.extend(hits)
+            continue
+        if encoder is None:
+            continue
+        from graphraft_spark.search.vector import knn
+
+        emb = encoder(string)
+        cand = graph.nodes if label in (None, "_Entity_") else (
+            graph.nodes.filter(F.col("label") == label))
+        top = knn(cand, "nameEmbedding", emb, k=k).limit(1)
+        names.extend(r["name"] for r in top.select("name").collect())
+    return names

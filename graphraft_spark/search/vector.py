@@ -1,0 +1,107 @@
+"""Vector similarity + KNN (reference retriever.py:14-17, ner.py:117-120,
+stark_neo4j_loading.py:63-80).
+
+The reference stores 1536-d cosine vectors in a Neo4j HNSW index and
+queries top-``ef`` *approximately*.  Our correctness baseline is exact:
+brute-force cosine + ``orderBy(desc).limit(k)``, which Spark executes as
+``TakeOrderedAndProject`` — a single scan with per-partition top-k and a
+tiny driver-side merge, no full shuffle/sort.  The scale path (IVF/LSH
+partition pruning) lives in graphraft_spark.ops.similarity and shares
+this API.
+
+Similarity math stays JVM-side (``zip_with`` + ``aggregate`` — whole-stage
+codegen) for oracle-checkable paths; ``cosine_pandas`` is the Arrow/numpy
+fast path for wide embeddings in benchmarks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Dot product of two ARRAY<numeric> columns, as DOUBLE."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity (vector.similarity.cosine, retriever.py:59).
+    Pre-normalized vectors should use dot_col directly (cosine == dot)."""
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def l2_normalize_col(a: Column) -> Column:
+    """Ingest-time normalization (A3): with unit vectors, cosine = dot."""
+    n = norm_col(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def _query_lit(q: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in q])
+
+
+def with_similarity(df: DataFrame, emb_col: str, q: Sequence[float],
+                    out: str = "similarity", cosine: bool = True) -> DataFrame:
+    sim = (cosine_col if cosine else dot_col)(F.col(emb_col), _query_lit(q))
+    return df.withColumn(out, sim)
+
+
+def knn(df: DataFrame, emb_col: str, q: Sequence[float], k: int,
+        id_col: str | None = None, cosine: bool = True) -> DataFrame:
+    """Exact top-k by similarity.  Ties broken by ``id_col`` so results
+    are deterministic (required for oracle hashing; the reference's HNSW
+    is approximate and needs no such guarantee)."""
+    scored = with_similarity(df, emb_col, q, cosine=cosine)
+    order = [F.desc("similarity")]
+    if id_col is not None:
+        order.append(F.asc(id_col))
+    return scored.orderBy(*order).limit(k)
+
+
+def knn_excluding(df: DataFrame, emb_col: str, q: Sequence[float], ef: int,
+                  exclude_ids: DataFrame | Sequence[int],
+                  id_col: str = "nodeId", cosine: bool = True) -> DataFrame:
+    """C4: the reference's vector top-up query (retriever.py:14-17) —
+    top-``ef`` FIRST, then exclude already-found ids (the WHERE applies
+    to the index's yield, so excluded hits reduce the returned count).
+    Exclusion is a broadcast left-anti join."""
+    top = knn(df, emb_col, q, ef, id_col=id_col, cosine=cosine)
+    if isinstance(exclude_ids, DataFrame):
+        ex = exclude_ids
+    else:
+        ex = top.sparkSession.createDataFrame(
+            [(int(i),) for i in exclude_ids], f"{id_col} bigint")
+    return top.join(F.broadcast(ex.select(id_col).distinct()),
+                    id_col, "left_anti")
+
+
+try:  # Arrow/numpy fast path for wide embeddings (bench, not oracle)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def cosine_pandas(q: Sequence[float]):
+        qv = np.asarray(q, dtype="float64")
+        qn = np.linalg.norm(qv)
+
+        @pandas_udf("double")
+        def _cos(col: "pd.Series") -> "pd.Series":
+            m = np.stack(col.to_numpy())
+            sims = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+            return pd.Series(sims)
+
+        return _cos
+except Exception:  # pragma: no cover
+    cosine_pandas = None

@@ -1,0 +1,89 @@
+"""Golden tests for the budgeted-retrieval dataflow (FIXTURES.md §4.6-7):
+exact node set, first-seen dedup order, drop-the-crosser, provenance
+accumulation, vector top-up with exclusion — mirroring the sequential
+consumption loop of retriever.py:71-109."""
+
+from pyspark.sql import functions as F
+
+from graphraft_spark.retrieve import (
+    budgeted_accumulate,
+    retrieve_data,
+    vector_topup,
+)
+
+
+def _results(spark):
+    # qid 1: two queries with overlap.  Within a query, consumption is
+    # similarity DESC.  q0: n1(.9) n2(.8) n3(.7); q1: n2(.8) n4(.6) n5(.5)
+    rows = [
+        (1, 0, 1, 0.9, "p0"),
+        (1, 0, 2, 0.8, "p0"),
+        (1, 0, 3, 0.7, "p0"),
+        (1, 1, 2, 0.8, "p1"),
+        (1, 1, 4, 0.6, "p1"),
+        (1, 1, 5, 0.5, "p1"),
+    ]
+    return spark.createDataFrame(
+        rows, "qid bigint, queryIdx int, nodeId bigint, similarity double,"
+              " pattern string")
+
+
+def test_budget_never_fires(spark):
+    out = budgeted_accumulate(_results(spark), max_nodes=10).collect()
+    assert {r["nodeId"] for r in out} == {1, 2, 3, 4, 5}
+    pat = {r["nodeId"]: r["patterns"] for r in out}
+    assert pat[2] == ["p0", "p1"]  # re-encounter appends FLAT (SURVEY §7.6)
+    assert pat[1] == ["p0"]
+
+
+def test_budget_drop_the_crosser(spark):
+    # consumption order: n1 n2 n3 (q0), then q1: n2(re-enc) n4 n5.
+    # max_nodes=4 → n4 is the 4th distinct node → stop fires when n4 is
+    # added, n4 deleted (retriever.py:87-90) → kept {1,2,3}.
+    out = budgeted_accumulate(_results(spark), max_nodes=4).collect()
+    assert {r["nodeId"] for r in out} == {1, 2, 3}
+    pat = {r["nodeId"]: r["patterns"] for r in out}
+    # n2's re-encounter row (q1 rank1) is consumed BEFORE the crossing
+    # row (q1 rank2) → pattern appended
+    assert pat[2] == ["p0", "p1"]
+
+
+def test_budget_crosser_mid_query_cuts_provenance(spark):
+    # max_nodes=2 → crossing row is n2 in q0 (2nd distinct) → only rows
+    # strictly before it are consumed → n2's q1 re-encounter NOT seen.
+    out = budgeted_accumulate(_results(spark), max_nodes=2).collect()
+    assert {r["nodeId"] for r in out} == {1}
+    assert out[0]["patterns"] == ["p0"]
+
+
+def test_vector_topup_exclusion_and_cap(spark):
+    kept = budgeted_accumulate(_results(spark), max_nodes=4)
+    cands = spark.createDataFrame(
+        [(1, 2, 0.99), (1, 7, 0.95), (1, 8, 0.90), (1, 9, 0.85)],
+        "qid bigint, nodeId bigint, similarity double")
+    up = vector_topup(cands, kept, max_nodes=6).collect()
+    # kept k=3; take = min(3 avail after excluding node2, 6-1-3=2)
+    assert [r["nodeId"] for r in sorted(up, key=lambda r: -r["similarity"])] \
+        == [7, 8]
+    assert all(r["patterns"] == ["No pattern"] for r in up)
+
+
+def test_retrieve_data_end_to_end(spark):
+    cands = spark.createDataFrame(
+        [(1, 7, 0.95), (1, 8, 0.90)],
+        "qid bigint, nodeId bigint, similarity double")
+    out = retrieve_data(_results(spark), cands, max_nodes=10).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["nodeId"])
+    assert by_src["pattern"] == {1, 2, 3, 4, 5}
+    assert by_src["vector"] == {7, 8}
+
+
+def test_multi_question_isolation(spark):
+    base = _results(spark)
+    shifted = base.withColumn("qid", F.lit(2)).withColumn(
+        "nodeId", F.col("nodeId") + 100)
+    out = budgeted_accumulate(base.unionByName(shifted), max_nodes=4)
+    got = {(r["qid"], r["nodeId"]) for r in out.collect()}
+    assert got == {(1, 1), (1, 2), (1, 3), (2, 101), (2, 102), (2, 103)}
