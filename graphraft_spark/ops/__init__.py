@@ -1,0 +1,6 @@
+"""Large-scale training-data pipeline operators (project north star):
+deduplication, similarity search, text analysis, multimodal plumbing —
+first-class components designed for the 100 TB regime.
+"""
+
+from graphraft_spark.ops import dedup, similarity, text_analysis, multimodal  # noqa: F401

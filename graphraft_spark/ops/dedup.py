@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all shuffle-conscious:
+
+* exact        — hash-groupBy on a normalized content key; one shuffle.
+* minhash+LSH  — shingle → minhash signature → band buckets → bucket
+                 join for candidates → exact-Jaccard verify.  The only
+                 pairwise work happens inside buckets (the LSH point);
+                 never an all-pairs join.
+* simhash      — 32-bit sign-aggregated token-hash fingerprint; equal
+                 fingerprints (or small hamming distance within buckets)
+                 ⇒ near-dups.
+* n-gram Jaccard — exact verify for candidate pairs from any bucketing.
+* embedding    — cosine-threshold near-dup within coarse buckets.
+
+Portable hashing: ``H(s)`` = first 15 hex chars of md5 → BIGINT
+(< 2^60), then permutations ``(a·(H mod P) + b) mod P`` with
+P = 1e9+7.  md5 is identical everywhere, so DuckDB oracles reproduce
+every signature bit-for-bit (no engine-private hash in the semantics).
+At scale the md5 can be swapped for xxhash64 behind the same API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+P = 1_000_000_007
+
+
+def content_hash(text: Column) -> Column:
+    """Stable 60-bit content hash of normalized text (exact dedup key)."""
+    return F.conv(F.substring(F.md5(normalize_text(text)), 1, 15), 16, 10) \
+        .cast("bigint")
+
+
+def normalize_text(text: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per content hash.  Adds
+    ``content_key`` and ``is_canonical``; filter on the flag to dedup.
+    One hash-shuffle; at 100 TB pre-bucket the sink by content_key."""
+    w = Window.partitionBy("content_key").orderBy(id_col)
+    return (
+        df.withColumn("content_key", content_hash(F.col(text_col)))
+        .withColumn("is_canonical",
+                    F.row_number().over(w) == 1)
+    )
+
+
+def words(text: Column) -> Column:
+    return F.split(normalize_text(text), " ")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as strings."""
+    ws = words(text)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+    ))
+
+
+def _h60(s: Column) -> Column:
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % P
+
+
+def minhash_signature(text: Column, num_perm: int = 16, k: int = 3) -> Column:
+    """ARRAY<BIGINT> of ``num_perm`` minhash values over k-shingles.
+    Permutation i: (a_i·h + b_i) mod P with a_i = 2i+1, b_i = 104729·i."""
+    sh = shingles(text, k)
+    hs = F.transform(sh, _h60)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(hs, lambda h: ((2 * i + 1) * h + 104729 * i) % P)),
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Split a signature into ``bands`` bands of ``rows`` and hash each:
+    ARRAY<STRUCT<band INT, bucket BIGINT>>."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            _h60(F.concat_ws(",", F.transform(
+                F.slice(sig, b * rows + 1, rows),
+                lambda v: v.cast("string")))).alias("bucket"),
+        ),
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 16,
+                           bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b): docs sharing ≥1 LSH band
+    bucket.  Explode bands → shuffle by (band, bucket) → within-bucket
+    self-join — pairwise cost bounded by bucket sizes, never all-pairs."""
+    rows = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_perm).alias("sig"),
+    )
+    banded = sig.select(
+        "id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard over distinct shingle arrays."""
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 16,
+                      bands: int = 4, k: int = 3,
+                      threshold: float = 0.7) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
+    pairs ≥ threshold.  Returns (id_a, id_b, jaccard)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(F.col(text_col), k).alias("sh"))
+    return (
+        cand.join(sh.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b")
+                .withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _bit(v: Column, j: Column) -> Column:
+    """Bit j of v via exact double arithmetic (values < 2^52; PySpark's
+    shiftright only takes a literal shift amount)."""
+    return (F.floor(v / F.pow(F.lit(2.0), j.cast("double"))).cast("bigint")
+            % 2)
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """Sign-aggregated token-hash fingerprint (bits LSBs of H(token)):
+    bit j set iff Σ_tokens (±1 on token-hash bit j) ≥ 0."""
+    hs = F.transform(words(text), _h60)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: acc + F.when(
+            F.aggregate(
+                hs, F.lit(0).cast("bigint"),
+                lambda s, h: s + F.when(_bit(h, j) == 1,
+                                        F.lit(1)).otherwise(F.lit(-1)),
+            ) >= 0,
+            F.pow(F.lit(2.0), j.cast("double")).cast("bigint"),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def hamming(a: Column, b: Column, bits: int = 32) -> Column:
+    """Hamming distance between two ≤52-bit fingerprints."""
+    x = a.bitwiseXOR(b)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0),
+        lambda acc, j: acc + _bit(x, j).cast("int"),
+    )
+
+
+def embedding_neardup(df: DataFrame, emb_col: str = "embedding",
+                      id_col: str = "vec_id", bucket_col: str | None = None,
+                      threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs within coarse buckets (supply a
+    cluster/label column; at scale, an IVF assignment).  Unit-norm
+    inputs ⇒ cosine = dot."""
+    from graphraft_spark.search.vector import dot_col
+
+    cols = [F.col(id_col).alias("id"), F.col(emb_col).alias("e")]
+    if bucket_col:
+        cols.append(F.col(bucket_col).alias("bk"))
+    s = df.select(*cols)
+    a, b = s.alias("a"), s.alias("b")
+    on = [F.col("a.id") < F.col("b.id")]
+    if bucket_col:
+        on.insert(0, F.col("a.bk") == F.col("b.bk"))
+    joined = a.join(b, on[0] if len(on) == 1 else (on[0] & on[1]))
+    return (
+        joined.withColumn("cosine", dot_col(F.col("a.e"), F.col("b.e")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                "cosine")
+    )

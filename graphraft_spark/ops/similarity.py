@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns.
+
+Two tiers sharing one API:
+
+* brute-force — exact: score every vector, per-query top-k via window
+  (batch) or TakeOrderedAndProject (single query).  The correctness
+  baseline; O(N·Q) dot products but embarrassingly parallel and
+  shuffle-free except the final per-query top-k.
+* IVF — scale path: deterministic coarse centroids, vectors assigned to
+  nearest centroid (partition pruning key), queries probe only the
+  ``nprobe`` nearest centroids' partitions.  At 100 TB the assignment
+  is the parquet partition key, so probing prunes file scans; here it
+  prunes via a semi-join, same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphraft_spark.search.vector import dot_col
+
+
+def score_pairs(vectors: DataFrame, queries: DataFrame,
+                emb_col: str = "embedding", qemb_col: str = "q_emb") -> DataFrame:
+    """All (query, vector) dot scores; queries broadcast (small side)."""
+    return (
+        vectors.crossJoin(F.broadcast(queries))
+        .withColumn("score", dot_col(F.col(emb_col), F.col(qemb_col)))
+    )
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "vec_id", qid_col: str = "qid",
+                     emb_col: str = "embedding",
+                     qemb_col: str = "q_emb") -> DataFrame:
+    """Exact batch ANN baseline: top-k per query by dot score."""
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        score_pairs(vectors, queries, emb_col, qemb_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(qid_col, id_col, "score", "rn")
+    )
+
+
+def ivf_centroids(vectors: DataFrame, every: int = 50,
+                  id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse centroids: every ``every``-th vector (stand-in
+    for k-means — the engine contract is only 'a centroid table')."""
+    return (
+        vectors.filter(F.col(id_col) % every == 0)
+        .select((F.col(id_col) / every).cast("bigint").alias("centroid_id"),
+                F.col(emb_col).alias("c_emb"))
+    )
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its max-dot centroid (broadcast centroids;
+    one scan).  The assignment is the partition-pruning key at scale."""
+    scored = (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("score", dot_col(F.col(emb_col), F.col("c_emb")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"),
+                                           F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, emb_col, "centroid_id")
+    )
+
+
+def ivf_search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+               k: int, nprobe: int = 2, id_col: str = "vec_id",
+               qid_col: str = "qid", emb_col: str = "embedding",
+               qemb_col: str = "q_emb") -> DataFrame:
+    """Probe the ``nprobe`` nearest centroids per query; exact top-k
+    within the probed partitions."""
+    qc = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cscore", dot_col(F.col(qemb_col), F.col("c_emb")))
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("cscore"),
+                                             F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(qid_col, qemb_col, "centroid_id")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        assigned.join(probes, "centroid_id")
+        .withColumn("score", dot_col(F.col(emb_col), F.col(qemb_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(qid_col, id_col, "score", "rn")
+    )

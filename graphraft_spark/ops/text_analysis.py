@@ -1,0 +1,100 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting — all native column
+expressions (whole-stage codegen; zero Python in executors)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from graphraft_spark.ops.dedup import _h60, normalize_text, shingles, words
+
+# tiny per-language stopword lexicons for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "es", "por"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "en", "est", "que"],
+}
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish regex token count: alnum runs + each punctuation char
+    separately (the len/4-style budget heuristic's exact cousin,
+    SURVEY D5)."""
+    return F.size(F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length/punct/stopword-ratio features for quality filtering."""
+    ws = words(text)
+    n_words = F.size(ws)
+    n_chars = F.length(text)
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(ws, lambda w: F.array_contains(en, w)))
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[^\w\s]", ""))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": F.when(
+            n_words > 0,
+            F.aggregate(ws, F.lit(0.0), lambda a, w: a + F.length(w))
+            / n_words).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(
+            n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_words > 0, stop_hits.cast("double") / n_words).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: stopword presence, sane word
+    length, low punctuation — the standard cheap pre-filter."""
+    f = quality_features(text)
+    word_len_ok = (
+        (f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 10)).cast("double")
+    return F.round(
+        0.4 * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + 0.3 * word_len_ok
+        + 0.3 * (1 - F.least(f["punct_ratio"] * 5, F.lit(1.0))), 6)
+
+
+def langid_scores(text: Column) -> Column:
+    """Stopword-hit score per language: ARRAY<STRUCT<lang,score>> ordered
+    by (score DESC, lang) — argmax = element 1."""
+    ws = words(text)
+    n = F.size(ws)
+    entries = []
+    for lang in sorted(STOPWORDS):
+        lex = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(ws, lambda w: F.array_contains(lex, w)))
+        score = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+        entries.append(F.struct((-score).alias("neg"),
+                                F.lit(lang).alias("lang")))
+    ordered = F.array_sort(F.array(*entries))
+    return F.transform(ordered, lambda x: F.struct(
+        x["lang"].alias("lang"), (-x["neg"]).alias("score")))
+
+
+def predicted_lang(text: Column) -> Column:
+    return F.element_at(langid_scores(text), 1)["lang"]
+
+
+def doc_fingerprint(text: Column, k: int = 3, num: int = 4) -> Column:
+    """Rolling-hash document fingerprint: the ``num`` smallest shingle
+    hashes (winnowing-style sketch) as ARRAY<BIGINT> — stable under
+    whitespace/case noise via normalize_text."""
+    hs = F.transform(shingles(text, k), _h60)
+    return F.slice(F.array_sort(hs), 1, num)
+
+
+def content_signature(text: Column) -> Column:
+    """One-value exact fingerprint (md5-based) of normalized text."""
+    return F.md5(normalize_text(text))

@@ -38,5 +38,6 @@ def load_all() -> None:
         similarity_queries,
         textanalysis_queries,
         streaming_queries,
+        multimodal_queries,
         tpch_queries,
     )

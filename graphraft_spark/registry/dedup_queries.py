@@ -1,1 +1,231 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators as oracle-checked queries.
+
+The documents table has no natural duplicates, so each query constructs
+them deterministically (exact copies / perturbed near-copies with
+shifted ids) identically in Spark and the DuckDB oracle — the dedup
+operators then have to find exactly those.
+
+Portable hash used throughout (both engines bit-for-bit):
+H60(s) = first 15 hex chars of md5(s) as BIGINT, mod P=1e9+7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphraft_spark.ops.dedup import (
+    content_hash,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_dedup,
+    shingles,
+    simhash,
+)
+from graphraft_spark.registry import register
+
+# --- shared SQL fragments -------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+_H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT % 1000000007)"
+
+# documents ∪ exact copies (doc_id+10000 for doc_id%10=0)
+_DOCS_DUP_SQL = f"""
+docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+)"""
+
+# documents subset ∪ near-copies (one token appended, doc_id+10000)
+_DOCS_NEAR_SQL = """
+docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 10000, text || ' zq' FROM documents WHERE doc_id % 10 = 0
+)"""
+
+_WORDS = f"string_split({_NORM.format(t='text')}, ' ')"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(words) - 2, 1) + 1), "
+    "i -> array_to_string(words[i:i+2], ' ')))"
+)
+
+
+def _docs_dup(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = (d.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    return d.unionByName(dups)
+
+
+def _docs_near(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 5 == 0)
+    near = (d.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 10000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zq")).alias("text")))
+    return base.unionByName(near)
+
+
+@register(
+    "d_exact_dedup",
+    oracle=f"""
+WITH {_DOCS_DUP_SQL.strip()},
+keyed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5({_NORM.format(t='text')}), 1, 15))::BIGINT
+               AS content_key
+    FROM docs
+)
+SELECT doc_id, content_key,
+       ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) = 1
+           AS is_canonical
+FROM keyed
+""")
+def d_exact_dedup(spark, sf_dir):
+    """Exact dedup: normalized-content hash groupBy, smallest id wins —
+    one shuffle on the content key."""
+    return exact_dedup(_docs_dup(spark, sf_dir)).select(
+        "doc_id", "content_key", "is_canonical")
+
+
+@register(
+    "d_ngram_jaccard",
+    oracle=f"""
+WITH {_DOCS_NEAR_SQL.strip()},
+sh AS (
+    SELECT doc_id, {_SHINGLES} AS s,
+           array_to_string(words[1:3], ' ') AS bucket
+    FROM (SELECT doc_id, {_WORDS} AS words FROM docs)
+),
+bucketed AS (
+    SELECT doc_id, s, bucket FROM sh WHERE len(s) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+""")
+def d_ngram_jaccard(spark, sf_dir):
+    """N-gram (3-word shingle) Jaccard near-dup: candidate pairs share a
+    first-shingle bucket (cheap deterministic blocking), then exact
+    Jaccard ≥ 0.5 — the verify stage of any LSH pipeline, in isolation."""
+    from graphraft_spark.ops.dedup import words
+
+    docs = _docs_near(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", shingles(F.col("text"), 3).alias("s"),
+        F.concat_ws(" ", F.slice(words(F.col("text")), 1, 3)).alias("bucket"),
+    ).filter(F.size("s") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = jaccard(F.col("a.s"), F.col("b.s"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(jac >= 0.5)
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_SIG_SQL = f"""
+sh AS (
+    SELECT doc_id, {_SHINGLES} AS s
+    FROM (SELECT doc_id, {_WORDS} AS words FROM docs)
+),
+hashed AS (
+    SELECT doc_id, s, list_transform(s, x -> {_H60.format(s='x')}) AS hs
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, s,
+           list_transform(range(0, 8),
+               i -> list_min(list_transform(hs,
+                    h -> ((2*i + 1) * h + 104729 * i) % 1000000007))) AS sg
+    FROM hashed
+),
+banded AS (
+    SELECT doc_id,
+           b.band,
+           {_H60.format(s="CAST(sg[2*b.band + 1] AS VARCHAR) || ',' || CAST(sg[2*b.band + 2] AS VARCHAR)")}
+               AS bucket
+    FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+
+@register(
+    "d_minhash_lsh",
+    oracle=f"""
+WITH {_DOCS_NEAR_SQL.strip()},
+{_SIG_SQL.strip()}
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+""")
+def d_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: 3-shingles → 8-perm minhash → 4 bands of 2 →
+    bucket join candidates → exact-Jaccard verify ≥ 0.5.  Pairwise work
+    only within buckets — the all-pairs join never exists."""
+    return minhash_lsh_dedup(
+        _docs_near(spark, sf_dir), num_perm=8, bands=4, k=3, threshold=0.5,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "d_simhash",
+    oracle=f"""
+WITH {_DOCS_DUP_SQL.strip()},
+tok AS (
+    SELECT doc_id,
+           list_transform({_WORDS}, x -> {_H60.format(s='x')}) AS hs
+    FROM docs
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 32),
+            j -> CASE WHEN list_sum(list_transform(hs,
+                      h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                 THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS fingerprint
+FROM tok
+""")
+def d_simhash(spark, sf_dir):
+    """SimHash fingerprint (32-bit, sign-aggregated token hashes): exact
+    copies collide; near-copies land within small hamming distance."""
+    return _docs_dup(spark, sf_dir).select(
+        "doc_id", simhash(F.col("text"), 32).alias("fingerprint"))
+
+
+@register(
+    "d_embedding_neardup",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) >= 0.25
+""")
+def d_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup within coarse buckets (label column as
+    the cluster key): unit-norm ⇒ cosine = dot; pairwise only within
+    buckets."""
+    from graphraft_spark.ops.dedup import embedding_neardup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup(emb, bucket_col="label", threshold=0.25) \
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -1,1 +1,136 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search (ANN) operators as oracle-checked queries.
+
+Queries = embeddings rows vec_id % 100 == 1 (5 query vectors at sf0.01);
+unit-norm vectors ⇒ cosine = dot.  All scores in DOUBLE on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphraft_spark.ops.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_centroids,
+    ivf_search,
+)
+from graphraft_spark.registry import register
+
+_QFILTER = "vec_id % 100 = 1"
+
+_QUERIES_SQL = f"""
+queries AS (
+    SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q_emb
+    FROM embeddings WHERE {_QFILTER}
+)"""
+
+
+def _queries(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (emb.filter(F.col("vec_id") % 100 == 1)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("q_emb")))
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+WITH {_QUERIES_SQL.strip()},
+scored AS (
+    SELECT q.qid, e.vec_id,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                         q.q_emb) DESC, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN queries q
+)
+SELECT qid, vec_id, ROUND(score, 6) AS score, CAST(rn AS INT) AS rn
+FROM scored WHERE rn <= 5
+""")
+def ann_bruteforce_topk(spark, sf_dir):
+    """Exact batch ANN baseline: per-query top-5 by cosine over all
+    vectors — broadcast the query side, window top-k per qid (the
+    100 TB plan: one scan, partial top-k per partition via AQE)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(emb, _queries(spark, sf_dir), k=5)
+    return out.select("qid", "vec_id", F.round("score", 6).alias("score"),
+                      F.col("rn").cast("int").alias("rn"))
+
+
+_CENTROIDS_SQL = """
+centroids AS (
+    SELECT CAST(vec_id / 50 AS BIGINT) AS centroid_id,
+           CAST(embedding AS DOUBLE[]) AS c_emb
+    FROM embeddings WHERE vec_id % 50 = 0
+)"""
+
+_ASSIGNED_SQL = """
+assigned AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             c.c_emb) DESC, c.centroid_id)
+                   AS rn
+        FROM embeddings e CROSS JOIN centroids c
+    ) WHERE rn = 1
+)"""
+
+
+@register(
+    "ann_ivf_assign",
+    oracle=f"""
+WITH {_CENTROIDS_SQL.strip()},
+{_ASSIGNED_SQL.strip()}
+SELECT centroid_id, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec
+FROM assigned GROUP BY centroid_id
+""")
+def ann_ivf_assign(spark, sf_dir):
+    """IVF coarse assignment: every vector → max-dot centroid (broadcast
+    centroid table, one scan).  The assignment is the partition-pruning
+    key at scale; profile = cluster sizes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = ivf_assign(emb, ivf_centroids(emb, every=50))
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec"))
+
+
+@register(
+    "ann_ivf_search",
+    oracle=f"""
+WITH {_QUERIES_SQL.strip()},
+{_CENTROIDS_SQL.strip()},
+{_ASSIGNED_SQL.strip()},
+probes AS (
+    SELECT qid, q_emb, centroid_id FROM (
+        SELECT q.qid, q.q_emb, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_dot_product(q.q_emb, c.c_emb) DESC,
+                            c.centroid_id) AS rn
+        FROM queries q CROSS JOIN centroids c
+    ) WHERE rn <= 2
+)
+SELECT qid, vec_id, ROUND(score, 6) AS score, CAST(rn AS INT) AS rn
+FROM (
+    SELECT p.qid, a.vec_id,
+           list_dot_product(CAST(a.embedding AS DOUBLE[]), p.q_emb) AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.qid
+               ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         p.q_emb) DESC, a.vec_id) AS rn
+    FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+) WHERE rn <= 5
+""")
+def ann_ivf_search(spark, sf_dir):
+    """IVF search: probe the 2 nearest centroids per query, exact top-5
+    within probed clusters — the scan touches only probed partitions
+    (scale path of ann_bruteforce_topk; recall < 1 by design)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, every=50)
+    assigned = ivf_assign(emb, cents)
+    out = ivf_search(assigned, cents, _queries(spark, sf_dir), k=5, nprobe=2)
+    return out.select("qid", "vec_id", F.round("score", 6).alias("score"),
+                      F.col("rn").cast("int").alias("rn"))

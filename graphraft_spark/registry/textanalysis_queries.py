@@ -1,1 +1,151 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis operators as oracle-checked queries over documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphraft_spark.ops.text_analysis import (
+    STOPWORDS,
+    doc_fingerprint,
+    langid_scores,
+    quality_features,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from graphraft_spark.registry import register
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+_H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT % 1000000007)"
+
+
+def _stop_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (f"len(list_filter({_WORDS}, w -> list_contains([{lst}], w)))")
+
+
+@register(
+    "t_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_WORDS}) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens
+FROM documents
+""")
+def t_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens (alnum
+    runs, punctuation singletons) — the budget-counting primitives."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("int").alias("n_ws_tokens"),
+        token_count_bpe_ish(F.col("text")).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "t_quality_features",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({_WORDS}) AS BIGINT) AS n_words,
+       ROUND(list_sum(list_transform({_WORDS}, w -> length(w)))
+             / CAST(len({_WORDS}) AS DOUBLE), 6) AS mean_word_len,
+       ROUND(CAST(length(text) - length(regexp_replace(
+                 text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio,
+       ROUND(CAST({_stop_sql('en')} AS DOUBLE) / len({_WORDS}), 6)
+           AS stopword_ratio
+FROM documents
+""")
+def t_quality_features(spark, sf_dir):
+    """Quality scoring features: length, word stats, punctuation ratio,
+    stopword ratio — one codegen'd projection, the cheap pre-filter for
+    corpus cleaning."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = quality_features(F.col("text"))
+    return d.select(
+        "doc_id", f["n_chars"].alias("n_chars"),
+        f["n_words"].alias("n_words"),
+        F.round(f["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "t_langid",
+    oracle=f"""
+WITH scores AS (
+    SELECT doc_id, lang,
+           list_sort([
+               {{'neg': -ROUND(CAST({_stop_sql('de')} AS DOUBLE)
+                               / len({_WORDS}), 9), 'lang': 'de'}},
+               {{'neg': -ROUND(CAST({_stop_sql('en')} AS DOUBLE)
+                               / len({_WORDS}), 9), 'lang': 'en'}},
+               {{'neg': -ROUND(CAST({_stop_sql('es')} AS DOUBLE)
+                               / len({_WORDS}), 9), 'lang': 'es'}},
+               {{'neg': -ROUND(CAST({_stop_sql('fr')} AS DOUBLE)
+                               / len({_WORDS}), 9), 'lang': 'fr'}}
+           ]) AS s
+    FROM documents
+)
+SELECT doc_id, lang AS labeled_lang, s[1].lang AS predicted_lang,
+       ROUND(-s[1].neg, 6) AS top_score
+FROM scores
+""")
+def t_langid(spark, sf_dir):
+    """Language-ID heuristic: per-language stopword-hit ratio, argmax —
+    compared against the table's labeled lang column."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # round scores before ranking so oracle tie-order matches exactly
+    from graphraft_spark.ops.dedup import words as words_col
+
+    ws = words_col(F.col("text"))
+    n = F.size(ws)
+    entries = []
+    for lang in sorted(STOPWORDS):
+        lex = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(ws, lambda w: F.array_contains(lex, w)))
+        score = F.round(
+            F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0)), 9)
+        entries.append(F.struct((-score).alias("neg"),
+                                F.lit(lang).alias("lang")))
+    s = F.array_sort(F.array(*entries))
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        F.element_at(s, 1)["lang"].alias("predicted_lang"),
+        F.round(-F.element_at(s, 1)["neg"], 6).alias("top_score"),
+    )
+
+
+@register(
+    "t_fingerprint",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS words, md5({_NORM}) AS content_sig
+           FROM documents),
+sh AS (
+    SELECT doc_id, content_sig,
+           list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' '))) AS s
+    FROM w
+)
+SELECT doc_id,
+       list_sort(list_transform(s, x -> {_H60.format(s='x')}))[1:4]
+           AS fingerprint,
+       content_sig
+FROM sh
+""")
+def t_fingerprint(spark, sf_dir):
+    """Document fingerprinting: 4 smallest shingle hashes (winnowing-style
+    sketch) + exact md5 content signature."""
+    from graphraft_spark.ops.text_analysis import content_signature
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        doc_fingerprint(F.col("text"), k=3, num=4).alias("fingerprint"),
+        content_signature(F.col("text")).alias("content_sig"),
+    )

@@ -31,6 +31,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # and the DuckDB oracle agree byte-for-byte.
     "spark.sql.timestampType": "TIMESTAMP_NTZ",
     "spark.sql.session.timeZone": "UTC",
+    # the driver's events.parquet stores TIMESTAMP(NANOS) which the
+    # vectorized reader rejects; read as INT64 nanos and convert
+    # explicitly (graphraft_spark.streaming.events.load_events)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }
 

@@ -1,0 +1,88 @@
+"""Structured Streaming ingestion + windowed aggregation over the events
+table (SURVEY §7 M7 extension — the reference has no streaming surface;
+this is the north-star addition for incremental pipelines).
+
+Design: the same windowed-aggregation *logical plan* serves batch and
+streaming — ``tumbling_counts``/``sliding_counts`` accept either a batch
+DataFrame or a streaming one (readStream); with a watermark, late events
+beyond the threshold are dropped and state is bounded.  At scale the
+stream partitions by (window, event_type) — standard shuffle-partitioned
+stateful agg with RocksDB state store on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the driver's events.parquet stores TIMESTAMP(NANOS) → read as INT64
+# nanos (spark.sql.legacy.parquet.nanosAsLong) and convert with integer
+# division (a double division would lose precision above 2^53 ns).
+EVENTS_RAW_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
+                     "event_type string, value double, props string")
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read with proper TIMESTAMP event time."""
+    return _with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def read_events_stream(spark: SparkSession, path_glob: str,
+                       max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over event parquet files (at scale: Kafka with
+    the same downstream plan)."""
+    return _with_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path_glob)
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str | None = "2 hours") -> DataFrame:
+    """Tumbling-window counts/sums per event_type; watermark bounds state
+    and drops late data in streaming mode (no-op on batch frames)."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str | None = "2 hours") -> DataFrame:
+    """Sliding-window counts (each event lands in window/slide windows),
+    epoch-aligned like Spark's window()."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "event_type", "n_events")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str,
+                         output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming plan with availableNow (process everything,
+    then stop) into an in-memory sink; returns the result table.
+    This is a real Structured Streaming execution — state store,
+    incremental triggers — not a batch rewrite."""
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,133 @@
+"""Tests for the training-data pipeline operators (dedup, similarity,
+text analysis, multimodal) and streaming parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_finds_constructed_dups(spark):
+    from graphraft_spark.ops.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id bigint, text string")
+    out = exact_dedup(docs).collect()
+    canon = {r["doc_id"]: r["is_canonical"] for r in out}
+    assert canon == {1: True, 2: False, 3: True}
+    keys = {r["doc_id"]: r["content_key"] for r in out}
+    assert keys[1] == keys[2] != keys[3]  # normalization collapses case/ws
+
+
+def test_minhash_lsh_recalls_near_dups(spark):
+    from graphraft_spark.ops.dedup import minhash_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "completely different words "
+                                             "nothing shared at all here")],
+        "doc_id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_for_copies(spark):
+    from graphraft_spark.ops.dedup import hamming, simhash
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha  BETA gamma delta"),
+         (3, "epsilon zeta eta theta iota kappa")],
+        "doc_id bigint, text string")
+    fp = {r["doc_id"]: r["f"] for r in
+          docs.select("doc_id", simhash(F.col("text")).alias("f")).collect()}
+    assert fp[1] == fp[2]
+    d = spark.range(1).select(
+        hamming(F.lit(fp[1]), F.lit(fp[3])).alias("h")).collect()[0]["h"]
+    assert d > 0
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=2 must recover most of the exact top-5."""
+    from graphraft_spark.ops.similarity import (
+        brute_force_topk, ivf_assign, ivf_centroids, ivf_search)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") % 100 == 1)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("q_emb")))
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    cents = ivf_centroids(emb, every=50)
+    approx = ivf_search(ivf_assign(emb, cents), cents, queries, k=5,
+                        nprobe=4).collect()
+    ex = {(r["qid"], r["vec_id"]) for r in exact}
+    ap = {(r["qid"], r["vec_id"]) for r in approx}
+    assert len(ex & ap) / len(ex) >= 0.4  # nprobe=4/10 clusters
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """Structured Streaming tumbling agg == batch plan on same data."""
+    import shutil
+
+    from graphraft_spark.streaming import (
+        read_events_stream, run_stream_to_memory, tumbling_counts)
+    from graphraft_spark.streaming.events import load_events
+
+    stage = tmp_path / "events"
+    stage.mkdir()
+    shutil.copy(f"{SF}/events.parquet", stage / "events.parquet")
+
+    stream = read_events_stream(spark, str(stage), max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        tumbling_counts(stream, "1 hour"), "test_stream_sink").collect()
+    want = tumbling_counts(load_events(spark, SF), "1 hour").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(want) > 0
+
+
+def test_multimodal_feature_extraction_deterministic(spark):
+    from graphraft_spark.ops.multimodal import (
+        deterministic_fake_decode, extract_features,
+        synth_media_from_documents)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    media = synth_media_from_documents(docs)
+    out = extract_features(media).collect()
+    assert len(out) == 20
+    by_id = {r["media_id"]: r for r in out}
+    one = docs.filter(F.col("doc_id") == out[0]["media_id"]).collect()[0]
+    want = deterministic_fake_decode(one["text"].encode())
+    got = by_id[one["doc_id"]]["feature"]
+    assert [round(x, 6) for x in got] == [round(x, 6) for x in want]
+    assert by_id[one["doc_id"]]["n_bytes"] == len(one["text"].encode())
+
+
+def test_langid_and_quality_ranges(spark):
+    from graphraft_spark.ops.text_analysis import (
+        predicted_lang, quality_score)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    out = docs.select(
+        predicted_lang(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q")).collect()
+    assert all(r["lang"] in {"en", "de", "es", "fr"} for r in out)
+    assert all(0.0 <= r["q"] <= 1.0 for r in out)
+
+
+def test_fulltext_match_and_entity_fallback(spark, tiny_graph):
+    from graphraft_spark.search.text import fulltext_match, match_entities
+
+    hits = fulltext_match(tiny_graph.nodes, "  ADA ").collect()
+    assert {r["name"] for r in hits} == {"Ada"}
+
+    # attach a tiny deterministic name embedding for the fallback path
+    emb = F.array(*[(F.col("nodeId") % (i + 2)).cast("double")
+                    for i in range(4)])
+    g2 = type(tiny_graph)(nodes=tiny_graph.nodes.withColumn(
+        "nameEmbedding", emb), edges=tiny_graph.edges)
+    names = match_entities(
+        spark, g2, [("Author", "Ada"), ("_Entity_", "zzz-no-such")],
+        encoder=lambda s: [1.0, 0.0, 0.0, 0.0])
+    assert "Ada" in names and len(names) >= 2  # fallback returned top-1
