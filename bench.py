@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (computes every output
+column — count() would let Catalyst prune the interesting work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# the operators that dominate real workloads: graph expansion,
+# budgeted retrieval, ANN, dedup, metrics, windowed events, TPC-H aggs
+HEADLINE = [
+    "g_onehop_enum",
+    "g_twohop_enum",
+    "g_pattern_exec_2hop",
+    "r_retrieve_data",
+    "ann_bruteforce_topk",
+    "ann_ivf_search",
+    "d_exact_dedup",
+    "d_minhash_lsh",
+    "m_metrics_per_row",
+    "e_parallel_sort",
+    "t_quality_features",
+    "st_tumbling_agg",
+    "q_pricing_summary",
+    "q_top_revenue",
+    "q_market_volume",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from graphraft_spark import registry
+    from graphraft_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("graphraft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    # JVM/codegen warmup so q1 doesn't pay session startup
+    registry.QUERIES[names[0]](spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        registry.QUERIES[name](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

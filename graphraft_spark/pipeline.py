@@ -1,0 +1,126 @@
+"""End-to-end retrieval pipeline — the batch DataFrame analog of
+GraphRAFT.run() (reference graphraft.py:41-66):
+
+  entities → node matching (C1/C2) → candidate enumeration (B1-B11)
+  → LLM ranking seam (F4) → pattern execution (B12) → budgeted
+  retrieval (D1-D7) → answer generation seam (F7) → metrics (G).
+
+Stage boundaries mirror the reference's: enumerated candidate *queries*
+surface at the driver (they are the ranker's input — the reference
+feeds them to a constrained-beam LLM), everything row-scale stays in
+DataFrames.  Per-question pattern plans are unioned into ONE job per
+stage, so Spark parallelizes across questions; at 100 TB the
+anchors/candidates per question stay tiny while the graph side scales —
+exactly the broadcast-join shape the compiler emits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphraft_spark.graph.model import PropertyGraph
+from graphraft_spark.llm.protocols import AnswerGenerator, QueryRanker
+from graphraft_spark.patterns.compiler import run_pattern_nodes
+from graphraft_spark.patterns.enumerate import enumerate_paths, instantiate_queries
+from graphraft_spark.retrieve import budgeted_accumulate
+from graphraft_spark.search.text import norm_col
+
+
+def match_entity_names(graph: PropertyGraph, qa_entities: DataFrame,
+                       nfc: bool = False) -> DataFrame:
+    """Batch C1: (qid, entity) rows → (qid, matched node names), one
+    normalized-equality broadcast join for ALL questions at once."""
+    e = qa_entities.select("qid", norm_col(F.col("entity"), nfc).alias("k"))
+    n = graph.nodes.select(F.col("name"),
+                           norm_col(F.col("name"), nfc).alias("k"))
+    return (
+        F.broadcast(e).join(n, "k")
+        .select("qid", "name").distinct()
+    )
+
+
+def default_similarity(node_id: Column) -> Column:
+    """Deterministic pseudo-similarity used when no embedding column is
+    configured (tests/oracles); production passes cosine over a real
+    embedding column (retriever.py:59)."""
+    return ((node_id % 100000) * 7919 % 104729) / 104729.0
+
+
+def run_pipeline(
+    spark: SparkSession,
+    graph: PropertyGraph,
+    questions: Sequence[tuple[int, str, Sequence[str]]],
+    ranker: QueryRanker,
+    generator: AnswerGenerator,
+    max_nodes: int = 20,
+    k: int = 5,
+    patterns: Sequence[str] = ("1hop", "2hop", "2path"),
+    specific_target_label: str | None = None,
+    similarity: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """questions: (qid, question_text, matched_src_names).  Returns
+    (qid, nodeId, name, similarity, patterns, queryIdx) — the retrieved
+    node set per question, budget-capped, provenance-carrying."""
+    sim = similarity or default_similarity
+
+    # Stage 2+3: enumerate per question (small driver-visible signature
+    # tables — the ranker's input), rank, instantiate top-k specs.
+    per_q_results: list[DataFrame] = []
+    for qid, qtext, src_names in questions:
+        if not src_names:
+            continue
+        sigs = enumerate_paths(graph, list(src_names), patterns=patterns,
+                               specific_target_label=specific_target_label)
+        recs = [r.asDict() for r in sigs.collect()]
+        pairs = instantiate_queries(recs)
+        by_text = {text: spec for spec, text in pairs}
+        top = ranker.rank(qtext, [text for _, text in pairs], k=k)
+
+        # Stage 4: execute ranked specs; one unioned plan per question
+        for idx, text in enumerate(top):
+            spec = by_text[text]
+            nodes = run_pattern_nodes(graph, spec)
+            per_q_results.append(nodes.select(
+                F.lit(qid).cast("bigint").alias("qid"),
+                F.lit(idx).alias("queryIdx"),
+                F.col("nodeId"), F.col("name"),
+                sim(F.col("nodeId")).alias("similarity"),
+                F.lit(spec.text_pattern("")).alias("pattern"),
+            ))
+
+    if not per_q_results:
+        return spark.createDataFrame(
+            [], "qid bigint, nodeId bigint, similarity double, "
+                "name string, patterns array<string>, queryIdx int, rank int")
+
+    results = per_q_results[0]
+    for df in per_q_results[1:]:
+        results = results.unionByName(df)
+
+    # Stage 5: budgeted accumulation across all questions in one job
+    return budgeted_accumulate(results, max_nodes=max_nodes,
+                               prop_cols=("name",))
+
+
+def answer_questions(retrieved: DataFrame, questions: DataFrame,
+                     generator: AnswerGenerator,
+                     add_more_answers: bool = False) -> DataFrame:
+    """Stage 6: collect retrieved node data per question into the
+    ARRAY<STRUCT> shape and run the generator seam (llm2.py:150-164)."""
+    from graphraft_spark.llm.batch import generate_answers_batch
+
+    data = (
+        retrieved.groupBy("qid")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("queryIdx").alias("qi"), F.col("rank").alias("rk"),
+            F.col("name").alias("name")))).alias("ordered"))
+        .select("qid", F.transform("ordered", lambda x: F.struct(
+            x["name"].alias("name"))).alias("data"))
+    )
+    qa = questions.join(data, "qid", "left").withColumn(
+        "data", F.coalesce(F.col("data"), F.array()))
+    return generate_answers_batch(qa, generator,
+                                  add_more_answers=add_more_answers)

@@ -39,5 +39,6 @@ def load_all() -> None:
         textanalysis_queries,
         streaming_queries,
         multimodal_queries,
+        llm_queries,
         tpch_queries,
     )
