@@ -27,7 +27,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_search",
     "d_exact_dedup",
-    "d_minhash_lsh",
+    "d_minhash_lsh_fast",
     "m_metrics_per_row",
     "e_parallel_sort",
     "t_quality_features",

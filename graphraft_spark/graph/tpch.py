@@ -37,10 +37,29 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in names}
 
 
-def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
-    """Build the property graph (nodes/edges DataFrames) from the star schema.
+_GRAPH_CACHE: dict[str, PropertyGraph] = {}
 
-    Everything is a narrow projection over the base parquet — column
+
+def tpch_graph(spark: SparkSession, sf_dir: str,
+               cached: bool = True) -> PropertyGraph:
+    """Build the property graph (nodes/edges DataFrames) from the star
+    schema.  With ``cached`` (default), the derived frames are persisted
+    per sf_dir — pattern plans reference nodes 3× and edges 2×, which
+    would otherwise re-scan every base parquet per reference.  The
+    production analog is materializing nodes/edges once with
+    ``PropertyGraph.write`` and scanning the columnar graph tables.
+    """
+    if cached and sf_dir in _GRAPH_CACHE:
+        return _GRAPH_CACHE[sf_dir]
+    g = _build_tpch_graph(spark, sf_dir)
+    if cached:
+        g = PropertyGraph(nodes=g.nodes.persist(), edges=g.edges.persist())
+        _GRAPH_CACHE[sf_dir] = g
+    return g
+
+
+def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    """Everything is a narrow projection over the base parquet — column
     pruning reaches the scans, and the per-label unions keep partition
     counts proportional to source size.
     """

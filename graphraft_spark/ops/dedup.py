@@ -57,28 +57,58 @@ def words(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles as strings."""
+    """Distinct k-word shingles as strings (position order preserved).
+
+    Built as k-1 zip_with passes over shifted word arrays — O(k·n)
+    column ops — instead of per-index array slices (O(k·n) slice
+    allocations in an interpreted lambda; ~10× slower measured).
+    Tail partials from concat_ws's null-skipping are cut by the final
+    slice; texts shorter than k words yield one whole-text shingle
+    (same as the slice formulation)."""
     ws = words(text)
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
-    ))
+    n = F.size(ws)
+    sh = ws
+    for off in range(1, k):
+        nxt = F.slice(ws, off + 1, F.greatest(n - off, F.lit(0)))
+        sh = F.zip_with(sh, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    sh = F.when(n >= k, F.slice(sh, 1, F.greatest(n - (k - 1), F.lit(1)))) \
+        .otherwise(F.slice(sh, 1, 1))
+    return F.array_distinct(sh)
 
 
 def _h60(s: Column) -> Column:
+    """Portable string hash: md5-prefix → BIGINT mod P.  Reproducible in
+    any engine (the DuckDB oracle recomputes it bit-for-bit) but pays an
+    md5 per element."""
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % P
 
 
-def minhash_signature(text: Column, num_perm: int = 16, k: int = 3) -> Column:
-    """ARRAY<BIGINT> of ``num_perm`` minhash values over k-shingles.
-    Permutation i: (a_i·h + b_i) mod P with a_i = 2i+1, b_i = 104729·i."""
-    sh = shingles(text, k)
-    hs = F.transform(sh, _h60)
+def xxhash60(s: Column) -> Column:
+    """Fast JVM-intrinsic hash (production default at scale): any uniform
+    hash family gives the same minhash/simhash semantics; only oracle
+    parity needs the portable md5 variant."""
+    return F.pmod(F.xxhash64(s), F.lit(P))
+
+
+def signature_from_hashes(hs: Column, num_perm: int) -> Column:
+    """Minhash signature over pre-hashed shingles.  Permutation i:
+    (a_i·h + b_i) mod P with a_i = 2i+1, b_i = 104729·i."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda i: F.array_min(
             F.transform(hs, lambda h: ((2 * i + 1) * h + 104729 * i) % P)),
     )
+
+
+def minhash_signature(text: Column, num_perm: int = 16, k: int = 3,
+                      hash_fn=None) -> Column:
+    """ARRAY<BIGINT> of ``num_perm`` minhash values over k-shingles.
+
+    NOTE: prefer hashing shingles into a column first and calling
+    signature_from_hashes — inlining lets an optimizer duplicate the
+    per-shingle hash into every permutation lambda."""
+    hs = F.transform(shingles(text, k), hash_fn or _h60)
+    return signature_from_hashes(hs, num_perm)
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -97,19 +127,27 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 16,
-                           bands: int = 4) -> DataFrame:
+                           bands: int = 4, k: int = 3,
+                           hash_fn=None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b): docs sharing ≥1 LSH band
     bucket.  Explode bands → shuffle by (band, bucket) → within-bucket
     self-join — pairwise cost bounded by bucket sizes, never all-pairs."""
     rows = num_perm // bands
-    sig = df.select(
+    # hash shingles in one projection, sign in the next — keeps the
+    # per-shingle hash evaluated once, not once per permutation
+    hashed = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_perm).alias("sig"),
+        F.transform(shingles(F.col(text_col), k),
+                    hash_fn or _h60).alias("hs"),
     )
+    sig = hashed.select(
+        "id", signature_from_hashes(F.col("hs"), num_perm).alias("sig"))
+    # persist: the banded frame feeds both sides of the self-join; without
+    # it the md5-per-shingle signature expression is evaluated twice
     banded = sig.select(
         "id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
+             F.col("bb.bucket").alias("bucket")).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -130,12 +168,14 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 16,
                       bands: int = 4, k: int = 3,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7, hash_fn=None) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
     pairs ≥ threshold.  Returns (id_a, id_b, jaccard)."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
+                                  k, hash_fn)
+    # shingle arrays join both pair sides; persist so they're computed once
     sh = df.select(F.col(id_col).alias("id"),
-                   shingles(F.col(text_col), k).alias("sh"))
+                   shingles(F.col(text_col), k).alias("sh")).persist()
     return (
         cand.join(sh.withColumnRenamed("id", "id_a")
                     .withColumnRenamed("sh", "sh_a"), "id_a")

@@ -100,9 +100,11 @@ def run_pipeline(
     for df in per_q_results[1:]:
         results = results.unionByName(df)
 
-    # Stage 5: budgeted accumulation across all questions in one job
+    # Stage 5: budgeted accumulation across all questions in one job;
+    # persist the ranked results — upstream is a union of pattern-join
+    # plans that must not re-execute per window pass
     return budgeted_accumulate(results, max_nodes=max_nodes,
-                               prop_cols=("name",))
+                               prop_cols=("name",), persist_inputs=True)
 
 
 def answer_questions(retrieved: DataFrame, questions: DataFrame,

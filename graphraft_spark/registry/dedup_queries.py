@@ -186,6 +186,21 @@ def d_minhash_lsh(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register("d_minhash_lsh_fast")  # rows-only: engine-private hash
+def d_minhash_lsh_fast(spark, sf_dir):
+    """Production-hash variant of d_minhash_lsh: same pipeline with
+    JVM-intrinsic xxhash64 instead of the portable md5 hash — identical
+    LSH semantics (any uniform hash family), no per-shingle md5 cost.
+    Rows-only check (DuckDB cannot reproduce xxhash64); the md5 twin is
+    the oracle-checked correctness anchor."""
+    from graphraft_spark.ops.dedup import xxhash60
+
+    return minhash_lsh_dedup(
+        _docs_near(spark, sf_dir), num_perm=8, bands=4, k=3, threshold=0.5,
+        hash_fn=xxhash60,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @register(
     "d_simhash",
     oracle=f"""

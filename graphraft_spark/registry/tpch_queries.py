@@ -1,1 +1,223 @@
-"""Placeholder — populated in a later milestone."""
+"""Classic analytics over the star schema — the standard-category
+coverage (SURVEY §2.H): multi-way joins, grouped aggregation, windowed
+running totals, rollup, top-k, semi/anti joins.
+
+Money aggregates are summed in DECIMAL(18,4) on both engines (exact,
+order-independent) and surfaced as DOUBLE — float-sum nondeterminism
+never reaches the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from graphraft_spark.registry import register
+
+
+def _dec(c):
+    return F.col(c).cast("decimal(18,4)")
+
+
+@register(
+    "q_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy grouped aggregation; the filter and
+    the 4-column projection push to the parquet scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast(
+            "timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double")
+            .alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice")
+                  * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_top_revenue",
+    oracle="""
+SELECT o_orderkey, revenue, o_orderdate_s
+FROM (
+    SELECT l.l_orderkey AS o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           strftime(ANY_VALUE(o.o_orderdate), '%Y-%m-%d') AS o_orderdate_s
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey
+)
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""")
+def q_top_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filter → fact join → grouped
+    revenue → top-k (TakeOrderedAndProject; customer side broadcasts)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              o.o_custkey == F.col("c_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast(
+            "timestamp_ntz"))
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum(_dec("l_extendedprice")
+                  * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double").alias("revenue"),
+            F.date_format(F.any_value("o_orderdate"), "yyyy-MM-dd")
+            .alias("o_orderdate_s"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_market_volume",
+    oracle="""
+SELECT n.n_name AS nation, r.r_name AS region,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS volume,
+       COUNT(DISTINCT c.c_custkey) AS n_customers
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY n.n_name, r.r_name
+""")
+def q_market_volume(spark, sf_dir):
+    """TPC-H Q5 shape: star join through two dimension hops — nation and
+    region broadcast; one shuffle for the fact-side agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.col("r_name").alias("region"))
+        .agg(
+            F.sum(_dec("l_extendedprice")
+                  * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double").alias("volume"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "q_orders_without_lineitems",
+    oracle="""
+SELECT o.o_orderstatus, COUNT(*) AS n
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o.o_orderstatus
+""")
+def q_orders_without_lineitems(spark, sf_dir):
+    """Anti-join coverage: orders with no lineitems (left_anti)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_priority_orders_semi",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o.o_orderpriority
+""")
+def q_priority_orders_semi(spark, sf_dir):
+    """TPC-H Q4 shape: semi-join (EXISTS) + grouped count."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        o.join(li.filter(F.col("l_quantity") > 45),
+               o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_running_customer_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+FROM orders WHERE o_custkey < 50
+""")
+def q_running_customer_spend(spark, sf_dir):
+    """Window coverage: per-customer running total in order-date order."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        o.filter(F.col("o_custkey") < 50)
+        .select("o_custkey", "o_orderkey",
+                F.sum(_dec("o_totalprice")).over(w).cast("double")
+                .alias("running_spend"))
+    )
+
+
+@register(
+    "q_rollup_status_priority",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def q_rollup_status_priority(spark, sf_dir):
+    """Grouping-sets coverage: ROLLUP over status/priority."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("o_totalprice")).cast("double").alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n", "total")
+    )

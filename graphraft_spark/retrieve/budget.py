@@ -51,7 +51,8 @@ def _ranked(results: DataFrame) -> DataFrame:
 
 def budgeted_accumulate(results: DataFrame, max_nodes: int,
                         pattern_rate: float = 1.0,
-                        prop_cols: tuple[str, ...] = ()) -> DataFrame:
+                        prop_cols: tuple[str, ...] = (),
+                        persist_inputs: bool = False) -> DataFrame:
     """D2+D3+D4: first-seen dedup + provenance accumulation + node-budget
     stop over per-question result streams.
 
@@ -60,8 +61,14 @@ def budgeted_accumulate(results: DataFrame, max_nodes: int,
     queryIdx, rank)`` where queryIdx/rank locate the first-seen row.
     """
     budget = math.ceil(pattern_rate * max_nodes)
+    # ranked feeds both the first-seen aggregation and the provenance
+    # scan; persist only when the upstream plan is expensive (pattern
+    # joins) — for cheap scans Catalyst's exchange reuse beats caching
     ranked = _ranked(results).select(
-        _Q, "queryIdx", "rank", "nodeId", "similarity", "pattern", *prop_cols)
+        _Q, "queryIdx", "rank", "nodeId", "similarity", "pattern",
+        *prop_cols)
+    if persist_inputs:
+        ranked = ranked.persist()
 
     first = (
         ranked.groupBy(_Q, "nodeId")
