@@ -249,3 +249,51 @@ def g_ingest_validate(spark, sf_dir):
         F.count("*").alias("n_nodes"),
         F.countDistinct("nodeId").alias("n_distinct"),
     )
+
+
+@register(
+    "g_ingest_normalize",
+    oracle="""
+WITH raw AS (
+    SELECT DISTINCT lower(p_type) || '_of/' || lower(l_returnflag)
+               AS node_type,
+           lower(p_type) || '___cites-' || lower(l_returnflag) || ' rel'
+               AS edge_type
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+)
+SELECT node_type, edge_type,
+       array_to_string(list_transform(
+           string_split(replace(node_type, '/', '_or_'), '_'),
+           s -> upper(substr(s, 1, 1)) || lower(substr(s, 2))), '')
+           AS label,
+       upper(string_split(edge_type, '___')[2]) AS rel_mag,
+       upper(replace(replace(edge_type, ' ', '_'), '-', '_')) AS rel_other
+FROM raw
+""")
+def g_ingest_normalize(spark, sf_dir):
+    """A6: ingest name normalization — label formatter
+    (field_of_study→FieldOfStudy, '/'→'_or_') and relationship-type
+    formatter (MAG '___' middle segment vs space/hyphen→'_' uppercase)
+    (stark_neo4j_loading.py:11-18)."""
+    from graphraft_spark.graph.ingest import (
+        format_node_label, format_relationship_type)
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    raw = (
+        p.join(li, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.concat(F.lower("p_type"), F.lit("_of/"),
+                     F.lower("l_returnflag")).alias("node_type"),
+            F.concat(F.lower("p_type"), F.lit("___cites-"),
+                     F.lower("l_returnflag"), F.lit(" rel"))
+            .alias("edge_type"))
+        .distinct()
+    )
+    return raw.select(
+        "node_type", "edge_type",
+        format_node_label(F.col("node_type")).alias("label"),
+        format_relationship_type(F.col("edge_type"), "mag").alias("rel_mag"),
+        format_relationship_type(F.col("edge_type"), "prime")
+        .alias("rel_other"),
+    )
