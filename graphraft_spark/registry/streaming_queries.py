@@ -96,3 +96,104 @@ def st_stream_tumbling(spark, sf_dir):
     stream = read_events_stream(spark, stage)
     agg = tumbling_counts(stream, "1 hour", watermark="2 hours")
     return run_stream_to_memory(agg, "st_stream_tumbling_sink")
+
+
+@register(
+    "st_sessionize_batch",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END
+              AS is_break
+    FROM ordered
+),
+sessions AS (
+    SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+""")
+def st_sessionize_batch(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator): sessions close after 1h inactivity per user."""
+    from graphraft_spark.streaming.stateful import sessionize_batch
+    from pyspark.sql import functions as FF
+
+    out = sessionize_batch(load_events(spark, sf_dir), gap_s=3600)
+    return out.select(
+        "user_id",
+        FF.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        FF.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_end"),
+        "n_events", "sum_value")
+
+
+@register(
+    "st_session_window",
+    oracle="""
+WITH ordered AS (
+    SELECT event_type, ts,
+           lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END
+              AS is_break
+    FROM ordered
+),
+sessions AS (
+    SELECT *, SUM(is_break) OVER (PARTITION BY event_type ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+           AS session_end,
+       event_type, COUNT(*) AS n_events
+FROM sessions GROUP BY event_type, sid
+""")
+def st_session_window(spark, sf_dir):
+    """Built-in session windows (30-min gap merge) per event_type —
+    the declarative sessionization fast path (F.session_window)."""
+    from graphraft_spark.streaming.stateful import session_window_counts
+
+    return session_window_counts(load_events(spark, sf_dir), "30 minutes")
+
+
+@register("st_sessionize_stream")  # rows-only: stateful streaming exec
+def st_sessionize_stream(spark, sf_dir):
+    """REAL applyInPandasWithState run over the event stream: per-user
+    custom session state, processing-time timeouts.  Emitted rows are
+    CLOSED sessions only (open sessions stay in state at availableNow
+    shutdown) — the batch twin is the completeness oracle in pytest."""
+    import os
+    import shutil
+
+    from graphraft_spark.streaming import read_events_stream, run_stream_to_memory
+    from graphraft_spark.streaming.stateful import sessionize_stream
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    stage = f"{repo}/.scratch/events_sess_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(stage, exist_ok=True)
+    dst = f"{stage}/events.parquet"
+    if not os.path.exists(dst):
+        shutil.copy(f"{sf_dir}/events.parquet", dst)
+
+    stream = read_events_stream(spark, stage, max_files_per_trigger=1)
+    sess = sessionize_stream(stream, gap_s=3600)
+    return run_stream_to_memory(sess, "st_sessionize_stream_sink",
+                                output_mode="append")

@@ -131,3 +131,57 @@ def test_fulltext_match_and_entity_fallback(spark, tiny_graph):
         spark, g2, [("Author", "Ada"), ("_Entity_", "zzz-no-such")],
         encoder=lambda s: [1.0, 0.0, 0.0, 0.0])
     assert "Ada" in names and len(names) >= 2  # fallback returned top-1
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions == batch
+    sessions minus each user's trailing open session."""
+    import shutil
+
+    from graphraft_spark.streaming import read_events_stream, run_stream_to_memory
+    from graphraft_spark.streaming.stateful import (
+        sessionize_batch, sessionize_stream)
+    from graphraft_spark.streaming.events import load_events
+
+    stage = tmp_path / "ev"
+    stage.mkdir()
+    shutil.copy(f"{SF}/events.parquet", stage / "events.parquet")
+    stream = read_events_stream(spark, str(stage), max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        sessionize_stream(stream, gap_s=3600), "test_sess_sink",
+        output_mode="append")
+    batch = sessionize_batch(load_events(spark, SF), gap_s=3600)
+
+    g = {(r["user_id"], r["session_start"], r["n_events"])
+         for r in got.collect()}
+    b_rows = batch.collect()
+    # drop each user's last session (open at stream shutdown)
+    last = {}
+    for r in b_rows:
+        k = r["user_id"]
+        if k not in last or r["session_start"] > last[k]:
+            last[k] = r["session_start"]
+    b = {(r["user_id"], r["session_start"], r["n_events"])
+         for r in b_rows if r["session_start"] != last[r["user_id"]]}
+    assert g == b and len(g) > 0
+
+
+def test_motif_find_and_graphframes_export(spark, tiny_graph):
+    from graphraft_spark.patterns.motif import find, parse_motif, to_graphframes
+
+    out = find(tiny_graph,
+               "(a:Author {name: 'Bob'})-[:WRITES]-(p:Paper)-[:CITES]-(q)")
+    rows = out.collect()
+    assert {r["q_name"] for r in rows} == {"P-alpha"}
+    assert set(out.columns) >= {"a_nodeId", "p_label", "q_name",
+                                "e1_relType", "e2_edgeId"}
+    # anonymous nodes + no label
+    two = find(tiny_graph, "(x)-[:AFFILIATED_WITH]-(i:Institution)")
+    assert {r["x_name"] for r in two.collect()} == {"Ada", "Bob"}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_motif("(a)-[:X]-(a)")  # duplicate vars
+    v, e = to_graphframes(tiny_graph)
+    assert "id" in v.columns and {"src", "dst", "relationship"} <= set(e.columns)
