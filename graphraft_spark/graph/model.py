@@ -33,10 +33,16 @@ EDGE_COLS = ("edgeId", "src", "dst", "relType")
 class PropertyGraph:
     """nodes: nodeId BIGINT, label STRING, name STRING, <props...>
     edges: edgeId BIGINT, src BIGINT, dst BIGINT, relType STRING
+
+    ``undirected`` optionally holds a materialized undirected edge frame
+    (see materialize_undirected) — multi-hop plans reference the
+    undirected view once per hop, and the lazy union otherwise scans the
+    edge source twice per reference.
     """
 
     nodes: DataFrame
     edges: DataFrame
+    undirected: DataFrame | None = None
 
     @property
     def undirected_edges(self) -> DataFrame:
@@ -47,6 +53,8 @@ class PropertyGraph:
         enforce r1 <> r2 (reference relies on simple-graph structure,
         path_retriever.py:8; we are exact — SURVEY §7.2).
         """
+        if self.undirected is not None:
+            return self.undirected
         fwd = self.edges.select(*EDGE_COLS)
         rev = self.edges.select(
             F.col("edgeId"),
@@ -55,6 +63,16 @@ class PropertyGraph:
             F.col("relType"),
         )
         return fwd.unionByName(rev)
+
+    def materialize_undirected(self) -> "PropertyGraph":
+        """Persist the undirected view (2× edge rows): each hop becomes
+        ONE cache scan instead of two union branches.  At 100 TB the
+        analog is writing the undirected table bucketed by ``src`` so
+        expansion joins co-locate without a shuffle."""
+        if self.undirected is not None:
+            return self
+        return PropertyGraph(nodes=self.nodes, edges=self.edges,
+                             undirected=self.undirected_edges.persist())
 
     def validate(self) -> None:
         """Ingest-time invariants (reference: unique constraint on nodeId,
@@ -92,3 +110,11 @@ class PropertyGraph:
             nodes=spark.read.parquet(f"{path}/nodes"),
             edges=spark.read.parquet(f"{path}/edges"),
         )
+
+
+def primary_label(labels: "Column") -> "Column":
+    """B9 (path_retriever.py:31): reduce a Cypher labels() list to the
+    type label — drop the catch-all '_Entity_' role and take the first
+    remaining label.  Engine-side nodes carry a single ``label`` column;
+    this helper exists for ingesting multi-label sources."""
+    return F.filter(labels, lambda x: x != "_Entity_")[0]

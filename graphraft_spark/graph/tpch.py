@@ -53,7 +53,8 @@ def tpch_graph(spark: SparkSession, sf_dir: str,
         return _GRAPH_CACHE[sf_dir]
     g = _build_tpch_graph(spark, sf_dir)
     if cached:
-        g = PropertyGraph(nodes=g.nodes.persist(), edges=g.edges.persist())
+        g = PropertyGraph(nodes=g.nodes.persist(),
+                          edges=g.edges).materialize_undirected()
         _GRAPH_CACHE[sf_dir] = g
     return g
 

@@ -191,3 +191,31 @@ def e_embedding_join(spark, sf_dir):
         .agg(F.count("*").alias("n_orders"))
         .select("id", "n_orders", "embedding")
     )
+
+
+@register(
+    "e_map_filter_rename",
+    oracle="""
+SELECT CAST(o_custkey AS BIGINT) AS question_id,
+       COUNT(*) AS n_answers,
+       list(o_orderkey ORDER BY o_orderkey) AS answer_ids
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_custkey
+HAVING COUNT(*) > 0
+""")
+def e_map_filter_rename(spark, sf_dir):
+    """E1+E2+E4: row map (computed column), predicate filter (non-empty
+    answers), rename — the .map/.filter/.rename_column trio of the HF
+    pipelines (llm1.py:122,170; llm2.py:139,218) as one projection."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    qa = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_answers"),
+             F.sort_array(F.collect_list("o_orderkey")).alias("answer_ids"))
+        .filter(F.col("n_answers") > 0)                      # E2
+        .withColumnRenamed("o_custkey", "question_id")       # E4
+        .withColumn("question_id", F.col("question_id").cast("bigint"))
+    )
+    return qa.select("question_id", "n_answers", "answer_ids")

@@ -200,3 +200,26 @@ def f_generate_answers(spark, sf_dir):
             .agg(F.lit("q?").alias("question"), nodes.alias("data")))
     out = generate_answers_batch(data, EchoGenerator(n_answers=3))
     return out.select("id", "predicted_answers")
+
+
+@register("p_full_pipeline")  # rows-only: multi-stage w/ driver-visible rank
+def p_full_pipeline(spark, sf_dir):
+    """End-to-end GraphRAFT.run() analog (graphraft.py:41-66) on the
+    TPC-H graph: entity match → enumerate → trie-rank (deterministic
+    scorer) → execute top-k patterns → budgeted retrieval.  Rows-only:
+    the ranking stage is a beam search, not SQL."""
+    from graphraft_spark.graph import tpch_graph
+    from graphraft_spark.llm import TrieConstrainedRanker, EchoGenerator
+    from graphraft_spark.pipeline import run_pipeline
+
+    g = tpch_graph(spark, sf_dir)
+    out = run_pipeline(
+        spark, g,
+        questions=[
+            (1, "who supplies small ring?", ["small ring"]),
+            (2, "what did customer 42 buy?", ["Customer#000000042"]),
+        ],
+        ranker=TrieConstrainedRanker(), generator=EchoGenerator(),
+        max_nodes=15, k=3, patterns=("1hop", "2hop"))
+    return out.select("qid", "nodeId", "name",
+                      F.round("similarity", 6).alias("similarity"))

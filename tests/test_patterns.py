@@ -139,3 +139,15 @@ def test_validate_passes_and_catches(spark, tiny_graph):
     )
     with pytest.raises(ValueError, match="endpoint"):
         dangling.validate()
+
+
+def test_primary_label(spark):
+    from graphraft_spark.graph.model import primary_label
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["Paper", "_Entity_"],), (["_Entity_", "Author"],)],
+        "labels array<string>")
+    got = [r["l"] for r in
+           df.select(primary_label(F.col("labels")).alias("l")).collect()]
+    assert got == ["Paper", "Author"]
