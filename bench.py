@@ -26,8 +26,10 @@ HEADLINE = [
     "r_retrieve_data",
     "ann_bruteforce_topk",
     "ann_ivf_search",
+    "ann_bruteforce_scaled",
     "d_exact_dedup",
     "d_minhash_lsh_fast",
+    "d_minhash_lsh_scaled",
     "m_metrics_per_row",
     "e_parallel_sort",
     "t_quality_features",

@@ -22,26 +22,81 @@ from graphraft_spark.search.vector import dot_col
 
 
 def score_pairs(vectors: DataFrame, queries: DataFrame,
-                emb_col: str = "embedding", qemb_col: str = "q_emb") -> DataFrame:
-    """All (query, vector) dot scores; queries broadcast (small side)."""
+                emb_col: str = "embedding", qemb_col: str = "q_emb",
+                arrow: bool = False) -> DataFrame:
+    """All (query, vector) dot scores; queries broadcast (small side).
+
+    ``arrow=True`` computes the dot via an Arrow-batched numpy UDF —
+    the fast path for wide embeddings (per-element expression folds are
+    interpreted and cost ~100× more at dim 64+).  Oracle-checked
+    queries keep the expression path (engine-independent arithmetic).
+    """
+    scorer = dot_col
+    if arrow:
+        from graphraft_spark.search.vector import dot_pandas
+        scorer = dot_pandas
     return (
         vectors.crossJoin(F.broadcast(queries))
-        .withColumn("score", dot_col(F.col(emb_col), F.col(qemb_col)))
+        .withColumn("score", scorer(F.col(emb_col), F.col(qemb_col)))
     )
 
 
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int,
                      id_col: str = "vec_id", qid_col: str = "qid",
                      emb_col: str = "embedding",
-                     qemb_col: str = "q_emb") -> DataFrame:
+                     qemb_col: str = "q_emb", arrow: bool = False) -> DataFrame:
     """Exact batch ANN baseline: top-k per query by dot score."""
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
-        score_pairs(vectors, queries, emb_col, qemb_col)
+        score_pairs(vectors, queries, emb_col, qemb_col, arrow=arrow)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(qid_col, id_col, "score", "rn")
     )
+
+
+def brute_force_topk_matmul(vectors: DataFrame, queries: DataFrame, k: int,
+                            id_col: str = "vec_id", qid_col: str = "qid",
+                            emb_col: str = "embedding",
+                            qemb_col: str = "q_emb") -> DataFrame:
+    """Exact batch ANN, matmul kernel — the wide-vector/full-corpus
+    shape: the (small) query matrix is collected and closure-broadcast
+    as numpy; ONE pass over the vectors does a per-Arrow-batch matmul
+    and keeps only each batch's top-k per query, so the shuffle carries
+    ≤ partitions·|Q|·k tiny rows into the exact final top-k — never the
+    |Q|·N crossjoin and never per-pair array shipping."""
+    import numpy as np
+
+    qrows = queries.select(qid_col, qemb_col).collect()
+    qids = np.array([r[qid_col] for r in qrows], dtype="int64")
+    qmat = np.stack([np.asarray(r[qemb_col], dtype="float64")
+                     for r in qrows])          # |Q| × dim
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.stack(pdf[emb_col].to_numpy()).astype("float64")
+            ids = pdf[id_col].to_numpy()
+            s = m @ qmat.T                     # batch × |Q|
+            take = min(k, s.shape[0])
+            # per-query top-k within the batch (argpartition, then sort)
+            idx = np.argpartition(-s, take - 1, axis=0)[:take]
+            out_qid, out_id, out_score = [], [], []
+            for j in range(s.shape[1]):
+                rows = idx[:, j]
+                out_qid.extend([qids[j]] * len(rows))
+                out_id.extend(ids[rows])
+                out_score.extend(s[rows, j])
+            yield pd.DataFrame({qid_col: out_qid, id_col: out_id,
+                                "score": out_score})
+
+    partial = vectors.select(id_col, emb_col).mapInPandas(
+        kernel, schema=f"{qid_col} bigint, {id_col} bigint, score double")
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (partial.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(qid_col, id_col, "score", "rn"))
 
 
 def ivf_centroids(vectors: DataFrame, every: int = 50,

@@ -244,3 +244,29 @@ def d_embedding_neardup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_neardup(emb, bucket_col="label", threshold=0.25) \
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _docs_scaled(spark, sf_dir, copies: int = 10):
+    """Deterministic synthetic corpus expansion for scale benchmarks:
+    each document replicated ``copies`` times with a per-copy suffix
+    token — every copy is a near-dup of its siblings (the dedup
+    workload's worst case: dense true-positive groups)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    idx = spark.range(copies).select(F.col("id").alias("copy"))
+    return d.crossJoin(idx).select(
+        (F.col("doc_id") * 1000 + F.col("copy")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v"),
+                 F.col("copy").cast("string")).alias("text"))
+
+
+@register("d_minhash_lsh_scaled")  # rows-only: scale benchmark
+def d_minhash_lsh_scaled(spark, sf_dir):
+    """MinHash+LSH over a 10x-expanded corpus (5k docs, dense near-dup
+    groups) with the production xxhash path — the bench-scale dedup
+    workload; correctness is pinned by the md5 twin at base scale."""
+    from graphraft_spark.ops.dedup import xxhash60
+
+    return minhash_lsh_dedup(
+        _docs_scaled(spark, sf_dir), num_perm=8, bands=4, k=3,
+        threshold=0.5, hash_fn=xxhash60,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -134,3 +134,52 @@ def ann_ivf_search(spark, sf_dir):
     out = ivf_search(assigned, cents, _queries(spark, sf_dir), k=5, nprobe=2)
     return out.select("qid", "vec_id", F.round("score", 6).alias("score"),
                       F.col("rn").cast("int").alias("rn"))
+
+
+def _embeddings_scaled(spark, sf_dir, copies: int = 40):
+    """Deterministic vector-corpus expansion (×``copies``): each copy
+    perturbs one coordinate by a copy-dependent delta and re-normalizes.
+    Built in a numpy mapInPandas stage — the per-element expression
+    version costs ~0.5 ms/row interpreted; this is vectorized."""
+    import numpy as np
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def expand(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            ids = pdf["vec_id"].to_numpy()
+            out_id, out_emb = [], []
+            for c in range(copies):
+                p = m.copy()
+                p[:, c % m.shape[1]] += (c % 7 + 1) / 100.0
+                p /= np.linalg.norm(p, axis=1, keepdims=True)
+                out_id.append(ids * 100 + c)
+                out_emb.extend(list(p))
+            yield pd.DataFrame({
+                "vec_id": np.concatenate(out_id),
+                "embedding": out_emb})
+
+    # persist: consumed 3× per search (query-matrix collect, kernel scan,
+    # and any downstream reuse) — recomputing the expansion dominates
+    return e.mapInPandas(
+        expand, schema="vec_id bigint, embedding array<double>").persist()
+
+
+@register("ann_bruteforce_scaled")  # rows-only: scale benchmark
+def ann_bruteforce_scaled(spark, sf_dir):
+    """Exact batch ANN over a ×40-expanded vector corpus (80k vectors at
+    sf0.1, ~100 queries) via the matmul kernel: per-partition top-k,
+    tiny shuffle, exact final merge.  Expression-path correctness is
+    pinned by the oracle-checked ann_bruteforce_topk."""
+    from graphraft_spark.ops.similarity import brute_force_topk_matmul
+
+    vecs = _embeddings_scaled(spark, sf_dir)
+    queries = (vecs.filter(F.col("vec_id") % 2000 == 1)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("q_emb")))
+    out = brute_force_topk_matmul(vecs, queries, k=10)
+    return out.select("qid", "vec_id", F.round("score", 6).alias("score"),
+                      F.col("rn").cast("int").alias("rn"))

@@ -15,6 +15,8 @@ path so DuckDB-oracle comparisons stay expressible).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -29,18 +31,24 @@ def norm_col(c: Column, nfc: bool = False) -> Column:
     return F.lower(F.trim(c))
 
 
-try:  # pandas_udf needs pyarrow; keep import-safe
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+# pandas_udf construction needs an active SparkSession; build lazily.
+_NFC_UDF = None
 
-    @pandas_udf("string")
-    def nfc_normalize(s: "pd.Series") -> "pd.Series":
-        import unicodedata
 
-        return s.map(lambda x: None if x is None
-                     else unicodedata.normalize("NFC", x))
-except Exception:  # pragma: no cover
-    nfc_normalize = None
+def nfc_normalize(s: Column) -> Column:
+    global _NFC_UDF
+    if _NFC_UDF is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _nfc(col: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return col.map(lambda x: None if x is None
+                           else unicodedata.normalize("NFC", x))
+
+        _NFC_UDF = _nfc
+    return _NFC_UDF(s)
 
 
 def fulltext_match(nodes: DataFrame, query_string: str,

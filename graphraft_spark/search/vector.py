@@ -16,6 +16,8 @@ fast path for wide embeddings in benchmarks.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -87,21 +89,44 @@ def knn_excluding(df: DataFrame, emb_col: str, q: Sequence[float], ef: int,
                     id_col, "left_anti")
 
 
-try:  # Arrow/numpy fast path for wide embeddings (bench, not oracle)
+# Arrow/numpy fast paths for wide embeddings (bench, not oracle).
+# pandas_udf construction needs an active SparkSession (the return-type
+# DDL is parsed by the JVM), so the udfs are built lazily at first call.
+
+
+def cosine_pandas(q: Sequence[float]):
     import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def cosine_pandas(q: Sequence[float]):
-        qv = np.asarray(q, dtype="float64")
-        qn = np.linalg.norm(qv)
+    qv = np.asarray(q, dtype="float64")
+    qn = np.linalg.norm(qv)
+
+    @pandas_udf("double")
+    def _cos(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy())
+        sims = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+        return pd.Series(sims)
+
+    return _cos
+
+
+_DOT_UDF = None
+
+
+def dot_pandas(a: Column, b: Column) -> Column:
+    """Row-wise dot of two array columns, Arrow-batched + vectorized
+    (numpy einsum) — the fast path for wide embeddings where the
+    per-element expression fold costs too much interpretation."""
+    global _DOT_UDF
+    if _DOT_UDF is None:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("double")
-        def _cos(col: "pd.Series") -> "pd.Series":
-            m = np.stack(col.to_numpy())
-            sims = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
-            return pd.Series(sims)
+        def _dot(x: pd.Series, y: pd.Series) -> pd.Series:
+            xm = np.stack(x.to_numpy()).astype("float64")
+            ym = np.stack(y.to_numpy()).astype("float64")
+            return pd.Series(np.einsum("ij,ij->i", xm, ym))
 
-        return _cos
-except Exception:  # pragma: no cover
-    cosine_pandas = None
+        _DOT_UDF = _dot
+    return _DOT_UDF(a, b)
