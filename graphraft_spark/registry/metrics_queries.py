@@ -11,6 +11,10 @@ from pyspark.sql import functions as F
 
 from graphraft_spark.metrics import compute_metrics, metric_col
 from graphraft_spark.registry import register
+from graphraft_spark.registry.retrieval_queries import (
+    _ACCUM_SQL as _R_ACCUM_SQL,
+    _RESULTS_SQL as _R_RESULTS_SQL,
+)
 
 METRICS = ["precision", "recall", "f1", "hit@1", "hit@5", "recall@20",
            "mrr", "num_nodes"]
@@ -113,3 +117,70 @@ def m_metrics_macro(spark, sf_dir):
                            "recall@20", "mrr", "num_nodes"])
     return out.select(*[F.round(F.col(f"`{c}`"), 6).alias(c)
                         for c in out.columns])
+
+
+@register(
+    "m_retrieval_eval",
+    oracle=f"""
+WITH {_R_RESULTS_SQL.strip()},
+{_R_ACCUM_SQL.strip()},
+qa AS (
+    SELECT k.qid,
+           list(k.nodeId ORDER BY k.queryIdx, k.rank) AS preds,
+           coalesce((SELECT list(CAST(c_custkey AS BIGINT) + 1000000000
+                                 ORDER BY c_custkey)
+                     FROM customer
+                     WHERE c_custkey % 13 = k.qid
+                           AND (c_nationkey = k.qid
+                                OR c_nationkey = k.qid + 5)), [])
+               AS labels
+    FROM kept k GROUP BY k.qid
+)
+SELECT qid,
+       ROUND({_prec_sql()}, 6) AS precision,
+       ROUND({_rec_sql()}, 6) AS recall,
+       CAST({_HITS.format(p='preds[1:5]')} > 0 AS INT) AS hit_at_5,
+       ROUND({_MRR_SQL}, 6) AS mrr,
+       CAST(len(preds) AS BIGINT) AS num_nodes
+FROM qa
+""")
+def m_retrieval_eval(spark, sf_dir):
+    """Retrieval-only evaluation — the reference's pre-LLM2 benchmark
+    surface (generate_training_data_llm2.ipynb cell 9): budgeted
+    retrieval output scored against gold answer ids with the full metric
+    set, one composed plan (retrieve → metrics)."""
+    from graphraft_spark.registry.retrieval_queries import (
+        MAX_NODES, _results)
+    from graphraft_spark.retrieve import budgeted_accumulate
+
+    kept = budgeted_accumulate(_results(spark, sf_dir), MAX_NODES)
+    preds = (
+        kept.groupBy("qid")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("queryIdx", "rank", "nodeId"))),
+            lambda x: x["nodeId"]).alias("preds"))
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    qids = spark.createDataFrame([(i,) for i in range(5)], "qid bigint")
+    labels = (
+        cust.crossJoin(F.broadcast(qids))
+        .filter((F.col("c_custkey") % 13 == F.col("qid"))
+                & ((F.col("c_nationkey") == F.col("qid"))
+                   | (F.col("c_nationkey") == F.col("qid") + 5)))
+        .groupBy("qid")
+        .agg(F.sort_array(F.collect_list(
+            F.col("c_custkey").cast("bigint") + 1_000_000_000))
+            .alias("labels"))
+    )
+    qa = (preds.join(labels, "qid", "left")
+          .withColumn("labels", F.coalesce("labels", F.array())))
+    p, l = F.col("preds"), F.col("labels")
+    return qa.select(
+        "qid",
+        F.round(metric_col("precision", p, l), 6).alias("precision"),
+        F.round(metric_col("recall", p, l), 6).alias("recall"),
+        metric_col("hit@5", p, l).alias("hit_at_5"),
+        F.round(metric_col("mrr", p, l), 6).alias("mrr"),
+        metric_col("num_nodes", p, l).alias("num_nodes"),
+    )

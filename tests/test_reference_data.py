@@ -119,3 +119,19 @@ def test_executable_specs_from_real_queries(spark, mag_valid, tiny_graph):
              for q in mag_valid[0]["cypher_queries"][:2]]
     for spec in specs:
         assert run_pattern(tiny_graph, spec).count() == 0
+
+
+def test_hf_arrow_reader(spark):
+    """read_hf_dataset loads the reference's save_to_disk layout into
+    Spark with schema intact (the load_from_disk migration path)."""
+    from graphraft_spark.data.hf_arrow import read_hf_dataset, read_hf_split
+
+    splits = read_hf_dataset(spark, "/root/reference/mag-data/qa")
+    assert set(splits) == {"train", "valid", "test"}
+    valid = splits["valid"]
+    assert {"id", "question", "answer_ids"} <= set(valid.columns)
+    assert valid.count() == 2665
+    one = read_hf_split(
+        spark, "/root/reference/mag-data/qa_with_cypher_queries/valid")
+    assert one.count() == 2665
+    assert "cypher_queries" in one.columns
