@@ -64,15 +64,21 @@ class PropertyGraph:
         )
         return fwd.unionByName(rev)
 
-    def materialize_undirected(self) -> "PropertyGraph":
-        """Persist the undirected view (2× edge rows): each hop becomes
-        ONE cache scan instead of two union branches.  At 100 TB the
-        analog is writing the undirected table bucketed by ``src`` so
-        expansion joins co-locate without a shuffle."""
+    def materialize_undirected(self, partitions: int | None = None) -> "PropertyGraph":
+        """Persist the undirected view (2× edge rows) hash-partitioned by
+        ``src``: each hop becomes ONE cache scan, and because the cached
+        relation's output partitioning is preserved, expansion joins on
+        ``src`` shuffle only the (small) frontier side — the edges never
+        re-shuffle.  At 100 TB the analog is writing the undirected
+        table bucketed by ``src``."""
         if self.undirected is not None:
             return self
+        spark = self.edges.sparkSession
+        n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions",
+                                             "32"))
+        und = self.undirected_edges.repartition(n, F.col("src")).persist()
         return PropertyGraph(nodes=self.nodes, edges=self.edges,
-                             undirected=self.undirected_edges.persist())
+                             undirected=und)
 
     def validate(self) -> None:
         """Ingest-time invariants (reference: unique constraint on nodeId,
