@@ -68,3 +68,17 @@ def build_ner_messages(system_instruction: str,
         msgs.append({"role": "assistant", "content": f'A:{ex["answer"]}'})
     msgs.append({"role": "user", "content": f'Q:"{question}'})
     return msgs
+
+
+def load_ner_instructions(path: str) -> dict:
+    """Load a reference-format ner_instructions.json (ner.py:13-16):
+    {'system_instruction', 'multi_shot_examples', 'labels'} — 'labels'
+    null ⇒ unlabeled '_Entity_' parsing (PRIME)."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    for k in ("system_instruction", "multi_shot_examples", "labels"):
+        if k not in d:
+            raise ValueError(f"missing key {k!r} in {path}")
+    return d

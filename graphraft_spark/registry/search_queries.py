@@ -159,3 +159,77 @@ def s_cosine_pair(spark, sf_dir):
         .select("id_a", "id_b",
                 F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cosine"))
     )
+
+
+_PSEUDO_EMB_SQL = """list_transform(range(1, 5),
+    i -> CAST(('0x' || substr(md5({s} || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+              % 1000 AS DOUBLE) / 1000.0)"""
+
+
+def _pseudo_emb(col):
+    """Deterministic 4-dim pseudo-embedding from a string — identical in
+    Spark and DuckDB (md5-prefix arithmetic); NOT normalized (dot order
+    is still deterministic, which is all the fallback needs)."""
+    idx = F.sequence(F.lit(1), F.lit(4))
+    return F.transform(
+        idx,
+        lambda i: (F.conv(F.substring(F.md5(
+            F.concat(col, F.lit("#"), i.cast("string"))), 1, 8), 16, 10)
+            .cast("bigint") % 1000).cast("double") / 1000.0)
+
+
+@register(
+    "s_entity_match_fallback",
+    oracle=GRAPH_ORACLE_CTE + f"""
+, entities AS (
+    SELECT * FROM (VALUES
+        (1, ' SMALL ring '), (1, 'no-such-entity-xyz'),
+        (2, 'NATION_3'), (2, 'another missing one')
+    ) AS e(qid, entity)
+),
+named AS (
+    SELECT nodeId, name, {_PSEUDO_EMB_SQL.format(s='name')} AS nemb
+    FROM nodes
+),
+hits AS (
+    SELECT DISTINCT e.qid, e.entity, n.name, 'fulltext' AS matched_by
+    FROM entities e JOIN named n
+      ON lower(trim(e.entity)) = lower(trim(n.name))
+),
+missing AS (
+    SELECT e.qid, e.entity,
+           {_PSEUDO_EMB_SQL.format(s='e.entity')} AS qemb
+    FROM entities e
+    WHERE NOT EXISTS (SELECT 1 FROM hits h
+                      WHERE h.qid = e.qid AND h.entity = e.entity)
+),
+fallback AS (
+    SELECT qid, entity, name, 'vector' AS matched_by FROM (
+        SELECT m.qid, m.entity, n.name,
+               ROW_NUMBER() OVER (
+                   PARTITION BY m.qid, m.entity
+                   ORDER BY list_dot_product(m.qemb, n.nemb) DESC, n.name)
+                   AS rn
+        FROM missing m CROSS JOIN named n
+    ) WHERE rn = 1
+)
+SELECT * FROM hits UNION ALL SELECT * FROM fallback
+""")
+def s_entity_match_fallback(spark, sf_dir):
+    """C1+C2 batch: normalized-equality fulltext match for all entities
+    in one join; zero-hit entities fall back to vector KNN top-1 over
+    (pseudo) name embeddings (ner.py:95-120 set-based)."""
+    from graphraft_spark.graph.model import PropertyGraph
+    from graphraft_spark.search.text import batch_match_entities
+
+    g = tpch_graph(spark, sf_dir)
+    g2 = PropertyGraph(
+        nodes=g.nodes.withColumn("nemb", _pseudo_emb(F.col("name"))),
+        edges=g.edges)
+    ents = spark.createDataFrame(
+        [(1, " SMALL ring "), (1, "no-such-entity-xyz"),
+         (2, "NATION_3"), (2, "another missing one")],
+        "qid int, entity string")
+    ents = ents.withColumn("qemb", _pseudo_emb(F.col("entity")))
+    return batch_match_entities(g2, ents, name_emb_col="nemb",
+                                entity_emb_col="qemb")

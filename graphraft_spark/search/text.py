@@ -97,3 +97,43 @@ def match_entities(spark: SparkSession, graph: PropertyGraph,
         top = knn(cand, "nameEmbedding", emb, k=k).limit(1)
         names.extend(r["name"] for r in top.select("name").collect())
     return names
+
+
+def batch_match_entities(graph, entities: "DataFrame",
+                         name_emb_col: str | None = None,
+                         entity_emb_col: str | None = None,
+                         nfc: bool = False) -> "DataFrame":
+    """Set-based C1+C2 for MANY entities at once (the batch shape of
+    _match_labeled_entities, ner.py:95-120): one normalized-equality
+    join for fulltext hits; entities with zero hits fall back to vector
+    KNN top-1 over node name embeddings (when embedding columns are
+    supplied).  Returns (qid, entity, name, matched_by)."""
+    from pyspark.sql import Window
+
+    from graphraft_spark.search.vector import dot_col
+
+    e = entities.select("qid", "entity",
+                        norm_col(F.col("entity"), nfc).alias("k"))
+    n = graph.nodes.select(
+        "name", norm_col(F.col("name"), nfc).alias("k"),
+        *( [F.col(name_emb_col)] if name_emb_col else [] ))
+    hits = (F.broadcast(e).join(n.select("name", "k"), "k")
+            .select("qid", "entity", "name",
+                    F.lit("fulltext").alias("matched_by"))
+            .distinct())
+    if not (name_emb_col and entity_emb_col):
+        return hits
+    missing = (e.join(hits.select("qid", "entity").distinct(),
+                      ["qid", "entity"], "left_anti")
+               .join(entities.select("qid", "entity", entity_emb_col),
+                     ["qid", "entity"]))
+    scored = (missing.crossJoin(n.select("name", name_emb_col))
+              .withColumn("sim", dot_col(F.col(entity_emb_col),
+                                         F.col(name_emb_col))))
+    w = Window.partitionBy("qid", "entity").orderBy(
+        F.desc("sim"), F.asc("name"))
+    fallback = (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("qid", "entity", "name",
+                        F.lit("vector").alias("matched_by")))
+    return hits.unionByName(fallback)
