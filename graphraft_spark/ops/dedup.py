@@ -128,34 +128,67 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 16,
                            bands: int = 4, k: int = 3,
-                           hash_fn=None) -> DataFrame:
+                           hash_fn=None,
+                           max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b): docs sharing ≥1 LSH band
     bucket.  Explode bands → shuffle by (band, bucket) → within-bucket
     self-join — pairwise cost bounded by bucket sizes, never all-pairs."""
-    rows = num_perm // bands
-    # hash shingles in one projection, sign in the next — keeps the
-    # per-shingle hash evaluated once, not once per permutation
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), k),
                     hash_fn or _h60).alias("hs"),
     )
+    return candidates_from_hashes(hashed, num_perm, bands, max_bucket_size)
+
+
+def candidates_from_hashes(hashed: DataFrame, num_perm: int, bands: int,
+                           max_bucket_size: int | None = None) -> DataFrame:
+    """LSH candidate pairs from a pre-hashed-shingle frame (id, hs).
+
+    A bucket of B docs costs B² in the self-join, and skewed buckets
+    (boilerplate-heavy corpora) make that quadratic blowup THE scale
+    bottleneck.  With ``max_bucket_size`` set, oversized buckets emit
+    star edges instead — every member paired with the bucket's min id,
+    O(B) — which preserves the connected components a dedup clustering
+    needs while bounding pairwise work.  None = exact all-pairs
+    (keeps small-scale oracle semantics)."""
+    rows = num_perm // bands
     sig = hashed.select(
         "id", signature_from_hashes(F.col("hs"), num_perm).alias("sig"))
     # persist: the banded frame feeds both sides of the self-join; without
-    # it the md5-per-shingle signature expression is evaluated twice
+    # it the per-shingle-hash signature expression is evaluated twice
     banded = sig.select(
         "id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket")).persist()
+             F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        # one window shuffle tags size+root per bucket (no stats join);
+        # the persisted tagged frame feeds star edges AND both join sides
+        w = Window.partitionBy("band", "bucket")
+        tagged = banded.select(
+            "id", "band", "bucket",
+            F.count("*").over(w).alias("bsz"),
+            F.min("id").over(w).alias("root")).persist()
+        star = (tagged.filter((F.col("bsz") > max_bucket_size)
+                              & (F.col("id") != F.col("root")))
+                .select(F.col("root").alias("id_a"),
+                        F.col("id").alias("id_b")))
+        banded = tagged.filter(F.col("bsz") <= max_bucket_size) \
+            .select("id", "band", "bucket")
+        extra = [star]
+    else:
+        banded = banded.persist()
+        extra = []
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    for e in extra:
+        pairs = pairs.unionByName(e)
+    return pairs.distinct()
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
@@ -168,14 +201,17 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 16,
                       bands: int = 4, k: int = 3,
-                      threshold: float = 0.7, hash_fn=None) -> DataFrame:
+                      threshold: float = 0.7, hash_fn=None,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
     pairs ≥ threshold.  Returns (id_a, id_b, jaccard)."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
-                                  k, hash_fn)
-    # shingle arrays join both pair sides; persist so they're computed once
+    # one persisted shingle pass feeds signature/banding AND the verify
+    # joins (previously two full shingle computations over the corpus)
     sh = df.select(F.col(id_col).alias("id"),
                    shingles(F.col(text_col), k).alias("sh")).persist()
+    hashed = sh.select(
+        "id", F.transform(F.col("sh"), hash_fn or _h60).alias("hs"))
+    cand = candidates_from_hashes(hashed, num_perm, bands, max_bucket_size)
     return (
         cand.join(sh.withColumnRenamed("id", "id_a")
                     .withColumnRenamed("sh", "sh_a"), "id_a")

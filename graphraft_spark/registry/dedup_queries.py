@@ -266,7 +266,10 @@ def d_minhash_lsh_scaled(spark, sf_dir):
     workload; correctness is pinned by the md5 twin at base scale."""
     from graphraft_spark.ops.dedup import xxhash60
 
+    # 3-row bands (12/4) over 2-row: near-dup siblings sit at Jaccard
+    # ≈0.9+ so recall holds, while false-positive buckets collapse;
+    # star-link buckets >100 members (quadratic-blowup guard at scale)
     return minhash_lsh_dedup(
-        _docs_scaled(spark, sf_dir), num_perm=8, bands=4, k=3,
-        threshold=0.5, hash_fn=xxhash60,
+        _docs_scaled(spark, sf_dir), num_perm=12, bands=4, k=3,
+        threshold=0.5, hash_fn=xxhash60, max_bucket_size=100,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

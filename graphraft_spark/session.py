@@ -26,7 +26,10 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Local-run friendliness; harmless on a cluster (AQE re-coalesces).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local[32] on a 128 GiB box: leave room for OS cache + the Python
+    # side, but don't starve storage memory — persisted derived graphs /
+    # shingle frames evicting mid-bench forces full recomputes
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     # Timestamps in the synthetic data are naive; keep them NTZ so Spark
     # and the DuckDB oracle agree byte-for-byte.
     "spark.sql.timestampType": "TIMESTAMP_NTZ",
