@@ -34,6 +34,30 @@ def test_minhash_lsh_recalls_near_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_lsh_bucket_cap_star_links_preserve_components(spark):
+    """max_bucket_size: a dup group bigger than the cap must still come
+    out fully connected through its star edges (root = min id), even
+    though the quadratic all-pairs inside the bucket is skipped."""
+    from graphraft_spark.ops.dedup import (minhash_lsh_candidates,
+                                           minhash_lsh_dedup)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, f"{base} v{i}") for i in range(12)]
+        + [(99, "unrelated words entirely disjoint from the group")],
+        "doc_id bigint, text string")
+    cand = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(
+        docs, num_perm=12, bands=4, max_bucket_size=5).collect()}
+    # star edges from the group root reach every sibling
+    assert {(0, i) for i in range(1, 12)} <= cand
+    # capped: nowhere near the 66 all-pairs of an uncapped 12-bucket
+    assert not any(99 in p for p in cand)
+    verified = {(r["id_a"], r["id_b"]) for r in minhash_lsh_dedup(
+        docs, num_perm=12, bands=4, threshold=0.5,
+        max_bucket_size=5).collect()}
+    assert {(0, i) for i in range(1, 12)} <= verified
+
+
 def test_simhash_identical_for_copies(spark):
     from graphraft_spark.ops.dedup import hamming, simhash
 
