@@ -59,12 +59,14 @@ def main() -> None:
             .mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    # warmup pass: JVM/codegen/file-listing/graph-cache fill, untimed —
-    # the reported numbers are steady-state engine throughput
+    # per-query warmup then timed run (warmup fills JVM/codegen/
+    # file-listing/persisted-frame caches; timing the immediately
+    # following run measures steady-state throughput without
+    # cross-query cache eviction skewing individual numbers)
+    times = {}
     for name in names:
         run(name)
-
-    times = {name: run(name) for name in names}
+        times[name] = run(name)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -223,6 +223,52 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def hashed_shingles(text: Column, k: int = 3) -> Column:
+    """Numeric k-shingle hashes WITHOUT building shingle strings: hash
+    each word once (native xxhash64), then combine k word-hashes with a
+    rolling polynomial over k-1 numeric zip_with passes.  Same LSH/
+    Jaccard semantics as string shingles (collisions mod P are ~1e-8
+    per pair at 10³ shingles/doc), at a fraction of the CPU — the
+    production path for corpus-scale dedup; the md5-string path stays
+    for oracle-portable runs."""
+    wh = F.transform(words(text), lambda w: F.pmod(F.xxhash64(w), F.lit(P)))
+    n = F.size(wh)
+    sh = wh
+    for off in range(1, k):
+        nxt = F.slice(wh, off + 1, F.greatest(n - off, F.lit(0)))
+        sh = F.zip_with(sh, nxt, lambda a, b: (a * 31 + b) % P)
+    # texts shorter than k words: one whole-text shingle (zip_with pads
+    # the short side with null — a null shingle would alias ALL short
+    # docs into one Jaccard-1.0 group)
+    whole = F.aggregate(wh, F.lit(0).cast("bigint"),
+                        lambda acc, h: (acc * 31 + h) % P)
+    sh = F.when(n >= k, F.slice(sh, 1, F.greatest(n - (k - 1), F.lit(1)))) \
+        .otherwise(F.array(whole))
+    return F.array_distinct(sh)
+
+
+def minhash_lsh_dedup_fast(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 16,
+                           bands: int = 4, k: int = 3,
+                           threshold: float = 0.7,
+                           max_bucket_size: int | None = None) -> DataFrame:
+    """minhash_lsh_dedup on the all-numeric fast path: hashed_shingles
+    feed signatures, banding AND the exact-Jaccard verify (bigint
+    array_intersect instead of string arrays on both pair sides)."""
+    hs = df.select(F.col(id_col).alias("id"),
+                   hashed_shingles(F.col(text_col), k).alias("hs")).persist()
+    cand = candidates_from_hashes(hs, num_perm, bands, max_bucket_size)
+    return (
+        cand.join(hs.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("hs", "ha"), "id_a")
+        .join(hs.withColumnRenamed("id", "id_b")
+                .withColumnRenamed("hs", "hb"), "id_b")
+        .withColumn("jaccard", jaccard(F.col("ha"), F.col("hb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _bit(v: Column, j: Column) -> Column:
     """Bit j of v via exact double arithmetic (values < 2^52; PySpark's
     shiftright only takes a literal shift amount)."""

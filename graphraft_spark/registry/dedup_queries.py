@@ -188,16 +188,15 @@ def d_minhash_lsh(spark, sf_dir):
 
 @register("d_minhash_lsh_fast")  # rows-only: engine-private hash
 def d_minhash_lsh_fast(spark, sf_dir):
-    """Production-hash variant of d_minhash_lsh: same pipeline with
-    JVM-intrinsic xxhash64 instead of the portable md5 hash — identical
-    LSH semantics (any uniform hash family), no per-shingle md5 cost.
-    Rows-only check (DuckDB cannot reproduce xxhash64); the md5 twin is
-    the oracle-checked correctness anchor."""
-    from graphraft_spark.ops.dedup import xxhash60
+    """Production-hash variant of d_minhash_lsh: the all-numeric fast
+    path — per-word xxhash64 combined into polynomial shingle hashes
+    (no shingle strings built at all), numeric verify. Identical LSH
+    semantics (any uniform hash family). Rows-only check (DuckDB cannot
+    reproduce xxhash64); the md5 twin is the oracle-checked anchor."""
+    from graphraft_spark.ops.dedup import minhash_lsh_dedup_fast
 
-    return minhash_lsh_dedup(
+    return minhash_lsh_dedup_fast(
         _docs_near(spark, sf_dir), num_perm=8, bands=4, k=3, threshold=0.5,
-        hash_fn=xxhash60,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -264,12 +263,12 @@ def d_minhash_lsh_scaled(spark, sf_dir):
     """MinHash+LSH over a 10x-expanded corpus (5k docs, dense near-dup
     groups) with the production xxhash path — the bench-scale dedup
     workload; correctness is pinned by the md5 twin at base scale."""
-    from graphraft_spark.ops.dedup import xxhash60
+    from graphraft_spark.ops.dedup import minhash_lsh_dedup_fast
 
     # 3-row bands (12/4) over 2-row: near-dup siblings sit at Jaccard
     # ≈0.9+ so recall holds, while false-positive buckets collapse;
     # star-link buckets >100 members (quadratic-blowup guard at scale)
-    return minhash_lsh_dedup(
+    return minhash_lsh_dedup_fast(
         _docs_scaled(spark, sf_dir), num_perm=12, bands=4, k=3,
-        threshold=0.5, hash_fn=xxhash60, max_bucket_size=100,
+        threshold=0.5, max_bucket_size=100,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
