@@ -197,3 +197,63 @@ def st_sessionize_stream(spark, sf_dir):
     sess = sessionize_stream(stream, gap_s=3600)
     return run_stream_to_memory(sess, "st_sessionize_stream_sink",
                                 output_mode="append")
+
+
+@register(
+    "st_graph_deltas",
+    oracle="""
+SELECT user_id AS src,
+       ('0x' || substr(md5(event_type), 1, 8))::BIGINT + 10000000000 AS dst,
+       upper(event_type) AS relType,
+       COUNT(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_s,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_s
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2, 3
+""")
+def st_graph_deltas(spark, sf_dir):
+    """Incremental-graph edge deltas derived from events in batch (the
+    exact per-micro-batch computation of the streaming updater — see
+    streaming/graph_updates.py): (user)-[EVENT_TYPE]->(type node) with
+    multiplicity and first/last-seen event time."""
+    from graphraft_spark.streaming.graph_updates import event_graph_deltas
+
+    _, edges = event_graph_deltas(load_events(spark, sf_dir))
+    return edges.select(
+        "src", "dst", "relType", "n_events",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_s"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_s"))
+
+
+@register("st_graph_stream_update")  # rows-only: real incremental run
+def st_graph_stream_update(spark, sf_dir):
+    """REAL Structured Streaming incremental graph maintenance: stream
+    the events, land epoch-partitioned node/edge delta logs via
+    foreachBatch (idempotent per epoch), then read the merge-on-read
+    graph view.  pytest asserts the merged edges equal the batch
+    derivation (st_graph_deltas)."""
+    import os
+    import shutil
+
+    from graphraft_spark.streaming.graph_updates import (
+        merged_graph, stream_graph_updates)
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = f"{repo}/.scratch/events_graph_{tag}"
+    os.makedirs(stage, exist_ok=True)
+    dst = f"{stage}/events.parquet"
+    if not os.path.exists(dst):
+        shutil.copy(f"{sf_dir}/events.parquet", dst)
+
+    out = f"{repo}/.scratch/graph_deltas_{tag}"
+    shutil.rmtree(out, ignore_errors=True)  # deterministic rebuild
+    stream = read_events_stream(spark, stage, max_files_per_trigger=1)
+    stream_graph_updates(stream, out)
+    g = merged_graph(spark, out)
+    return g.edges.select(
+        "src", "dst", "relType", "n_events",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_s"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_s"))

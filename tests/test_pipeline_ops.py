@@ -111,6 +111,51 @@ def test_stream_equals_batch(spark, tmp_path):
     assert len(want) > 0
 
 
+def test_incremental_graph_update_stream_equals_batch(spark, tmp_path):
+    """Streamed delta-log graph == batch-derived graph; epoch replay is
+    idempotent (overwrite-per-epoch, no double counting)."""
+    import shutil
+
+    from graphraft_spark.streaming import read_events_stream
+    from graphraft_spark.streaming.events import load_events
+    from graphraft_spark.streaming.graph_updates import (
+        apply_delta_batch, compact_deltas, event_graph_deltas,
+        merged_graph, stream_graph_updates)
+
+    stage = tmp_path / "events"
+    stage.mkdir()
+    shutil.copy(f"{SF}/events.parquet", stage / "events.parquet")
+    out = str(tmp_path / "deltas")
+
+    stream = read_events_stream(spark, str(stage), max_files_per_trigger=1)
+    stream_graph_updates(stream, out)
+    g = merged_graph(spark, out)
+
+    events = load_events(spark, SF)
+    want_nodes, want_edges = event_graph_deltas(events)
+    key = lambda df: sorted(map(tuple, df.select(
+        "src", "dst", "relType", "n_events").collect()))
+    assert key(g.edges) == key(want_edges)
+    assert sorted(r["nodeId"] for r in g.nodes.collect()) == \
+        sorted(r["nodeId"] for r in want_nodes.collect())
+    assert g.edges.count() > 0
+
+    # a NEW epoch adds its multiplicity once; REPLAYING that epoch
+    # (at-least-once source retry) overwrites in place — still once
+    apply_delta_batch(events, 99, out)
+    apply_delta_batch(events, 99, out)
+    g2 = merged_graph(spark, out)
+    base_n = {(r["src"], r["dst"], r["relType"]): r["n_events"]
+              for r in want_edges.collect()}
+    got_n = {(r["src"], r["dst"], r["relType"]): r["n_events"]
+             for r in g2.edges.collect()}
+    assert got_n == {k: 2 * v for k, v in base_n.items()}
+
+    # compaction preserves the merged state
+    gc = compact_deltas(spark, out, str(tmp_path / "compacted"))
+    assert key(gc.edges) == key(g2.edges)
+
+
 def test_multimodal_feature_extraction_deterministic(spark):
     from graphraft_spark.ops.multimodal import (
         deterministic_fake_decode, extract_features,
