@@ -153,3 +153,68 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
         .filter(F.col("rn") <= k)
         .select(qid_col, id_col, "score", "rn")
     )
+
+
+def srp_hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random-hyperplane matrix for signed-random-
+    projection LSH: component (j, d) drawn from md5(seed:j:d) as an
+    exact 3-decimal value in [-1, 1] — the same literals are embeddable
+    in an external SQL oracle, so signatures agree bit-for-bit across
+    engines (no RNG at execution time)."""
+    import hashlib
+
+    return [
+        [((int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:8], 16)
+           % 2001) - 1000) / 1000.0
+         for d in range(dim)]
+        for j in range(bits)
+    ]
+
+
+def srp_signature(emb: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit j = sign(emb · plane_j); cosine-similar
+    vectors collide with probability 1 - angle/pi per bit."""
+    sig = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(emb, F.lit(plane), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+def srp_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int,
+                 dim: int, bits: int = 8, seed: int = 7,
+                 multiprobe: bool = True,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 qid_col: str = "qid", qemb_col: str = "q_emb") -> DataFrame:
+    """LSH-bucketed ANN: corpus hashed once into 2^bits buckets; each
+    query probes its own bucket (+ the ``bits`` Hamming-1 neighbors with
+    multiprobe) and ranks candidates by exact dot product.
+
+    Scale shape: the signature is one narrow scan; the probe join
+    shuffles only (bucket, qid) pairs against a corpus pre-partitioned
+    by bucket (at 100 TB: write the corpus partitionBy(bucket) once and
+    probes become partition-pruned reads — same plan as IVF with a
+    data-independent coarse quantizer, no centroid training pass)."""
+    planes = srp_hyperplanes(dim, bits, seed)
+    corpus = vectors.select(
+        id_col, emb_col, srp_signature(F.col(emb_col), planes).alias("bucket"))
+    qsig = queries.select(
+        qid_col, qemb_col, srp_signature(F.col(qemb_col), planes).alias("qb"))
+    if multiprobe:
+        probe_list = F.array(
+            F.col("qb"), *[F.expr(f"qb ^ {1 << i}") for i in range(bits)])
+    else:
+        probe_list = F.array(F.col("qb"))
+    probes = qsig.select(
+        qid_col, qemb_col, F.explode(probe_list).alias("bucket")
+    ).withColumn("bucket", F.col("bucket").cast("bigint"))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        corpus.join(F.broadcast(probes), "bucket")
+        .withColumn("score", dot_col(F.col(emb_col), F.col(qemb_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(qid_col, id_col, "score", "rn")
+    )

@@ -183,3 +183,61 @@ def ann_bruteforce_scaled(spark, sf_dir):
     out = brute_force_topk_matmul(vecs, queries, k=10)
     return out.select("qid", "vec_id", F.round("score", 6).alias("score"),
                       F.col("rn").cast("int").alias("rn"))
+
+
+def _srp_sig_sql(col: str, planes) -> str:
+    """DuckDB expression computing the same SRP signature as
+    ops.similarity.srp_signature over the same literal hyperplanes."""
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        terms.append(f"(CASE WHEN list_dot_product({col}, {lit}) >= 0 "
+                     f"THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _srp_oracle() -> str:
+    from graphraft_spark.ops.similarity import srp_hyperplanes
+
+    planes = srp_hyperplanes(dim=64, bits=8, seed=7)
+    sig_e = _srp_sig_sql("CAST(e.embedding AS DOUBLE[])", planes)
+    sig_q = _srp_sig_sql("q.q_emb", planes)
+    return f"""
+WITH {_QUERIES_SQL.strip()},
+corpus AS (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+           {sig_e} AS bucket
+    FROM embeddings e
+),
+qsig AS (
+    SELECT q.qid, q.q_emb, {sig_q} AS qb FROM queries q
+),
+probes AS (
+    SELECT qid, q_emb, unnest(list_prepend(qb,
+        list_transform(range(0, 8), i -> xor(qb, 1 << i)))) AS bucket
+    FROM qsig
+)
+SELECT qid, vec_id, ROUND(score, 6) AS score, CAST(rn AS INT) AS rn
+FROM (
+    SELECT p.qid, c.vec_id,
+           list_dot_product(c.emb, p.q_emb) AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.qid
+               ORDER BY list_dot_product(c.emb, p.q_emb) DESC, c.vec_id)
+               AS rn
+    FROM corpus c JOIN probes p ON c.bucket = p.bucket
+) WHERE rn <= 5
+"""
+
+
+@register("ann_srp_lsh_topk", oracle=_srp_oracle())
+def ann_srp_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (signed random projections): data-independent
+    scale path beside IVF — corpus hashed into 256 buckets, 1-bit
+    multiprobe, exact rank within probed buckets."""
+    from graphraft_spark.ops.similarity import srp_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = srp_lsh_topk(emb, _queries(spark, sf_dir), k=5, dim=64, bits=8)
+    return out.select("qid", "vec_id", F.round("score", 6).alias("score"),
+                      F.col("rn").cast("int").alias("rn"))
