@@ -27,6 +27,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_search",
     "ann_bruteforce_scaled",
+    "ann_srp_lsh_topk",
     "d_exact_dedup",
     "d_minhash_lsh_fast",
     "d_minhash_lsh_scaled",
@@ -34,6 +35,7 @@ HEADLINE = [
     "e_parallel_sort",
     "t_quality_features",
     "st_tumbling_agg",
+    "st_graph_deltas",
     "q_pricing_summary",
     "q_top_revenue",
     "q_market_volume",

@@ -55,6 +55,12 @@ def tpch_graph(spark: SparkSession, sf_dir: str,
     if cached:
         g = PropertyGraph(nodes=g.nodes.persist(),
                           edges=g.edges).materialize_undirected()
+        # materialize eagerly: a multi-self-join plan scanning these
+        # caches COLD pays the population cost on each scan of its
+        # first executions (measured 16-18 s vs 2 s warm for the 2-hop
+        # enumeration); two cheap counts make every consumer steady-state
+        g.nodes.count()
+        g.undirected.count()
         _GRAPH_CACHE[sf_dir] = g
     return g
 

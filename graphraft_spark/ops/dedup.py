@@ -169,6 +169,7 @@ def candidates_from_hashes(hashed: DataFrame, num_perm: int, bands: int,
             "id", "band", "bucket",
             F.count("*").over(w).alias("bsz"),
             F.min("id").over(w).alias("root")).persist()
+        tagged.count()  # eager: later scans must hit warm cache
         star = (tagged.filter((F.col("bsz") > max_bucket_size)
                               & (F.col("id") != F.col("root")))
                 .select(F.col("root").alias("id_a"),
@@ -178,6 +179,7 @@ def candidates_from_hashes(hashed: DataFrame, num_perm: int, bands: int,
         extra = [star]
     else:
         banded = banded.persist()
+        banded.count()  # eager: both self-join sides scan this
         extra = []
     a = banded.alias("a")
     b = banded.alias("b")
@@ -209,6 +211,7 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     # joins (previously two full shingle computations over the corpus)
     sh = df.select(F.col(id_col).alias("id"),
                    shingles(F.col(text_col), k).alias("sh")).persist()
+    sh.count()  # eager: signature path + both verify sides scan this
     hashed = sh.select(
         "id", F.transform(F.col("sh"), hash_fn or _h60).alias("hs"))
     cand = candidates_from_hashes(hashed, num_perm, bands, max_bucket_size)
@@ -257,6 +260,7 @@ def minhash_lsh_dedup_fast(df: DataFrame, text_col: str = "text",
     array_intersect instead of string arrays on both pair sides)."""
     hs = df.select(F.col(id_col).alias("id"),
                    hashed_shingles(F.col(text_col), k).alias("hs")).persist()
+    hs.count()  # eager: signature path + both verify sides scan this
     cand = candidates_from_hashes(hs, num_perm, bands, max_bucket_size)
     return (
         cand.join(hs.withColumnRenamed("id", "id_a")

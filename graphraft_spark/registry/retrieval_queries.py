@@ -199,8 +199,14 @@ def r_retrieve_data(spark, sf_dir):
     """D1-D7 end-to-end: budgeted pattern accumulation + vector top-up
     with exclusion; ≤ max_nodes-1 nodes per question when the budget
     fires (retriever.py:71-109)."""
-    out = retrieve_data(_results(spark, sf_dir), _candidates(spark, sf_dir),
-                        MAX_NODES)
+    # both inputs are md5-crossjoin-expensive and feed multiple stages
+    # (dedup, provenance, exclusion, top-up): persist + materialize so
+    # every downstream scan — and every re-run — is warm
+    results = _results(spark, sf_dir).persist()
+    results.count()
+    candidates = _candidates(spark, sf_dir).persist()
+    candidates.count()
+    out = retrieve_data(results, candidates, MAX_NODES)
     return out.select(
         "qid", "nodeId", F.round("similarity", 6).alias("similarity"),
         "patterns", "source")
