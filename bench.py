@@ -36,6 +36,7 @@ HEADLINE = [
     "t_quality_features",
     "st_tumbling_agg",
     "st_graph_deltas",
+    "tm_asof_enrich",
     "q_pricing_summary",
     "q_top_revenue",
     "q_market_volume",

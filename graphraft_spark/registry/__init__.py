@@ -64,6 +64,7 @@ def load_all() -> None:
         similarity_queries,
         textanalysis_queries,
         streaming_queries,
+        temporal_queries,
         multimodal_queries,
         llm_queries,
         tpch_queries,

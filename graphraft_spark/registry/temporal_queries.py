@@ -1,0 +1,83 @@
+"""Temporal-join operators over the events table (as-of enrichment).
+
+The as-of join is a §2.H extension: the reference has no time-series
+surface, but a training-data pipeline enriching events with the latest
+per-key state needs it, and Spark lacks a built-in.  DuckDB's native
+ASOF JOIN is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphraft_spark.registry import register
+from graphraft_spark.streaming.events import load_events
+
+
+@register(
+    "tm_asof_enrich",
+    oracle="""
+WITH snaps AS (
+    SELECT user_id, ts, MAX(value) AS state_value
+    FROM events WHERE event_id % 20 = 0
+    GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       l.value, r.state_value
+FROM events l
+ASOF LEFT JOIN snaps r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def tm_asof_enrich(spark, sf_dir):
+    """As-of enrichment: every event carries the latest prior snapshot
+    value for its user (backward inclusive; null before the first
+    snapshot).  One shuffle by user_id, linear per-partition pass —
+    no inequality-join blowup (ops/temporal.py)."""
+    from graphraft_spark.ops.temporal import asof_join
+
+    events = load_events(spark, sf_dir)
+    snaps = (events.filter(F.col("event_id") % 20 == 0)
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("state_value")))
+    out = asof_join(events.select("event_id", "user_id", "ts", "value"),
+                    snaps, on="ts", by=("user_id",),
+                    value_cols=("state_value",))
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value", "state_value")
+
+
+@register(
+    "tm_interval_join",
+    oracle="""
+WITH incidents AS (
+    SELECT event_id AS incident_id, ts AS start_ts,
+           ts + INTERVAL 10 MINUTE AS end_ts
+    FROM events WHERE event_type = 'error'
+)
+SELECT i.incident_id, COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e
+JOIN incidents i ON e.ts >= i.start_ts AND e.ts <= i.end_ts
+GROUP BY i.incident_id
+""")
+def tm_interval_join(spark, sf_dir):
+    """Range-join coverage: events inside each 10-minute incident
+    window (opened by every error event), counted per incident — via
+    the bucketed-grid equi-join (ops/temporal.py), not a nested loop."""
+    from graphraft_spark.ops.temporal import interval_join_bucketed
+
+    events = load_events(spark, sf_dir)
+    incidents = (events.filter(F.col("event_type") == "error")
+                 .select(F.col("event_id").alias("incident_id"),
+                         F.col("ts").alias("start_ts"),
+                         (F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+                         .alias("end_ts")))
+    joined = interval_join_bucketed(
+        events.select("user_id", "ts"), incidents,
+        on="ts", start="start_ts", end="end_ts", bucket_seconds=600)
+    return joined.groupBy("incident_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"))

@@ -277,3 +277,50 @@ def test_motif_find_and_graphframes_export(spark, tiny_graph):
         parse_motif("(a)-[:X]-(a)")  # duplicate vars
     v, e = to_graphframes(tiny_graph)
     assert "id" in v.columns and {"src", "dst", "relationship"} <= set(e.columns)
+
+
+def test_asof_join_semantics(spark):
+    """Backward: latest right at-or-before left ts (inclusive), null
+    before first snapshot; forward: earliest right at-or-after."""
+    from graphraft_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 5.0), (2, 1, 10.0), (3, 1, 20.0), (4, 2, 10.0)],
+        "event_id bigint, user_id bigint, t double")
+    right = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 15.0, "b"), (2, 30.0, "z")],
+        "user_id bigint, t double, state string")
+    back = {r["event_id"]: r["state"] for r in asof_join(
+        left, right, on="t", by=("user_id",)).collect()}
+    #  t=5: before any snap → null; t=10: inclusive tie → 'a';
+    #  t=20: latest ≤ 20 → 'b'; user 2 t=10: snap at 30 is later → null
+    assert back == {1: None, 2: "a", 3: "b", 4: None}
+    fwd = {r["event_id"]: r["state"] for r in asof_join(
+        left, right, on="t", by=("user_id",),
+        direction="forward").collect()}
+    assert fwd == {1: "a", 2: "a", 3: None, 4: "z"}
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    """Bucketed-grid interval join == Spark's native (nested-loop)
+    range join, including intervals spanning bucket boundaries."""
+    from graphraft_spark.ops.temporal import interval_join_bucketed
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{m:02d}:30") for i, m in
+         enumerate([0, 4, 9, 10, 29, 59])],
+        "event_id bigint, s string").select(
+        "event_id", F.to_timestamp("s").alias("ts"))
+    iv = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-01 00:09:30"),
+         (200, "2024-01-01 00:09:00", "2024-01-01 00:30:00")],
+        "iid bigint, a string, b string").select(
+        "iid", F.to_timestamp("a").alias("start_ts"),
+        F.to_timestamp("b").alias("end_ts"))
+    got = sorted((r["iid"], r["event_id"]) for r in interval_join_bucketed(
+        ev, iv, on="ts", start="start_ts", end="end_ts",
+        bucket_seconds=300).collect())
+    want = sorted((r["iid"], r["event_id"]) for r in ev.join(
+        iv, (F.col("ts") >= F.col("start_ts"))
+        & (F.col("ts") <= F.col("end_ts"))).collect())
+    assert got == want and len(got) > 0
