@@ -1,0 +1,130 @@
+"""Property-based tests (SURVEY §5): random-instance invariants for the
+core operators, checked against brute-force Python oracles.
+
+Hypothesis generates small random graphs / result streams; each example
+round-trips through Spark, so example counts are kept low — the value
+is in the randomized structure (self-loops, multi-edges, shared names,
+disconnected nodes), not in volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7),
+              st.sampled_from(["A", "B"])),
+    min_size=1, max_size=14, unique=True)
+
+
+def _graph_from(spark, edges):
+    from graphraft_spark.graph.model import PropertyGraph
+
+    node_ids = sorted({n for s, d, _ in edges for n in (s, d)})
+    nodes = spark.createDataFrame(
+        [(n, "N", f"n{n % 3}") for n in node_ids],  # shared names: n0/n1/n2
+        "nodeId bigint, label string, name string")
+    edf = spark.createDataFrame(
+        [(i, s, d, t) for i, (s, d, t) in enumerate(edges)],
+        "edgeId bigint, src bigint, dst bigint, relType string")
+    return node_ids, PropertyGraph(nodes=nodes, edges=edf)
+
+
+@settings(**SETTINGS)
+@given(edges=edge_lists)
+def test_onehop_counts_match_bruteforce(spark, edges):
+    """totalCnt per (anchor-name, relType, tgt-label) == brute-force
+    distinct-neighbor count over the undirected adjacency."""
+    from graphraft_spark.patterns.enumerate import enumerate_pattern
+
+    node_ids, g = _graph_from(spark, edges)
+    got = {(r["name1"], r["type1"]): r["totalCnt"]
+           for r in enumerate_pattern(g, "1hop", ["n0"]).collect()}
+
+    # brute force: undirected neighbors of every node named n0, by rel
+    want: dict[tuple[str, str], set[int]] = {}
+    anchors = [n for n in node_ids if n % 3 == 0]
+    for a in anchors:
+        for s, d, t in edges:
+            for u, v in ((s, d), (d, s)):
+                if u == a:
+                    want.setdefault(("n0", t), set()).add(v)
+    assert got == {k: len(v) for k, v in want.items()}
+
+
+@settings(**SETTINGS)
+@given(edges=edge_lists)
+def test_twohop_excludes_reused_edge_and_src(spark, edges):
+    """2-hop semantics: every counted target is reachable via two
+    DISTINCT edges (r1 ≠ r2) and differs from the anchor (tgt <> src),
+    per path_retriever.py:7-9 + SURVEY §7.2 exactness."""
+    from graphraft_spark.patterns.enumerate import enumerate_pattern
+
+    node_ids, g = _graph_from(spark, edges)
+    got_total = sum(r["totalCnt"] for r in
+                    enumerate_pattern(g, "2hop", ["n0"]).collect())
+
+    eid = list(enumerate(edges))
+    want = set()  # (anchor, mid-label-ish grouping collapsed: count paths' targets)
+    per_sig: dict[tuple, set[int]] = {}
+    for a in (n for n in node_ids if n % 3 == 0):
+        for i1, (s1, d1, t1) in eid:
+            for m in ({d1} if s1 == a else set()) | ({s1} if d1 == a else set()):
+                for i2, (s2, d2, t2) in eid:
+                    if i2 == i1:
+                        continue
+                    for tgt in ({d2} if s2 == m else set()) | \
+                               ({s2} if d2 == m else set()):
+                        if tgt != a:
+                            per_sig.setdefault(("n0", t1, t2), set()).add(tgt)
+    want_total = sum(len(v) for v in per_sig.values())
+    assert got_total == want_total
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 1),      # queryIdx
+              st.integers(0, 9),      # nodeId
+              st.integers(0, 99)),    # similarity basis
+    min_size=1, max_size=20),
+    budget_small=st.integers(2, 4))
+def test_budget_monotonicity_and_dedup(spark, rows, budget_small):
+    """Budgeted accumulation: kept(m) ⊆ kept(m+2); no duplicate nodes;
+    never ≥ budget nodes (drop-the-crosser)."""
+    from graphraft_spark.retrieve.budget import budgeted_accumulate
+
+    df = spark.createDataFrame(
+        [(0, q, n, float(s), f"p{q}") for q, n, s in rows],
+        "qid bigint, queryIdx int, nodeId bigint, similarity double, "
+        "pattern string")
+    small = budgeted_accumulate(df, budget_small).collect()
+    large = budgeted_accumulate(df, budget_small + 2).collect()
+    small_nodes = [r["nodeId"] for r in small]
+    assert len(small_nodes) == len(set(small_nodes))  # dedup
+    assert len(small_nodes) < budget_small            # strict cap
+    assert set(small_nodes) <= {r["nodeId"] for r in large}
+
+
+@settings(**SETTINGS)
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=30), min_size=1,
+    max_size=8))
+def test_exact_dedup_partitions_by_normalized_text(spark, texts):
+    """exact_dedup: exactly one canonical row per distinct normalized
+    text; canonical = smallest id in its group."""
+    from graphraft_spark.ops.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string")
+    out = exact_dedup(df).collect()
+    norm = lambda t: " ".join(t.lower().split())
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(norm(t), []).append(i)
+    canon = {r["doc_id"] for r in out if r["is_canonical"]}
+    assert canon == {min(v) for v in groups.values()}
