@@ -221,3 +221,33 @@ def q_rollup_status_priority(spark, sf_dir):
             F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
             "n", "total")
     )
+
+
+@register(
+    "q_monthly_revenue",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(SUM(CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+                THEN 1 ELSE 0 END) AS BIGINT) AS weekend_orders
+FROM orders
+WHERE o_orderdate >= DATE '1994-01-01'
+GROUP BY 1, 2
+""")
+def q_monthly_revenue(spark, sf_dir):
+    """Date-dimension rollup (scalar date-function coverage, §2.H):
+    year/month buckets, decimal-exact revenue, weekend-order counts;
+    the date filter pushes down to the parquet scan."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # Spark dayofweek: Sun=1..Sat=7; DuckDB dayofweek: Sun=0..Sat=6
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+        .groupBy(F.year("o_orderdate").alias("yr"),
+                 F.month("o_orderdate").alias("mo"))
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+             F.sum(F.when(F.dayofweek("o_orderdate").isin(1, 7), 1)
+                   .otherwise(0)).cast("bigint").alias("weekend_orders"))
+    )
