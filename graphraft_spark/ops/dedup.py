@@ -331,3 +331,44 @@ def embedding_neardup(df: DataFrame, emb_col: str = "embedding",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 "cosine")
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pair edges (id_a, id_b):
+    the clustering step that turns pairwise matches into dedup groups
+    (component id = min doc id in the group).
+
+    Iterative min-label propagation; each round is one shuffle-join +
+    aggregate, materialized eagerly so lineage stays flat.  Dedup graphs
+    converge in a handful of rounds — star-linked buckets have diameter
+    ≤ 4 by construction — and the loop stops as soon as a round changes
+    nothing.  (At larger diameters switch to the large-star/small-star
+    alternation; same per-round plan shape.)"""
+    und = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+           .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                     F.col("id_a").alias("dst"))))
+    und = und.distinct().persist()
+    und.count()
+    labels = (und.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("comp", F.col("id"))).persist()
+    labels.count()
+    for _ in range(max_iter):
+        # candidate label per node: min over own and neighbors' comps
+        nbr = (und.join(labels.withColumnRenamed("id", "dst")
+                        .withColumnRenamed("comp", "nbr_comp"), "dst")
+               .groupBy("src").agg(F.min("nbr_comp").alias("nbr_comp")))
+        new = (labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
+               .select("id", F.least(
+                   "comp", F.coalesce("nbr_comp", "comp")).alias("comp"))
+               ).persist()
+        changed = (new.join(labels.withColumnRenamed("comp", "old"), "id")
+                   .filter(F.col("comp") != F.col("old")).limit(1).count())
+        labels.unpersist()
+        labels = new
+        labels.count()
+        if changed == 0:
+            break
+    und.unpersist()
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "comp").select("id", "comp", "cluster_size")

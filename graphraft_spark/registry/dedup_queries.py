@@ -272,3 +272,57 @@ def d_minhash_lsh_scaled(spark, sf_dir):
         _docs_scaled(spark, sf_dir), num_perm=12, bands=4, k=3,
         threshold=0.5, max_bucket_size=100,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "d_components",
+    oracle=f"""
+WITH RECURSIVE {_DOCS_NEAR_SQL.strip().lstrip()},
+sh AS (
+    SELECT doc_id, {_SHINGLES} AS s
+    FROM (SELECT doc_id, {_WORDS} AS words FROM docs)
+),
+pairs AS (
+    SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE j >= 0.5
+),
+und AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+    SELECT a AS id, LEAST(a, MIN(b)) AS comp
+    FROM reach GROUP BY a
+)
+SELECT c.id, c.comp, CAST(n.cluster_size AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp) n
+  ON n.comp = c.comp
+""")
+def d_components(spark, sf_dir):
+    """Near-dup clustering end-to-end: exact-Jaccard pairs (threshold
+    0.5 over the near-dup doc slice) -> connected components -> (doc,
+    component=min id, cluster size).  Oracle: DuckDB recursive-CTE
+    transitive closure over the same pairs."""
+    from graphraft_spark.ops.dedup import connected_components, jaccard, shingles
+
+    docs = _docs_near(spark, sf_dir)
+    sh = docs.select(F.col("doc_id").alias("id"),
+                     shingles(F.col("text"), 3).alias("sh"))
+    pairs = (
+        sh.alias("a").join(sh.alias("b"),
+                           F.col("a.id") < F.col("b.id"))
+        .withColumn("j", jaccard(F.col("a.sh"), F.col("b.sh")))
+        .filter(F.col("j") >= 0.5)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return connected_components(pairs)

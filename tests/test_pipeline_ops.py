@@ -324,3 +324,20 @@ def test_interval_join_matches_naive_range_join(spark):
         iv, (F.col("ts") >= F.col("start_ts"))
         & (F.col("ts") <= F.col("end_ts"))).collect())
     assert got == want and len(got) > 0
+
+
+def test_connected_components_cluster_star_capped_group(spark):
+    """Star-linked candidate edges (bucket cap) must yield ONE component
+    per dup group; singleton-free output covers only paired docs."""
+    from graphraft_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3),        # star group rooted at 0
+         (10, 11), (11, 12),            # chain group
+         (20, 21)],
+        "id_a bigint, id_b bigint")
+    out = {r["id"]: (r["comp"], r["cluster_size"])
+           for r in connected_components(pairs).collect()}
+    assert out == {0: (0, 4), 1: (0, 4), 2: (0, 4), 3: (0, 4),
+                   10: (10, 3), 11: (10, 3), 12: (10, 3),
+                   20: (20, 2), 21: (20, 2)}
