@@ -206,7 +206,8 @@ def r_retrieve_data(spark, sf_dir):
     results.count()
     candidates = _candidates(spark, sf_dir).persist()
     candidates.count()
-    out = retrieve_data(results, candidates, MAX_NODES)
+    out = retrieve_data(results, candidates, MAX_NODES,
+                        persist_inputs=True)
     return out.select(
         "qid", "nodeId", F.round("similarity", 6).alias("similarity"),
         "patterns", "source")

@@ -69,6 +69,7 @@ def budgeted_accumulate(results: DataFrame, max_nodes: int,
         *prop_cols)
     if persist_inputs:
         ranked = ranked.persist()
+        ranked.count()  # eager: first-seen agg + provenance both scan it
 
     first = (
         ranked.groupBy(_Q, "nodeId")
@@ -140,11 +141,13 @@ def vector_topup(candidates: DataFrame, kept: DataFrame, max_nodes: int,
 
 def retrieve_data(results: DataFrame, candidates: DataFrame,
                   max_nodes: int, pattern_rate: float = 1.0,
-                  prop_cols: tuple[str, ...] = ()) -> DataFrame:
+                  prop_cols: tuple[str, ...] = (),
+                  persist_inputs: bool = False) -> DataFrame:
     """D1-D7 end-to-end: budgeted pattern accumulation + vector top-up,
     unioned — per question, ≤ max_nodes-1 nodes whenever the budget
     fires, each carrying similarity, props, and provenance patterns."""
-    kept = budgeted_accumulate(results, max_nodes, pattern_rate, prop_cols)
+    kept = budgeted_accumulate(results, max_nodes, pattern_rate, prop_cols,
+                               persist_inputs=persist_inputs)
     up = vector_topup(candidates, kept, max_nodes, prop_cols)
     return (
         kept.select(_Q, "nodeId", "similarity", *prop_cols, "patterns")
