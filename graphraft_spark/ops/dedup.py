@@ -261,6 +261,16 @@ def minhash_lsh_dedup_fast(df: DataFrame, text_col: str = "text",
     hs = df.select(F.col(id_col).alias("id"),
                    hashed_shingles(F.col(text_col), k).alias("hs")).persist()
     hs.count()  # eager: signature path + both verify sides scan this
+    return minhash_lsh_dedup_hashed(hs, num_perm, bands, threshold,
+                                    max_bucket_size)
+
+
+def minhash_lsh_dedup_hashed(hs: DataFrame, num_perm: int = 16,
+                             bands: int = 4, threshold: float = 0.7,
+                             max_bucket_size: int | None = None) -> DataFrame:
+    """Fast-path pipeline over a prebuilt (id, hs) hashed-shingle frame —
+    callers that run repeatedly should persist+materialize ``hs`` once
+    and hold a reference so every run scans warm cache."""
     cand = candidates_from_hashes(hs, num_perm, bands, max_bucket_size)
     return (
         cand.join(hs.withColumnRenamed("id", "id_a")

