@@ -13,6 +13,8 @@ Any drift between them is caught by tools/check_oracle.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,28 +42,50 @@ def load_tables(spark: SparkSession, sf_dir: str,
 _GRAPH_CACHE: dict[str, PropertyGraph] = {}
 
 
+def _materialize_dir(sf_dir: str) -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"{repo}/.graph_cache/{tag}"
+
+
 def tpch_graph(spark: SparkSession, sf_dir: str,
                cached: bool = True) -> PropertyGraph:
-    """Build the property graph (nodes/edges DataFrames) from the star
-    schema.  With ``cached`` (default), the derived frames are persisted
-    per sf_dir — pattern plans reference nodes 3× and edges 2×, which
-    would otherwise re-scan every base parquet per reference.  The
-    production analog is materializing nodes/edges once with
-    ``PropertyGraph.write`` and scanning the columnar graph tables.
+    """Build — or read back — the property graph for ``sf_dir``.
+
+    The derivation is MATERIALIZED TO PARQUET once per sf_dir (the
+    reference loads its graph into Neo4j exactly once,
+    stark_neo4j_loading.py:20-61; the 100 TB analog is a one-time
+    ``PropertyGraph.write`` of columnar graph tables).  Every session
+    after the first — including a cold driver process — reads the
+    label-partitioned nodes and the pre-reversed undirected edge table
+    straight from parquet: no per-session cache population, no eager
+    counts billed to the first query.
     """
-    if cached and sf_dir in _GRAPH_CACHE:
+    if not cached:
+        return _build_tpch_graph(spark, sf_dir)
+    if sf_dir in _GRAPH_CACHE:
         return _GRAPH_CACHE[sf_dir]
-    g = _build_tpch_graph(spark, sf_dir)
-    if cached:
-        g = PropertyGraph(nodes=g.nodes.persist(),
-                          edges=g.edges).materialize_undirected()
-        # materialize eagerly: a multi-self-join plan scanning these
-        # caches COLD pays the population cost on each scan of its
-        # first executions (measured 16-18 s vs 2 s warm for the 2-hop
-        # enumeration); two cheap counts make every consumer steady-state
-        g.nodes.count()
-        g.undirected.count()
-        _GRAPH_CACHE[sf_dir] = g
+    path = _materialize_dir(sf_dir)
+    marker = f"{path}/_DONE"
+    if not os.path.exists(marker):
+        g = _build_tpch_graph(spark, sf_dir)
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        g.nodes.write.mode("overwrite").partitionBy("label") \
+            .parquet(f"{path}/nodes")
+        g.edges.write.mode("overwrite").parquet(f"{path}/edges")
+        # pre-reversed undirected view, clustered by src so each file
+        # holds contiguous src ranges (on a cluster: bucketed by src)
+        g.undirected_edges.repartition(n, F.col("src")) \
+            .write.mode("overwrite").parquet(f"{path}/undirected")
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    g = PropertyGraph(
+        nodes=spark.read.parquet(f"{path}/nodes"),
+        edges=spark.read.parquet(f"{path}/edges"),
+        undirected=spark.read.parquet(f"{path}/undirected"),
+    )
+    _GRAPH_CACHE[sf_dir] = g
     return g
 
 
@@ -73,21 +97,30 @@ def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     t = load_tables(spark, sf_dir, ["region", "nation", "customer",
                                     "supplier", "part", "orders", "lineitem"])
 
-    def node(df: DataFrame, key: str, offset: int, label: str, name) -> DataFrame:
+    def node(df: DataFrame, key: str, offset: int, label: str, name,
+             detail=None) -> DataFrame:
         return df.select(
             (F.col(key).cast("bigint") + F.lit(offset)).alias("nodeId"),
             F.lit(label).alias("label"),
             name.alias("name"),
+            (detail if detail is not None
+             else F.lit(None).cast("string")).alias("detail"),
         )
 
+    # ``detail`` is the configured per-node property column (reference
+    # nodes carry configured props like abstract/details, graphraft.py:
+    # 20-27); nullable where the source has nothing natural to expose.
     nodes = (
-        node(t["customer"], "c_custkey", N_CUSTOMER, "Customer", F.col("c_name"))
+        node(t["customer"], "c_custkey", N_CUSTOMER, "Customer", F.col("c_name"),
+             F.col("c_mktsegment"))
         .unionByName(node(t["supplier"], "s_suppkey", N_SUPPLIER, "Supplier", F.col("s_name")))
-        .unionByName(node(t["part"], "p_partkey", N_PART, "Part", F.col("p_name")))
+        .unionByName(node(t["part"], "p_partkey", N_PART, "Part", F.col("p_name"),
+                          F.col("p_type")))
         .unionByName(node(t["nation"], "n_nationkey", N_NATION, "Nation", F.col("n_name")))
         .unionByName(node(t["region"], "r_regionkey", N_REGION, "Region", F.col("r_name")))
         .unionByName(node(t["orders"], "o_orderkey", N_ORDER, "Order",
-                          F.col("o_orderkey").cast("string")))
+                          F.col("o_orderkey").cast("string"),
+                          F.col("o_orderpriority")))
     )
 
     def big(c: str):
@@ -151,18 +184,23 @@ def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
 GRAPH_ORACLE_CTE = """
 WITH nodes AS (
     SELECT CAST(c_custkey AS BIGINT) + 1000000000 AS nodeId,
-           'Customer' AS label, c_name AS name FROM customer
+           'Customer' AS label, c_name AS name,
+           c_mktsegment AS detail FROM customer
     UNION ALL
-    SELECT CAST(s_suppkey AS BIGINT) + 2000000000, 'Supplier', s_name FROM supplier
+    SELECT CAST(s_suppkey AS BIGINT) + 2000000000, 'Supplier', s_name,
+           NULL FROM supplier
     UNION ALL
-    SELECT CAST(p_partkey AS BIGINT) + 3000000000, 'Part', p_name FROM part
+    SELECT CAST(p_partkey AS BIGINT) + 3000000000, 'Part', p_name,
+           p_type FROM part
     UNION ALL
-    SELECT CAST(n_nationkey AS BIGINT) + 4000000000, 'Nation', n_name FROM nation
+    SELECT CAST(n_nationkey AS BIGINT) + 4000000000, 'Nation', n_name,
+           NULL FROM nation
     UNION ALL
-    SELECT CAST(r_regionkey AS BIGINT) + 5000000000, 'Region', r_name FROM region
+    SELECT CAST(r_regionkey AS BIGINT) + 5000000000, 'Region', r_name,
+           NULL FROM region
     UNION ALL
     SELECT CAST(o_orderkey AS BIGINT) + 6000000000, 'Order',
-           CAST(o_orderkey AS VARCHAR) FROM orders
+           CAST(o_orderkey AS VARCHAR), o_orderpriority FROM orders
 ),
 edges AS (
     SELECT CAST(o_orderkey AS BIGINT) + 1000000000000 AS edgeId,

@@ -25,7 +25,8 @@ from graphraft_spark.patterns.ir import PatternSpec
 NODE_ATTRS = ("nodeId", "label", "name")
 
 
-def _node_frame(graph: PropertyGraph, spec_node, pos: int) -> DataFrame:
+def _node_frame(graph: PropertyGraph, spec_node, pos: int,
+                prop_cols: tuple[str, ...] = ()) -> DataFrame:
     df = graph.nodes
     if spec_node.label is not None:
         df = df.filter(F.col("label") == spec_node.label)
@@ -33,15 +34,20 @@ def _node_frame(graph: PropertyGraph, spec_node, pos: int) -> DataFrame:
         df = df.filter(F.col("name") == spec_node.name)
     if spec_node.names is not None:
         df = df.filter(F.col("name").isin(list(spec_node.names)))
-    sel = df.select(*[F.col(a).alias(f"x{pos + 1}_{a}") for a in NODE_ATTRS])
+    attrs = NODE_ATTRS + tuple(prop_cols)
+    sel = df.select(*[F.col(a).alias(f"x{pos + 1}_{a}") for a in attrs])
     anchored = spec_node.name is not None or spec_node.names is not None
     return F.broadcast(sel) if anchored else sel
 
 
-def compile_pattern(graph: PropertyGraph, spec: PatternSpec) -> DataFrame:
-    """Return all bindings: columns x{i}_nodeId/label/name and
-    r{j}_edgeId/relType for every position."""
-    plan = _node_frame(graph, spec.nodes[0], 0)
+def compile_pattern(graph: PropertyGraph, spec: PatternSpec,
+                    prop_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Return all bindings: columns x{i}_nodeId/label/name (plus
+    x{i}_<prop> for each configured property column — the reference
+    projects configured node props into retrieved data, retriever.py:
+    49-60) and r{j}_edgeId/relType for every position.  Unused prop
+    columns are pruned by Catalyst, so widening is free."""
+    plan = _node_frame(graph, spec.nodes[0], 0, prop_cols)
     edges = graph.undirected_edges
     for j, rel in enumerate(spec.rels):
         e = edges
@@ -54,7 +60,7 @@ def compile_pattern(graph: PropertyGraph, spec: PatternSpec) -> DataFrame:
             F.col("relType").alias(f"r{j + 1}_relType"),
         )
         plan = plan.join(e, plan[f"x{j + 1}_nodeId"] == e[f"r{j + 1}_src"])
-        nxt = _node_frame(graph, spec.nodes[j + 1], j + 1)
+        nxt = _node_frame(graph, spec.nodes[j + 1], j + 1, prop_cols)
         plan = plan.join(nxt, F.col(f"r{j + 1}_dst") == nxt[f"x{j + 2}_nodeId"])
 
     # Cypher relationship-uniqueness: rels in one MATCH are pairwise
@@ -65,6 +71,66 @@ def compile_pattern(graph: PropertyGraph, spec: PatternSpec) -> DataFrame:
     for a, b in spec.neq_pairs:
         plan = plan.filter(F.col(f"x{a + 1}_nodeId") != F.col(f"x{b + 1}_nodeId"))
     drop = [c for c in plan.columns if c.endswith("_src") or c.endswith("_dst")]
+    return plan.drop(*drop)
+
+
+def compile_pattern_batch(graph: PropertyGraph, spec: PatternSpec,
+                          anchors: DataFrame,
+                          anchor_positions: tuple[int, ...] = (0,),
+                          prop_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Batch variant of :func:`compile_pattern`: anchored positions join a
+    ``(qid, name)`` DataFrame instead of an inlined name list, and every
+    binding row carries its ``qid``.  This is how the pipeline enumerates
+    ALL questions in ONE Spark job (reference runs 7,993 training
+    questions through a per-question loop, llm1.py:83-87; at scale the
+    anchor frame stays tiny and broadcast while the graph side scales).
+
+    Position 0 must be anchored; additional anchored positions (the
+    2path template's terminal) are constrained to the SAME question's
+    anchor set via a qid-equality filter.
+    """
+    if 0 not in anchor_positions:
+        raise ValueError("position 0 must be an anchor position")
+    attrs = NODE_ATTRS + tuple(prop_cols)
+
+    def frame(pos: int) -> DataFrame:
+        node = spec.nodes[pos]
+        df = graph.nodes
+        if node.label is not None:
+            df = df.filter(F.col("label") == node.label)
+        sel = [F.col(a).alias(f"x{pos + 1}_{a}") for a in attrs]
+        if pos in anchor_positions:
+            df = df.join(F.broadcast(anchors.select("qid", "name")), "name")
+            return F.broadcast(
+                df.select(F.col("qid").alias(f"x{pos + 1}_qid"), *sel))
+        return df.select(*sel)
+
+    plan = frame(0)
+    edges = graph.undirected_edges
+    for j, rel in enumerate(spec.rels):
+        e = edges
+        if rel is not None:
+            e = e.filter(F.col("relType") == rel)
+        e = e.select(
+            F.col("edgeId").alias(f"r{j + 1}_edgeId"),
+            F.col("src").alias(f"r{j + 1}_src"),
+            F.col("dst").alias(f"r{j + 1}_dst"),
+            F.col("relType").alias(f"r{j + 1}_relType"),
+        )
+        plan = plan.join(e, plan[f"x{j + 1}_nodeId"] == e[f"r{j + 1}_src"])
+        nxt = frame(j + 1)
+        plan = plan.join(nxt, F.col(f"r{j + 1}_dst") == nxt[f"x{j + 2}_nodeId"])
+        if (j + 1) in anchor_positions:
+            plan = plan.filter(
+                F.col("x1_qid") == F.col(f"x{j + 2}_qid"))
+
+    for a, b in combinations(range(1, len(spec.rels) + 1), 2):
+        plan = plan.filter(F.col(f"r{a}_edgeId") != F.col(f"r{b}_edgeId"))
+    for a, b in spec.neq_pairs:
+        plan = plan.filter(F.col(f"x{a + 1}_nodeId") != F.col(f"x{b + 1}_nodeId"))
+    plan = plan.withColumn("qid", F.col("x1_qid"))
+    drop = [c for c in plan.columns
+            if c.endswith("_src") or c.endswith("_dst") or c.endswith("_qid")]
     return plan.drop(*drop)
 
 
@@ -79,17 +145,19 @@ def run_pattern(graph: PropertyGraph, spec: PatternSpec) -> DataFrame:
     )
 
 
-def run_pattern_nodes(graph: PropertyGraph, spec: PatternSpec) -> DataFrame:
-    """Distinct return-position nodes (nodeId, label, name) — the shape the
-    budgeted retriever consumes (retriever.py:55-59 rewrites queries to
-    RETURN DISTINCT tgt.nodeId, <props...>)."""
+def run_pattern_nodes(graph: PropertyGraph, spec: PatternSpec,
+                      prop_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Distinct return-position nodes (nodeId, label, name, <props...>) —
+    the shape the budgeted retriever consumes (retriever.py:55-59
+    rewrites queries to RETURN DISTINCT tgt.nodeId, <props...>)."""
     ret = spec.return_index + 1
     return (
-        compile_pattern(graph, spec)
+        compile_pattern(graph, spec, prop_cols)
         .select(
             F.col(f"x{ret}_nodeId").alias("nodeId"),
             F.col(f"x{ret}_label").alias("label"),
             F.col(f"x{ret}_name").alias("name"),
+            *[F.col(f"x{ret}_{c}").alias(c) for c in prop_cols],
         )
         .distinct()
     )

@@ -115,6 +115,71 @@ def enumerate_paths(graph: PropertyGraph, src_names: Sequence[str],
     return out
 
 
+_ANCHOR_POSITIONS = {"1hop": (0,), "2hop": (0,), "2path": (0, 2)}
+
+
+def _batch_spec_for(pattern: str) -> PatternSpec:
+    """Template spec with UNCONSTRAINED anchor nodes — the anchor names
+    come from the (qid, name) DataFrame in the batch compile."""
+    if pattern == "1hop":
+        return PatternSpec(nodes=(NodeSpec(), NodeSpec()), rels=(None,),
+                           return_index=1)
+    if pattern == "2hop":
+        return PatternSpec(nodes=(NodeSpec(), NodeSpec(), NodeSpec()),
+                           rels=(None, None), return_index=2,
+                           neq_pairs=((0, 2),))
+    if pattern == "2path":
+        return PatternSpec(nodes=(NodeSpec(), NodeSpec(), NodeSpec()),
+                           rels=(None, None), return_index=1,
+                           neq_pairs=((0, 2),))
+    raise ValueError(f"unknown pattern {pattern!r}")
+
+
+def enumerate_paths_batch(graph: PropertyGraph, anchors: DataFrame,
+                          patterns: Sequence[str] = PATTERNS,
+                          gold: DataFrame | None = None,
+                          specific_target_label: str | None = None) -> DataFrame:
+    """All templates for ALL questions in one plan: ``anchors`` is a
+    ``(qid, name)`` frame; output adds a ``qid`` column to the signature
+    table.  One Spark job enumerates every question (vs the reference's
+    per-question Cypher round-trips, llm1.py:83-87).  ``gold`` is an
+    optional ``(qid, nodeId)`` frame for supervised ``correctCnt``."""
+    from graphraft_spark.patterns.compiler import compile_pattern_batch
+
+    all_cols = ["qid", "pattern", "label1", "name1", "type1", "label2",
+                "type2", "label3", "name3", "totalCnt"]
+    if gold is not None:
+        all_cols.append("correctCnt")
+    out = None
+    for pattern in patterns:
+        bindings = compile_pattern_batch(
+            graph, _batch_spec_for(pattern), anchors,
+            anchor_positions=_ANCHOR_POSITIONS[pattern])
+        keys = [F.col("qid")] + [F.col(src).alias(out_name)
+                                 for out_name, src in _SIGNATURES[pattern]]
+        tgt = F.col(f"{_TARGET[pattern]}_nodeId")
+        aggs = [F.countDistinct(tgt).alias("totalCnt")]
+        if gold is not None:
+            g = gold.select(F.col("qid").alias("g_qid"),
+                            F.col("nodeId").alias("g_nodeId"))
+            bindings = bindings.join(
+                F.broadcast(g),
+                (F.col("qid") == F.col("g_qid")) & (tgt == F.col("g_nodeId")),
+                "left")
+            aggs.append(F.countDistinct("g_nodeId").alias("correctCnt"))
+        df = bindings.groupBy(*keys).agg(*aggs).withColumn(
+            "pattern", F.lit(pattern))
+        for c in all_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("string"))
+        if specific_target_label is not None:
+            df = df.filter(
+                F.col(_TERMINAL_LABEL[pattern]) == specific_target_label)
+        df = df.select(*all_cols)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def instantiate_queries(rows: Sequence[dict]) -> list[tuple[PatternSpec, str]]:
     """Signature rows → (PatternSpec, cypher_text) pairs — the structured
     replacement for create_query's f-string rendering

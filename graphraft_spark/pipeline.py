@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 from graphraft_spark.graph.model import PropertyGraph
 from graphraft_spark.llm.protocols import AnswerGenerator, QueryRanker
 from graphraft_spark.patterns.compiler import run_pattern_nodes
-from graphraft_spark.patterns.enumerate import enumerate_paths, instantiate_queries
+from graphraft_spark.patterns.enumerate import (
+    enumerate_paths_batch,
+    instantiate_queries,
+)
 from graphraft_spark.retrieve import budgeted_accumulate
 from graphraft_spark.search.text import norm_col
 
@@ -60,51 +63,81 @@ def run_pipeline(
     patterns: Sequence[str] = ("1hop", "2hop", "2path"),
     specific_target_label: str | None = None,
     similarity: Callable[[Column], Column] | None = None,
+    prop_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """questions: (qid, question_text, matched_src_names).  Returns
-    (qid, nodeId, name, similarity, patterns, queryIdx) — the retrieved
-    node set per question, budget-capped, provenance-carrying."""
+    (qid, nodeId, name, <props...>, similarity, patterns, queryIdx) —
+    the retrieved node set per question, budget-capped,
+    provenance-carrying.
+
+    Job shape is O(1) Spark jobs per STAGE, independent of question
+    count: one batch enumeration job over a (qid, name) anchor frame,
+    ONE driver collect of the aggregated signature table (the ranker
+    seam input — the reference feeds these to a constrained-beam LLM,
+    llm1.py:83-87), then one execution+accumulation job in which each
+    DISTINCT ranked spec's pattern plan appears once and a broadcast
+    (spec, qid, queryIdx) assignment fans results back out to questions.
+    """
     sim = similarity or default_similarity
 
-    # Stage 2+3: enumerate per question (small driver-visible signature
-    # tables — the ranker's input), rank, instantiate top-k specs.
-    per_q_results: list[DataFrame] = []
-    for qid, qtext, src_names in questions:
-        if not src_names:
-            continue
-        sigs = enumerate_paths(graph, list(src_names), patterns=patterns,
-                               specific_target_label=specific_target_label)
-        recs = [r.asDict() for r in sigs.collect()]
-        pairs = instantiate_queries(recs)
+    # Stage 2: enumerate ALL questions in one job.
+    anchor_rows = [(int(qid), str(n)) for qid, _, src_names in questions
+                   for n in src_names]
+    empty = spark.createDataFrame(
+        [], "qid bigint, nodeId bigint, queryIdx int, rank int, "
+            "similarity double, name string, "
+            + "".join(f"{c} string, " for c in prop_cols)
+            + "patterns array<string>")
+    if not anchor_rows:
+        return empty
+    anchors = spark.createDataFrame(anchor_rows, "qid bigint, name string")
+    sigs = enumerate_paths_batch(graph, anchors, patterns=patterns,
+                                 specific_target_label=specific_target_label)
+    recs = [r.asDict() for r in sigs.collect()]  # the ONE driver collect
+
+    # Stage 3 (driver-side, small): per question instantiate + rank;
+    # dedupe identical specs across questions so each pattern plan is
+    # built and executed once.
+    qtext = {int(qid): text for qid, text, _ in questions}
+    per_q: dict[int, list[dict]] = {}
+    for rec in recs:
+        per_q.setdefault(int(rec["qid"]), []).append(rec)
+    spec_ids: dict[str, int] = {}
+    specs_by_id: dict[int, object] = {}
+    assignments: list[tuple[int, int, int]] = []  # (sid, qid, queryIdx)
+    for qid, rows in per_q.items():
+        pairs = instantiate_queries(rows)
         by_text = {text: spec for spec, text in pairs}
-        top = ranker.rank(qtext, [text for _, text in pairs], k=k)
-
-        # Stage 4: execute ranked specs; one unioned plan per question
+        top = ranker.rank(qtext[qid], [text for _, text in pairs], k=k)
         for idx, text in enumerate(top):
-            spec = by_text[text]
-            nodes = run_pattern_nodes(graph, spec)
-            per_q_results.append(nodes.select(
-                F.lit(qid).cast("bigint").alias("qid"),
-                F.lit(idx).alias("queryIdx"),
-                F.col("nodeId"), F.col("name"),
-                sim(F.col("nodeId")).alias("similarity"),
-                F.lit(spec.text_pattern("")).alias("pattern"),
-            ))
+            sid = spec_ids.setdefault(text, len(spec_ids))
+            specs_by_id[sid] = by_text[text]
+            assignments.append((sid, qid, idx))
+    if not assignments:
+        return empty
 
-    if not per_q_results:
-        return spark.createDataFrame(
-            [], "qid bigint, nodeId bigint, similarity double, "
-                "name string, patterns array<string>, queryIdx int, rank int")
-
-    results = per_q_results[0]
-    for df in per_q_results[1:]:
-        results = results.unionByName(df)
+    # Stage 4: execute each DISTINCT spec once; broadcast-join the
+    # (sid → qid, queryIdx) assignment to fan out per-question rows.
+    executed = None
+    for sid, spec in specs_by_id.items():
+        nodes = run_pattern_nodes(graph, spec, prop_cols).select(
+            F.lit(sid).alias("sid"), "nodeId", "name", *prop_cols,
+            F.lit(spec.text_pattern("")).alias("pattern"))
+        executed = nodes if executed is None else executed.unionByName(nodes)
+    assign = spark.createDataFrame(assignments,
+                                   "sid int, qid bigint, queryIdx int")
+    results = (
+        executed.join(F.broadcast(assign), "sid")
+        .select("qid", "queryIdx", "nodeId", "name", *prop_cols,
+                sim(F.col("nodeId")).alias("similarity"), "pattern")
+    )
 
     # Stage 5: budgeted accumulation across all questions in one job;
     # persist the ranked results — upstream is a union of pattern-join
     # plans that must not re-execute per window pass
     return budgeted_accumulate(results, max_nodes=max_nodes,
-                               prop_cols=("name",), persist_inputs=True)
+                               prop_cols=("name",) + tuple(prop_cols),
+                               persist_inputs=True)
 
 
 def answer_questions(retrieved: DataFrame, questions: DataFrame,

@@ -67,19 +67,21 @@ WITH {_QA_SQL.strip()},
 {_SORTED_SQL.strip()}
 SELECT id, s[1].q AS best_query, -s[1].k1 AS best_hits,
        s[1].k2 AS best_num_results,
-       list_transform(s, x -> x.q) AS sorted_queries
+       array_to_string(list_transform(s, x -> x.q), '|') AS sorted_queries
 FROM sorted
 """)
 def e_parallel_sort(spark, sf_dir):
     """E5: intra-row parallel-array sort by (hits DESC, num_results ASC),
     stable (llm1.py:53-58) — one codegen'd expression per row, no
-    explode/shuffle."""
+    explode/shuffle.  Sorted array serialized '|'-joined (order
+    preserved) so the driver canonicalizer sees scalars."""
     return _sorted(spark, sf_dir).select(
         "id",
         F.element_at("s", 1)["query"].alias("best_query"),
         F.element_at("s", 1)["hits"].alias("best_hits"),
         F.element_at("s", 1)["num_results"].alias("best_num_results"),
-        F.transform("s", lambda x: x["query"]).alias("sorted_queries"),
+        F.concat_ws("|", F.transform("s", lambda x: x["query"]))
+        .alias("sorted_queries"),
     )
 
 
@@ -120,8 +122,9 @@ sampled AS (
                                      * len(queries)) AS INT) + 1)))) AS ranks
     FROM qa
 )
-SELECT id, ranks,
-       list_transform(ranks, r -> queries[r]) AS top_queries
+SELECT id, array_to_string(ranks, '|') AS ranks,
+       array_to_string(list_transform(ranks, r -> queries[r]), '|')
+           AS top_queries
 FROM sampled
 """)
 def e_rank_sample(spark, sf_dir):
@@ -133,9 +136,12 @@ def e_rank_sample(spark, sf_dir):
     ranks = power_law_rank_sample(F.size("queries"), F.col("id"))
     return (
         qa.withColumn("ranks", ranks)
-        .select("id", "ranks",
-                F.transform("ranks", lambda r: F.element_at(
-                    F.col("queries"), r)).alias("top_queries"))
+        .select("id",
+                F.concat_ws("|", F.transform(
+                    "ranks", lambda r: r.cast("string"))).alias("ranks"),
+                F.concat_ws("|", F.transform(
+                    "ranks", lambda r: F.element_at(F.col("queries"), r)))
+                .alias("top_queries"))
     )
 
 
@@ -149,8 +155,9 @@ WITH qa AS (
     FROM orders GROUP BY o_custkey
 )
 SELECT id,
-       list_transform(queries,
-           q -> replace(q, 'RETURN x', 'RETURN DISTINCT x')) AS repaired
+       array_to_string(list_transform(queries,
+           q -> replace(q, 'RETURN x', 'RETURN DISTINCT x')), '|')
+           AS repaired
 FROM qa ORDER BY id LIMIT 50
 """)
 def e_repair_head(spark, sf_dir):
@@ -166,14 +173,19 @@ def e_repair_head(spark, sf_dir):
                          F.col("o_orderkey").cast("string")).alias("v")))),
             lambda x: x["v"]).alias("queries"))
     )
-    out = qa.select("id", repair_queries(F.col("queries")).alias("repaired"))
+    out = qa.select(
+        "id",
+        F.concat_ws("|", repair_queries(F.col("queries"))).alias("repaired"))
     return head_n(out, 50, [F.col("id")])
 
 
 @register(
     "e_embedding_join",
     oracle="""
-SELECT CAST(o_custkey AS BIGINT) AS id, COUNT(*) AS n_orders, e.embedding
+SELECT CAST(o_custkey AS BIGINT) AS id, COUNT(*) AS n_orders,
+       CAST(len(e.embedding) AS INT) AS emb_dim,
+       ROUND(list_sum(list_transform(e.embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS emb_sq_norm
 FROM orders o JOIN embeddings e ON e.vec_id = o_custkey
 WHERE o_custkey < 100
 GROUP BY o_custkey, e.embedding
@@ -181,7 +193,10 @@ GROUP BY o_custkey, e.embedding
 def e_embedding_join(spark, sf_dir):
     """E9: attach q_emb by question id (the reference loads a .pt dict and
     maps it row-wise, notebook cell 8) — a plain equi-join, broadcast by
-    Catalyst when the embedding side is small."""
+    Catalyst when the embedding side is small.  The joined vector is
+    summarized as (dim, double-precision squared L2 norm) — exact in
+    both engines via in-order double folds — because raw float arrays
+    are not driver-canonicalizable."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return (
@@ -189,7 +204,14 @@ def e_embedding_join(spark, sf_dir):
         .join(e, F.col("vec_id") == F.col("o_custkey"))
         .groupBy(F.col("o_custkey").cast("bigint").alias("id"), "embedding")
         .agg(F.count("*").alias("n_orders"))
-        .select("id", "n_orders", "embedding")
+        .select(
+            "id", "n_orders",
+            F.size("embedding").alias("emb_dim"),
+            F.round(
+                F.aggregate(
+                    "embedding", F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double")),
+                4).alias("emb_sq_norm"))
     )
 
 
@@ -198,7 +220,8 @@ def e_embedding_join(spark, sf_dir):
     oracle="""
 SELECT CAST(o_custkey AS BIGINT) AS question_id,
        COUNT(*) AS n_answers,
-       list(o_orderkey ORDER BY o_orderkey) AS answer_ids
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), '|')
+           AS answer_ids
 FROM orders
 WHERE o_orderstatus = 'F'
 GROUP BY o_custkey
@@ -213,7 +236,9 @@ def e_map_filter_rename(spark, sf_dir):
         o.filter(F.col("o_orderstatus") == "F")
         .groupBy("o_custkey")
         .agg(F.count("*").alias("n_answers"),
-             F.sort_array(F.collect_list("o_orderkey")).alias("answer_ids"))
+             F.concat_ws("|", F.transform(
+                 F.sort_array(F.collect_list("o_orderkey")),
+                 lambda x: x.cast("string"))).alias("answer_ids"))
         .filter(F.col("n_answers") > 0)                      # E2
         .withColumnRenamed("o_custkey", "question_id")       # E4
         .withColumn("question_id", F.col("question_id").cast("bigint"))

@@ -28,8 +28,10 @@ def _psim(col):
 
 
 def _results(spark, sf_dir):
-    """(qid, queryIdx, nodeId, similarity, pattern) — two overlapping
-    streams per question."""
+    """(qid, queryIdx, nodeId, similarity, pattern, seg) — two
+    overlapping streams per question; ``seg`` is a REAL per-node
+    property (c_mktsegment) carried through the accumulate dataflow
+    (retriever.py:49-60 projects configured node props)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     qids = spark.createDataFrame([(i,) for i in range(5)], "qid bigint")
     base = cust.crossJoin(F.broadcast(qids)).withColumn(
@@ -46,6 +48,7 @@ def _results(spark, sf_dir):
             _psim(F.col("nodeId")).alias("similarity"),
             F.concat(F.lit("q"), F.col("queryIdx").cast("string"),
                      F.lit("#"), F.col("qid").cast("string")).alias("pattern"),
+            F.col("c_mktsegment").alias("seg"),
         )
     )
 
@@ -54,15 +57,18 @@ _RESULTS_SQL = f"""
 results AS (
     SELECT qid, queryIdx, nodeId, {_PSIM} AS similarity,
            'q' || CAST(queryIdx AS VARCHAR) || '#' || CAST(qid AS VARCHAR)
-               AS pattern
+               AS pattern,
+           seg
     FROM (
         SELECT q.qid, 0 AS queryIdx,
-               CAST(c_custkey AS BIGINT) + 1000000000 AS nodeId
+               CAST(c_custkey AS BIGINT) + 1000000000 AS nodeId,
+               c_mktsegment AS seg
         FROM customer, (VALUES (0),(1),(2),(3),(4)) q(qid)
         WHERE c_nationkey = q.qid
         UNION ALL
         SELECT q.qid, 1,
-               CAST(c_custkey AS BIGINT) + 1000000000
+               CAST(c_custkey AS BIGINT) + 1000000000,
+               c_mktsegment
         FROM customer, (VALUES (0),(1),(2),(3),(4)) q(qid)
         WHERE c_nationkey = q.qid OR c_nationkey = q.qid + 5
     )
@@ -79,10 +85,12 @@ def _candidates(spark, sf_dir):
     c = (cust.crossJoin(F.broadcast(qids))
          .filter(F.col("c_nationkey") == F.col("qid"))
          .select("qid", (F.col("c_custkey").cast("bigint")
-                         + 1_000_000_000).alias("nodeId")))
+                         + 1_000_000_000).alias("nodeId"),
+                 F.col("c_mktsegment").alias("seg")))
     s = (supp.crossJoin(F.broadcast(qids))
          .select("qid", (F.col("s_suppkey").cast("bigint")
-                         + 2_000_000_000).alias("nodeId")))
+                         + 2_000_000_000).alias("nodeId"),
+                 F.lit(None).cast("string").alias("seg")))
     pool = c.unionByName(s).withColumn("similarity", _psim(F.col("nodeId")))
     w = Window.partitionBy("qid").orderBy(F.desc("similarity"), F.asc("nodeId"))
     return (pool.withColumn("rn", F.row_number().over(w))
@@ -91,16 +99,17 @@ def _candidates(spark, sf_dir):
 
 _CANDIDATES_SQL = f"""
 cand_pool AS (
-    SELECT q.qid, CAST(c_custkey AS BIGINT) + 1000000000 AS nodeId
+    SELECT q.qid, CAST(c_custkey AS BIGINT) + 1000000000 AS nodeId,
+           c_mktsegment AS seg
     FROM customer, (VALUES (0),(1),(2),(3),(4)) q(qid)
     WHERE c_nationkey = q.qid
     UNION ALL
-    SELECT q.qid, CAST(s_suppkey AS BIGINT) + 2000000000
+    SELECT q.qid, CAST(s_suppkey AS BIGINT) + 2000000000, NULL
     FROM supplier, (VALUES (0),(1),(2),(3),(4)) q(qid)
 ),
 candidates AS (
-    SELECT qid, nodeId, similarity FROM (
-        SELECT qid, nodeId, {_PSIM} AS similarity,
+    SELECT qid, nodeId, similarity, seg FROM (
+        SELECT qid, nodeId, {_PSIM} AS similarity, seg,
                ROW_NUMBER() OVER (PARTITION BY qid
                                   ORDER BY {_PSIM} DESC, nodeId) AS rn
         FROM cand_pool
@@ -119,11 +128,12 @@ ranked AS (
 first_seen AS (
     SELECT qid, nodeId,
            MIN(queryIdx * 1000000 + rank) AS fkey,
-           MIN(similarity) AS similarity
+           MIN(similarity) AS similarity,
+           MIN(seg) AS seg
     FROM ranked GROUP BY qid, nodeId
 ),
 ordered AS (
-    SELECT qid, nodeId, similarity,
+    SELECT qid, nodeId, similarity, seg,
            fkey // 1000000 AS queryIdx, fkey % 1000000 AS rank,
            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY fkey) AS seen_order
     FROM first_seen
@@ -133,7 +143,7 @@ crossing AS (
     FROM ordered WHERE seen_order = {MAX_NODES}
 ),
 kept AS (
-    SELECT qid, nodeId, similarity, queryIdx, rank
+    SELECT qid, nodeId, similarity, seg, queryIdx, rank
     FROM ordered WHERE seen_order < {MAX_NODES}
 ),
 consumed AS (
@@ -153,20 +163,24 @@ provenance AS (
     oracle=f"""
 WITH {_RESULTS_SQL.strip()},
 {_ACCUM_SQL.strip()}
-SELECT k.qid, k.nodeId, ROUND(k.similarity, 6) AS similarity,
+SELECT k.qid, k.nodeId, ROUND(k.similarity, 6) AS similarity, k.seg,
        CAST(k.queryIdx AS INT) AS queryIdx, CAST(k.rank AS INT) AS rank,
-       p.patterns
+       array_to_string(p.patterns, '|') AS patterns
 FROM kept k JOIN provenance p ON k.qid = p.qid AND k.nodeId = p.nodeId
 """)
 def r_budget_accumulate(spark, sf_dir):
     """D2+D3+D4: windowed first-seen dedup, provenance pattern
     accumulation, node-budget stop with drop-the-crosser
-    (retriever.py:75-90)."""
-    out = budgeted_accumulate(_results(spark, sf_dir), MAX_NODES)
+    (retriever.py:75-90), with a real node property (seg) carried
+    through prop_cols.  The patterns array is serialized '|'-joined in
+    consumption order — driver-canonicalizable scalar columns only."""
+    out = budgeted_accumulate(_results(spark, sf_dir), MAX_NODES,
+                              prop_cols=("seg",))
     return out.select(
-        "qid", "nodeId", F.round("similarity", 6).alias("similarity"),
+        "qid", "nodeId", F.round("similarity", 6).alias("similarity"), "seg",
         F.col("queryIdx").cast("int").alias("queryIdx"),
-        F.col("rank").cast("int").alias("rank"), "patterns")
+        F.col("rank").cast("int").alias("rank"),
+        F.concat_ws("|", "patterns").alias("patterns"))
 
 
 _RETRIEVE_INPUT_CACHE: dict = {}
@@ -180,8 +194,8 @@ WITH {_RESULTS_SQL.strip()},
 {_ACCUM_SQL.strip().lstrip()},
 kept_n AS (SELECT qid, COUNT(*) AS k FROM kept GROUP BY qid),
 topup AS (
-    SELECT qid, nodeId, similarity FROM (
-        SELECT c.qid, c.nodeId, c.similarity,
+    SELECT qid, nodeId, similarity, seg FROM (
+        SELECT c.qid, c.nodeId, c.similarity, c.seg,
                ROW_NUMBER() OVER (PARTITION BY c.qid
                                   ORDER BY c.similarity DESC, c.nodeId) AS rn,
                COALESCE(n.k, 0) AS k
@@ -191,17 +205,18 @@ topup AS (
         WHERE ke.nodeId IS NULL
     ) WHERE rn <= GREATEST(0, {MAX_NODES} - 1 - k)
 )
-SELECT k.qid, k.nodeId, ROUND(k.similarity, 6) AS similarity, p.patterns,
-       'pattern' AS source
+SELECT k.qid, k.nodeId, ROUND(k.similarity, 6) AS similarity, k.seg,
+       array_to_string(p.patterns, '|') AS patterns, 'pattern' AS source
 FROM kept k JOIN provenance p ON k.qid = p.qid AND k.nodeId = p.nodeId
 UNION ALL
-SELECT qid, nodeId, ROUND(similarity, 6), ['No pattern'], 'vector'
+SELECT qid, nodeId, ROUND(similarity, 6), seg, 'No pattern', 'vector'
 FROM topup
 """)
 def r_retrieve_data(spark, sf_dir):
     """D1-D7 end-to-end: budgeted pattern accumulation + vector top-up
     with exclusion; ≤ max_nodes-1 nodes per question when the budget
-    fires (retriever.py:71-109)."""
+    fires (retriever.py:71-109).  Carries the real ``seg`` node prop
+    through both branches; patterns serialized for the driver."""
     # both inputs are md5-crossjoin-expensive and feed multiple stages
     # (dedup, provenance, exclusion, top-up): persist + materialize
     # ONCE per sf_dir with module-held references so every downstream
@@ -214,10 +229,10 @@ def r_retrieve_data(spark, sf_dir):
         _RETRIEVE_INPUT_CACHE[sf_dir] = (results, candidates)
     results, candidates = _RETRIEVE_INPUT_CACHE[sf_dir]
     out = retrieve_data(results, candidates, MAX_NODES,
-                        persist_inputs=True)
+                        prop_cols=("seg",), persist_inputs=True)
     return out.select(
-        "qid", "nodeId", F.round("similarity", 6).alias("similarity"),
-        "patterns", "source")
+        "qid", "nodeId", F.round("similarity", 6).alias("similarity"), "seg",
+        F.concat_ws("|", "patterns").alias("patterns"), "source")
 
 
 @register(

@@ -133,19 +133,23 @@ sh AS (
     FROM w
 )
 SELECT doc_id,
-       list_sort(list_transform(s, x -> {_H60.format(s='x')}))[1:4]
+       array_to_string(
+           list_sort(list_transform(s, x -> {_H60.format(s='x')}))[1:4], '|')
            AS fingerprint,
        content_sig
 FROM sh
 """)
 def t_fingerprint(spark, sf_dir):
     """Document fingerprinting: 4 smallest shingle hashes (winnowing-style
-    sketch) + exact md5 content signature."""
+    sketch) + exact md5 content signature.  Sketch serialized '|'-joined
+    (sorted) so the driver canonicalizer sees scalars."""
     from graphraft_spark.ops.text_analysis import content_signature
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
         "doc_id",
-        doc_fingerprint(F.col("text"), k=3, num=4).alias("fingerprint"),
+        F.concat_ws("|", F.transform(
+            doc_fingerprint(F.col("text"), k=3, num=4),
+            lambda x: x.cast("string"))).alias("fingerprint"),
         content_signature(F.col("text")).alias("content_sig"),
     )

@@ -71,15 +71,20 @@ def budgeted_accumulate(results: DataFrame, max_nodes: int,
         ranked = ranked.persist()
         ranked.count()  # eager: first-seen agg + provenance both scan it
 
+    # Fold the payload (similarity + props) into the min-struct: the
+    # (queryIdx, rank) prefix is unique within each (qid, nodeId) group,
+    # so the winning struct IS the first-seen row and its payload values
+    # are selected by construction — exact even when a caller supplies
+    # per-row-varying props (retriever.py:82-86 semantics).  F.first in
+    # an aggregation is non-deterministic and was only safe by accident.
     first = (
         ranked.groupBy(_Q, "nodeId")
-        .agg(
-            F.min(F.struct("queryIdx", "rank")).alias("fp"),
-            F.first("similarity").alias("similarity"),
-            *[F.first(c).alias(c) for c in prop_cols],
-        )
+        .agg(F.min(F.struct("queryIdx", "rank", "similarity",
+                            *prop_cols)).alias("fp"))
         .select(_Q, "nodeId", F.col("fp.queryIdx").alias("queryIdx"),
-                F.col("fp.rank").alias("rank"), "similarity", *prop_cols)
+                F.col("fp.rank").alias("rank"),
+                F.col("fp.similarity").alias("similarity"),
+                *[F.col(f"fp.{c}").alias(c) for c in prop_cols])
     )
     w_seen = Window.partitionBy(_Q).orderBy("queryIdx", "rank")
     first = first.withColumn("seen_order", F.row_number().over(w_seen))
@@ -176,11 +181,12 @@ def token_budgeted_accumulate(results: DataFrame, max_tokens: int,
     ranked = _ranked(results).withColumn("tok", token_len)
     first = (
         ranked.groupBy(_Q, "nodeId")
-        .agg(F.min(F.struct("queryIdx", "rank")).alias("fp"),
-             F.first("similarity").alias("similarity"),
-             F.first("tok").alias("tok"))
+        .agg(F.min(F.struct("queryIdx", "rank", "similarity", "tok"))
+             .alias("fp"))
         .select(_Q, "nodeId", F.col("fp.queryIdx").alias("queryIdx"),
-                F.col("fp.rank").alias("rank"), "similarity", "tok")
+                F.col("fp.rank").alias("rank"),
+                F.col("fp.similarity").alias("similarity"),
+                F.col("fp.tok").alias("tok"))
     )
     w = (Window.partitionBy(_Q).orderBy("queryIdx", "rank")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -25,6 +25,13 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
+class NonScalarValue(Exception):
+    """The DRIVER's canonicalizer (pandas sort_values) crashes on
+    array/struct cells (CORRECTNESS_r01: TypeError unhashable
+    numpy.ndarray).  The local gate must reject them too, not flatten
+    them — registered queries serialize collections to strings."""
+
+
 def canon(v):
     if v is None:
         return "\0NULL"
@@ -32,12 +39,10 @@ def canon(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.9g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set)) or type(v).__module__ == "numpy":
+        raise NonScalarValue(f"non-scalar output value of type {type(v)}")
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
     return str(v)
 
 
@@ -73,8 +78,10 @@ def main():
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows-only check, {len(srows)} rows "
-                  f"({time.time() - t0:.1f}s) [no oracle]")
+            # the driver grades no_oracle as a FAILURE (CORRECTNESS_r01)
+            print(f"FAIL {name}: registered with no oracle "
+                  f"({len(srows)} rows, {time.time() - t0:.1f}s)")
+            failed.append(name)
             continue
         try:
             res = con.execute(oracles[name])
@@ -90,8 +97,12 @@ def main():
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} != {len(drows)}")
         if not problems:
-            sm, dm = canon_rows(scols, srows), canon_rows(dcols, drows)
-            if sm != dm:
+            try:
+                sm, dm = canon_rows(scols, srows), canon_rows(dcols, drows)
+            except NonScalarValue as ex:
+                sm = dm = None
+                problems.append(f"driver-incompatible output: {ex}")
+            if sm is not None and sm != dm:
                 extra = list((sm - dm).items())[:3]
                 missing = list((dm - sm).items())[:3]
                 problems.append(f"values differ; spark-only={extra} "
