@@ -80,6 +80,11 @@ def tpch_graph(spark: SparkSession, sf_dir: str,
             .write.mode("overwrite").parquet(f"{path}/undirected")
         with open(marker, "w") as fh:
             fh.write("ok\n")
+    # Plain parquet scans, deliberately NOT session-persisted: the graph
+    # tables are small relative to scan cost, the parquet scans keep
+    # filter pushdown + column pruning (lost under InMemoryTableScan),
+    # and measurements at sf0.1 showed the cached plans 2-4× SLOWER for
+    # the multi-hop joins than re-scanning the columnar tables.
     g = PropertyGraph(
         nodes=spark.read.parquet(f"{path}/nodes"),
         edges=spark.read.parquet(f"{path}/edges"),

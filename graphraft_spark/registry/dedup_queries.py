@@ -91,7 +91,7 @@ def d_exact_dedup(spark, sf_dir):
 
 
 @register(
-    "d_ngram_jaccard",
+    "d_ngram_jaccard", extra=True,
     oracle=f"""
 WITH {_DOCS_NEAR_SQL.strip()},
 sh AS (
@@ -186,7 +186,7 @@ def d_minhash_lsh(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register("d_minhash_lsh_fast")  # rows-only: engine-private hash
+@register("d_minhash_lsh_fast", extra=True)  # rows-only: engine-private hash
 def d_minhash_lsh_fast(spark, sf_dir):
     """Production-hash variant of d_minhash_lsh: the all-numeric fast
     path — per-word xxhash64 combined into polynomial shingle hashes
@@ -277,7 +277,7 @@ def _scaled_hs(spark, sf_dir):
     return _SCALED_HS_CACHE[sf_dir]
 
 
-@register("d_minhash_lsh_scaled")  # rows-only: scale benchmark
+@register("d_minhash_lsh_scaled", extra=True)  # rows-only: scale benchmark
 def d_minhash_lsh_scaled(spark, sf_dir):
     """MinHash+LSH over a 10x-expanded corpus (5k docs, dense near-dup
     groups) with the production xxhash path — the bench-scale dedup

@@ -30,7 +30,7 @@ GOLD_TGT_IDS_SQL = ", ".join(str(i) for i in GOLD_TGT_IDS)
 
 
 @register(
-    "g_onehop_enum",
+    "g_onehop_enum", extra=True,
     oracle=GRAPH_ORACLE_CTE + f"""
 , anchors AS ({ANCHORS_SQL})
 SELECT n1.label AS label1, n1.name AS name1, e.relType AS type1,
@@ -179,7 +179,7 @@ def g_pattern_exec_2hop(spark, sf_dir):
 
 
 @register(
-    "g_pattern_exec_1hop_multibind",
+    "g_pattern_exec_1hop_multibind", extra=True,
     oracle=GRAPH_ORACLE_CTE + """
 SELECT DISTINCT n2.name AS name
 FROM nodes n1
@@ -195,7 +195,7 @@ def g_pattern_exec_1hop_multibind(spark, sf_dir):
 
 
 @register(
-    "g_answer_lookup",
+    "g_answer_lookup", extra=True,
     oracle=GRAPH_ORACLE_CTE + """
 SELECT n.name AS name
 FROM nodes n
@@ -214,7 +214,7 @@ def g_answer_lookup(spark, sf_dir):
 
 
 @register(
-    "g_degree_by_label",
+    "g_degree_by_label", extra=True,
     oracle=GRAPH_ORACLE_CTE + """
 SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS edge_endpoints,
        COUNT(DISTINCT e.src) AS connected_nodes

@@ -18,15 +18,18 @@ from graphraft_spark.llm import (
     llm1_prompt,
     rank_queries_batch,
 )
+from graphraft_spark.graph import GRAPH_ORACLE_CTE
 from graphraft_spark.registry import register
 
-# qa-shaped frame: question per customer, candidates = order-key queries
+# qa-shaped frame: question per customer, candidates = order-key queries.
+# Candidates are TWO whitespace tokens ('q <okey>') so the trie ranker's
+# shared-prefix/beam path is exercised at token depth 2.
 _QA_SQL = """
 qa AS (
     SELECT CAST(o_custkey AS BIGINT) AS id,
            'which parts did customer ' || CAST(o_custkey AS VARCHAR)
                || ' order?' AS question,
-           list('q-' || CAST(o_orderkey AS VARCHAR) ORDER BY o_orderkey)
+           list('q ' || CAST(o_orderkey AS VARCHAR) ORDER BY o_orderkey)
                AS cypher_queries,
            list(o_orderkey % 5 ORDER BY o_orderkey) AS hits,
            list(o_orderkey % 11 + 1 ORDER BY o_orderkey) AS num_results
@@ -47,7 +50,7 @@ def _qa(spark, sf_dir):
             F.first(F.concat(F.lit("which parts did customer "),
                              F.col("o_custkey").cast("string"),
                              F.lit(" order?"))).alias("question"),
-            arr(F.concat(F.lit("q-"), F.col("o_orderkey").cast("string")))
+            arr(F.concat(F.lit("q "), F.col("o_orderkey").cast("string")))
             .alias("cypher_queries"),
             arr(F.col("o_orderkey") % 5).alias("hits"),
             arr(F.col("o_orderkey") % 11 + 1).alias("num_results"),
@@ -124,7 +127,7 @@ def f_node_formatter(spark, sf_dir):
 
 
 @register(
-    "f_add_more_answers",
+    "f_add_more_answers", extra=True,
     oracle="""
 WITH data AS (
     SELECT CAST(o_custkey AS BIGint) AS id,
@@ -134,11 +137,11 @@ WITH data AS (
 ),
 with_preds AS (SELECT id, names, names[1:2] AS predicted FROM data)
 SELECT id,
-       list_transform(
+       array_to_string(list_transform(
            list_filter(range(1, len(list_concat(predicted, names)) + 1),
                i -> list_position(list_concat(predicted, names),
                                   list_concat(predicted, names)[i]) = i),
-           i -> list_concat(predicted, names)[i]) AS answers
+           i -> list_concat(predicted, names)[i]), '|') AS answers
 FROM with_preds
 """)
 def f_add_more_answers(spark, sf_dir):
@@ -157,18 +160,53 @@ def f_add_more_answers(spark, sf_dir):
             .agg(names.alias("names")))
     return data.select(
         "id",
-        F.array_distinct(
-            F.concat(F.slice("names", 1, 2), F.col("names"))).alias("answers"))
+        F.concat_ws("|", F.array_distinct(
+            F.concat(F.slice("names", 1, 2), F.col("names"))))
+        .alias("answers"))
 
 
-@register("f_rank_trie")  # rows-only: beam search is not SQL
+# The default token scorer is md5-based (protocols.py _default_logprob):
+# lp(question, prefix, tok) = -int(md5(q \x00 prefix \x00 tok)[:8],16)/(2^32-1).
+# With beam ≥ #candidates the trie beam search is exhaustive and the
+# final ranking equals ordering by total sequence log-prob — which an
+# external SQL engine can replicate term-by-term (DuckDB md5 + chr(0)).
+_TRIE_SCORE = (
+    "-(('0x' || substr(md5(question || chr(0) || chr(0) || 'q'), 1, 8))"
+    "::BIGINT) / 4294967295.0"
+    " + "
+    "-(('0x' || substr(md5(question || chr(0) || 'q' || chr(0) || "
+    "substr(cand, 3)), 1, 8))::BIGINT) / 4294967295.0"
+)
+
+
+@register(
+    "f_rank_trie",
+    oracle=f"""
+WITH {_QA_SQL.strip()},
+cands AS (
+    SELECT id, question, unnest(cypher_queries) AS cand FROM qa
+),
+scored AS (
+    SELECT id, cand, {_TRIE_SCORE} AS total FROM cands
+)
+SELECT id,
+       string_agg(cand, '|' ORDER BY total DESC, cand)
+           AS top_cypher_queries
+FROM scored GROUP BY id
+""")
 def f_rank_trie(spark, sf_dir):
     """F4: trie-constrained beam ranking via mapInPandas with the
-    deterministic hash scorer — output is always a verbatim subset of
-    the candidates (the constraint invariant)."""
+    deterministic md5 token scorer (sequence_ranker.py:15-34 analog) —
+    output is always a verbatim subset of the candidates (the
+    trie-constraint invariant, logits_processor.py:12-36).  Beam k is
+    set ≥ the candidate count, making the beam exhaustive, so the DuckDB
+    oracle replicates the ranking as an order-by over summed per-token
+    md5 log-probs; pruned-beam behavior is pytest-covered."""
     qa = _qa(spark, sf_dir).select("id", "question", "cypher_queries")
-    ranked = rank_queries_batch(qa, TrieConstrainedRanker(), k=5)
-    return ranked.select("id", "top_cypher_queries")
+    ranked = rank_queries_batch(qa, TrieConstrainedRanker(), k=100)
+    return ranked.select(
+        "id", F.concat_ws("|", "top_cypher_queries")
+        .alias("top_cypher_queries"))
 
 
 @register(
@@ -176,40 +214,134 @@ def f_rank_trie(spark, sf_dir):
     oracle="""
 WITH data AS (
     SELECT CAST(o_custkey AS BIGINT) AS id,
-           'q?' AS question,
-           list({'name': 'order-' || CAST(o_orderkey AS VARCHAR)}
-                ORDER BY o_orderkey) AS nodes
+           list('n' || CAST(o_orderkey % 7 AS VARCHAR)
+                ORDER BY o_orderkey) AS names
     FROM orders WHERE o_custkey < 40 GROUP BY o_custkey
 )
-SELECT id, list_transform(nodes[1:3], n -> n.name) AS predicted_answers
+SELECT id,
+       array_to_string(
+           list_concat(names[1:3],
+               list_filter(names, n -> NOT list_contains(names[1:3], n))),
+           '|') AS predicted_answers
 FROM data
 """)
 def f_generate_answers(spark, sf_dir):
     """F7: batch answer generation through the mapInPandas seam with the
-    deterministic echo generator (first-3 retrieved names) — the oracle
-    pins the plumbing end-to-end."""
+    deterministic echo generator, add_more_answers mode (llm2.py:150-164
+    + 159-161): answers = first-3 retrieved names verbatim, extended
+    with every remaining name not among them (duplicate node names are
+    deliberately present so extension semantics are pinned exactly)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
         F.col("o_custkey") < 40)
     nodes = F.transform(
         F.array_sort(F.collect_list(F.struct(
             F.col("o_orderkey").alias("k"),
-            F.concat(F.lit("order-"), F.col("o_orderkey").cast("string"))
+            F.concat(F.lit("n"), (F.col("o_orderkey") % 7).cast("string"))
             .alias("name")))),
         lambda x: F.struct(x["name"].alias("name")))
     data = (o.groupBy(F.col("o_custkey").cast("bigint").alias("id"))
             .agg(F.lit("q?").alias("question"), nodes.alias("data")))
-    out = generate_answers_batch(data, EchoGenerator(n_answers=3))
-    return out.select("id", "predicted_answers")
+    out = generate_answers_batch(data, EchoGenerator(n_answers=3),
+                                 add_more_answers=True)
+    return out.select(
+        "id", F.concat_ws("|", "predicted_answers")
+        .alias("predicted_answers"))
 
 
-@register("p_full_pipeline")  # rows-only: multi-stage w/ driver-visible rank
+# Cypher-text rendering of instantiated 1hop/2hop signatures (the exact
+# ir.py PatternSpec.cypher() format) — the ranker seam input, rebuilt in
+# SQL so the lexicographic ranking stage is oracle-expressible.
+_TXT1 = ("'MATCH (x1:' || l1 || ' {name: \"' || nm1 || '\"})-[r1:' || t1 "
+         "|| ']-(x2:' || l2 || ') RETURN DISTINCT x2.name AS name'")
+_TXT2 = ("'MATCH (x1:' || l1 || ' {name: \"' || nm1 || '\"})-[r1:' || t1 "
+         "|| ']-(x2:' || l2 || ')-[r2:' || t2 || ']-(x3:' || l3 "
+         "|| ') RETURN DISTINCT x3.name AS name'")
+_P_PSIM = "((nodeId % 100000) * 7919 % 104729)"
+
+
+@register(
+    "p_full_pipeline",
+    oracle=GRAPH_ORACLE_CTE + f"""
+, p_anchors(qid, name) AS (
+    SELECT * FROM (VALUES (1, 'small ring'),
+                          (2, 'Customer#000000042')) t(qid, name)
+),
+pb1 AS (
+    SELECT a.qid, n1.label AS l1, n1.name AS nm1, e.relType AS t1,
+           n2.label AS l2, n2.nodeId AS tgt_id, n2.name AS tgt_name,
+           n2.detail AS tgt_detail
+    FROM nodes n1 JOIN p_anchors a ON n1.name = a.name
+    JOIN undirected_edges e ON e.src = n1.nodeId
+    JOIN nodes n2 ON n2.nodeId = e.dst
+),
+pb2 AS (
+    SELECT a.qid, n1.label AS l1, n1.name AS nm1, e1.relType AS t1,
+           n2.label AS l2, e2.relType AS t2, n3.label AS l3,
+           n3.nodeId AS tgt_id, n3.name AS tgt_name, n3.detail AS tgt_detail
+    FROM nodes n1 JOIN p_anchors a ON n1.name = a.name
+    JOIN undirected_edges e1 ON e1.src = n1.nodeId
+    JOIN nodes n2 ON n2.nodeId = e1.dst
+    JOIN undirected_edges e2 ON e2.src = n2.nodeId
+    JOIN nodes n3 ON n3.nodeId = e2.dst
+    WHERE e1.edgeId <> e2.edgeId AND n3.nodeId <> n1.nodeId
+),
+texts AS (
+    SELECT DISTINCT qid, '1hop' AS pat, l1, nm1, t1, l2,
+           CAST(NULL AS VARCHAR) AS t2, CAST(NULL AS VARCHAR) AS l3,
+           {_TXT1} AS txt
+    FROM pb1
+    UNION ALL
+    SELECT DISTINCT qid, '2hop', l1, nm1, t1, l2, t2, l3, {_TXT2}
+    FROM pb2
+),
+topk AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY txt) - 1
+                   AS queryIdx
+        FROM texts
+    ) WHERE queryIdx < 3
+),
+p_results AS (
+    SELECT DISTINCT t.qid, t.queryIdx, b.tgt_id AS nodeId,
+           b.tgt_name AS name, b.tgt_detail AS detail
+    FROM topk t JOIN pb1 b ON t.pat = '1hop' AND b.qid = t.qid
+         AND b.l1 = t.l1 AND b.nm1 = t.nm1 AND b.t1 = t.t1 AND b.l2 = t.l2
+    UNION ALL
+    SELECT DISTINCT t.qid, t.queryIdx, b.tgt_id, b.tgt_name, b.tgt_detail
+    FROM topk t JOIN pb2 b ON t.pat = '2hop' AND b.qid = t.qid
+         AND b.l1 = t.l1 AND b.nm1 = t.nm1 AND b.t1 = t.t1 AND b.l2 = t.l2
+         AND b.t2 = t.t2 AND b.l3 = t.l3
+),
+p_ranked AS (
+    SELECT *, {_P_PSIM} / 104729.0 AS similarity,
+           ROW_NUMBER() OVER (PARTITION BY qid, queryIdx
+                              ORDER BY {_P_PSIM} DESC, nodeId) AS rank
+    FROM p_results
+),
+p_first AS (
+    SELECT qid, nodeId, MIN(queryIdx * 1000000 + rank) AS fkey,
+           MIN(similarity) AS similarity, MIN(name) AS name,
+           MIN(detail) AS detail
+    FROM p_ranked GROUP BY qid, nodeId
+),
+p_ordered AS (
+    SELECT qid, nodeId, similarity, name, detail,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY fkey) AS seen_order
+    FROM p_first
+)
+SELECT qid, nodeId, name, detail, ROUND(similarity, 6) AS similarity
+FROM p_ordered WHERE seen_order < 15
+""")
 def p_full_pipeline(spark, sf_dir):
     """End-to-end GraphRAFT.run() analog (graphraft.py:41-66) on the
-    TPC-H graph: entity match → enumerate → trie-rank (deterministic
-    scorer) → execute top-k patterns → budgeted retrieval.  Rows-only:
-    the ranking stage is a beam search, not SQL."""
+    TPC-H graph: entity match → batch enumerate (ONE job for all
+    questions) → rank → execute top-k deduped patterns (one job) →
+    budgeted retrieval with node props.  The registered variant uses the
+    lexicographic ranker so the ranking stage is SQL-expressible end to
+    end; the trie-beam ranker rides the identical seam (f_rank_trie +
+    pytest cover it)."""
     from graphraft_spark.graph import tpch_graph
-    from graphraft_spark.llm import TrieConstrainedRanker, EchoGenerator
+    from graphraft_spark.llm import EchoGenerator, LexicographicRanker
     from graphraft_spark.pipeline import run_pipeline
 
     g = tpch_graph(spark, sf_dir)
@@ -219,7 +351,8 @@ def p_full_pipeline(spark, sf_dir):
             (1, "who supplies small ring?", ["small ring"]),
             (2, "what did customer 42 buy?", ["Customer#000000042"]),
         ],
-        ranker=TrieConstrainedRanker(), generator=EchoGenerator(),
-        max_nodes=15, k=3, patterns=("1hop", "2hop"))
-    return out.select("qid", "nodeId", "name",
+        ranker=LexicographicRanker(), generator=EchoGenerator(),
+        max_nodes=15, k=3, patterns=("1hop", "2hop"),
+        prop_cols=("detail",))
+    return out.select("qid", "nodeId", "name", "detail",
                       F.round("similarity", 6).alias("similarity"))

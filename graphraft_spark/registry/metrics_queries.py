@@ -95,7 +95,7 @@ def m_metrics_per_row(spark, sf_dir):
 
 
 @register(
-    "m_metrics_macro",
+    "m_metrics_macro", extra=True,
     oracle=f"""
 WITH {_QA_SQL.strip()}
 SELECT ROUND(AVG({_prec_sql()}), 6) AS precision,

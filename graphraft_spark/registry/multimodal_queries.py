@@ -57,7 +57,7 @@ def mm_frame_sample(spark, sf_dir):
         "media_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
 
 
-@register("mm_feature_extract")  # rows-only: Python decode stage
+@register("mm_feature_extract", extra=True)  # rows-only: Python decode stage
 def mm_feature_extract(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (deterministic fake decoder standing in for PIL/ffmpeg)."""

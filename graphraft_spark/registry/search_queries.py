@@ -102,7 +102,7 @@ def s_knn_excluding(spark, sf_dir):
 
 
 @register(
-    "s_knn_per_group",
+    "s_knn_per_group", extra=True,
     oracle=f"""
 SELECT label, vec_id, ROUND(sim, 6) AS similarity
 FROM (
@@ -130,7 +130,7 @@ def s_knn_per_group(spark, sf_dir):
 
 
 @register(
-    "s_cosine_pair",
+    "s_cosine_pair", extra=True,
     oracle="""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),

@@ -80,7 +80,7 @@ assigned AS (
 
 
 @register(
-    "ann_ivf_assign",
+    "ann_ivf_assign", extra=True,
     oracle=f"""
 WITH {_CENTROIDS_SQL.strip()},
 {_ASSIGNED_SQL.strip()}
@@ -168,7 +168,7 @@ def _embeddings_scaled(spark, sf_dir, copies: int = 40):
         expand, schema="vec_id bigint, embedding array<double>").persist()
 
 
-@register("ann_bruteforce_scaled")  # rows-only: scale benchmark
+@register("ann_bruteforce_scaled", extra=True)  # rows-only: scale benchmark
 def ann_bruteforce_scaled(spark, sf_dir):
     """Exact batch ANN over a ×40-expanded vector corpus (80k vectors at
     sf0.1, ~100 queries) via the matmul kernel: per-partition top-k,

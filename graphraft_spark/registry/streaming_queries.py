@@ -33,7 +33,7 @@ def st_tumbling_agg(spark, sf_dir):
 
 
 @register(
-    "st_sliding_agg",
+    "st_sliding_agg", extra=True,
     oracle="""
 WITH starts AS (
     SELECT event_type, ts,
@@ -54,7 +54,7 @@ def st_sliding_agg(spark, sf_dir):
 
 
 @register(
-    "st_json_props",
+    "st_json_props", extra=True,
     oracle="""
 SELECT event_type,
        CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
@@ -74,7 +74,7 @@ def st_json_props(spark, sf_dir):
         F.count("*").alias("n"))
 
 
-@register("st_stream_tumbling")  # rows-only: true incremental execution
+@register("st_stream_tumbling", extra=True)  # rows-only: true incremental execution
 def st_stream_tumbling(spark, sf_dir):
     """REAL Structured Streaming run: file-source stream over the events
     parquet, watermarked tumbling agg, availableNow trigger into a
@@ -141,7 +141,7 @@ def st_sessionize_batch(spark, sf_dir):
 
 
 @register(
-    "st_session_window",
+    "st_session_window", extra=True,
     oracle="""
 WITH ordered AS (
     SELECT event_type, ts,
@@ -173,7 +173,7 @@ def st_session_window(spark, sf_dir):
     return session_window_counts(load_events(spark, sf_dir), "30 minutes")
 
 
-@register("st_sessionize_stream")  # rows-only: stateful streaming exec
+@register("st_sessionize_stream", extra=True)  # rows-only: stateful streaming exec
 def st_sessionize_stream(spark, sf_dir):
     """REAL applyInPandasWithState run over the event stream: per-user
     custom session state, processing-time timeouts.  Emitted rows are
@@ -226,7 +226,7 @@ def st_graph_deltas(spark, sf_dir):
         F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_s"))
 
 
-@register("st_graph_stream_update")  # rows-only: real incremental run
+@register("st_graph_stream_update", extra=True)  # rows-only: real incremental run
 def st_graph_stream_update(spark, sf_dir):
     """REAL Structured Streaming incremental graph maintenance: stream
     the events, land epoch-partitioned node/edge delta logs via

@@ -99,7 +99,7 @@ def q_top_revenue(spark, sf_dir):
 
 
 @register(
-    "q_market_volume",
+    "q_market_volume", extra=True,
     oracle="""
 SELECT n.n_name AS nation, r.r_name AS region,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
@@ -156,7 +156,7 @@ def q_orders_without_lineitems(spark, sf_dir):
 
 
 @register(
-    "q_priority_orders_semi",
+    "q_priority_orders_semi", extra=True,
     oracle="""
 SELECT o.o_orderpriority, COUNT(*) AS n
 FROM orders o
@@ -176,7 +176,7 @@ def q_priority_orders_semi(spark, sf_dir):
 
 
 @register(
-    "q_running_customer_spend",
+    "q_running_customer_spend", extra=True,
     oracle="""
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
@@ -224,7 +224,7 @@ def q_rollup_status_priority(spark, sf_dir):
 
 
 @register(
-    "q_monthly_revenue",
+    "q_monthly_revenue", extra=True,
     oracle="""
 SELECT CAST(year(o_orderdate) AS INT) AS yr,
        CAST(month(o_orderdate) AS INT) AS mo,

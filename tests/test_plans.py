@@ -18,9 +18,10 @@ def plans(spark):
     registry.load_all()
 
     def get(name):
+        q = registry.QUERIES.get(name) or registry.EXTRA_QUERIES[name]
         buf = io.StringIO()
         with redirect_stdout(buf):
-            registry.QUERIES[name](spark, SF).explain("formatted")
+            q(spark, SF).explain("formatted")
         return buf.getvalue()
 
     return get
