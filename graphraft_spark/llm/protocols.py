@@ -74,21 +74,30 @@ class TrieConstrainedRanker:
 
     ``token_logprob(question, prefix_tokens, next_token) -> float`` is
     the model seam; the default is a deterministic hash-based scorer.
-    Tokenization is whitespace (the constraint semantics don't depend
-    on the tokenizer).
+
+    ``tokenizer(text) -> sequence of tokens`` controls scoring
+    granularity.  The reference constrains at HF-tokenizer TOKEN-ID
+    granularity (logits_processor.py:25-31, sequence_ranker.py:15-34);
+    pass the model's tokenizer here (tokens may be ints or strings —
+    they are only compared for equality and stringified for the default
+    scorer).  Default is whitespace, which preserves the constraint
+    invariant but scores at word granularity.
     """
 
-    def __init__(self, token_logprob: Callable[[str, tuple[str, ...], str],
-                                               float] | None = None):
+    def __init__(self, token_logprob: Callable[[str, tuple, str],
+                                               float] | None = None,
+                 tokenizer: Callable[[str], Sequence] | None = None):
         self.token_logprob = token_logprob or self._default_logprob
+        self.tokenize = tokenizer or (lambda s: s.split())
 
     @staticmethod
-    def _default_logprob(question: str, prefix: tuple[str, ...],
-                         tok: str) -> float:
+    def _default_logprob(question: str, prefix: tuple,
+                         tok) -> float:
         import hashlib
 
         h = hashlib.md5(
-            f"{question}\x00{' '.join(prefix)}\x00{tok}".encode()
+            f"{question}\x00{' '.join(str(t) for t in prefix)}\x00{tok}"
+            .encode()
         ).hexdigest()
         return -int(h[:8], 16) / 0xFFFFFFFF  # in [-1, 0]
 
@@ -96,7 +105,7 @@ class TrieConstrainedRanker:
              k: int = 5) -> list[str]:
         beam = min(k, len(candidates))
         # trie over token sequences; beam search restricted to trie edges
-        seqs = {c: tuple(c.split()) for c in candidates}
+        seqs = {c: tuple(self.tokenize(c)) for c in candidates}
         frontier: list[tuple[float, tuple[str, ...]]] = [(0.0, ())]
         done: list[tuple[float, str]] = []
         by_prefix = list(seqs.items())

@@ -149,8 +149,18 @@ def candidates_from_hashes(hashed: DataFrame, num_perm: int, bands: int,
     (boilerplate-heavy corpora) make that quadratic blowup THE scale
     bottleneck.  With ``max_bucket_size`` set, oversized buckets emit
     star edges instead — every member paired with the bucket's min id,
-    O(B) — which preserves the connected components a dedup clustering
-    needs while bounding pairwise work.  None = exact all-pairs
+    O(B) — bounding pairwise work.
+
+    Star-edge semantics are exact only at the CANDIDATE level: the star
+    spans the same connected components as the full clique.  If a
+    downstream verifier then drops edges below a Jaccard threshold, two
+    bucket members can both be near-dups of each other yet dissimilar
+    to the bucket's root, so their link — present in the full clique —
+    is absent from the verified star and a dedup cluster can split.
+    ``max_bucket_size`` therefore trades post-verification RECALL for
+    bounded work; callers needing exact verified clusters on hot
+    buckets should either raise the cap or re-pair each surviving star
+    member's bucket-mates before thresholding.  None = exact all-pairs
     (keeps small-scale oracle semantics)."""
     rows = num_perm // bands
     sig = hashed.select(

@@ -111,6 +111,84 @@ def ivf_centroids(vectors: DataFrame, every: int = 50,
     )
 
 
+def ivf_centroids_kmeans(vectors: DataFrame, k: int = 16, iters: int = 5,
+                         id_col: str = "vec_id", emb_col: str = "embedding",
+                         seed: int = 7) -> DataFrame:
+    """Lloyd k-means coarse centroids — the production IVF trainer (the
+    reference's vector index is HNSW-quality, stark_neo4j_loading.py:
+    75-80; modulo-sampled centroids don't meet that recall bar at scale).
+
+    Deterministic throughout: init = the ``k`` vectors with smallest
+    ``xxhash64(id, seed)`` (a seeded pseudo-random spread, stable across
+    runs and partitionings); each Lloyd iteration assigns by
+    ``argmax(v·c − ‖c‖²/2)`` (≡ min-L2) and recomputes means from
+    PER-PARTITION numpy partial sums, so every iteration's shuffle and
+    driver collect carry O(partitions·k + k·dim) rows — never the
+    vectors.  That is the 100 TB shape: one scan per iteration, matmul
+    in Arrow batches, constant-size reductions."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    init_rows = (
+        vectors.select(id_col, emb_col)
+        .withColumn("h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("h", id_col).limit(k).collect()
+    )
+    cents = np.stack([np.asarray(r[emb_col], dtype="float64")
+                      for r in init_rows])
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        c = cents
+        half = (c * c).sum(axis=1) / 2.0
+
+        def kernel(batches, c=c, half=half):
+            sums = np.zeros_like(c)
+            counts = np.zeros(c.shape[0], dtype="int64")
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf[emb_col].to_numpy()).astype("float64")
+                a = (m @ c.T - half).argmax(axis=1)
+                for j in range(c.shape[0]):
+                    mask = a == j
+                    n = int(mask.sum())
+                    if n:
+                        counts[j] += n
+                        sums[j] += m[mask].sum(axis=0)
+            yield pd.DataFrame({"cid": np.arange(c.shape[0]),
+                                "cnt": counts,
+                                "vsum": [s.tolist() for s in sums]})
+
+        partials = vectors.select(emb_col).mapInPandas(
+            kernel, schema="cid int, cnt bigint, vsum array<double>")
+        # one job per iteration: sum(cnt) grouped by (cid, pos) repeats
+        # the per-cid total on every pos row, so sums and counts ride
+        # the same k·dim-row collect
+        rows = (
+            partials.select("cid", "cnt",
+                            F.posexplode("vsum").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.sum("cnt").alias("n"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        acc = np.zeros((k, dim))
+        cnts = np.zeros(k, dtype="int64")
+        for r in rows:
+            acc[r["cid"], r["pos"]] = r["s"]
+            cnts[r["cid"]] = r["n"]
+        for j in range(k):
+            if cnts[j] > 0:
+                new[j] = acc[j] / cnts[j]
+        cents = new
+
+    return spark.createDataFrame(
+        [(int(j), [float(x) for x in cents[j]]) for j in range(k)],
+        f"centroid_id bigint, c_emb array<double>")
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
     """Assign each vector to its max-dot centroid (broadcast centroids;
