@@ -83,7 +83,7 @@ PRIORITY = [
     # retrieval
     "r_budget_accumulate", "r_token_budget",
     # dataset ops
-    "e_quality_gate", "e_rank_sample", "e_repair_head",
+    "f_sft_llm1", "e_rank_sample", "e_repair_head",
     "e_embedding_join", "e_map_filter_rename",
     # metrics
     "m_retrieval_eval",

@@ -86,7 +86,7 @@ def e_parallel_sort(spark, sf_dir):
 
 
 @register(
-    "e_quality_gate",
+    "e_quality_gate", extra=True,
     oracle=f"""
 WITH {_QA_SQL.strip()},
 {_SORTED_SQL.strip()}

@@ -165,6 +165,46 @@ def f_add_more_answers(spark, sf_dir):
         .alias("answers"))
 
 
+@register(
+    "f_sft_llm1",
+    oracle=f"""
+WITH {_QA_SQL.strip()},
+sorted_qa AS (
+    SELECT id, question,
+           list_sort(list_transform(
+               range(1, len(cypher_queries) + 1),
+               i -> {{'k1': -hits[i], 'k2': num_results[i], 'k3': i,
+                     'q': cypher_queries[i]}})) AS s
+    FROM qa
+),
+gated AS (
+    SELECT id, question, s[1].q AS best
+    FROM sorted_qa
+    WHERE len(s) > 0 AND s[1].k2 > 0 AND (id % 4 + 1) > 0
+          AND CAST(-s[1].k1 AS DOUBLE) / s[1].k2 >= 0.1
+          AND CAST(-s[1].k1 AS DOUBLE) / (id % 4 + 1) >= 1.0
+)
+SELECT id, question,
+       '<start_of_turn>user' || chr(10) || question || '<end_of_turn>'
+           || '<start_of_turn>assistant' || chr(10) AS prompt,
+       best || '<eos>' AS completion,
+       '<start_of_turn>user' || chr(10) || question || '<end_of_turn>'
+           || '<start_of_turn>assistant' || chr(10) || best || '<eos>'
+           AS text
+FROM gated
+""")
+def f_sft_llm1(spark, sf_dir):
+    """F8 (engine-side export) + E5/E6: the LLM1 SFT training table —
+    quality-gated best-query selection, byte-exact prompt/completion/
+    text strings the external trainer consumes (llm1.py:90-115;
+    n_answers stand-in = id%4+1)."""
+    from graphraft_spark.llm.sft import llm1_sft_table
+
+    qa = _qa(spark, sf_dir)
+    out = llm1_sft_table(qa, (F.col("id") % 4 + 1))
+    return out.select("id", "question", "prompt", "completion", "text")
+
+
 # The default token scorer is md5-based (protocols.py _default_logprob):
 # lp(question, prefix, tok) = -int(md5(q \x00 prefix \x00 tok)[:8],16)/(2^32-1).
 # With beam ≥ #candidates the trie beam search is exhaustive and the

@@ -72,6 +72,27 @@ def test_kmeans_ivf_beats_modulo_centroids(spark):
     assert r_km > r_mod, (r_km, r_mod)
 
 
+def test_llm2_sft_table_exact_strings(spark):
+    """The LLM2 SFT table must emit byte-exact prompt/completion/text
+    with the completion-only collator split (llm2.py:17-26,80-122)."""
+    from graphraft_spark.llm.sft import llm2_sft_table
+
+    qa = spark.createDataFrame(
+        [(1, "who?", [("Ada", "x"), ("Bob", None)], ["Ada", "Bob"])],
+        "qid bigint, question string,"
+        " data array<struct<name string, detail string>>,"
+        " answers array<string>")
+    r = llm2_sft_table(qa, props=["name", "detail"]).collect()[0]
+    info = "name: Ada\ndetail: x\n\nname: Bob"
+    prompt = ("<|start_header_id|>user<|end_header_id|>\n"
+              "Given the information below, return the correct nodes for "
+              "the following question: who?\nRetrieved information:\n"
+              + info + "\n<|start_header_id|>model<|end_header_id|>\n")
+    assert r["prompt"] == prompt
+    assert r["completion"] == "Ada|Bob<eos>"
+    assert r["text"] == prompt + "Ada|Bob<eos>"
+
+
 def _bpe_ish(text):
     """Toy multi-char-merge tokenizer: greedy 3-char chunks per word —
     'q 1234' -> ('q', '123', '4').  Token boundaries differ from
