@@ -26,6 +26,7 @@ HEADLINE = [
     "r_retrieve_data",
     "ann_bruteforce_topk",
     "ann_ivf_search",
+    "ann_ivf_kmeans_search",
     "ann_bruteforce_scaled",
     "ann_srp_lsh_topk",
     "d_exact_dedup",

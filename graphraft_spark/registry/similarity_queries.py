@@ -136,6 +136,22 @@ def ann_ivf_search(spark, sf_dir):
                       F.col("rn").cast("int").alias("rn"))
 
 
+@register("ann_ivf_kmeans_search", extra=True)  # rows-only: iterative trainer
+def ann_ivf_kmeans_search(spark, sf_dir):
+    """IVF search over Lloyd-trained centroids (ivf_centroids_kmeans):
+    the production-quality centroid path.  Rows-only — k-means is
+    iterative, not SQL; recall-vs-modulo superiority is pinned in
+    tests/test_r2_fixes.py."""
+    from graphraft_spark.ops.similarity import ivf_centroids_kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids_kmeans(emb, k=16, iters=3)
+    assigned = ivf_assign(emb, cents)
+    out = ivf_search(assigned, cents, _queries(spark, sf_dir), k=5, nprobe=2)
+    return out.select("qid", "vec_id", F.round("score", 6).alias("score"),
+                      F.col("rn").cast("int").alias("rn"))
+
+
 def _embeddings_scaled(spark, sf_dir, copies: int = 40):
     """Deterministic vector-corpus expansion (×``copies``): each copy
     perturbs one coordinate by a copy-dependent delta and re-normalizes.
