@@ -65,6 +65,25 @@ def test_no_cartesian_anywhere_heavy(plans):
         assert "CartesianProduct" not in p, name
 
 
+def test_anchor_name_pushed_to_materialized_node_scan(plans):
+    # the graph is materialized parquet; an instantiated pattern's anchor
+    # name filter must reach the node scan as a parquet pushed filter
+    p = plans("g_pattern_exec_2hop")
+    assert "EqualTo(name,Customer#000000042)" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_sft_export_is_scan_project_agg(plans):
+    # the SFT table build is one gated projection: no joins, no Python
+    p = plans("f_sft_llm1")
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_full_pipeline_no_cartesian(plans):
+    assert "CartesianProduct" not in plans("p_full_pipeline")
+
+
 def test_metrics_single_projection(plans):
     # per-row metrics must be a scan + project/agg — no joins, no UDFs
     p = plans("m_metrics_per_row")
