@@ -237,18 +237,85 @@ def g_degree_by_label(spark, sf_dir):
 @register(
     "g_ingest_validate",
     oracle=GRAPH_ORACLE_CTE + """
-SELECT label, COUNT(*) AS n_nodes, COUNT(DISTINCT nodeId) AS n_distinct
+, emb_norms AS (
+    SELECT vec_id,
+           sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n1,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+emb_after AS (
+    SELECT vec_id, n1,
+           CASE WHEN n1 > 0 THEN sqrt(list_sum(list_transform(e,
+                x -> (x / n1) * (x / n1)))) END AS n2
+    FROM emb_norms
+)
+SELECT 'node' AS kind, label AS name, COUNT(*) AS n_rows,
+       COUNT(DISTINCT nodeId) AS n_distinct, CAST(0 AS BIGINT) AS n_bad
 FROM nodes GROUP BY label
+UNION ALL
+SELECT 'edge', e.relType, COUNT(*), COUNT(DISTINCT e.edgeId),
+       CAST(SUM(CASE WHEN n1.nodeId IS NULL OR n2.nodeId IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM edges e
+LEFT JOIN nodes n1 ON n1.nodeId = e.src
+LEFT JOIN nodes n2 ON n2.nodeId = e.dst
+GROUP BY e.relType
+UNION ALL
+SELECT 'embedding', 'l2_normalized', COUNT(*), COUNT(DISTINCT vec_id),
+       CAST(SUM(CASE WHEN n2 IS NULL OR abs(n2 - 1.0) > 0.0001
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM emb_after
 """)
 def g_ingest_validate(spark, sf_dir):
-    """A1/A4: ingest uniqueness audit — per label, row count vs distinct
-    nodeId count (equal iff the unique-key constraint holds,
-    stark_neo4j_loading.py:22-23)."""
+    """A1+A2+A3+A4: full ingest audit in one table —
+
+    * per label: row count vs distinct nodeId (equal iff the unique-key
+      constraint holds, stark_neo4j_loading.py:22-23);
+    * per relType: edge count, distinct edgeId, DANGLING endpoint count
+      (referential integrity, the MERGE-by-id invariant);
+    * embeddings: after ingest_embeddings L2 normalization every
+      vector's norm is 1 within 1e-4 (stark_neo4j_loading.py:63-80 —
+      with unit vectors cosine == dot downstream).
+    """
+    from graphraft_spark.graph.ingest import ingest_embeddings
+    from graphraft_spark.search.vector import norm_col
+
     g = tpch_graph(spark, sf_dir)
-    return g.nodes.groupBy("label").agg(
-        F.count("*").alias("n_nodes"),
+    node_audit = g.nodes.groupBy(
+        F.lit("node").alias("kind"), F.col("label").alias("name")).agg(
+        F.count("*").alias("n_rows"),
         F.countDistinct("nodeId").alias("n_distinct"),
+        F.lit(0).cast("bigint").alias("n_bad"))
+
+    n1 = g.nodes.select(F.col("nodeId").alias("_src_id"))
+    n2 = g.nodes.select(F.col("nodeId").alias("_dst_id"))
+    edge_audit = (
+        g.edges
+        .join(n1, F.col("src") == F.col("_src_id"), "left")
+        .join(n2, F.col("dst") == F.col("_dst_id"), "left")
+        .groupBy(F.lit("edge").alias("kind"), F.col("relType").alias("name"))
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("edgeId").alias("n_distinct"),
+             F.sum(F.when(F.col("_src_id").isNull()
+                          | F.col("_dst_id").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_bad"))
     )
+
+    emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb_raw.select(F.col("vec_id").alias("nodeId"))
+    normed = ingest_embeddings(ids, emb_raw, "embedding", key_col="vec_id")
+    emb_audit = (
+        normed.select("nodeId", norm_col(F.col("embedding")).alias("n2"))
+        .groupBy(F.lit("embedding").alias("kind"),
+                 F.lit("l2_normalized").alias("name"))
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("nodeId").alias("n_distinct"),
+             F.sum(F.when(F.col("n2").isNull()
+                          | (F.abs(F.col("n2") - 1.0) > 1e-4), 1)
+                   .otherwise(0)).cast("bigint").alias("n_bad"))
+    )
+    return node_audit.unionByName(edge_audit).unionByName(emb_audit)
 
 
 @register(
