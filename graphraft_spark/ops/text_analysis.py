@@ -98,3 +98,53 @@ def doc_fingerprint(text: Column, k: int = 3, num: int = 4) -> Column:
 def content_signature(text: Column) -> Column:
     """One-value exact fingerprint (md5-based) of normalized text."""
     return F.md5(normalize_text(text))
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: source mixing quotas, context-window packing, PII scrub
+# ---------------------------------------------------------------------------
+
+# Regexes deliberately restricted to syntax that behaves identically
+# under Java regex (Spark) and RE2 (DuckDB/most external engines).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_RE = r"[0-9]{9,}"
+
+
+def source_quota(df, cap: int, source_col: str = "source",
+                 order_col: str = "doc_id"):
+    """Per-source mixing quota: keep the first ``cap`` documents per
+    source in a deterministic order — the corpus-mixing step of a
+    training-data pipeline (per-domain caps).  One shuffle by source;
+    at 100 TB the window is per-source-partition and never global."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(order_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap).drop("_rn"))
+
+
+def pack_bins(df, budget: int, size_col: str, order_col: str = "doc_id",
+              out_col: str = "bin_id"):
+    """Context-window packing key: documents in a deterministic order
+    are assigned to fixed-budget bins by EXCLUSIVE cumulative size —
+    ``bin = floor(cum_before / budget)`` — the sharding approximation of
+    greedy packing (a document may straddle two bins; exact greedy
+    needs per-row state, see streaming/stateful.py).  The global window
+    here is the single-shard case; at scale, partition by a shard key
+    first and pack within shards."""
+    from pyspark.sql import Window
+
+    w = (Window.orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn(
+        out_col, F.floor(cum_before / F.lit(float(budget))).cast("bigint"))
+
+
+def scrub_pii(text: Column, email_token: str = "<EMAIL>",
+              number_token: str = "<NUM>") -> Column:
+    """PII scrub for training corpora: replace email addresses and long
+    digit runs with typed placeholder tokens.  Pure regexp_replace —
+    codegen, no Python."""
+    out = F.regexp_replace(text, EMAIL_RE, email_token)
+    return F.regexp_replace(out, LONG_NUMBER_RE, number_token)

@@ -153,3 +153,78 @@ def t_fingerprint(spark, sf_dir):
             lambda x: x.cast("string"))).alias("fingerprint"),
         content_signature(F.col("text")).alias("content_sig"),
     )
+
+
+@register(
+    "t_source_quota", extra=True,
+    oracle="""
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn <= 10
+""")
+def t_source_quota(spark, sf_dir):
+    """Corpus mixing: per-source quota (first 10 docs per source in
+    doc_id order) — the per-domain cap step of corpus curation."""
+    from graphraft_spark.ops.text_analysis import source_quota
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_quota(d, cap=10).select("doc_id", "source")
+
+
+@register(
+    "t_pack_bins", extra=True,
+    oracle="""
+SELECT doc_id,
+       CAST(floor(COALESCE(SUM(n_chars) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) / 10000.0) AS BIGINT) AS bin_id
+FROM documents
+""")
+def t_pack_bins(spark, sf_dir):
+    """Context-window packing: assign docs to fixed 10k-char bins by
+    exclusive cumulative size (sharding approximation of greedy
+    packing)."""
+    from graphraft_spark.ops.text_analysis import pack_bins
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_bins(d.select("doc_id", "n_chars"), budget=10_000,
+                     size_col="n_chars").select("doc_id", "bin_id")
+
+
+@register(
+    "t_pii_scrub", extra=True,
+    oracle="""
+WITH seeded AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com ref 123456789' AS t
+    FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+           'g'), '[0-9]{9,}', '<NUM>', 'g')) AS scrub_sig,
+       CAST(length(t) - length(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+           'g'), '[0-9]{9,}', '<NUM>', 'g')) AS BIGINT) AS n_chars_removed
+FROM seeded
+""")
+def t_pii_scrub(spark, sf_dir):
+    """PII scrubbing: emails + long digit runs replaced with typed
+    tokens over deterministically seeded inputs (the base corpus has no
+    PII); verified via md5 of the scrubbed text + removed-char count."""
+    from graphraft_spark.ops.text_analysis import scrub_pii
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@mail.example.com ref 123456789")).alias("t"))
+    scrubbed = scrub_pii(F.col("t"))
+    return seeded.select(
+        "doc_id", F.md5(scrubbed.cast("binary")).alias("scrub_sig"),
+        (F.length("t") - F.length(scrubbed)).cast("bigint")
+        .alias("n_chars_removed"))
