@@ -303,8 +303,9 @@ _P_PSIM = "((nodeId % 100000) * 7919 % 104729)"
     "p_full_pipeline",
     oracle=GRAPH_ORACLE_CTE + f"""
 , p_anchors(qid, name) AS (
-    SELECT * FROM (VALUES (1, 'small ring'),
-                          (2, 'Customer#000000042')) t(qid, name)
+    SELECT CAST(qid AS BIGINT) AS qid, name
+    FROM (VALUES (1, 'small ring'),
+          (2, 'Customer#000000042')) t(qid, name)
 ),
 pb1 AS (
     SELECT a.qid, n1.label AS l1, n1.name AS nm1, e.relType AS t1,

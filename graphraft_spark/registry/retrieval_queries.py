@@ -60,13 +60,13 @@ results AS (
                AS pattern,
            seg
     FROM (
-        SELECT q.qid, 0 AS queryIdx,
+        SELECT CAST(q.qid AS BIGINT) AS qid, 0 AS queryIdx,
                CAST(c_custkey AS BIGINT) + 1000000000 AS nodeId,
                c_mktsegment AS seg
         FROM customer, (VALUES (0),(1),(2),(3),(4)) q(qid)
         WHERE c_nationkey = q.qid
         UNION ALL
-        SELECT q.qid, 1,
+        SELECT CAST(q.qid AS BIGINT), 1,
                CAST(c_custkey AS BIGINT) + 1000000000,
                c_mktsegment
         FROM customer, (VALUES (0),(1),(2),(3),(4)) q(qid)
@@ -99,12 +99,12 @@ def _candidates(spark, sf_dir):
 
 _CANDIDATES_SQL = f"""
 cand_pool AS (
-    SELECT q.qid, CAST(c_custkey AS BIGINT) + 1000000000 AS nodeId,
+    SELECT CAST(q.qid AS BIGINT) AS qid, CAST(c_custkey AS BIGINT) + 1000000000 AS nodeId,
            c_mktsegment AS seg
     FROM customer, (VALUES (0),(1),(2),(3),(4)) q(qid)
     WHERE c_nationkey = q.qid
     UNION ALL
-    SELECT q.qid, CAST(s_suppkey AS BIGINT) + 2000000000, NULL
+    SELECT CAST(q.qid AS BIGINT), CAST(s_suppkey AS BIGINT) + 2000000000, NULL
     FROM supplier, (VALUES (0),(1),(2),(3),(4)) q(qid)
 ),
 candidates AS (
