@@ -135,8 +135,11 @@ def ivf_centroids_kmeans(vectors: DataFrame, k: int = 16, iters: int = 5,
         .withColumn("h", F.xxhash64(F.col(id_col), F.lit(seed)))
         .orderBy("h", id_col).limit(k).collect()
     )
+    if not init_rows:
+        raise ValueError("ivf_centroids_kmeans: empty vectors frame")
     cents = np.stack([np.asarray(r[emb_col], dtype="float64")
                       for r in init_rows])
+    k = cents.shape[0]  # fewer than requested when the corpus is small
     dim = cents.shape[1]
 
     for _ in range(iters):

@@ -148,3 +148,37 @@ def scrub_pii(text: Column, email_token: str = "<EMAIL>",
     codegen, no Python."""
     out = F.regexp_replace(text, EMAIL_RE, email_token)
     return F.regexp_replace(out, LONG_NUMBER_RE, number_token)
+
+
+def pack_bins_greedy(df, budget: int, size_col: str,
+                     order_col: str = "doc_id", shard_col: str | None = None,
+                     out_col: str = "bin_id"):
+    """EXACT greedy context-window packing: documents in deterministic
+    order open a new bin whenever adding the next one would exceed the
+    budget (an oversized document gets a bin of its own).  Per-row state
+    runs in an Arrow-batched ``applyInPandas`` per shard — at scale,
+    pass ``shard_col`` so each shard packs independently and no global
+    ordering is required (bin ids are per-shard)."""
+    from pyspark.sql import functions as FF
+
+    def pack(pdf):
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        bins = []
+        cur, used = 0, 0
+        for s in pdf[size_col]:
+            if used > 0 and used + s > budget:
+                cur, used = cur + 1, 0
+            bins.append(cur)
+            used += s
+        pdf[out_col] = bins
+        return pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + f", {out_col} bigint"
+    key = FF.col(shard_col) if shard_col else FF.lit(0)
+    return (
+        df.withColumn("_shard", key)
+        .groupBy("_shard")
+        .applyInPandas(lambda pdf: pack(pdf.drop(columns=["_shard"])),
+                       schema=schema)
+    )

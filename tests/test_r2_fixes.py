@@ -126,6 +126,43 @@ def test_trie_ranker_token_granularity_invariants():
     assert sorted(bpe.rank("which?", cands, k=10)) == sorted(cands)
 
 
+def test_greedy_packing_respects_budget(spark):
+    from graphraft_spark.ops.text_analysis import pack_bins_greedy
+
+    rows = [(i, s) for i, s in enumerate([4, 4, 4, 9, 2, 10, 1])]
+    df = spark.createDataFrame(rows, "doc_id bigint, n bigint")
+    out = {r["doc_id"]: r["bin_id"]
+           for r in pack_bins_greedy(df, budget=10, size_col="n").collect()}
+    # greedy: [4,4]=8 | [4]=4? no — 4+4=8, +4=12>10 → new bin
+    assert out == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
+    # every bin total ≤ budget except single-oversized-doc bins
+    sizes = dict(rows)
+    totals = {}
+    for d, b in out.items():
+        totals[b] = totals.get(b, 0) + sizes[d]
+    for b, t in totals.items():
+        members = [d for d in out if out[d] == b]
+        assert t <= 10 or len(members) == 1
+
+
+def test_sql_views_match_dataframe_plan(spark, tiny_graph):
+    from graphraft_spark.graph.views import register_graph_views
+    from graphraft_spark.patterns import onehop
+    from graphraft_spark.patterns.compiler import run_pattern
+
+    register_graph_views(spark, tiny_graph)
+    sql_names = {r["name"] for r in spark.sql("""
+        SELECT DISTINCT n2.name FROM nodes n1
+        JOIN undirected_edges e ON e.src = n1.nodeId
+             AND e.relType = 'WRITES'
+        JOIN nodes n2 ON n2.nodeId = e.dst AND n2.label = 'Paper'
+        WHERE n1.label = 'Author' AND n1.name = 'Ada'
+    """).collect()}
+    df_names = {r["name"] for r in run_pattern(
+        tiny_graph, onehop("Author", "Ada", "WRITES", "Paper")).collect()}
+    assert sql_names == df_names and sql_names
+
+
 def test_trie_ranker_prefix_candidate_under_merge_tokenizer():
     """A candidate whose merged-token sequence is a strict prefix of
     another's must still be emittable (forced EOS at candidate end,
