@@ -128,3 +128,44 @@ def test_exact_dedup_partitions_by_normalized_text(spark, texts):
         groups.setdefault(norm(t), []).append(i)
     canon = {r["doc_id"] for r in out if r["is_canonical"]}
     assert canon == {min(v) for v in groups.values()}
+
+
+sizes_lists = st.lists(st.integers(1, 15), min_size=1, max_size=25)
+
+
+@settings(**SETTINGS)
+@given(sizes=sizes_lists)
+def test_greedy_packing_matches_python_oracle(spark, sizes):
+    """pack_bins_greedy == the sequential greedy algorithm, and no bin
+    exceeds the budget unless it holds a single oversized document."""
+    from graphraft_spark.ops.text_analysis import pack_bins_greedy
+
+    budget = 10
+    df = spark.createDataFrame(list(enumerate(sizes)),
+                               "doc_id bigint, n bigint")
+    got = {r["doc_id"]: r["bin_id"]
+           for r in pack_bins_greedy(df, budget, size_col="n").collect()}
+
+    want, cur, used = {}, 0, 0
+    for i, s in enumerate(sizes):
+        if used > 0 and used + s > budget:
+            cur, used = cur + 1, 0
+        want[i] = cur
+        used += s
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(sizes=sizes_lists, cap=st.integers(1, 5))
+def test_source_quota_keeps_first_cap_per_source(spark, sizes, cap):
+    from graphraft_spark.ops.text_analysis import source_quota
+
+    rows = [(i, f"s{v % 3}") for i, v in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = sorted(r["doc_id"] for r in source_quota(df, cap).collect())
+
+    per: dict[str, list[int]] = {}
+    for i, src in rows:
+        per.setdefault(src, []).append(i)
+    want = sorted(i for ids in per.values() for i in sorted(ids)[:cap])
+    assert got == want
