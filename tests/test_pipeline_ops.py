@@ -134,6 +134,46 @@ def test_stream_equals_batch(spark, tmp_path):
     assert len(want) > 0
 
 
+def test_stream_multibatch_state_equals_batch(spark, tmp_path):
+    """FOUR time-ranged input files streamed one per trigger: windowed
+    aggregation state must carry across micro-batches and the final
+    answer must equal the batch plan — plus the incremental graph delta
+    log must land MULTIPLE epochs and still merge to the batch
+    derivation."""
+    import os
+
+    from graphraft_spark.streaming import (
+        read_events_stream, run_stream_to_memory, tumbling_counts)
+    from graphraft_spark.streaming.events import load_events
+    from graphraft_spark.streaming.graph_updates import (
+        event_graph_deltas, merged_graph, stream_graph_updates)
+
+    # split the raw events into 4 time-ordered files (raw schema — the
+    # stream reader does its own event-time conversion)
+    raw = spark.read.parquet(f"{SF}/events.parquet")
+    stage = str(tmp_path / "ev4")
+    raw.repartitionByRange(4, "ts").write.parquet(stage)
+
+    stream = read_events_stream(spark, stage, max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        tumbling_counts(stream, "1 hour"), "test_multibatch_sink").collect()
+    want = tumbling_counts(load_events(spark, SF), "1 hour").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    out = str(tmp_path / "deltas4")
+    stream2 = read_events_stream(spark, stage, max_files_per_trigger=1)
+    stream_graph_updates(stream2, out)
+    epochs = {d for d in os.listdir(f"{out}/edges_delta")
+              if d.startswith("epoch=")}
+    assert len(epochs) >= 2, epochs
+
+    g = merged_graph(spark, out)
+    _, want_edges = event_graph_deltas(load_events(spark, SF))
+    key = lambda df: sorted(map(tuple, df.select(  # noqa: E731
+        "src", "dst", "relType", "n_events").collect()))
+    assert key(g.edges) == key(want_edges)
+
+
 def test_incremental_graph_update_stream_equals_batch(spark, tmp_path):
     """Streamed delta-log graph == batch-derived graph; epoch replay is
     idempotent (overwrite-per-epoch, no double counting)."""
