@@ -126,6 +126,35 @@ def test_trie_ranker_token_granularity_invariants():
     assert sorted(bpe.rank("which?", cands, k=10)) == sorted(cands)
 
 
+def test_upsert_graph_merge_by_id(spark):
+    """Batch MERGE semantics across runs: delta rows replace base rows
+    sharing an id, new ids append (stark_neo4j_loading.py:20-61)."""
+    from graphraft_spark.graph.ingest import upsert_graph
+    from graphraft_spark.graph.model import PropertyGraph
+
+    base = PropertyGraph(
+        nodes=spark.createDataFrame(
+            [(1, "A", "old"), (2, "A", "keep")],
+            "nodeId bigint, label string, name string"),
+        edges=spark.createDataFrame(
+            [(10, 1, 2, "R")], "edgeId bigint, src bigint, dst bigint,"
+                               " relType string"))
+    delta = PropertyGraph(
+        nodes=spark.createDataFrame(
+            [(1, "A", "new"), (3, "B", "added")],
+            "nodeId bigint, label string, name string"),
+        edges=spark.createDataFrame(
+            [(10, 1, 3, "R"), (11, 3, 2, "S")],
+            "edgeId bigint, src bigint, dst bigint, relType string"))
+    g = upsert_graph(base, delta)
+    nodes = {r["nodeId"]: r["name"] for r in g.nodes.collect()}
+    assert nodes == {1: "new", 2: "keep", 3: "added"}
+    edges = {r["edgeId"]: (r["src"], r["dst"], r["relType"])
+             for r in g.edges.collect()}
+    assert edges == {10: (1, 3, "R"), 11: (3, 2, "S")}
+    g.validate()  # merged graph keeps unique keys + referential integrity
+
+
 def test_greedy_packing_respects_budget(spark):
     from graphraft_spark.ops.text_analysis import pack_bins_greedy
 
