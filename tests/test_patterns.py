@@ -151,3 +151,22 @@ def test_primary_label(spark):
     got = [r["l"] for r in
            df.select(primary_label(F.col("labels")).alias("l")).collect()]
     assert got == ["Paper", "Author"]
+
+
+def test_batch_enumeration_matches_single(spark, tiny_graph):
+    """enumerate_paths_batch for one question == enumerate_paths with
+    the same anchors, for every template including the 2-anchor 2path."""
+    from graphraft_spark.patterns.enumerate import (
+        enumerate_paths, enumerate_paths_batch)
+
+    names = ["Ada", "Bob"]
+    single = enumerate_paths(tiny_graph, names).collect()
+    anchors = spark.createDataFrame([(7, n) for n in names],
+                                    "qid bigint, name string")
+    batch = enumerate_paths_batch(tiny_graph, anchors).collect()
+    assert all(r["qid"] == 7 for r in batch)
+    key = lambda r: tuple((r[c] or "") for c in  # noqa: E731
+                          ("pattern", "label1", "name1", "type1", "label2",
+                           "type2", "label3", "name3")) + (r["totalCnt"],)
+    assert sorted(map(key, single)) == sorted(map(key, batch))
+    assert len(batch) > 0
