@@ -17,8 +17,12 @@ from graphraft_spark.llm.prompts import (
     llm2_instruction,
 )
 from graphraft_spark.llm.batch import generate_answers_batch, rank_queries_batch
+from graphraft_spark.llm.sft import llm1_sft_table, llm2_sft_table, write_sft
 
 __all__ = [
+    "llm1_sft_table",
+    "llm2_sft_table",
+    "write_sft",
     "AnswerGenerator",
     "EchoGenerator",
     "LexicographicRanker",

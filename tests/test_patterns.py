@@ -170,3 +170,25 @@ def test_batch_enumeration_matches_single(spark, tiny_graph):
                            "type2", "label3", "name3")) + (r["totalCnt"],)
     assert sorted(map(key, single)) == sorted(map(key, batch))
     assert len(batch) > 0
+
+
+def test_batch_supervised_correct_counts(spark, tiny_graph):
+    """Batch supervised mode: per-question gold frames produce the same
+    correctCnt as the single-question tgt_ids path."""
+    from graphraft_spark.patterns.enumerate import (
+        enumerate_pattern, enumerate_paths_batch)
+
+    gold_ids = [10, 11]  # Papers P-alpha, P-beta
+    single = {(r["name1"], r["type1"], r["label2"]):
+              (r["totalCnt"], r["correctCnt"])
+              for r in enumerate_pattern(tiny_graph, "1hop", ["Ada"],
+                                         tgt_ids=gold_ids).collect()}
+    anchors = spark.createDataFrame([(3, "Ada")], "qid bigint, name string")
+    gold = spark.createDataFrame([(3, i) for i in gold_ids],
+                                 "qid bigint, nodeId bigint")
+    batch = {(r["name1"], r["type1"], r["label2"]):
+             (r["totalCnt"], r["correctCnt"])
+             for r in enumerate_paths_batch(
+                 tiny_graph, anchors, patterns=("1hop",),
+                 gold=gold).collect()}
+    assert single == batch and single
