@@ -251,3 +251,49 @@ def q_monthly_revenue(spark, sf_dir):
              F.sum(F.when(F.dayofweek("o_orderdate").isin(1, 7), 1)
                    .otherwise(0)).cast("bigint").alias("weekend_orders"))
     )
+
+
+@register(
+    "q_price_percentiles", extra=True,
+    oracle="""
+SELECT p_brand,
+       ROUND(quantile_cont(p_retailprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(p_retailprice, 0.9), 4) AS p90,
+       COUNT(*) AS n_parts
+FROM part GROUP BY p_brand
+""")
+def q_price_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    linear-interpolation quantile_cont) — the distribution-profiling
+    classic; at scale swap to approx_percentile with a documented error
+    bound."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.groupBy("p_brand").agg(
+        F.round(F.expr("percentile(p_retailprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(p_retailprice, 0.9)"), 4).alias("p90"),
+        F.count("*").alias("n_parts"))
+
+
+@register(
+    "q_moving_avg_30d", extra=True,
+    oracle="""
+SELECT o_orderkey,
+       ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+           AS DOUBLE), 4) AS ma30
+FROM orders WHERE o_orderkey < 5000
+""")
+def q_moving_avg_30d(spark, sf_dir):
+    """Event-time RANGE window: 30-day trailing average order value —
+    the time-based moving aggregate classic (RANGE frame over an
+    interval, not a row count)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        F.expr("""
+            ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE), 4)""").alias("ma30"))
