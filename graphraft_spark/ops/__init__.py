@@ -3,4 +3,10 @@ deduplication, similarity search, text analysis, multimodal plumbing —
 first-class components designed for the 100 TB regime.
 """
 
-from graphraft_spark.ops import dedup, similarity, text_analysis, multimodal  # noqa: F401
+from graphraft_spark.ops import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    sketches,
+    text_analysis,
+)

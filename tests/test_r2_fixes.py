@@ -201,3 +201,24 @@ def test_trie_ranker_prefix_candidate_under_merge_tokenizer():
     cands = ["q 129", "q 1299"]   # ('q','129') is a prefix of ('q','129','9')
     out = TrieConstrainedRanker(tokenizer=_bpe_ish).rank("?", cands, k=2)
     assert sorted(out) == sorted(cands)
+
+
+def test_sketches_within_tolerance_of_exact(spark):
+    """HLL++ distinct and GK quantiles stay within their documented
+    error bounds of the exact operators on the documents corpus."""
+    from graphraft_spark.ops.sketches import approx_distinct, approx_quantiles
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact_n = d.select("doc_id").distinct().count()
+    approx_n = approx_distinct(d, "doc_id", rsd=0.02).collect()[0][0]
+    assert abs(approx_n - exact_n) / exact_n <= 3 * 0.02
+
+    exact_p50 = d.selectExpr(
+        "percentile(n_chars, 0.5) AS p").collect()[0]["p"]
+    got = approx_quantiles(d, "n_chars", [0.5],
+                           accuracy=10_000).collect()[0][0][0]
+    # GK with high accuracy on 500 rows is rank-exact; allow tiny slack
+    ranked = sorted(r["n_chars"] for r in d.select("n_chars").collect())
+    idx = ranked.index(got)
+    assert abs(idx - len(ranked) // 2) <= max(1, len(ranked) // 100)
+    assert abs(got - exact_p50) / max(exact_p50, 1) < 0.1
