@@ -98,3 +98,50 @@ def power_law_rank_sample(n_candidates: Column, key: Column,
     return F.array_sort(F.array_distinct(
         F.filter(F.transform(draws, rank), lambda r: r.isNotNull())
     ))
+
+
+def _portable_hash60(col: Column, salt: str) -> Column:
+    """Engine-portable deterministic hash (md5 prefix → bigint), the
+    same arithmetic DuckDB expresses as
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15),
+        16, 10).cast("bigint")
+
+
+def hash_split(df: DataFrame, key_col: str,
+               weights: dict[str, int] | None = None,
+               salt: str = "split") -> DataFrame:
+    """Deterministic train/valid/test assignment by key hash — the
+    dataset-split step of a training pipeline.  Stable across runs,
+    partitionings, and engines (portable md5 arithmetic); rows sharing
+    a key always land in the same split."""
+    weights = weights or {"train": 8, "valid": 1, "test": 1}
+    total = sum(weights.values())
+    bucket = _portable_hash60(F.col(key_col), salt) % total
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return df.withColumn("split", expr)
+
+
+def negative_samples(candidates: DataFrame, positives: DataFrame, k: int,
+                     qid_col: str = "qid", id_col: str = "nodeId",
+                     salt: str = "neg") -> DataFrame:
+    """Per-question negative sampling for contrastive training data:
+    the ``k`` candidate ids NOT in the positive set with the smallest
+    per-(qid,id) portable hash — uniform without replacement,
+    reproducible, and expressible in an external SQL oracle.  One
+    anti-join + one per-qid window."""
+    from pyspark.sql import Window
+
+    anti = candidates.join(positives.select(qid_col, id_col),
+                           [qid_col, id_col], "left_anti")
+    h = _portable_hash60(
+        F.concat_ws("#", F.col(qid_col), F.col(id_col)), salt)
+    w = Window.partitionBy(qid_col).orderBy(h.asc(), F.col(id_col))
+    return (anti.withColumn("neg_rank", F.row_number().over(w))
+            .filter(F.col("neg_rank") <= k))

@@ -244,3 +244,72 @@ def e_map_filter_rename(spark, sf_dir):
         .withColumn("question_id", F.col("question_id").cast("bigint"))
     )
     return qa.select("question_id", "n_answers", "answer_ids")
+
+
+_H60_SQL = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
+@register(
+    "e_hash_split", extra=True,
+    oracle=f"""
+SELECT o_orderkey,
+       CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+    SELECT o_orderkey,
+           {_H60_SQL.format(s="'split' || CAST(o_orderkey AS VARCHAR)")}
+               % 10 AS b
+    FROM orders
+)
+""")
+def e_hash_split(spark, sf_dir):
+    """Deterministic train/valid/test split (8/1/1) by portable key
+    hash — stable across runs, partitionings, and engines."""
+    from graphraft_spark.data.ops import hash_split
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return hash_split(o.select("o_orderkey"), "o_orderkey").select(
+        "o_orderkey", "split")
+
+
+@register(
+    "r_negative_samples", extra=True,
+    oracle=f"""
+WITH qids AS (SELECT CAST(q.qid AS BIGINT) AS qid
+              FROM (VALUES (0),(1),(2),(3),(4)) q(qid)),
+cands AS (
+    SELECT qid, CAST(c_custkey AS BIGINT) + 1000000000 AS nodeId,
+           c_nationkey
+    FROM customer, qids
+),
+nonpos AS (
+    SELECT qid, nodeId FROM cands
+    WHERE NOT (c_nationkey = qid OR c_nationkey = qid + 5)
+)
+SELECT qid, nodeId, CAST(neg_rank AS INT) AS neg_rank FROM (
+    SELECT qid, nodeId,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               {_H60_SQL.format(
+                   s="'neg' || CAST(qid AS VARCHAR) || '#' || "
+                     "CAST(nodeId AS VARCHAR)")} ASC, nodeId) AS neg_rank
+    FROM nonpos
+) WHERE neg_rank <= 5
+""")
+def r_negative_samples(spark, sf_dir):
+    """Contrastive-training negative sampling: per question, 5 uniform
+    reproducible non-answer candidates (portable hash ranking) — the
+    hard-negative-mining baseline of a training-data pipeline."""
+    from graphraft_spark.data.ops import negative_samples
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    qids = spark.createDataFrame([(i,) for i in range(5)], "qid bigint")
+    cands = (cust.crossJoin(F.broadcast(qids))
+             .select("qid", (F.col("c_custkey").cast("bigint")
+                             + 1_000_000_000).alias("nodeId"),
+                     "c_nationkey"))
+    positives = cands.filter((F.col("c_nationkey") == F.col("qid"))
+                             | (F.col("c_nationkey") == F.col("qid") + 5))
+    out = negative_samples(cands.drop("c_nationkey"),
+                           positives, k=5)
+    return out.select("qid", "nodeId",
+                      F.col("neg_rank").cast("int").alias("neg_rank"))
