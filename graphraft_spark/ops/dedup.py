@@ -364,29 +364,35 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     ≤ 4 by construction — and the loop stops as soon as a round changes
     nothing.  (At larger diameters switch to the large-star/small-star
     alternation; same per-round plan shape.)"""
+    spark = pairs.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     und = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
            .unionByName(pairs.select(F.col("id_b").alias("src"),
                                      F.col("id_a").alias("dst"))))
-    und = und.distinct().persist()
+    # hash-partition the (big) edge side by the iteration join key ONCE:
+    # every propagation round reuses the cached partitioning, so only
+    # the (small) label frame shuffles per round
+    und = und.distinct().repartition(n, F.col("dst")).persist()
     und.count()
     labels = (und.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("comp", F.col("id"))).persist()
-    labels.count()
     for _ in range(max_iter):
-        # candidate label per node: min over own and neighbors' comps
+        # candidate label per node: min over own and neighbors' comps;
+        # carry the old comp so convergence is checked by the SAME job
+        # that materializes the new labels (one action per round)
         nbr = (und.join(labels.withColumnRenamed("id", "dst")
                         .withColumnRenamed("comp", "nbr_comp"), "dst")
                .groupBy("src").agg(F.min("nbr_comp").alias("nbr_comp")))
-        new = (labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
+        new = (labels.withColumnRenamed("comp", "old")
+               .join(nbr.withColumnRenamed("src", "id"), "id", "left")
                .select("id", F.least(
-                   "comp", F.coalesce("nbr_comp", "comp")).alias("comp"))
+                   "old", F.coalesce("nbr_comp", "old")).alias("comp"),
+                   "old")
                ).persist()
-        changed = (new.join(labels.withColumnRenamed("comp", "old"), "id")
-                   .filter(F.col("comp") != F.col("old")).limit(1).count())
+        changed = new.filter(F.col("comp") != F.col("old")).limit(1).count()
         labels.unpersist()
-        labels = new
-        labels.count()
+        labels = new.drop("old")
         if changed == 0:
             break
     und.unpersist()
