@@ -70,20 +70,31 @@ def main() -> None:
     # per-query warmup then min of two timed runs (warmup fills JVM/
     # codegen/file-listing/persisted-frame caches; min-of-2 damps the
     # multi-second GC/scheduler noise a packed local[32] JVM shows —
-    # observed swings of 2-14 s on identical plans between runs)
-    times = {}
+    # observed swings of 2-14 s on identical plans between runs).
+    # Failures are isolated per query (a broken loader must never zero
+    # the whole artifact again — round 3's bench died whole on one
+    # AnalysisException); failed queries land in "errors", the rest
+    # still produce numbers.
+    times, errors = {}, {}
     for name in names:
-        run(name)
-        times[name] = min(run(name), run(name))
+        try:
+            run(name)
+            times[name] = min(run(name), run(name))
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

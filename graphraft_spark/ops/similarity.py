@@ -15,7 +15,7 @@ Two tiers sharing one API:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphraft_spark.search.vector import dot_col

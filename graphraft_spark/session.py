@@ -34,9 +34,8 @@ DEFAULT_CONFS: dict[str, str] = {
     # and the DuckDB oracle agree byte-for-byte.
     "spark.sql.timestampType": "TIMESTAMP_NTZ",
     "spark.sql.session.timeZone": "UTC",
-    # the driver's events.parquet stores TIMESTAMP(NANOS) which the
-    # vectorized reader rejects; read as INT64 nanos and convert
-    # explicitly (graphraft_spark.streaming.events.load_events)
+    # tolerate events.parquet storing ts as TIMESTAMP(NANOS) (some
+    # driver rounds): read as INT64 nanos; load_events adapts either way
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }

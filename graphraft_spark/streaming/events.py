@@ -14,29 +14,46 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
-# the driver's events.parquet stores TIMESTAMP(NANOS) → read as INT64
-# nanos (spark.sql.legacy.parquet.nanosAsLong) and convert with integer
-# division (a double division would lose precision above 2^53 ns).
-EVENTS_RAW_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
-                     "event_type string, value double, props string")
+# The driver's events.parquet has stored `ts` as TIMESTAMP(NANOS)
+# (read as INT64 nanos under spark.sql.legacy.parquet.nanosAsLong) in
+# some rounds and as timestamp[us] in others — the loader is therefore
+# SCHEMA-ADAPTIVE: every branch normalizes to TIMESTAMP (event-time
+# watermarks require LTZ; session tz pinned to UTC by
+# registry.ensure_confs, so the NTZ→LTZ cast is value-identity).
+# Raw-int conversion uses integer division (a double division would
+# lose precision above 2^53 ns).
+EVENTS_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):  # INT64 epoch-nanos
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        # explicit _ltz: under spark.sql.timestampType=TIMESTAMP_NTZ the
+        # plain "timestamp" name resolves to NTZ, which watermarks reject
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    raise TypeError(
+        f"events.ts: unsupported parquet type {dt} — expected INT64 "
+        "nanos or a parquet timestamp; driver testdata schema drifted?")
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch read with proper TIMESTAMP event time."""
+    """Batch read with normalized TIMESTAMP event time."""
     return _with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def read_events_stream(spark: SparkSession, path_glob: str,
                        max_files_per_trigger: int = 4) -> DataFrame:
     """File-source stream over event parquet files (at scale: Kafka with
-    the same downstream plan)."""
+    the same downstream plan).  The source schema is taken from the
+    files themselves (one footer read) so driver schema drift can't
+    desync the stream from the batch path."""
+    schema = spark.read.parquet(path_glob).schema
     return _with_event_time(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path_glob)
     )

@@ -39,7 +39,10 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
         (user_id,) = key
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"], ignore_index=True)
-        ts_ns = rows["ts"].astype("int64")  # nanoseconds since epoch
+        # normalize to epoch-nanos regardless of the Arrow→pandas
+        # resolution (datetime64[ns] vs [us] differs across pandas/Arrow)
+        ts_ns = pd.Series(
+            rows["ts"].to_numpy().astype("datetime64[ns]").astype("int64"))
         gap_ns = gap_s * 1_000_000_000
         out = []
         cur = list(state.get) if state.exists else None

@@ -1,0 +1,89 @@
+"""Schema contract against the driver's testdata (TESTDATA.md).
+
+The driver regenerates /root/testdata between rounds and has drifted
+types before (round 3: events.ts TIMESTAMP(NANOS)→timestamp[us], which
+silently broke every streaming/temporal query and the whole bench).
+These tests turn any such drift into a one-second, readable failure.
+
+Footer-only pyarrow reads keep this nearly free; one real load_events
+call asserts the adaptive loader normalizes whatever the driver wrote.
+"""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+TESTDATA = "/root/testdata"
+SF_DIRS = sorted(glob.glob(f"{TESTDATA}/sf*"))
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+# columns each query family depends on (names only — types are checked
+# where the engine actually branches on them)
+REQUIRED_COLUMNS = {
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source"},
+    "embeddings": {"vec_id", "embedding", "label"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+                 "l_linestatus", "l_shipdate"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey"},
+    "part": {"p_partkey", "p_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "region": {"r_regionkey", "r_name"},
+}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
+def test_all_tables_present_with_required_columns(sf_dir):
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        assert os.path.exists(path), f"driver table missing: {path}"
+        names = set(pq.read_schema(path).names)
+        missing = REQUIRED_COLUMNS.get(t, set()) - names
+        assert not missing, (
+            f"{path}: driver schema drifted — missing columns {sorted(missing)}; "
+            f"has {sorted(names)}")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
+def test_events_ts_is_loader_supported(sf_dir):
+    """The raw ts type must be one load_events knows how to normalize:
+    int64 epoch-nanos or a parquet timestamp (any unit/tz)."""
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    assert pa_is_timestamp_or_int64(t), (
+        f"events.ts drifted to {t}; teach "
+        "graphraft_spark/streaming/events.py:_with_event_time about it")
+
+
+def pa_is_timestamp_or_int64(t):
+    import pyarrow as pa
+    return pa.types.is_timestamp(t) or t == pa.int64()
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
+def test_load_events_normalizes_ts(spark, sf_dir):
+    """load_events must yield ts: timestamp (LTZ — watermark-compatible)
+    for every sf dir, whatever the driver stored."""
+    from pyspark.sql.types import TimestampType
+
+    from graphraft_spark.streaming.events import load_events
+
+    df = load_events(spark, sf_dir)
+    assert isinstance(df.schema["ts"].dataType, TimestampType), df.schema["ts"]
+    assert set(df.columns) >= REQUIRED_COLUMNS["events"]
+
+
+def test_embeddings_are_float_arrays():
+    import pyarrow as pa
+
+    t = pq.read_schema(f"{SF_DIRS[0]}/embeddings.parquet").field("embedding").type
+    assert pa.types.is_list(t) or pa.types.is_large_list(t) or \
+        pa.types.is_fixed_size_list(t), t
+    assert pa.types.is_floating(t.value_type), t
