@@ -142,7 +142,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 
 def candidates_from_hashes(hashed: DataFrame, num_perm: int, bands: int,
-                           max_bucket_size: int | None = None) -> DataFrame:
+                           max_bucket_size: int | None = None,
+                           return_capped: bool = False):
     """LSH candidate pairs from a pre-hashed-shingle frame (id, hs).
 
     A bucket of B docs costs B² in the self-join, and skewed buckets
@@ -158,10 +159,12 @@ def candidates_from_hashes(hashed: DataFrame, num_perm: int, bands: int,
     to the bucket's root, so their link — present in the full clique —
     is absent from the verified star and a dedup cluster can split.
     ``max_bucket_size`` therefore trades post-verification RECALL for
-    bounded work; callers needing exact verified clusters on hot
-    buckets should either raise the cap or re-pair each surviving star
-    member's bucket-mates before thresholding.  None = exact all-pairs
-    (keeps small-scale oracle semantics)."""
+    bounded work.  The repair: pass ``return_capped=True`` to also get
+    the capped-bucket membership frame (band, bucket, id, root) and
+    re-pair at-risk members after verification — see
+    ``_lsh_verified_pairs(repair_capped=True)``, which restores exact
+    verified clusters at O(failed·B) extra work per hot bucket.
+    None = exact all-pairs (keeps small-scale oracle semantics)."""
     rows = num_perm // bands
     sig = hashed.select(
         "id", signature_from_hashes(F.col("hs"), num_perm).alias("sig"))
@@ -180,8 +183,9 @@ def candidates_from_hashes(hashed: DataFrame, num_perm: int, bands: int,
             F.count("*").over(w).alias("bsz"),
             F.min("id").over(w).alias("root")).persist()
         tagged.count()  # eager: later scans must hit warm cache
-        star = (tagged.filter((F.col("bsz") > max_bucket_size)
-                              & (F.col("id") != F.col("root")))
+        capped = tagged.filter(F.col("bsz") > max_bucket_size) \
+            .select("band", "bucket", "id", "root")
+        star = (capped.filter(F.col("id") != F.col("root"))
                 .select(F.col("root").alias("id_a"),
                         F.col("id").alias("id_b")))
         banded = tagged.filter(F.col("bsz") <= max_bucket_size) \
@@ -190,6 +194,8 @@ def candidates_from_hashes(hashed: DataFrame, num_perm: int, bands: int,
     else:
         banded = banded.persist()
         banded.count()  # eager: both self-join sides scan this
+        capped = banded.limit(0).withColumn("root", F.col("id")) \
+            .select("band", "bucket", "id", "root")
         extra = []
     a = banded.alias("a")
     b = banded.alias("b")
@@ -200,7 +206,70 @@ def candidates_from_hashes(hashed: DataFrame, num_perm: int, bands: int,
     )
     for e in extra:
         pairs = pairs.unionByName(e)
-    return pairs.distinct()
+    pairs = pairs.distinct()
+    if return_capped:
+        return pairs, capped
+    return pairs
+
+
+def _lsh_verified_pairs(hashed: DataFrame, arrs: DataFrame, num_perm: int,
+                        bands: int, threshold: float,
+                        max_bucket_size: int | None,
+                        repair_capped: bool = False) -> DataFrame:
+    """Candidate generation + exact-Jaccard verify shared by the string
+    and all-numeric LSH pipelines.  ``hashed`` = (id, hs) feeds
+    signatures/banding; ``arrs`` = (id, arr) feeds the verify (string
+    shingles keep oracle parity; bigint shingles are the fast path).
+
+    ``repair_capped`` closes the star-edge recall gap on capped hot
+    buckets: members whose link to the bucket root FAILED the Jaccard
+    verify are re-paired with every bucket-mate and re-verified.  That
+    makes verified clusters exact again — for any same-bucket pair
+    (X, Y) with J ≥ threshold, either both root links passed (path
+    X–root–Y survives) or a failed endpoint was re-paired with the
+    other directly.  Extra work is O(F·B) per hot bucket where F =
+    failed members: boilerplate-heavy buckets (the reason the cap
+    exists) have F ≈ 0; a fully-dissimilar bucket degrades to the B²
+    the cap avoided — but then the pairs were genuinely needed."""
+    def verify(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs
+            .join(arrs.select(F.col("id").alias("id_a"),
+                              F.col("arr").alias("_arr_a")), "id_a")
+            .join(arrs.select(F.col("id").alias("id_b"),
+                              F.col("arr").alias("_arr_b")), "id_b")
+            .withColumn("jaccard", jaccard(F.col("_arr_a"), F.col("_arr_b")))
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    if not (repair_capped and max_bucket_size is not None):
+        cand = candidates_from_hashes(hashed, num_perm, bands,
+                                      max_bucket_size)
+        return verify(cand).filter(F.col("jaccard") >= threshold)
+
+    cand, capped = candidates_from_hashes(hashed, num_perm, bands,
+                                          max_bucket_size,
+                                          return_capped=True)
+    v = verify(cand).persist()
+    v.count()  # eager: kept + failed + anti-join all scan this
+    kept = v.filter(F.col("jaccard") >= threshold)
+    failed = v.filter(F.col("jaccard") < threshold)
+    # at-risk members: capped-bucket rows whose star link to root failed
+    risk = (capped.alias("m")
+            .join(failed.alias("f"),
+                  (F.col("f.id_a") == F.col("m.root"))
+                  & (F.col("f.id_b") == F.col("m.id")))
+            .select("m.band", "m.bucket", "m.id"))
+    mates = capped.select("band", "bucket", F.col("id").alias("mate"))
+    repair = (risk.join(mates, ["band", "bucket"])
+              .filter(F.col("id") != F.col("mate"))
+              .select(F.least("id", "mate").alias("id_a"),
+                      F.greatest("id", "mate").alias("id_b"))
+              .distinct()
+              .join(v.select("id_a", "id_b"), ["id_a", "id_b"],
+                    "left_anti"))
+    kept2 = verify(repair).filter(F.col("jaccard") >= threshold)
+    return kept.unionByName(kept2)
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
@@ -214,9 +283,12 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 16,
                       bands: int = 4, k: int = 3,
                       threshold: float = 0.7, hash_fn=None,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      repair_capped: bool = False) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
-    pairs ≥ threshold.  Returns (id_a, id_b, jaccard)."""
+    pairs ≥ threshold.  Returns (id_a, id_b, jaccard).
+    ``repair_capped`` (with ``max_bucket_size``) restores exact
+    verified clusters on capped hot buckets — see _lsh_verified_pairs."""
     # one persisted shingle pass feeds signature/banding AND the verify
     # joins (previously two full shingle computations over the corpus)
     sh = df.select(F.col(id_col).alias("id"),
@@ -224,16 +296,9 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     sh.count()  # eager: signature path + both verify sides scan this
     hashed = sh.select(
         "id", F.transform(F.col("sh"), hash_fn or _h60).alias("hs"))
-    cand = candidates_from_hashes(hashed, num_perm, bands, max_bucket_size)
-    return (
-        cand.join(sh.withColumnRenamed("id", "id_a")
-                    .withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b")
-                .withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _lsh_verified_pairs(
+        hashed, sh.select("id", F.col("sh").alias("arr")),
+        num_perm, bands, threshold, max_bucket_size, repair_capped)
 
 
 def hashed_shingles(text: Column, k: int = 3) -> Column:
@@ -264,7 +329,8 @@ def minhash_lsh_dedup_fast(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 16,
                            bands: int = 4, k: int = 3,
                            threshold: float = 0.7,
-                           max_bucket_size: int | None = None) -> DataFrame:
+                           max_bucket_size: int | None = None,
+                           repair_capped: bool = False) -> DataFrame:
     """minhash_lsh_dedup on the all-numeric fast path: hashed_shingles
     feed signatures, banding AND the exact-Jaccard verify (bigint
     array_intersect instead of string arrays on both pair sides)."""
@@ -272,25 +338,19 @@ def minhash_lsh_dedup_fast(df: DataFrame, text_col: str = "text",
                    hashed_shingles(F.col(text_col), k).alias("hs")).persist()
     hs.count()  # eager: signature path + both verify sides scan this
     return minhash_lsh_dedup_hashed(hs, num_perm, bands, threshold,
-                                    max_bucket_size)
+                                    max_bucket_size, repair_capped)
 
 
 def minhash_lsh_dedup_hashed(hs: DataFrame, num_perm: int = 16,
                              bands: int = 4, threshold: float = 0.7,
-                             max_bucket_size: int | None = None) -> DataFrame:
+                             max_bucket_size: int | None = None,
+                             repair_capped: bool = False) -> DataFrame:
     """Fast-path pipeline over a prebuilt (id, hs) hashed-shingle frame —
     callers that run repeatedly should persist+materialize ``hs`` once
     and hold a reference so every run scans warm cache."""
-    cand = candidates_from_hashes(hs, num_perm, bands, max_bucket_size)
-    return (
-        cand.join(hs.withColumnRenamed("id", "id_a")
-                    .withColumnRenamed("hs", "ha"), "id_a")
-        .join(hs.withColumnRenamed("id", "id_b")
-                .withColumnRenamed("hs", "hb"), "id_b")
-        .withColumn("jaccard", jaccard(F.col("ha"), F.col("hb")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _lsh_verified_pairs(
+        hs, hs.select("id", F.col("hs").alias("arr")),
+        num_perm, bands, threshold, max_bucket_size, repair_capped)
 
 
 def _bit(v: Column, j: Column) -> Column:
