@@ -94,16 +94,17 @@ PRIORITY = [
     # text analysis
     "t_token_counts", "t_quality_features", "t_langid",
     # streaming
-    "st_sessionize_batch", "st_graph_deltas",
+    "st_sessionize_batch", "st_graph_deltas", "st_sliding_agg",
     # temporal
     "tm_interval_join",
     # multimodal
     "mm_frame_sample",
     # llm surface
     "f_llm1_prompt", "f_node_formatter", "f_generate_answers",
-    # OLAP classics
-    "q_top_revenue", "q_orders_without_lineitems",
-    "q_rollup_status_priority",
+    # OLAP classics (q_top_revenue demoted to extra r4 — its
+    # join+top-n shape stays covered by q_pricing_summary/s_knn_topk;
+    # slot reused to broaden the streaming family)
+    "q_orders_without_lineitems", "q_rollup_status_priority",
 ]
 
 

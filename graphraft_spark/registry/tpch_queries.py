@@ -55,7 +55,7 @@ def q_pricing_summary(spark, sf_dir):
 
 
 @register(
-    "q_top_revenue",
+    "q_top_revenue", extra=True,  # demoted: shape covered by other primaries; slot given to st_sliding_agg
     oracle="""
 SELECT o_orderkey, revenue, o_orderdate_s
 FROM (
