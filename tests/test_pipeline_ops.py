@@ -381,3 +381,42 @@ def test_connected_components_cluster_star_capped_group(spark):
     assert out == {0: (0, 4), 1: (0, 4), 2: (0, 4), 3: (0, 4),
                    10: (10, 3), 11: (10, 3), 12: (10, 3),
                    20: (20, 2), 21: (20, 2)}
+
+
+def test_transform_with_state_sessionize_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas sessionization (Spark 4 stateful API):
+    closed sessions == batch sessions minus each user's trailing open
+    session — the same contract the applyInPandasWithState variant
+    satisfies, asserted independently on the new API."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python runner requires protobuf "
+               "(absent in this sandbox; operator is env-gated, see "
+               "streaming/tws.py)")
+    import shutil
+
+    from graphraft_spark.streaming import read_events_stream, run_stream_to_memory
+    from graphraft_spark.streaming.events import load_events
+    from graphraft_spark.streaming.stateful import sessionize_batch
+    from graphraft_spark.streaming.tws import sessionize_tws
+
+    stage = tmp_path / "ev"
+    stage.mkdir()
+    shutil.copy(f"{SF}/events.parquet", stage / "events.parquet")
+    stream = read_events_stream(spark, str(stage), max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        sessionize_tws(stream, gap_s=3600), "test_tws_sink",
+        output_mode="append")
+    batch = sessionize_batch(load_events(spark, SF), gap_s=3600)
+
+    g = {(r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+         for r in got.collect()}
+    b_rows = batch.collect()
+    last = {}
+    for r in b_rows:
+        k = r["user_id"]
+        if k not in last or r["session_start"] > last[k]:
+            last[k] = r["session_start"]
+    b = {(r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+         for r in b_rows if r["session_start"] != last[r["user_id"]]}
+    assert g == b and len(g) > 0
