@@ -345,3 +345,51 @@ def d_components(spark, sf_dir):
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
     return connected_components(pairs)
+
+
+@register(
+    "d_lsh_repair_components", extra=True,
+    oracle=f"""
+WITH RECURSIVE {_DOCS_NEAR_SQL.strip().lstrip()},
+{_SIG_SQL.strip()},
+pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+),
+und AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+    SELECT a AS id, LEAST(a, MIN(b)) AS comp
+    FROM reach GROUP BY a
+)
+SELECT c.id, c.comp, CAST(n.cluster_size AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp) n
+  ON n.comp = c.comp
+""")
+def d_lsh_repair_components(spark, sf_dir):
+    """The capped-bucket repair guarantee as an oracle equality: Spark
+    runs the BOUNDED pipeline (max_bucket_size=1 star-links every
+    bucket, repair_capped re-pairs members whose root link failed
+    verification) and clusters the surviving pairs; the DuckDB oracle
+    clusters the UNCAPPED all-pairs-in-bucket LSH pipeline.  Identical
+    components prove the bounded plan loses no verified cluster —
+    ops/dedup.py:_lsh_verified_pairs."""
+    from graphraft_spark.ops.dedup import connected_components, minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(
+        _docs_near(spark, sf_dir), num_perm=8, bands=4, k=3, threshold=0.5,
+        max_bucket_size=1, repair_capped=True,
+    ).select("id_a", "id_b")
+    return connected_components(pairs)
