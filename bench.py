@@ -32,10 +32,12 @@ HEADLINE = [
     "d_exact_dedup",
     "d_minhash_lsh_fast",
     "d_minhash_lsh_scaled",
+    "d_lsh_repair_components",
     "m_metrics_per_row",
     "e_parallel_sort",
     "t_quality_features",
     "st_tumbling_agg",
+    "st_sliding_agg",
     "st_graph_deltas",
     "tm_asof_enrich",
     "q_pricing_summary",
