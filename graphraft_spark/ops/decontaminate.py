@@ -1,0 +1,81 @@
+"""Benchmark decontamination: flag/drop training documents that share
+word n-grams with an evaluation corpus (the standard 13-gram rule from
+LLM training-data hygiene; every frontier pipeline runs a pass like
+this before training — the reference has no equivalent, §2.H extension).
+
+Spark-first shape: the benchmark side is SMALL relative to the corpus
+(eval sets are thousands of docs vs billions), so its distinct n-gram
+set broadcasts and the corpus side is one scan + explode + broadcast
+semi-join — no shuffle of the 100 TB side at all.  The n-gram explode
+multiplies corpus rows by ~doc length, but it feeds straight into a
+broadcast hash join inside the same whole-stage-codegen pipeline (no
+materialization); the follow-up distinct-on-hits aggregates only the
+matching doc ids.
+
+Two paths, same split as the dedup family:
+* portable (string n-grams) — DuckDB-reproducible, the oracle anchor;
+* hashed (xxhash64 rolling n-gram hashes via ``hashed_shingles``) —
+  no n-gram strings ever built, the production path at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphraft_spark.ops.dedup import hashed_shingles, shingles
+
+
+def _gram_col(text: Column, n: int, hashed: bool) -> Column:
+    return hashed_shingles(text, n) if hashed else shingles(text, n)
+
+
+def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str | None = None,
+                        hashed: bool = False) -> DataFrame:
+    """Per-document contamination report: (id_col, n_hits, contaminated).
+
+    ``n_hits`` = how many DISTINCT n-grams of the doc appear anywhere in
+    the benchmark corpus; ``contaminated`` = n_hits > 0.  Docs shorter
+    than ``n`` words contribute their whole-text gram (matching the
+    shingle semantics), so an exact copy of a short benchmark doc still
+    flags."""
+    bench_grams = (
+        benchmark
+        .select(F.explode(_gram_col(
+            F.col(bench_text_col or text_col), n, hashed)).alias("g"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(_gram_col(F.col(text_col), n, hashed)).alias("g"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None,
+                  hashed: bool = True) -> DataFrame:
+    """Drop contaminated docs (broadcast anti-join against the flagged
+    ids); production default uses the hashed gram path."""
+    dirty = (
+        contamination_flags(docs, benchmark, n, text_col, id_col,
+                            bench_text_col, hashed)
+        .filter(F.col("contaminated"))
+        .select(id_col)
+    )
+    return docs.join(F.broadcast(dirty), id_col, "left_anti")

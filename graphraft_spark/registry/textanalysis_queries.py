@@ -228,3 +228,45 @@ def t_pii_scrub(spark, sf_dir):
         "doc_id", F.md5(scrubbed.cast("binary")).alias("scrub_sig"),
         (F.length("t") - F.length(scrubbed)).cast("bigint")
         .alias("n_chars_removed"))
+
+
+@register(
+    "t_decontaminate", extra=True,
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS} AS words FROM documents
+),
+bench AS (
+    SELECT DISTINCT array_to_string(words[4:11], ' ') AS g
+    FROM w WHERE doc_id % 7 = 3 AND len(words) >= 11
+),
+grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 7, 1) + 1),
+               i -> array_to_string(words[i:i+7], ' ')))) AS g
+    FROM w
+),
+hits AS (
+    SELECT doc_id, COUNT(*) AS n_hits
+    FROM grams JOIN bench USING (g)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""")
+def t_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ops/decontaminate.py): an 'eval set'
+    of 8-word spans lifted from every doc_id%7==3 document must flag
+    exactly the documents containing those spans.  Corpus side: one
+    scan -> n-gram explode -> broadcast semi-join; the benchmark side
+    broadcasts (eval sets are tiny vs a 100 TB corpus)."""
+    from graphraft_spark.ops.dedup import words
+    from graphraft_spark.ops.decontaminate import contamination_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = words(F.col("text"))
+    bench = (docs.filter((F.col("doc_id") % 7 == 3) & (F.size(ws) >= 11))
+             .select(F.concat_ws(" ", F.slice(ws, 4, 8)).alias("text")))
+    return contamination_flags(docs, bench, n=8).orderBy("doc_id")
