@@ -182,3 +182,53 @@ def pack_bins_greedy(df, budget: int, size_col: str,
         .applyInPandas(lambda pdf: pack(pdf.drop(columns=["_shard"])),
                        schema=schema)
     )
+
+
+def bigrams_all(text: Column) -> Column:
+    """ALL word 2-grams in order (no dedup — repetition measurement
+    needs multiplicities, unlike the dedup shingles)."""
+    ws = words(text)
+    n = F.size(ws)
+    grams = F.zip_with(ws, F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(n >= 2, F.slice(grams, 1, F.greatest(n - 1, F.lit(1)))) \
+        .otherwise(ws)
+
+
+def repetition_features(df, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Gopher-style repetition signals per document:
+
+    * ``dup_word_frac``    — 1 − distinct/total words (word-level churn)
+    * ``top_bigram_share`` — occurrences of the most frequent 2-gram /
+      total 2-grams (boilerplate loops score high)
+    * ``dup_bigram_frac``  — 1 − distinct/total 2-grams
+
+    Published repetition filters drop docs above thresholds on exactly
+    these (e.g. top-2-gram share > 0.2).  Shape: explode → per-(doc,
+    gram) count → per-doc aggregate — two shuffles, both with map-side
+    partial aggregation; no per-doc quadratic work, no Python."""
+    grams = df.select(
+        F.col(id_col),
+        F.size(words(F.col(text_col))).alias("n_words"),
+        F.size(F.array_distinct(words(F.col(text_col))))
+        .alias("n_distinct_words"),
+        F.explode(bigrams_all(F.col(text_col))).alias("g"),
+    )
+    per_gram = grams.groupBy(id_col, "n_words", "n_distinct_words", "g") \
+        .agg(F.count("*").alias("cnt"))
+    return (
+        per_gram.groupBy(id_col, "n_words", "n_distinct_words")
+        .agg(F.sum("cnt").alias("n_bigrams"),
+             F.max("cnt").alias("top_cnt"),
+             F.count("*").alias("n_distinct_bigrams"))
+        .select(
+            id_col, "n_words",
+            F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 6)
+            .alias("dup_word_frac"),
+            F.round(F.col("top_cnt") / F.col("n_bigrams"), 6)
+            .alias("top_bigram_share"),
+            F.round(1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6)
+            .alias("dup_bigram_frac"),
+        )
+    )

@@ -270,3 +270,46 @@ def t_decontaminate(spark, sf_dir):
     bench = (docs.filter((F.col("doc_id") % 7 == 3) & (F.size(ws) >= 11))
              .select(F.concat_ws(" ", F.slice(ws, 4, 8)).alias("text")))
     return contamination_flags(docs, bench, n=8).orderBy("doc_id")
+
+
+@register(
+    "t_repetition", extra=True,
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS} AS words FROM documents
+),
+base AS (
+    SELECT doc_id, len(words) AS n_words,
+           len(list_distinct(words)) AS n_distinct_words,
+           CASE WHEN len(words) >= 2
+                THEN list_transform(range(1, len(words)),
+                                    i -> array_to_string(words[i:i+1], ' '))
+                ELSE words END AS grams
+    FROM w
+),
+per_gram AS (
+    SELECT doc_id, n_words, n_distinct_words, g, COUNT(*) AS cnt
+    FROM (SELECT doc_id, n_words, n_distinct_words, unnest(grams) AS g
+          FROM base)
+    GROUP BY ALL
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       ROUND(1 - CAST(n_distinct_words AS DOUBLE) / n_words, 6)
+           AS dup_word_frac,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_bigram_share,
+       ROUND(1 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_bigram_frac
+FROM per_gram
+GROUP BY doc_id, n_words, n_distinct_words
+""")
+def t_repetition(spark, sf_dir):
+    """Gopher-style repetition features (ops/text_analysis.py:
+    repetition_features): duplicate-word fraction, most-frequent-2-gram
+    share, duplicate-2-gram fraction — the standard repetition filters
+    for corpus quality gating."""
+    from graphraft_spark.ops.text_analysis import repetition_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_features(docs)
+    return out.select(
+        "doc_id", F.col("n_words").cast("int").alias("n_words"),
+        "dup_word_frac", "top_bigram_share", "dup_bigram_frac")

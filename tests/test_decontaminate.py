@@ -67,3 +67,25 @@ def test_short_benchmark_doc_flags_exact_copy(spark):
     out = {r.doc_id: r.contaminated
            for r in contamination_flags(docs, bench, n=13).collect()}
     assert out[1] and not out[2]
+
+
+def test_repetition_features_known_values(spark):
+    from graphraft_spark.ops.text_analysis import repetition_features
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),        # 6 words {a,b}; bigrams: ab ba ab ba ab
+         (2, "all distinct words here now"),
+         (3, "solo")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r.asDict() for r in repetition_features(docs).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 6
+    assert r1["dup_word_frac"] == pytest.approx(1 - 2 / 6)
+    assert r1["top_bigram_share"] == pytest.approx(3 / 5)   # 'a b' x3 of 5
+    assert r1["dup_bigram_frac"] == pytest.approx(1 - 2 / 5)
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["top_bigram_share"] == pytest.approx(1 / 4)
+    r3 = out[3]  # single word: gram list degenerates to the word
+    assert r3["n_words"] == 1 and r3["dup_word_frac"] == 0.0
+    assert r3["top_bigram_share"] == 1.0
