@@ -103,3 +103,14 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def dedup_events_stream(stream: DataFrame, keys=("event_id",),
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop repeated keys arriving within the
+    watermark window (at-least-once sources → effectively-once
+    downstream).  State holds one entry per key seen in the window and
+    is evicted by the watermark — bounded, unlike an unbounded
+    dropDuplicates.  Batch twin: ``df.dropDuplicates(keys)``."""
+    return (stream.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))

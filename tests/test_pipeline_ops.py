@@ -420,3 +420,22 @@ def test_transform_with_state_sessionize_matches_batch(spark, tmp_path):
     b = {(r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
          for r in b_rows if r["session_start"] != last[r["user_id"]]}
     assert g == b and len(g) > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a staged file with every event
+    duplicated: streamed output matches the batch dropDuplicates."""
+    from graphraft_spark.streaming import read_events_stream, run_stream_to_memory
+    from graphraft_spark.streaming.events import dedup_events_stream, load_events
+
+    ev = load_events(spark, SF)
+    stage = tmp_path / "dup"
+    # one staged file containing each event twice -> one micro-batch,
+    # duplicates inside it
+    ev.unionByName(ev).coalesce(1).write.parquet(str(stage))
+    stream = read_events_stream(spark, str(stage))
+    got = run_stream_to_memory(
+        dedup_events_stream(stream, keys=("event_id",)),
+        "test_dedup_sink", output_mode="append")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
