@@ -49,6 +49,23 @@ def _materialize_dir(sf_dir: str) -> str:
     return f"{repo}/.graph_cache/{tag}"
 
 
+def source_fingerprint(sf_dir: str,
+                       names: tuple[str, ...] | list[str] = TABLES) -> str:
+    """Size+mtime fingerprint of the source parquet files.  The driver
+    REGENERATES testdata between rounds (round 3 changed events.ts type
+    under a running cache); any derived materialization must be keyed by
+    the sources' identity, not just their path."""
+    parts = []
+    for t in sorted(names):
+        p = f"{sf_dir}/{t}.parquet"
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
+        except FileNotFoundError:
+            parts.append(f"{t}:absent")
+    return ";".join(parts)
+
+
 def tpch_graph(spark: SparkSession, sf_dir: str,
                cached: bool = True) -> PropertyGraph:
     """Build — or read back — the property graph for ``sf_dir``.
@@ -68,7 +85,17 @@ def tpch_graph(spark: SparkSession, sf_dir: str,
         return _GRAPH_CACHE[sf_dir]
     path = _materialize_dir(sf_dir)
     marker = f"{path}/_DONE"
-    if not os.path.exists(marker):
+    # the marker records the SOURCE fingerprint: a regenerated testdata
+    # dir (new sizes/mtimes) invalidates the materialization instead of
+    # silently serving stale graph tables against a fresh oracle
+    src_tables = ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem")
+    want = source_fingerprint(sf_dir, src_tables)
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = fh.read().strip()
+    if have != want:
         g = _build_tpch_graph(spark, sf_dir)
         n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         g.nodes.write.mode("overwrite").partitionBy("label") \
@@ -79,7 +106,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str,
         g.undirected_edges.repartition(n, F.col("src")) \
             .write.mode("overwrite").parquet(f"{path}/undirected")
         with open(marker, "w") as fh:
-            fh.write("ok\n")
+            fh.write(want + "\n")
     # Plain parquet scans, deliberately NOT session-persisted: the graph
     # tables are small relative to scan cost, the parquet scans keep
     # filter pushdown + column pruning (lost under InMemoryTableScan),

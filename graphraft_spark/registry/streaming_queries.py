@@ -74,25 +74,38 @@ def st_json_props(spark, sf_dir):
         F.count("*").alias("n"))
 
 
+def _stage_events(sf_dir: str, kind: str) -> str:
+    """Stage the (read-only) testdata events file into a repo-local
+    scratch dir for the file-source stream.  Re-copies when the source
+    was REGENERATED (size/mtime mismatch) — the driver rewrites
+    testdata between rounds, and a stale staged copy would silently
+    desync the streaming extras from the batch oracle."""
+    import os
+    import shutil
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = f"{repo}/.scratch/events_{kind}_{tag}"
+    os.makedirs(stage, exist_ok=True)
+    src = f"{sf_dir}/events.parquet"
+    dst = f"{stage}/events.parquet"
+    st = os.stat(src)
+    fresh = (os.path.exists(dst)
+             and os.stat(dst).st_size == st.st_size
+             and int(os.stat(dst).st_mtime) == int(st.st_mtime))
+    if not fresh:
+        shutil.copy2(src, dst)  # copy2 preserves mtime for the check
+    return stage
+
+
 @register("st_stream_tumbling", extra=True)  # rows-only: true incremental execution
 def st_stream_tumbling(spark, sf_dir):
     """REAL Structured Streaming run: file-source stream over the events
     parquet, watermarked tumbling agg, availableNow trigger into a
     memory sink.  Driver records a rows-only check; pytest asserts
     result == batch plan."""
-    import os
-    import shutil
-
-    # the file source wants a directory; stage the (read-only) testdata
-    # file into a scratch dir inside the repo
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    stage = f"{repo}/.scratch/events_stream_{os.path.basename(sf_dir.rstrip('/'))}"
-    os.makedirs(stage, exist_ok=True)
-    dst = f"{stage}/events.parquet"
-    if not os.path.exists(dst):
-        shutil.copy(f"{sf_dir}/events.parquet", dst)
-
+    stage = _stage_events(sf_dir, "stream")
     stream = read_events_stream(spark, stage)
     agg = tumbling_counts(stream, "1 hour", watermark="2 hours")
     return run_stream_to_memory(agg, "st_stream_tumbling_sink")
@@ -179,20 +192,10 @@ def st_sessionize_stream(spark, sf_dir):
     custom session state, processing-time timeouts.  Emitted rows are
     CLOSED sessions only (open sessions stay in state at availableNow
     shutdown) — the batch twin is the completeness oracle in pytest."""
-    import os
-    import shutil
-
     from graphraft_spark.streaming import read_events_stream, run_stream_to_memory
     from graphraft_spark.streaming.stateful import sessionize_stream
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    stage = f"{repo}/.scratch/events_sess_{os.path.basename(sf_dir.rstrip('/'))}"
-    os.makedirs(stage, exist_ok=True)
-    dst = f"{stage}/events.parquet"
-    if not os.path.exists(dst):
-        shutil.copy(f"{sf_dir}/events.parquet", dst)
-
+    stage = _stage_events(sf_dir, "sess")
     stream = read_events_stream(spark, stage, max_files_per_trigger=1)
     sess = sessionize_stream(stream, gap_s=3600)
     return run_stream_to_memory(sess, "st_sessionize_stream_sink",
@@ -242,12 +245,7 @@ def st_graph_stream_update(spark, sf_dir):
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     tag = os.path.basename(sf_dir.rstrip("/"))
-    stage = f"{repo}/.scratch/events_graph_{tag}"
-    os.makedirs(stage, exist_ok=True)
-    dst = f"{stage}/events.parquet"
-    if not os.path.exists(dst):
-        shutil.copy(f"{sf_dir}/events.parquet", dst)
-
+    stage = _stage_events(sf_dir, "graph")
     out = f"{repo}/.scratch/graph_deltas_{tag}"
     shutil.rmtree(out, ignore_errors=True)  # deterministic rebuild
     stream = read_events_stream(spark, stage, max_files_per_trigger=1)

@@ -87,3 +87,22 @@ def test_embeddings_are_float_arrays():
     assert pa.types.is_list(t) or pa.types.is_large_list(t) or \
         pa.types.is_fixed_size_list(t), t
     assert pa.types.is_floating(t.value_type), t
+
+
+def test_source_fingerprint_tracks_regeneration(tmp_path):
+    """The graph-cache marker must change when the driver regenerates a
+    source table (new size or mtime), so stale materializations rebuild."""
+    import os
+    import time
+
+    from graphraft_spark.graph.tpch import source_fingerprint
+
+    p = tmp_path / "orders.parquet"
+    p.write_bytes(b"v1")
+    fp1 = source_fingerprint(str(tmp_path), ("orders",))
+    os.utime(p, (time.time() + 10, time.time() + 10))
+    fp2 = source_fingerprint(str(tmp_path), ("orders",))
+    assert fp1 != fp2
+    p.write_bytes(b"v2-bigger")
+    assert source_fingerprint(str(tmp_path), ("orders",)) != fp2
+    assert "absent" in source_fingerprint(str(tmp_path), ("missing",))
