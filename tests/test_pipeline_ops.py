@@ -439,3 +439,50 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         "test_dedup_sink", output_mode="append")
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_neardup_equals_batch_lsh(spark, tmp_path):
+    """Incremental LSH dedup: documents streamed in TWO micro-batches
+    (originals first, near-copies second) must produce exactly the
+    pairs the one-shot batch pipeline finds on the full corpus —
+    including the cross-batch pairs that only exist because the index
+    carries state between epochs."""
+    from graphraft_spark.ops.dedup import minhash_lsh_dedup
+    from graphraft_spark.streaming.dedup_stream import (
+        neardup_flags, stream_neardup_flags)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").filter(F.col("doc_id") % 5 == 0)
+    near = (docs.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 10000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zq")).alias("text")))
+
+    stage = tmp_path / "docs_stream"
+    stage.mkdir()
+    docs.coalesce(1).write.parquet(str(stage / "b0"))
+    near.coalesce(1).write.parquet(str(stage / "b1"))
+    import glob
+    import shutil
+    for i, f in enumerate(sorted(glob.glob(str(stage / "b*" / "part-*")))):
+        shutil.copy(f, stage / f"{i:02d}.parquet")
+    shutil.rmtree(stage / "b0")
+    shutil.rmtree(stage / "b1")
+
+    index_dir = str(tmp_path / "dedup_index")
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+    stream_neardup_flags(stream, index_dir, threshold=0.5)
+
+    import os
+    epochs = {d for d in os.listdir(f"{index_dir}/flags")
+              if d.startswith("epoch=")}
+    assert len(epochs) >= 2, epochs  # state really crossed micro-batches
+
+    got = {(r.id_a, r.id_b) for r in
+           neardup_flags(spark, index_dir).collect()}
+    want = {(r.id_a, r.id_b) for r in minhash_lsh_dedup(
+        docs.unionByName(near), num_perm=8, bands=4, k=3,
+        threshold=0.5).collect()}
+    assert got == want and len(want) > 0
+    # at least one pair spans the two micro-batches
+    assert any(a < 10000 <= b for a, b in got)
