@@ -393,3 +393,56 @@ def d_lsh_repair_components(spark, sf_dir):
         max_bucket_size=1, repair_capped=True,
     ).select("id_a", "id_b")
     return connected_components(pairs)
+
+
+@register("d_stream_neardup", extra=True)  # rows-only: true incremental exec
+def d_stream_neardup(spark, sf_dir):
+    """REAL incremental near-dup run (streaming/dedup_stream.py): the
+    near-dup corpus streamed in micro-batches through foreachBatch with
+    a persisted LSH index; returns the accumulated verified pairs.
+    pytest asserts flag-set equality with the one-shot batch pipeline;
+    the driver records a rows-only check (the md5 twin d_minhash_lsh is
+    the oracle-checked anchor for the same semantics)."""
+    import os
+    import shutil
+
+    from graphraft_spark.streaming.dedup_stream import (
+        neardup_flags, stream_neardup_flags)
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = f"{repo}/.scratch/docs_neardup_{tag}"
+    # fingerprint the source so a regenerated documents.parquet rebuilds
+    # the staged micro-batch files (same invalidation rule as the graph
+    # cache / staged events)
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    want = f"{st.st_size}:{int(st.st_mtime)}"
+    marker = f"{stage}/_SRC"
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = fh.read().strip()
+    if have != want:
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        base = _docs_near(spark, sf_dir)
+        base.filter(F.col("doc_id") < 10000).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{stage}/tmp0")
+        base.filter(F.col("doc_id") >= 10000).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{stage}/tmp1")
+        import glob
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/tmp*/part-*"))):
+            shutil.copy(f, f"{stage}/{i:02d}.parquet")
+        shutil.rmtree(f"{stage}/tmp0")
+        shutil.rmtree(f"{stage}/tmp1")
+        with open(marker, "w") as fh:
+            fh.write(want + "\n")
+
+    index_dir = f"{repo}/.scratch/neardup_index_{tag}"
+    shutil.rmtree(index_dir, ignore_errors=True)  # deterministic rebuild
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(stage))
+    stream_neardup_flags(stream, index_dir, threshold=0.5)
+    return neardup_flags(spark, index_dir) \
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
