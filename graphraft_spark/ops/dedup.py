@@ -467,3 +467,58 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             break
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "comp").select("id", "comp", "cluster_size")
+
+
+def embedding_neardup_srp(df: DataFrame, dim: int,
+                          emb_col: str = "embedding",
+                          id_col: str = "vec_id", bits: int = 12,
+                          seed: int = 7, multiprobe: bool = True,
+                          threshold: float = 0.95) -> DataFrame:
+    """Embedding near-dup WITHOUT a label/cluster column: block by
+    signed-random-projection LSH buckets, pair only within (probed)
+    buckets, verify with exact cosine — the corpus-scale alternative to
+    :func:`embedding_neardup`'s caller-supplied buckets when no natural
+    key exists.
+
+    Multiprobe pairs each vector's bucket against its ``bits``
+    Hamming-1 neighbors too, recovering pairs that straddle one
+    hyperplane (the dominant SRP miss mode at high cosine).  Identical
+    vectors always collide (recall 1.0 for exact dups); for
+    threshold≈0.95, per-bit collision probability is
+    1 − arccos(0.95)/π ≈ 0.9, so a 12-bit single-probe finds ≈ 0.9^12 ≈
+    28% and Hamming-1 multiprobe ≈ 0.28·(1+12·0.11) ≈ 66%; stack seeds
+    (union over 2-3 signatures) when the residual matters.  Precision
+    is exact — the cosine verify keeps only true pairs.
+
+    Scale: signature = one narrow scan (no training pass); the
+    self-join shuffles on the bucket id; at 100 TB write the corpus
+    partitionBy(bucket) once so probes are co-located reads."""
+    from graphraft_spark.ops.similarity import srp_hyperplanes, srp_signature
+    from graphraft_spark.search.vector import dot_col
+
+    planes = srp_hyperplanes(dim, bits, seed)
+    s = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"),
+                  srp_signature(F.col(emb_col), planes).alias("bk")).persist()
+    s.count()  # both sides of the probe join scan this
+    if multiprobe:
+        probe_list = F.array(
+            F.col("bk"), *[F.expr(f"bk ^ {1 << i}") for i in range(bits)])
+    else:
+        probe_list = F.array(F.col("bk"))
+    probing = s.select(
+        "id", "e", F.explode(probe_list).alias("bk")
+    ).withColumn("bk", F.col("bk").cast("bigint"))
+    pairs = (
+        probing.alias("a")
+        .join(s.alias("b"),
+              (F.col("a.bk") == F.col("b.bk"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.e").alias("ea"), F.col("b.e").alias("eb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("cosine", dot_col(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -486,3 +486,29 @@ def test_stream_neardup_equals_batch_lsh(spark, tmp_path):
     assert got == want and len(want) > 0
     # at least one pair spans the two micro-batches
     assert any(a < 10000 <= b for a, b in got)
+
+
+def test_embedding_neardup_srp_blocking(spark):
+    """SRP-bucketed embedding near-dup: exact-duplicate vectors are
+    always recovered (identical signature), verified pairs carry exact
+    cosine, and nothing below threshold leaks through."""
+    from graphraft_spark.ops.dedup import embedding_neardup, embedding_neardup_srp
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    dups = emb.filter(F.col("vec_id") % 20 == 0) \
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding",
+                "label")
+    corpus = emb.unionByName(dups)
+    dim = len(emb.first()["embedding"])
+
+    got = embedding_neardup_srp(corpus, dim=dim, threshold=0.999999)
+    rows = got.collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    want_exact = {(r.vec_id, r.vec_id + 100000)
+                  for r in emb.filter(F.col("vec_id") % 20 == 0).collect()}
+    assert want_exact <= pairs                      # recall 1.0 on exact dups
+    assert all(r.cosine >= 0.999999 for r in rows)  # verify is exact
+    # subset of the all-pairs ground truth (blocking adds nothing false)
+    truth = {(r.id_a, r.id_b) for r in
+             embedding_neardup(corpus, threshold=0.999999).collect()}
+    assert pairs <= truth
