@@ -1,0 +1,129 @@
+"""Physical-plan regression tests: the scale-design claims (pushdown,
+broadcasts, no cartesian products, codegen coverage) asserted against
+the actual optimized plans, so a refactor that silently degrades a plan
+fails CI instead of a future benchmark.
+
+Plans come from queryExecution().explainString — cheap (no execution).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"))
+
+
+def physical(df) -> str:
+    # executedPlan AFTER optimization, before execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    from graphraft_spark.graph import tpch_graph
+    return tpch_graph(spark, SF)
+
+
+def test_anchored_twohop_broadcasts_and_pushes_name_filter(spark, graph):
+    from graphraft_spark.patterns.enumerate import enumerate_pattern
+
+    df = enumerate_pattern(graph, "2hop", ["NATION_7"])
+    p = physical(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p           # frontier must broadcast
+    assert "CartesianProduct" not in p
+    assert "PushedFilters: [In(name" in p or "EqualTo(name" in p, \
+        "anchor name filter must reach the parquet scan"
+
+
+def test_node_scan_prunes_columns(spark, graph):
+    """A projection that only needs nodeId/label must not read name or
+    detail from parquet."""
+    df = graph.nodes.select("nodeId", "label")
+    p = physical(df)
+    assert "ReadSchema: struct<nodeId:bigint>" in p or \
+        "detail" not in p.split("ReadSchema")[1].split("\n")[0], p
+
+
+def test_knn_plan_has_no_shuffle_before_topk(spark):
+    """Brute-force KNN is scan → local score → TakeOrdered: no exchange
+    other than the final top-k gather."""
+    from graphraft_spark.search.vector import knn
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .select(F.col("vec_id").alias("nodeId"),
+                F.col("embedding").alias("emb"))
+    q = [0.1] * len(emb.first()["emb"])
+    df = knn(emb, "emb", q, k=5, id_col="nodeId")
+    p = physical(df)
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_lsh_dedup_never_builds_all_pairs(spark):
+    """The LSH candidate join must be an equi-join on (band, bucket) —
+    no cartesian/broadcast nested loop anywhere in the plan."""
+    from graphraft_spark.ops.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    df = minhash_lsh_dedup(docs, num_perm=8, bands=4, threshold=0.5)
+    p = physical(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The bucketed time-grid rewrite must produce an equi-join; the
+    naive range join would be a BroadcastNestedLoopJoin."""
+    from graphraft_spark.ops.temporal import interval_join_bucketed
+    from graphraft_spark.streaming.events import load_events
+
+    ev = load_events(spark, SF)
+    inc = (ev.filter(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("incident_id"),
+                   F.col("ts").alias("start_ts"),
+                   (F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+                   .alias("end_ts")))
+    df = interval_join_bucketed(ev.select("user_id", "ts"), inc,
+                                on="ts", start="start_ts", end="end_ts",
+                                bucket_seconds=600)
+    p = physical(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    from graphraft_spark.ops.decontaminate import contamination_flags
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 7 == 3).select("text")
+    df = contamination_flags(docs, bench, n=8)
+    p = physical(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_text_features_stay_jvm_side_no_shuffle(spark):
+    """Quality/langid/token features must be pure expressions — no
+    Python evaluation (BatchEvalPython / ArrowEvalPython) and no
+    exchange: one Project over the scan.  (Higher-order-function
+    lambdas run JVM-side but outside WholeStageCodegen, so codegen
+    presence is deliberately NOT asserted.)"""
+    from graphraft_spark.ops.text_analysis import (
+        langid_scores, quality_score, token_count_bpe_ish)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select(
+        quality_score(F.col("text")).alias("q"),
+        langid_scores(F.col("text")).alias("l"),
+        token_count_bpe_ish(F.col("text")).alias("t"))
+    p = physical(df)
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "Exchange" not in p
