@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from graphraft_spark.graph import tpch_graph
     from graphraft_spark.patterns import enumerate_paths
 
+    registry.ensure_confs(spark)  # driver sessions may lack our defaults
     g = tpch_graph(spark, "/root/testdata/sf0.001")
     return enumerate_paths(
         g, ["small ring", "NATION_7", "Customer#000000042"]
