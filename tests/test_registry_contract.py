@@ -29,3 +29,22 @@ def test_first_fourteen_are_family_flagships():
     prefixes = {n.split("_")[0] for n in first}
     assert prefixes == {"g", "s", "r", "e", "m", "d", "ann", "t", "st",
                         "tm", "mm", "f", "p", "q"}
+
+
+def test_registered_queries_self_heal_session_confs(spark):
+    """The driver may run queries on a session with different defaults;
+    the registry wrapper must re-assert the semantic confs (timezone,
+    timestamp type) before building the plan, and the result must match
+    the well-configured session's."""
+    from graphraft_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    want = sorted(map(tuple, registry.QUERIES["st_tumbling_agg"](
+        spark, sf).collect()))
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    got_df = registry.QUERIES["st_tumbling_agg"](s2, sf)
+    assert s2.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert sorted(map(tuple, got_df.collect())) == want
