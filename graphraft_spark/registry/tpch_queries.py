@@ -297,3 +297,61 @@ def q_moving_avg_30d(spark, sf_dir):
                 ORDER BY o_orderdate
                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
                 AS DOUBLE), 4)""").alias("ma30"))
+
+
+@register(
+    "q_cube_status_priority", extra=True,
+    oracle="""
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_cube_status_priority(spark, sf_dir):
+    """Grouping-sets coverage, full CUBE: all four grouping combinations
+    in one pass (Expand + single aggregation — not four scans)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("o_totalprice")).cast("double").alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n", "total")
+    )
+
+
+@register(
+    "q_running_revenue", extra=True,
+    oracle="""
+SELECT o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS d,
+       o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS BIGINT) AS nth_order
+FROM orders
+""")
+def q_running_revenue(spark, sf_dir):
+    """Window-function coverage on the fact table: per-customer running
+    revenue + order sequence number.  One shuffle by o_custkey; windows
+    are per-key partitions, never global."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").alias("running_total"),
+        F.row_number().over(w).cast("bigint").alias("nth_order"),
+    )
