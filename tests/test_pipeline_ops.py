@@ -512,3 +512,26 @@ def test_embedding_neardup_srp_blocking(spark):
     truth = {(r.id_a, r.id_b) for r in
              embedding_neardup(corpus, threshold=0.999999).collect()}
     assert pairs <= truth
+
+
+def test_chunk_and_reassemble_payload_roundtrip(spark):
+    """Binary chunking: fixed-size chunks with correct counts, and the
+    order-safe reassembly restores every payload byte-for-byte."""
+    import os
+
+    from graphraft_spark.ops.multimodal import chunk_payload, reassemble_payload
+
+    blobs = [(i, os.urandom(1000 * i + 7)) for i in range(1, 6)] + [(99, b"")]
+    media = spark.createDataFrame(blobs, "media_id bigint, payload binary")
+    chunks = chunk_payload(media, chunk_bytes=1024)
+    rows = chunks.collect()
+    for r in rows:
+        assert len(r.chunk) <= 1024
+    n_by_id = {r.media_id: r.n_chunks for r in rows}
+    assert n_by_id[1] == 1 and n_by_id[5] == 5  # 5007 bytes -> 5 chunks
+    assert n_by_id[99] == 1                     # empty payload: one empty chunk
+
+    back = {r.media_id: bytes(r.payload)
+            for r in reassemble_payload(chunks).collect()}
+    want = {i: b for i, b in blobs}
+    assert back == want
