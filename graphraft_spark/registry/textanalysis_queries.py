@@ -313,3 +313,45 @@ def t_repetition(spark, sf_dir):
     return out.select(
         "doc_id", F.col("n_words").cast("int").alias("n_words"),
         "dup_word_frac", "top_bigram_share", "dup_bigram_frac")
+
+
+@register(
+    "t_quality_gate", extra=True,
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(CAST({_stop_sql('en')} AS DOUBLE)
+                             / GREATEST(len({_WORDS}), 1) * 4, 1.0)
+                 + 0.3 * (CASE WHEN len({_WORDS}) > 0 AND
+                               list_sum(list_transform({_WORDS},
+                                        w -> len(w))) / len({_WORDS})
+                               BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+                 + 0.3 * (1 - LEAST(CAST(len(regexp_extract_all(text,
+                          '[^\\w\\s]')) AS DOUBLE)
+                          / GREATEST(length(text), 1) * 5, 1.0)), 6)
+               AS quality
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, quality,
+           percent_rank() OVER (ORDER BY quality, doc_id) AS pr
+    FROM scored
+)
+SELECT doc_id, quality FROM ranked WHERE pr >= 0.25
+""")
+def t_quality_gate(spark, sf_dir):
+    """Quantile gate: drop the bottom 25% of documents by quality score
+    using percent_rank — rank semantics are EXACT and engine-portable
+    (no interpolated-quantile drift between engines).  The global
+    window is the single-shard form; at 100 TB partition by a shard key
+    (the gate then holds per shard) or precompute the threshold with a
+    mergeable GK sketch (ops/sketches.py) and broadcast it."""
+    from pyspark.sql import Window
+
+    from graphraft_spark.ops.text_analysis import quality_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    pr = F.percent_rank().over(Window.orderBy("quality", "doc_id"))
+    return (scored.withColumn("pr", pr).filter(F.col("pr") >= 0.25)
+            .select("doc_id", "quality"))
