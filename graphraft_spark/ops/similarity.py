@@ -299,3 +299,57 @@ def srp_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int,
         .filter(F.col("rn") <= k)
         .select(qid_col, id_col, "score", "rn")
     )
+
+
+def save_ivf_index(assigned: DataFrame, centroids: DataFrame,
+                   index_dir: str) -> None:
+    """Persist an IVF index: vectors partitioned BY CENTROID on disk
+    (``partitionBy(centroid_id)``) plus the centroid table.  This is
+    the serving layout at scale — a probe touches only its centroids'
+    partitions (partition pruning at the parquet source, asserted in
+    tests), so per-query scan cost is corpus_size·nprobe/k instead of
+    the full corpus."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id") \
+        .parquet(f"{index_dir}/vectors")
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def load_ivf_index(spark, index_dir: str):
+    """(assigned, centroids) read back from a saved index."""
+    return (spark.read.parquet(f"{index_dir}/vectors"),
+            spark.read.parquet(f"{index_dir}/centroids"))
+
+
+def ivf_search_pruned(spark, index_dir: str, queries: DataFrame, k: int,
+                      nprobe: int = 2, qid_col: str = "qid",
+                      qemb_col: str = "q_emb",
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> DataFrame:
+    """Search a SAVED index with static partition pruning: the probed
+    centroid ids are computed first (tiny — |Q|·nprobe rows, collected
+    once) and pushed into the scan as an IN filter on the partition
+    column, so only the probed directories are listed and read.  The
+    per-query candidate restriction then joins on (centroid_id, qid)."""
+    assigned, centroids = load_ivf_index(spark, index_dir)
+    qc = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cscore", dot_col(F.col(qemb_col), F.col("c_emb")))
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("cscore"),
+                                             F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(qid_col, qemb_col, "centroid_id")
+    )
+    probed_cids = [int(r["centroid_id"])
+                   for r in probes.select("centroid_id").distinct().collect()]
+    pruned = assigned.filter(F.col("centroid_id").isin(probed_cids))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        pruned.join(F.broadcast(probes), "centroid_id")
+        .withColumn("score", dot_col(F.col(emb_col), F.col(qemb_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(qid_col, id_col, "score", "rn")
+    )

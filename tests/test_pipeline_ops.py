@@ -535,3 +535,34 @@ def test_chunk_and_reassemble_payload_roundtrip(spark):
             for r in reassemble_payload(chunks).collect()}
     want = {i: b for i, b in blobs}
     assert back == want
+
+
+def test_ivf_saved_index_prunes_partitions_and_matches(spark, tmp_path):
+    """save/load IVF index: the pruned search must (a) return exactly
+    the in-memory ivf_search results and (b) show the centroid IN
+    filter as a PartitionFilter in the parquet scan — scan cost is the
+    probed partitions only."""
+    from graphraft_spark.ops.similarity import (
+        ivf_assign, ivf_centroids, ivf_search, ivf_search_pruned,
+        load_ivf_index, save_ivf_index)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ivf_centroids(emb, every=50)
+    assigned = ivf_assign(emb, cents)
+    index_dir = str(tmp_path / "ivf")
+    save_ivf_index(assigned, cents, index_dir)
+
+    queries = (emb.filter(F.col("vec_id") % 100 == 1)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("q_emb")))
+    got_df = ivf_search_pruned(spark, index_dir, queries, k=5, nprobe=2)
+    p = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "centroid_id" in p.split(
+        "PartitionFilters")[1].split("]")[0], \
+        "probe must prune index partitions at the scan"
+
+    got = {(r.qid, r.vec_id, r.rn) for r in got_df.collect()}
+    loaded_assigned, loaded_cents = load_ivf_index(spark, index_dir)
+    want = {(r.qid, r.vec_id, r.rn) for r in ivf_search(
+        loaded_assigned, loaded_cents, queries, k=5, nprobe=2).collect()}
+    assert got == want and len(got) > 0
