@@ -232,3 +232,52 @@ def repetition_features(df, text_col: str = "text",
             .alias("dup_bigram_frac"),
         )
     )
+
+
+def pack_bins_scalable(df, budget: int, size_col: str,
+                       order_col: str = "doc_id",
+                       out_col: str = "bin_id", partitions: int | None = None):
+    """Distributed twin of :func:`pack_bins` — identical output
+    (bin = floor(exclusive-cumulative-size / budget) over the global
+    ``order_col`` order) WITHOUT a global window:
+
+    1. range-partition by ``order_col`` so partition p holds a
+       contiguous key range, and compute per-partition totals (one
+       small aggregate — |partitions| rows to the driver);
+    2. turn those into per-partition OFFSETS (prefix sum over the
+       ordered partition ids, done driver-side on n numbers) and
+       broadcast them back as a join table;
+    3. local exclusive cumsum per partition (window partitioned by the
+       partition id — never global) + offset = the global cumsum.
+
+    The result is independent of where the range boundaries land, so
+    the sampling inside repartitionByRange cannot change the output —
+    asserted against the single-window form in tests."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n, F.col(order_col)) \
+        .withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=True)  # pin pid↔row assignment
+    totals = (ranged.groupBy("_pid")
+              .agg(F.sum(size_col).alias("_tot"),
+                   F.min(order_col).alias("_lo"))
+              .collect())
+    # partition ids ordered by their key range → running offsets
+    offsets, run = {}, 0
+    for r in sorted(totals, key=lambda r: r["_lo"]):
+        offsets[r["_pid"]] = run
+        run += r["_tot"] or 0
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off bigint")
+    w = (Window.partitionBy("_pid").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.floor(
+            (F.col("_off") + local_before) / F.lit(float(budget)))
+            .cast("bigint"))
+        .drop("_pid", "_off")
+    )

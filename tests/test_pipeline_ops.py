@@ -566,3 +566,23 @@ def test_ivf_saved_index_prunes_partitions_and_matches(spark, tmp_path):
     want = {(r.qid, r.vec_id, r.rn) for r in ivf_search(
         loaded_assigned, loaded_cents, queries, k=5, nprobe=2).collect()}
     assert got == want and len(got) > 0
+
+
+def test_pack_bins_scalable_matches_global_window(spark):
+    """The distributed two-pass prefix-sum packing must reproduce the
+    single-window pack_bins exactly, for any partition count."""
+    from graphraft_spark.ops.text_analysis import pack_bins, pack_bins_scalable
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    want = {(r.doc_id, r.bin_id) for r in
+            pack_bins(df, budget=500, size_col="n_tokens").collect()}
+    for n in (1, 4, 32):
+        got = {(r.doc_id, r.bin_id) for r in pack_bins_scalable(
+            df, budget=500, size_col="n_tokens", partitions=n).collect()}
+        assert got == want, f"partitions={n}"
+    # no global exchange-into-single-partition in the scalable plan
+    p = pack_bins_scalable(df, budget=500, size_col="n_tokens",
+                           partitions=8)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
