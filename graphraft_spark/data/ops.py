@@ -63,10 +63,14 @@ def best_label_is_good(sorted_arr: Column, n_answers: Column,
 def head_n(df: DataFrame, n: int, order_by: list[Column]) -> DataFrame:
     """E3: head-N on a *defined* order (the reference's
     .filter(lambda _, i: i < n, with_indices=True) relies on dataset
-    order; distributed frames need an explicit one)."""
-    w = Window.orderBy(*order_by)
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n).drop("__rn"))
+    order; distributed frames need an explicit one).
+
+    sort+limit compiles to TakeOrderedAndProject — a distributed
+    partial top-N with per-partition pruning, never the
+    single-partition global window a row_number() formulation needs.
+    Pass a TOTAL order (include a unique key) for deterministic results
+    under ties, exactly as the window form required."""
+    return df.orderBy(*order_by).limit(n)
 
 
 def repair_queries(queries: Column) -> Column:
