@@ -36,6 +36,7 @@ HEADLINE = [
     "m_metrics_per_row",
     "e_parallel_sort",
     "t_quality_features",
+    "t_decontaminate",
     "st_tumbling_agg",
     "st_sliding_agg",
     "st_graph_deltas",

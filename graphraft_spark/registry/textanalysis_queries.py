@@ -269,7 +269,9 @@ def t_decontaminate(spark, sf_dir):
     ws = words(F.col("text"))
     bench = (docs.filter((F.col("doc_id") % 7 == 3) & (F.size(ws) >= 11))
              .select(F.concat_ws(" ", F.slice(ws, 4, 8)).alias("text")))
-    return contamination_flags(docs, bench, n=8).orderBy("doc_id")
+    # no orderBy: the driver's compare is order-insensitive and a global
+    # sort would add a pointless single-range exchange
+    return contamination_flags(docs, bench, n=8)
 
 
 @register(
