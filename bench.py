@@ -78,9 +78,14 @@ def main() -> None:
     # the whole artifact again — round 3's bench died whole on one
     # AnalysisException); failed queries land in "errors", the rest
     # still produce numbers.
+    # TWO warmups: measured per-query settle curve at sf0.1 shows the
+    # first 2-3 executions still paying C2/codegen compilation (8.1 →
+    # 4.3 → 5.5 → 2.0 → 1.7 s for the 2-hop flagship); one warmup left
+    # the timed pair in the warming tail
     times, errors = {}, {}
     for name in names:
         try:
+            run(name)
             run(name)
             times[name] = min(run(name), run(name))
         except Exception as e:  # noqa: BLE001 — report, don't die
