@@ -169,3 +169,68 @@ def test_source_quota_keeps_first_cap_per_source(spark, sizes, cap):
         per.setdefault(src, []).append(i)
     want = sorted(i for ids in per.values() for i in sorted(ids)[:cap])
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(blobs=st.lists(st.binary(min_size=0, max_size=5000),
+                      min_size=1, max_size=6),
+       chunk=st.integers(1, 1500))
+def test_chunk_reassemble_roundtrip_any_bytes(spark, blobs, chunk):
+    """chunk_payload/reassemble_payload round-trip arbitrary payloads
+    at arbitrary chunk sizes, byte-for-byte."""
+    from graphraft_spark.ops.multimodal import chunk_payload, reassemble_payload
+
+    media = spark.createDataFrame(
+        list(enumerate(blobs)), "media_id bigint, payload binary")
+    back = {r.media_id: bytes(r.payload) for r in reassemble_payload(
+        chunk_payload(media, chunk_bytes=chunk)).collect()}
+    assert back == {i: b for i, b in enumerate(blobs)}
+
+
+@settings(**SETTINGS)
+@given(corpus=st.lists(st.text(alphabet="abcd ", min_size=1, max_size=40),
+                       min_size=1, max_size=8),
+       bench_idx=st.data())
+def test_decontamination_matches_python_oracle(spark, corpus, bench_idx):
+    """contamination_flags == brute-force n-gram intersection in Python
+    (same normalization, same whole-text-gram rule for short docs)."""
+    from graphraft_spark.ops.decontaminate import contamination_flags
+
+    n = 3
+
+    def grams(text):
+        ws = text.lower().split()
+        if not ws:
+            return set()
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    docs = [(i, t) for i, t in enumerate(corpus) if t.split()]
+    if not docs:
+        return
+    k = bench_idx.draw(st.integers(0, len(docs) - 1))
+    bench_text = docs[k][1]
+    bench_grams = grams(bench_text)
+    want = {i: len(grams(t) & bench_grams) for i, t in docs}
+
+    ddf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    bdf = spark.createDataFrame([(0, bench_text)], "qid bigint, text string")
+    got = {r.doc_id: r.n_hits
+           for r in contamination_flags(ddf, bdf, n=n).collect()}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(sizes=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+       budget=st.integers(5, 60), parts=st.integers(1, 5))
+def test_pack_bins_scalable_property(spark, sizes, budget, parts):
+    from graphraft_spark.ops.text_analysis import pack_bins, pack_bins_scalable
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id bigint, sz bigint")
+    want = {(r.doc_id, r.bin_id) for r in
+            pack_bins(df, budget, "sz").collect()}
+    got = {(r.doc_id, r.bin_id) for r in pack_bins_scalable(
+        df, budget, "sz", partitions=parts).collect()}
+    assert got == want
