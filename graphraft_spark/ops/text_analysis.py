@@ -281,44 +281,3 @@ def pack_bins_scalable(df, budget: int, size_col: str,
             .cast("bigint"))
         .drop("_pid", "_off")
     )
-
-
-def repetition_features_hashed(df, text_col: str = "text",
-                               id_col: str = "doc_id"):
-    """Production twin of :func:`repetition_features`: 2-grams become
-    rolling xxhash64 combinations of per-word hashes, so no gram
-    strings are built and the two shuffles carry bigints instead of
-    text.  Fraction semantics are identical up to hash collisions
-    (~1e-9 per doc pair of grams); the string form stays the
-    oracle-checked anchor."""
-    ws = words(F.col(text_col))
-    wh = F.transform(ws, lambda w: F.xxhash64(w))
-    n = F.size(wh)
-    gh = F.when(n >= 2, F.zip_with(
-        wh, F.slice(wh, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.xxhash64(a, b))).otherwise(wh)
-    gh = F.when(n >= 2, F.slice(gh, 1, F.greatest(n - 1, F.lit(1)))) \
-        .otherwise(gh)
-    grams = df.select(
-        F.col(id_col),
-        n.alias("n_words"),
-        F.size(F.array_distinct(ws)).alias("n_distinct_words"),
-        F.explode(gh).alias("g"),
-    )
-    per_gram = grams.groupBy(id_col, "n_words", "n_distinct_words", "g") \
-        .agg(F.count("*").alias("cnt"))
-    return (
-        per_gram.groupBy(id_col, "n_words", "n_distinct_words")
-        .agg(F.sum("cnt").alias("n_bigrams"),
-             F.max("cnt").alias("top_cnt"),
-             F.count("*").alias("n_distinct_bigrams"))
-        .select(
-            id_col, "n_words",
-            F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 6)
-            .alias("dup_word_frac"),
-            F.round(F.col("top_cnt") / F.col("n_bigrams"), 6)
-            .alias("top_bigram_share"),
-            F.round(1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6)
-            .alias("dup_bigram_frac"),
-        )
-    )

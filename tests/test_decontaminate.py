@@ -89,13 +89,3 @@ def test_repetition_features_known_values(spark):
     r3 = out[3]  # single word: gram list degenerates to the word
     assert r3["n_words"] == 1 and r3["dup_word_frac"] == 0.0
     assert r3["top_bigram_share"] == 1.0
-
-
-def test_repetition_hashed_twin_agrees(spark):
-    from graphraft_spark.ops.text_analysis import (
-        repetition_features, repetition_features_hashed)
-
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    s = {tuple(r) for r in repetition_features(docs).collect()}
-    h = {tuple(r) for r in repetition_features_hashed(docs).collect()}
-    assert s == h
