@@ -322,36 +322,3 @@ def q_cube_status_priority(spark, sf_dir):
             F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
             "n", "total")
     )
-
-
-@register(
-    "q_running_revenue", extra=True,
-    oracle="""
-SELECT o_custkey,
-       strftime(o_orderdate, '%Y-%m-%d') AS d,
-       o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
-       CAST(ROW_NUMBER() OVER (
-            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-            AS BIGINT) AS nth_order
-FROM orders
-""")
-def q_running_revenue(spark, sf_dir):
-    """Window-function coverage on the fact table: per-customer running
-    revenue + order sequence number.  One shuffle by o_custkey; windows
-    are per-key partitions, never global."""
-    from pyspark.sql import Window
-
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
-        "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double").alias("running_total"),
-        F.row_number().over(w).cast("bigint").alias("nth_order"),
-    )
