@@ -255,3 +255,27 @@ def st_graph_stream_update(spark, sf_dir):
         "src", "dst", "relType", "n_events",
         F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_s"),
         F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_s"))
+
+
+@register(
+    "st_props_variant", extra=True,
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k')
+                             AS BIGINT) % 2 = 0 THEN 1 END)
+            AS BIGINT) AS n_even_k
+FROM events GROUP BY event_type
+""")
+def st_props_variant(spark, sf_dir):
+    """Semi-structured props via Spark 4 VARIANT (parse_json +
+    variant_get): the open-schema path for evolving event payloads —
+    unlike get_json_object the variant is parsed ONCE into a binary
+    form and every field access is a cheap typed extraction, the
+    columnar analog of shredded JSON."""
+    ev = load_events(spark, sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k % 2 == 0, 1)).alias("n_even_k"))
