@@ -322,3 +322,54 @@ def q_cube_status_priority(spark, sf_dir):
             F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
             "n", "total")
     )
+
+
+@register(
+    "q_pivot_status", extra=True,
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p
+FROM orders GROUP BY o_orderpriority
+""")
+def q_pivot_status(spark, sf_dir):
+    """Pivot coverage: order counts per priority, one column per order
+    status.  An explicit value list keeps the pivot a single pass (no
+    distinct-values pre-scan) — required at scale."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"]).count()
+        .select("priority",
+                F.coalesce("F", F.lit(0)).alias("f"),
+                F.coalesce("O", F.lit(0)).alias("o"),
+                F.coalesce("P", F.lit(0)).alias("p"))
+    )
+
+
+@register(
+    "q_unpivot_quality", extra=True,
+    oracle="""
+SELECT doc_id, feature, ROUND(value, 6) AS value
+FROM (
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(string_split(trim(regexp_replace(lower(text),
+                '\\s+', ' ', 'g')), ' ')) AS DOUBLE) AS n_words
+    FROM documents
+) UNPIVOT (value FOR feature IN (n_chars, n_words))
+""")
+def q_unpivot_quality(spark, sf_dir):
+    """Unpivot (melt) coverage: wide per-document features to long
+    (doc_id, feature, value) — the feature-store export shape."""
+    from graphraft_spark.ops.dedup import words
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wide = d.select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(words(F.col("text"))).cast("double").alias("n_words"))
+    return (wide.unpivot("doc_id", ["n_chars", "n_words"],
+                         "feature", "value")
+            .select("doc_id", "feature", F.round("value", 6).alias("value")))
