@@ -15,7 +15,7 @@ Design (foreachBatch, same delta-log pattern as graph_updates.py):
   (id, hs) — appended once per micro-batch, overwriting the batch's
   own ``epoch=N`` partition so a replayed epoch is idempotent;
 * each micro-batch computes signatures ONCE, finds candidates
-  within the batch (candidates_from_hashes) and against the existing
+  within the batch (band-bucket self-join) and against the existing
   index (equi-join on (band, bucket) — only colliding buckets are
   touched, never the whole corpus), verifies with exact Jaccard over
   the stored shingle-hash arrays, and appends surviving pairs to
@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 
 from graphraft_spark.ops.dedup import (
     _h60,
-    candidates_from_hashes,
     jaccard,
     lsh_bands,
     shingles,
@@ -97,8 +96,15 @@ def process_dedup_batch(batch: DataFrame, epoch_id: int, index_dir: str,
     idx_hashes = _read_or_empty(spark, os.path.join(index_dir, "hashes"),
                                 _EMPTY_HASHES)
 
-    # within-batch candidate pairs (id_a < id_b)
-    within = candidates_from_hashes(hashed, num_perm, bands)
+    # within-batch candidate pairs (id_a < id_b) — built from the
+    # already-persisted banded frame (candidates_from_hashes would
+    # recompute signatures + banding from scratch every micro-batch)
+    a, b = banded.alias("a"), banded.alias("b")
+    within = (a.join(b, ["band", "bucket"])
+              .filter(F.col("a.id") < F.col("b.id"))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+              .distinct())
     # cross pairs: batch docs probing existing index buckets
     cross = (
         banded.join(idx_bands.select(F.col("id").alias("old_id"),
