@@ -353,3 +353,42 @@ def ivf_search_pruned(spark, index_dir: str, queries: DataFrame, k: int,
         .filter(F.col("rn") <= k)
         .select(qid_col, id_col, "score", "rn")
     )
+
+
+def ivf_index_append(batch: DataFrame, centroids: DataFrame,
+                     index_dir: str, epoch_id: int,
+                     id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> None:
+    """Append one micro-batch of vectors to a saved IVF index: assign
+    against the FROZEN centroid table (broadcast, one scan) and land
+    the rows under their centroid partitions in the batch's own
+    ``epoch=N`` subdirectory — a replayed epoch overwrites itself, so
+    ingestion is idempotent under at-least-once delivery (same
+    delta-log discipline as the incremental graph and dedup index).
+    Centroids drift under sustained ingest; retrain offline and rewrite
+    the index when assignment quality degrades — the standard IVF
+    operating procedure."""
+    assigned = ivf_assign(batch, centroids, id_col, emb_col)
+    (assigned.withColumn("epoch", F.lit(int(epoch_id)))
+     .write.mode("overwrite")
+     .partitionBy("centroid_id", "epoch")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(f"{index_dir}/vectors"))
+
+
+def stream_ivf_ingest(vec_stream: DataFrame, centroids: DataFrame,
+                      index_dir: str, id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> None:
+    """Continuously ingest a vector stream into a saved IVF index
+    (availableNow: drain then stop).  Write the centroid table first if
+    the index is new; searches via ivf_search_pruned see every epoch
+    ingested so far (partition discovery merges them)."""
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    q = (
+        vec_stream.writeStream
+        .foreachBatch(lambda b, e: ivf_index_append(
+            b, centroids, index_dir, e, id_col, emb_col))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

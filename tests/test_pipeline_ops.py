@@ -586,3 +586,49 @@ def test_pack_bins_scalable_matches_global_window(spark):
                            partitions=8)
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_stream_ivf_ingest_matches_batch_index(spark, tmp_path):
+    """Vectors streamed into the IVF index across micro-batches must be
+    searchable identically to a batch-built index, and an epoch replay
+    must not duplicate rows (idempotent overwrite)."""
+    from graphraft_spark.ops.similarity import (
+        ivf_assign, ivf_centroids, ivf_index_append, ivf_search,
+        ivf_search_pruned, stream_ivf_ingest)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ivf_centroids(emb, every=50)
+
+    stage = tmp_path / "vecs"
+    stage.mkdir()
+    import glob
+    import shutil
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1) \
+        .write.parquet(str(stage / "t0"))
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1) \
+        .write.parquet(str(stage / "t1"))
+    for i, f in enumerate(sorted(glob.glob(str(stage / "t*" / "part-*")))):
+        shutil.copy(f, stage / f"{i:02d}.parquet")
+    shutil.rmtree(stage / "t0")
+    shutil.rmtree(stage / "t1")
+
+    index_dir = str(tmp_path / "ivf_stream")
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+    stream_ivf_ingest(stream, cents, index_dir)
+
+    queries = (emb.filter(F.col("vec_id") % 100 == 1)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("q_emb")))
+    got = {(r.qid, r.vec_id, r.rn) for r in ivf_search_pruned(
+        spark, index_dir, queries, k=5, nprobe=2).collect()}
+    want = {(r.qid, r.vec_id, r.rn) for r in ivf_search(
+        ivf_assign(emb, cents), cents, queries, k=5, nprobe=2).collect()}
+    assert got == want and len(got) > 0
+
+    # replay epoch 0: same rows, no duplicates
+    batch0 = spark.read.parquet(str(stage / "00.parquet"))
+    from graphraft_spark.ops.similarity import load_ivf_index
+    n_before = load_ivf_index(spark, index_dir)[0].count()
+    ivf_index_append(batch0, cents, index_dir, 0)
+    assert load_ivf_index(spark, index_dir)[0].count() == n_before
