@@ -275,3 +275,25 @@ undirected_edges AS (
     SELECT edgeId, dst AS src, src AS dst, relType FROM edges
 )
 """
+
+
+def register_sql_views(spark: SparkSession, sf_dir: str,
+                       include_graph: bool = True) -> list[str]:
+    """Expose the testdata tables — and the derived property graph —
+    as temp views so the whole engine surface is reachable from plain
+    ``spark.sql``: ``nodes``, ``edges``, ``undirected_edges`` join like
+    any other table (the same views the DuckDB oracles are written
+    against, so oracle SQL runs on Spark nearly verbatim).  Returns the
+    registered view names."""
+    names = []
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+        names.append(t)
+    if include_graph:
+        g = tpch_graph(spark, sf_dir)
+        g.nodes.createOrReplaceTempView("nodes")
+        g.edges.createOrReplaceTempView("edges")
+        g.undirected_edges.createOrReplaceTempView("undirected_edges")
+        names += ["nodes", "edges", "undirected_edges"]
+    return names

@@ -48,3 +48,28 @@ def test_registered_queries_self_heal_session_confs(spark):
     got_df = registry.QUERIES["st_tumbling_agg"](s2, sf)
     assert s2.conf.get("spark.sql.session.timeZone") == "UTC"
     assert sorted(map(tuple, got_df.collect())) == want
+
+
+def test_sql_views_answer_graph_query(spark):
+    """register_sql_views makes the graph queryable from plain SQL —
+    a 1-hop pattern written as joins over the views matches the
+    DataFrame compiler's answer."""
+    from graphraft_spark.graph.tpch import register_sql_views, tpch_graph
+    from graphraft_spark.patterns.enumerate import enumerate_pattern
+
+    sf = "/root/testdata/sf0.001"
+    names = register_sql_views(spark, sf)
+    assert {"orders", "nodes", "undirected_edges"} <= set(names)
+    got = spark.sql("""
+        SELECT n1.label AS label1, n1.name AS name1, e.relType AS type1,
+               n2.label AS label2, COUNT(DISTINCT n2.nodeId) AS totalCnt
+        FROM nodes n1
+        JOIN undirected_edges e ON e.src = n1.nodeId
+        JOIN nodes n2 ON n2.nodeId = e.dst
+        WHERE n1.name = 'NATION_7'
+        GROUP BY n1.label, n1.name, e.relType, n2.label
+    """).collect()
+    want = enumerate_pattern(
+        tpch_graph(spark, sf), "1hop", ["NATION_7"]).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(want) > 0
