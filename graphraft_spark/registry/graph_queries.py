@@ -364,3 +364,27 @@ def g_ingest_normalize(spark, sf_dir):
         format_relationship_type(F.col("edge_type"), "prime")
         .alias("rel_other"),
     )
+
+
+_SQL_ONEHOP = """
+SELECT n1.label AS label1, n1.name AS name1, e.relType AS type1,
+       n2.label AS label2, COUNT(DISTINCT n2.nodeId) AS totalCnt
+FROM nodes n1
+JOIN undirected_edges e ON e.src = n1.nodeId
+JOIN nodes n2 ON n2.nodeId = e.dst
+WHERE n1.name IN ('small ring', 'NATION_7', 'Customer#000000042')
+GROUP BY n1.label, n1.name, e.relType, n2.label
+"""
+
+
+@register("g_sql_onehop", extra=True,
+          oracle=GRAPH_ORACLE_CTE + _SQL_ONEHOP)
+def g_sql_onehop(spark, sf_dir):
+    """The pure-SQL engine surface: the IDENTICAL query text runs on
+    Spark (over register_sql_views' temp views) and on DuckDB (over the
+    oracle CTE graph derivation) — a reference user can drive the whole
+    graph in spark.sql without touching the DataFrame API."""
+    from graphraft_spark.graph.tpch import register_sql_views
+
+    register_sql_views(spark, sf_dir)
+    return spark.sql(_SQL_ONEHOP)
