@@ -632,3 +632,32 @@ def test_stream_ivf_ingest_matches_batch_index(spark, tmp_path):
     n_before = load_ivf_index(spark, index_dir)[0].count()
     ivf_index_append(batch0, cents, index_dir, 0)
     assert load_ivf_index(spark, index_dir)[0].count() == n_before
+
+
+def test_dedup_index_epoch_replay_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (at-least-once delivery) must leave the
+    dedup index and flag set byte-identical — epoch partitions
+    overwrite themselves."""
+    from graphraft_spark.streaming.dedup_stream import (
+        neardup_flags, process_dedup_batch)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").filter(F.col("doc_id") % 5 == 0)
+    near = (docs.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 10000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zq")).alias("text")))
+    index_dir = str(tmp_path / "idx")
+
+    process_dedup_batch(docs, 0, index_dir, threshold=0.5)
+    process_dedup_batch(near, 1, index_dir, threshold=0.5)
+    flags1 = {(r.id_a, r.id_b, r.jaccard)
+              for r in neardup_flags(spark, index_dir).collect()}
+    n_hashes = spark.read.parquet(f"{index_dir}/hashes").count()
+
+    # replay BOTH epochs out of order
+    process_dedup_batch(near, 1, index_dir, threshold=0.5)
+    process_dedup_batch(docs, 0, index_dir, threshold=0.5)
+    flags2 = {(r.id_a, r.id_b, r.jaccard)
+              for r in neardup_flags(spark, index_dir).collect()}
+    assert flags1 == flags2 and len(flags1) > 0
+    assert spark.read.parquet(f"{index_dir}/hashes").count() == n_hashes
