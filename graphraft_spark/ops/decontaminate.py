@@ -70,12 +70,16 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                   text_col: str = "text", id_col: str = "doc_id",
                   bench_text_col: str | None = None,
                   hashed: bool = True) -> DataFrame:
-    """Drop contaminated docs (broadcast anti-join against the flagged
-    ids); production default uses the hashed gram path."""
+    """Drop contaminated docs (anti-join against the flagged ids);
+    production default uses the hashed gram path."""
     dirty = (
         contamination_flags(docs, benchmark, n, text_col, id_col,
                             bench_text_col, hashed)
         .filter(F.col("contaminated"))
         .select(id_col)
     )
-    return docs.join(F.broadcast(dirty), id_col, "left_anti")
+    # no broadcast hint: the dirty set is bounded by CORPUS
+    # contamination, not the small benchmark side — a leaked boilerplate
+    # template can flag a large corpus fraction, and the planner should
+    # be free to shuffle the anti-join in that case
+    return docs.join(dirty, id_col, "left_anti")

@@ -269,7 +269,12 @@ def _lsh_verified_pairs(hashed: DataFrame, arrs: DataFrame, num_perm: int,
               .join(v.select("id_a", "id_b"), ["id_a", "id_b"],
                     "left_anti"))
     kept2 = verify(repair).filter(F.col("jaccard") >= threshold)
-    return kept.unionByName(kept2)
+    # materialize the (small) verified-pair result and free the cached
+    # verify frame — repeated repair_capped invocations in a long-lived
+    # session must not accumulate dead cached blocks
+    out = kept.unionByName(kept2).localCheckpoint(eager=True)
+    v.unpersist()
+    return out
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
@@ -575,6 +580,12 @@ def connected_components_bistar(pairs: DataFrame,
         e = ss
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components_bistar did not converge in {max_iter} "
+            "rounds — pathological input or max_iter set far below "
+            "O(log n); raise max_iter (labels from a non-fixpoint edge "
+            "set would be corrupt, so refusing)")
     labels = (e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
               .unionByName(e.select(F.col("v").alias("id"),
                                     F.col("v").alias("comp")))

@@ -304,13 +304,18 @@ def srp_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int,
 def save_ivf_index(assigned: DataFrame, centroids: DataFrame,
                    index_dir: str) -> None:
     """Persist an IVF index: vectors partitioned BY CENTROID on disk
-    (``partitionBy(centroid_id)``) plus the centroid table.  This is
-    the serving layout at scale — a probe touches only its centroids'
-    partitions (partition pruning at the parquet source, asserted in
-    tests), so per-query scan cost is corpus_size·nprobe/k instead of
-    the full corpus."""
-    assigned.write.mode("overwrite").partitionBy("centroid_id") \
-        .parquet(f"{index_dir}/vectors")
+    plus the centroid table.  This is the serving layout at scale — a
+    probe touches only its centroids' partitions (partition pruning at
+    the parquet source, asserted in tests), so per-query scan cost is
+    corpus_size·nprobe/k instead of the full corpus.
+
+    Layout is ``centroid_id=X/epoch=N`` — the SAME directory depth
+    ivf_index_append writes, so a bulk-built index accepts streaming
+    appends afterwards (mixed depths break partition discovery).  The
+    bulk load is epoch 0."""
+    (assigned.withColumn("epoch", F.lit(0))
+     .write.mode("overwrite").partitionBy("centroid_id", "epoch")
+     .parquet(f"{index_dir}/vectors"))
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
 
@@ -337,13 +342,18 @@ def ivf_search_pruned(spark, index_dir: str, queries: DataFrame, k: int,
     )
     wq = Window.partitionBy(qid_col).orderBy(F.desc("cscore"),
                                              F.asc("centroid_id"))
-    probes = (
+    probes_plan = (
         qc.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select(qid_col, qemb_col, "centroid_id")
     )
-    probed_cids = [int(r["centroid_id"])
-                   for r in probes.select("centroid_id").distinct().collect()]
+    # collect ONCE (|Q|·nprobe rows — queries are the small side by
+    # contract) and rebuild the probe frame locally: the centroid-
+    # scoring job would otherwise run twice, once for the id collect
+    # and again when the returned plan executes
+    probe_rows = probes_plan.collect()
+    probed_cids = sorted({int(r["centroid_id"]) for r in probe_rows})
+    probes = spark.createDataFrame(probe_rows, probes_plan.schema)
     pruned = assigned.filter(F.col("centroid_id").isin(probed_cids))
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
@@ -367,7 +377,8 @@ def ivf_index_append(batch: DataFrame, centroids: DataFrame,
     delta-log discipline as the incremental graph and dedup index).
     Centroids drift under sustained ingest; retrain offline and rewrite
     the index when assignment quality degrades — the standard IVF
-    operating procedure."""
+    operating procedure.  When appending to a bulk-built index
+    (save_ivf_index writes its load as epoch 0), use epoch ids ≥ 1."""
     assigned = ivf_assign(batch, centroids, id_col, emb_col)
     (assigned.withColumn("epoch", F.lit(int(epoch_id)))
      .write.mode("overwrite")

@@ -24,7 +24,6 @@ from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 # registry.ensure_confs, so the NTZ→LTZ cast is value-identity).
 # Raw-int conversion uses integer division (a double division would
 # lose precision above 2^53 ns).
-EVENTS_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:

@@ -661,3 +661,29 @@ def test_dedup_index_epoch_replay_idempotent(spark, tmp_path):
               for r in neardup_flags(spark, index_dir).collect()}
     assert flags1 == flags2 and len(flags1) > 0
     assert spark.read.parquet(f"{index_dir}/hashes").count() == n_hashes
+
+
+def test_ivf_save_then_append_composes(spark, tmp_path):
+    """A bulk-saved index (epoch 0) must accept streaming appends
+    (epoch >= 1) — uniform partition depth — and serve the union."""
+    from graphraft_spark.ops.similarity import (
+        ivf_assign, ivf_centroids, ivf_index_append, ivf_search,
+        ivf_search_pruned, save_ivf_index)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ivf_centroids(emb, every=50)
+    bulk = emb.filter(F.col("vec_id") % 2 == 0)
+    late = emb.filter(F.col("vec_id") % 2 == 1)
+
+    index_dir = str(tmp_path / "ivf_mixed")
+    save_ivf_index(ivf_assign(bulk, cents), cents, index_dir)
+    ivf_index_append(late, cents, index_dir, epoch_id=1)
+
+    queries = (emb.filter(F.col("vec_id") % 100 == 1)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("q_emb")))
+    got = {(r.qid, r.vec_id, r.rn) for r in ivf_search_pruned(
+        spark, index_dir, queries, k=5, nprobe=2).collect()}
+    want = {(r.qid, r.vec_id, r.rn) for r in ivf_search(
+        ivf_assign(emb, cents), cents, queries, k=5, nprobe=2).collect()}
+    assert got == want and len(got) > 0

@@ -12,12 +12,6 @@ from pyspark.sql import functions as F
 SF = "/root/testdata/sf0.001"
 
 
-def plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "extended"))
-
-
 def physical(df) -> str:
     # executedPlan AFTER optimization, before execution
     return df._jdf.queryExecution().executedPlan().toString()

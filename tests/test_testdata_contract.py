@@ -106,3 +106,37 @@ def test_source_fingerprint_tracks_regeneration(tmp_path):
     p.write_bytes(b"v2-bigger")
     assert source_fingerprint(str(tmp_path), ("orders",)) != fp2
     assert "absent" in source_fingerprint(str(tmp_path), ("missing",))
+
+
+def test_graph_memo_invalidates_on_source_change(spark, tmp_path):
+    """The in-process graph memo must re-validate the source fingerprint
+    on every call — a regenerated source table rebuilds the graph even
+    within one long-lived session (the round-3 failure mode)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from graphraft_spark.graph.tpch import tpch_graph
+
+    src = tmp_path / "sfX"
+    src.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    src / f"{t}.parquet")
+    g1 = tpch_graph(spark, str(src))
+    n1 = g1.nodes.count()
+
+    # "regenerate" customers: drop half the rows (new size + mtime)
+    cust = spark.read.parquet(str(src / "customer.parquet"))
+    kept = cust.filter(F.col("c_custkey") % 2 == 0)
+    n_dropped = cust.count() - kept.count()
+    tmp_out = tmp_path / "cust_new"
+    kept.coalesce(1).write.parquet(str(tmp_out))
+    import glob
+    shutil.copy(glob.glob(str(tmp_out / "part-*"))[0],
+                src / "customer.parquet")
+
+    g2 = tpch_graph(spark, str(src))
+    assert g2.nodes.count() == n1 - n_dropped, \
+        "memoized graph served stale data after source regeneration"
