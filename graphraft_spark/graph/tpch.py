@@ -61,7 +61,7 @@ def source_fingerprint(sf_dir: str,
         p = f"{sf_dir}/{t}.parquet"
         try:
             st = os.stat(p)
-            parts.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
         except FileNotFoundError:
             parts.append(f"{t}:absent")
     return ";".join(parts)

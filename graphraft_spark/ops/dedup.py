@@ -528,11 +528,17 @@ def embedding_neardup_srp(df: DataFrame, dim: int,
                 F.col("a.e").alias("ea"), F.col("b.e").alias("eb"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    out = (
         pairs.withColumn("cosine", dot_col(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        # truncate lineage so `s` can be unpersisted here instead of
+        # leaking cached blocks across calls in a long-lived session
+        # (mirrors _lsh_verified_pairs' cleanup)
+        .localCheckpoint(eager=True)
     )
+    s.unpersist()
+    return out
 
 
 def connected_components_bistar(pairs: DataFrame,

@@ -154,6 +154,9 @@ def stream_neardup_flags(doc_stream: DataFrame, index_dir: str,
 
 
 def neardup_flags(spark: SparkSession, index_dir: str) -> DataFrame:
-    """All near-dup pairs flagged so far (merge-on-read over epochs)."""
-    return spark.read.parquet(os.path.join(index_dir, "flags")) \
-        .select("id_a", "id_b", "jaccard").distinct()
+    """All near-dup pairs flagged so far (merge-on-read over epochs).
+    Empty-safe: a stream that drained zero micro-batches never created
+    the flags directory — return an empty, correctly-typed frame."""
+    return _read_or_empty(spark, os.path.join(index_dir, "flags"),
+                          "id_a bigint, id_b bigint, jaccard double") \
+        .distinct()

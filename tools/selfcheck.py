@@ -39,11 +39,12 @@ PROBE_QUERIES = [
 def check_schemas() -> int:
     bad = 0
     for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        dir_bad = 0
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             if not os.path.exists(p):
                 print(f"FAIL {p}: missing")
-                bad += 1
+                dir_bad += 1
                 continue
             schema = pq.read_schema(p)
             if t == "events":
@@ -52,8 +53,10 @@ def check_schemas() -> int:
                 if not (pa.types.is_timestamp(ts) or ts == pa.int64()):
                     print(f"FAIL {p}: ts drifted to {ts} — teach "
                           "streaming/events.py:_with_event_time about it")
-                    bad += 1
-        print(f"ok   {sf_dir}: {len(TABLES)} tables present")
+                    dir_bad += 1
+        if dir_bad == 0:
+            print(f"ok   {sf_dir}: {len(TABLES)} tables present")
+        bad += dir_bad
     return bad
 
 
