@@ -26,6 +26,7 @@ HEADLINE = [
     "r_retrieve_data",
     "ann_bruteforce_topk",
     "ann_ivf_search",
+    "ann_ivf_kmeans_train",
     "ann_ivf_kmeans_search",
     "ann_bruteforce_scaled",
     "ann_srp_lsh_topk",
@@ -55,7 +56,13 @@ def main() -> None:
     from graphraft_spark.session import get_spark
 
     registry.load_all()
-    spark = get_spark("graphraft-bench")
+    # pin the collector: round-over-round comparisons on a packed
+    # local[32] JVM were confounded by 2-14 s GC/scheduler swings
+    # (BASELINE.md); an explicit G1 + pause target removes one variable
+    spark = get_spark("graphraft-bench", extra_conf={
+        "spark.driver.extraJavaOptions":
+            "-XX:+UseG1GC -XX:MaxGCPauseMillis=200",
+    })
     spark.sparkContext.setLogLevel("ERROR")
 
     # headline set spans both tiers: primary (driver-graded) queries and
@@ -70,24 +77,27 @@ def main() -> None:
             .mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    # per-query warmup then min of two timed runs (warmup fills JVM/
-    # codegen/file-listing/persisted-frame caches; min-of-2 damps the
-    # multi-second GC/scheduler noise a packed local[32] JVM shows —
-    # observed swings of 2-14 s on identical plans between runs).
-    # Failures are isolated per query (a broken loader must never zero
-    # the whole artifact again — round 3's bench died whole on one
-    # AnalysisException); failed queries land in "errors", the rest
-    # still produce numbers.
+    # per-query warmup then MIN OF THREE timed runs, with the spread
+    # (max-min of the timed runs) reported per query so a noisy machine
+    # is visible in the artifact instead of masquerading as a plan
+    # regression (r4 verdict: the ANN family read 1.7-2.2x slower on
+    # the driver while identical code measured at-or-below the r2
+    # numbers locally).  Failures are isolated per query (a broken
+    # loader must never zero the whole artifact again — round 3's bench
+    # died whole on one AnalysisException); failed queries land in
+    # "errors", the rest still produce numbers.
     # TWO warmups: measured per-query settle curve at sf0.1 shows the
     # first 2-3 executions still paying C2/codegen compilation (8.1 →
     # 4.3 → 5.5 → 2.0 → 1.7 s for the 2-hop flagship); one warmup left
-    # the timed pair in the warming tail
-    times, errors = {}, {}
+    # the timed runs in the warming tail
+    times, spread, errors = {}, {}, {}
     for name in names:
         try:
             run(name)
             run(name)
-            times[name] = min(run(name), run(name))
+            timed = [run(name) for _ in range(3)]
+            times[name] = min(timed)
+            spread[name] = round(max(timed) - min(timed), 3)
         except Exception as e:  # noqa: BLE001 — report, don't die
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -98,6 +108,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
