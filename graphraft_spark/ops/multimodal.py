@@ -2,10 +2,13 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side contract (schemas, partitioning, batch shapes, UDF
-signatures) is real and tested; the actual media decode is stubbed
-behind ``decode_fn`` seams because codec libraries are not available in
-this environment — production swaps in PIL/torchaudio/ffmpeg decoders
-with the same signature (SURVEY north-star: multimodal columns).
+signatures) is real and tested.  IMAGE decode is REAL: ops/png.py is a
+pure-stdlib PNG codec (zlib+struct, all five filter types) plugged into
+the ``decode_fn`` seam and oracle-checked on pixel content
+(registry ``mm_png_feature``).  Audio/video decode remains stubbed
+behind the same seam (no ffmpeg/torchaudio in this environment) —
+production swaps in real decoders with the same ``bytes ->
+list[float]`` signature (SURVEY north-star: multimodal columns).
 """
 
 from __future__ import annotations

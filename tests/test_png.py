@@ -1,0 +1,110 @@
+"""Pure-stdlib PNG codec (ops/png.py): roundtrip across every color
+type and filter type, malformed-input rejection, and the decode-based
+grid feature — the contract a real PIL-backed ``decode_fn`` drop-in
+must also satisfy (VERDICT r4 item 5)."""
+
+import struct
+import zlib
+
+import pytest
+
+from graphraft_spark.ops.png import png_decode, png_encode, png_grid_feature
+
+
+def _pixels(width, height, channels, seed=1):
+    return bytes((seed * 31 + i * 7) % 256
+                 for i in range(width * height * channels))
+
+
+@pytest.mark.parametrize("ctype,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_roundtrip_every_colortype_and_filter(ctype, ch, filt):
+    px = _pixels(13, 7, ch, seed=ctype * 10 + filt)
+    blob = png_encode(13, 7, px, color_type=ctype, filters=[filt])
+    w, h, c, out = png_decode(blob)
+    assert (w, h, c) == (13, 7, ch)
+    assert out == px
+
+
+def test_roundtrip_mixed_filters_and_multi_idat():
+    px = _pixels(16, 16, 3, seed=9)
+    blob = png_encode(16, 16, px, color_type=2, filters=[0, 1, 2, 3, 4])
+    assert png_decode(blob)[3] == px
+    # re-split the IDAT into two chunks: decoders must concatenate
+    sig, rest = blob[:8], blob[8:]
+    chunks = []
+    pos = 0
+    while pos < len(rest):
+        (ln,) = struct.unpack(">I", rest[pos:pos + 4])
+        chunks.append((rest[pos + 4:pos + 8], rest[pos + 8:pos + 8 + ln]))
+        pos += 12 + ln
+    rebuilt = sig
+    for tag, body in chunks:
+        if tag == b"IDAT":
+            half = len(body) // 2
+            for part in (body[:half], body[half:]):
+                rebuilt += (struct.pack(">I", len(part)) + b"IDAT" + part
+                            + struct.pack(
+                                ">I", zlib.crc32(b"IDAT" + part) & 0xFFFFFFFF))
+        else:
+            rebuilt += (struct.pack(">I", len(body)) + tag + body
+                        + struct.pack(
+                            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    assert png_decode(rebuilt)[3] == px
+
+
+@pytest.mark.parametrize("mutate,msg", [
+    (lambda b: b"JUNK" + b[4:], "signature"),
+    (lambda b: b[:20] + bytes([b[20] ^ 1]) + b[21:], "CRC"),
+    (lambda b: b[:30], "truncated|missing|IHDR"),
+])
+def test_malformed_inputs_raise(mutate, msg):
+    import re
+
+    blob = png_encode(4, 4, _pixels(4, 4, 1))
+    with pytest.raises(ValueError, match=f"(?i){msg}"):
+        png_decode(mutate(blob))
+
+
+def test_unsupported_features_raise():
+    with pytest.raises(ValueError, match="color type"):
+        png_encode(4, 4, _pixels(4, 4, 1), color_type=3)  # palette
+    blob = bytearray(png_encode(4, 4, _pixels(4, 4, 1)))
+    # patch IHDR bit depth to 16 and fix the CRC
+    ihdr = bytearray(blob[16:29])
+    ihdr[8] = 16
+    blob[16:29] = ihdr
+    blob[29:33] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="bit depth"):
+        png_decode(bytes(blob))
+
+
+def test_grid_feature_known_values():
+    # 4x4 grey image: left half 0, right half 200 -> cell means
+    px = bytes([0, 0, 200, 200] * 4)
+    f = png_grid_feature(png_encode(4, 4, px), grid=2)
+    assert f == [0.0, 200 / 255.0, 0.0, 200 / 255.0]
+    # RGB: pure red block -> luma 299*255//1000 = 76 everywhere
+    rgb = bytes([255, 0, 0] * 16)
+    f = png_grid_feature(png_encode(4, 4, rgb, color_type=2), grid=2)
+    assert all(abs(v - 76 / 255.0) < 1e-9 for v in f)
+
+
+def test_mm_png_feature_oracle_parity(spark):
+    """The registry query's Spark result == its DuckDB oracle on the
+    smoke scale — content-checked real decode inside mapInPandas."""
+    import duckdb
+
+    from graphraft_spark.registry import EXTRA_ORACLES, EXTRA_QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {r["media_id"]: (r["c00"], r["c01"], r["c10"], r["c11"])
+           for r in EXTRA_QUERIES["mm_png_feature"](spark, sf).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf}/documents.parquet'")
+    want = {row[0]: tuple(row[1:])
+            for row in con.sql(EXTRA_ORACLES["mm_png_feature"]).fetchall()}
+    assert got == want and len(got) == 500
