@@ -48,6 +48,9 @@ class EngineConfig:
     specific_target_label: str | None = None
     ner_labels: tuple[str, ...] | None = None  # None → unlabeled ('_Entity_')
     add_more_answers: bool = False
+    # None = auto: enable true Unicode NFC matching when the graph's
+    # names contain non-ASCII (reference always NFCs, ner.py:111-113)
+    nfc: bool | None = None
 
     @staticmethod
     def mag() -> "EngineConfig":
@@ -79,6 +82,7 @@ class GraphRAFTEngine:
         self.encoder = encoder
         self.ranker = ranker or TrieConstrainedRanker()
         self.generator = generator or EchoGenerator()
+        self._nfc_auto: bool | None = None  # lazy non-ASCII probe cache
 
     def extract_entities(self, question: str) -> list[tuple[str, str]]:
         """Stage 2 (ner.py:30-35): chat seam + deterministic parse.
@@ -94,9 +98,19 @@ class GraphRAFTEngine:
 
     def match_nodes(self, entities: Sequence[tuple[str, str]]) -> list[str]:
         """Stage 3 (ner.py:95-120): normalized-equality match with vector
-        fallback when an encoder is plugged in."""
+        fallback when an encoder is plugged in.  NFC auto-enables on
+        non-ASCII data (config.nfc=None) — probed once per engine."""
         return match_entities(self.spark, self.graph, entities,
-                              encoder=self.encoder)
+                              encoder=self.encoder, nfc=self._nfc())
+
+    def _nfc(self) -> bool:
+        if self.config.nfc is not None:
+            return self.config.nfc
+        if self._nfc_auto is None:
+            from graphraft_spark.search.text import has_non_ascii_names
+
+            self._nfc_auto = has_non_ascii_names(self.graph.nodes)
+        return self._nfc_auto
 
     def run(self, question: str, qid: int = 0):
         """Full flow for one question; returns (retrieved DataFrame,

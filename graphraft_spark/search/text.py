@@ -51,6 +51,14 @@ def nfc_normalize(s: Column) -> Column:
     return _NFC_UDF(s)
 
 
+def has_non_ascii_names(nodes: DataFrame) -> bool:
+    """Cheap auto-NFC probe: True when any node name contains non-ASCII
+    (UTF-8 byte length != char length).  One early-exit scan; callers
+    cache the answer per graph."""
+    return (nodes.filter(F.octet_length("name") != F.length("name"))
+            .limit(1).count() > 0)
+
+
 def fulltext_match(nodes: DataFrame, query_string: str,
                    label: str | None = None, nfc: bool = False) -> DataFrame:
     """C1: all node names equal to ``query_string`` under normalization,
@@ -102,12 +110,19 @@ def match_entities(spark: SparkSession, graph: PropertyGraph,
 def batch_match_entities(graph, entities: "DataFrame",
                          name_emb_col: str | None = None,
                          entity_emb_col: str | None = None,
-                         nfc: bool = False) -> "DataFrame":
+                         nfc: bool | None = False) -> "DataFrame":
     """Set-based C1+C2 for MANY entities at once (the batch shape of
     _match_labeled_entities, ner.py:95-120): one normalized-equality
     join for fulltext hits; entities with zero hits fall back to vector
     KNN top-1 over node name embeddings (when embedding columns are
-    supplied).  Returns (qid, entity, name, matched_by)."""
+    supplied).  Returns (qid, entity, name, matched_by).
+
+    ``nfc=None`` auto-enables true Unicode NFC matching when the graph's
+    names contain non-ASCII (the reference always NFC-normalizes,
+    ner.py:111-113; we keep it off ASCII data so oracle SQL stays
+    expressible — SURVEY §7.7)."""
+    if nfc is None:
+        nfc = has_non_ascii_names(graph.nodes)
     from pyspark.sql import Window
 
     from graphraft_spark.search.vector import dot_col

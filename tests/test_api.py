@@ -66,3 +66,61 @@ def test_salted_distinct_count_matches_plain(spark):
     assert got == want
     prof = skew_profile(df, "k").collect()
     assert prof[0]["n"] >= prof[-1]["n"]
+
+
+def test_auto_nfc_matches_decomposed_names(spark):
+    """config.nfc=None auto-enables NFC when graph names are non-ASCII:
+    an NFC entity matches an NFD-stored name (VERDICT r4 item 6)."""
+    import unicodedata
+
+    from graphraft_spark.api import EngineConfig, GraphRAFTEngine
+    from graphraft_spark.graph.model import PropertyGraph
+
+    nfd = unicodedata.normalize("NFD", "café")   # e + combining accent
+    nfc = unicodedata.normalize("NFC", "café")
+    assert nfd != nfc
+    g = PropertyGraph(
+        nodes=spark.createDataFrame([(1, "Author", nfd), (2, "Paper", "P1")],
+                                    "nodeId bigint, label string, name string"),
+        edges=spark.createDataFrame([(10, 1, 2, "WRITES")],
+                                    "edgeId bigint, src bigint, dst bigint, "
+                                    "relType string"))
+    auto = GraphRAFTEngine(spark, g, config=EngineConfig(patterns=("1hop",)))
+    assert auto.match_nodes([("_Entity_", nfc)]) == [nfd]
+    assert auto._nfc_auto is True  # probe ran and cached
+    off = GraphRAFTEngine(spark, g,
+                          config=EngineConfig(patterns=("1hop",), nfc=False))
+    assert off.match_nodes([("_Entity_", nfc)]) == []
+
+
+def test_auto_nfc_stays_off_for_ascii_graphs(spark, tiny_graph):
+    from graphraft_spark.api import EngineConfig, GraphRAFTEngine
+
+    engine = GraphRAFTEngine(spark, tiny_graph,
+                             config=EngineConfig(patterns=("1hop",)))
+    assert engine.match_nodes([("_Entity_", "Bob")]) == ["Bob"]
+    assert engine._nfc_auto is False
+
+
+def test_batch_match_is_one_job_regardless_of_entity_count(spark, tiny_graph):
+    """Pin the batch shape (VERDICT r4 item 7): batch_match_entities
+    drives a CONSTANT number of Spark jobs however many entities it
+    gets — the per-entity loop in match_entities must never be the
+    batch path."""
+    from graphraft_spark.search.text import batch_match_entities
+
+    def jobs_for(n_entities):
+        ents = spark.createDataFrame(
+            [(i, "Ada" if i % 2 else "MIT") for i in range(n_entities)],
+            "qid bigint, entity string")
+        sc = spark.sparkContext
+        group = f"match-{n_entities}"
+        sc.setJobGroup(group, group)
+        try:
+            batch_match_entities(tiny_graph, ents).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    few, many = jobs_for(3), jobs_for(60)
+    assert few == many, (few, many)
