@@ -4,11 +4,13 @@ with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 The Spark-side contract (schemas, partitioning, batch shapes, UDF
 signatures) is real and tested.  IMAGE decode is REAL: ops/png.py is a
 pure-stdlib PNG codec (zlib+struct, all five filter types) plugged into
-the ``decode_fn`` seam and oracle-checked on pixel content
-(registry ``mm_png_feature``).  Audio/video decode remains stubbed
-behind the same seam (no ffmpeg/torchaudio in this environment) —
-production swaps in real decoders with the same ``bytes ->
-list[float]`` signature (SURVEY north-star: multimodal columns).
+the ``decode_fn`` seam and oracle-checked on pixel content (registry
+``mm_png_feature``).  AUDIO decode is REAL: ops/wav.py is a pure-stdlib
+RIFF/PCM16 codec, oracle-checked on sample content (``mm_wav_energy``).
+Only VIDEO decode remains stubbed behind the same seam (no pure-python
+codec exists for any real video format) — production swaps in ffmpeg
+with the same ``bytes -> list[float]`` signature (SURVEY north-star:
+multimodal columns).
 """
 
 from __future__ import annotations

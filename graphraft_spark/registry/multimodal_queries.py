@@ -122,3 +122,47 @@ def mm_png_feature(spark, sf_dir):
     return feats.select(
         "media_id", cell[0].alias("c00"), cell[1].alias("c01"),
         cell[2].alias("c10"), cell[3].alias("c11"))
+
+
+@register(
+    "mm_wav_energy", extra=True,
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(SUM(CASE WHEN i < 64  THEN v * v END) AS BIGINT) AS w0,
+       CAST(SUM(CASE WHEN i >= 64 THEN v * v END) AS BIGINT) AS w1
+FROM (SELECT d.doc_id, t.range AS i,
+             (d.doc_id * 7 + t.range) % 200 - 100 AS v
+      FROM documents d, range(128) t)
+GROUP BY doc_id
+""")
+def mm_wav_energy(spark, sf_dir):
+    """REAL audio decode in-pipeline, oracle-checked on CONTENT: each
+    document becomes a genuine PCM16 WAV (sample(i) = (doc_id*7+i) %
+    200 - 100, 128 frames), encoded then decoded by the pure-stdlib
+    RIFF codec (ops/wav.py) inside mapInPandas; per-window energies are
+    compared as exact integer sums of squares against DuckDB computing
+    the closed form."""
+    from graphraft_spark.ops.wav import wav_encode, wav_window_energy
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                wav_encode([(int(doc_id) * 7 + i) % 200 - 100
+                            for i in range(128)])
+                for doc_id in pdf["doc_id"]]
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.select("doc_id").mapInPandas(
+        encode, schema="media_id bigint, payload binary")
+    feats = extract_features(
+        media.select("media_id", F.lit("audio").alias("kind"), "payload"),
+        decode_fn=lambda p: wav_window_energy(p, n_windows=2))
+    # feature[i] = sq_sum / 64 / 32768^2; recover the exact integer sum
+    win = [F.round(F.element_at("feature", i + 1) * 64 * 32768 * 32768, 0)
+           .cast("bigint") for i in range(2)]
+    return feats.select("media_id", win[0].alias("w0"), win[1].alias("w1"))
