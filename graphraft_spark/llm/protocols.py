@@ -38,6 +38,10 @@ class AnswerGenerator(Protocol):
                  add_more_answers: bool = False) -> list[str]: ...
 
 
+def _ws_tokenize(s: str) -> list[str]:
+    return s.split()
+
+
 class LexicographicRanker:
     """Smallest deterministic ranker: sorted(candidates)[:k]."""
 
@@ -88,7 +92,9 @@ class TrieConstrainedRanker:
                                                float] | None = None,
                  tokenizer: Callable[[str], Sequence] | None = None):
         self.token_logprob = token_logprob or self._default_logprob
-        self.tokenize = tokenizer or (lambda s: s.split())
+        # module-level default (not a lambda) keeps the ranker picklable
+        # for the distributed ranking stage (pipeline.rank_signatures)
+        self.tokenize = tokenizer or _ws_tokenize
 
     @staticmethod
     def _default_logprob(question: str, prefix: tuple,

@@ -161,3 +161,92 @@ def run_pattern_nodes(graph: PropertyGraph, spec: PatternSpec,
         )
         .distinct()
     )
+
+
+SPEC_COLS = ("pattern", "label1", "name1", "type1", "label2", "type2",
+             "label3", "name3")
+
+_BULK_SHAPES = {
+    # template -> (n_nodes, anchored positions {pos: name_col},
+    #              return position)
+    "1hop": (2, {0: "name1"}, 1),
+    "2hop": (3, {0: "name1"}, 2),
+    "2path": (3, {0: "name1", 2: "name3"}, 1),
+}
+_BULK_LABELS = ("label1", "label2", "label3")
+_BULK_TYPES = ("type1", "type2")
+
+
+def run_patterns_bulk(graph: PropertyGraph, specs: DataFrame,
+                      prop_cols: tuple[str, ...] = (),
+                      patterns: tuple[str, ...] = ("1hop", "2hop", "2path"),
+                      ) -> DataFrame:
+    """Execute MANY instantiated patterns in ONE plan per template —
+    spec-as-DATA instead of spec-as-plan.
+
+    ``specs`` carries one row per instantiated query with the signature
+    columns :data:`SPEC_COLS` (null where the template doesn't use
+    them); label/type columns may also be null meaning "unconstrained".
+    Output: the spec columns + the DISTINCT return-position node per
+    spec (nodeId, label, name, <prop_cols...>).
+
+    Scale rationale: ``run_pattern`` per spec unions one join subtree
+    per instantiated query — plan size and compile time grow O(#specs),
+    and every subtree re-scans the edge table.  Here the (tiny) spec
+    table broadcasts into a single join tree per template, so the graph
+    is scanned once per hop regardless of how many thousand specs
+    execute; the residual label/type predicates ride the hash join as
+    post-filters.  This is the batch analog of the reference's
+    per-query Neo4j loop (retriever.py:74-96) at the execution stage,
+    completing what enumerate_paths_batch does for the enumeration
+    stage.
+
+    Semantics match :func:`run_pattern` on the INSTANTIATED templates
+    (ir.onehop/twohop/twopath): undirected hops, Cypher
+    relationship-uniqueness, NO node-inequality (create_query drops the
+    WHERE clauses, path_retriever.py:29-40 — ir.twohop docstring).
+    """
+    attrs = NODE_ATTRS + tuple(prop_cols)
+    out = None
+    for pat in patterns:
+        n_nodes, anchored, ret = _BULK_SHAPES[pat]
+        s = F.broadcast(
+            specs.filter(F.col("pattern") == pat)
+            .select(*[F.col(c).alias(f"s_{c}") for c in SPEC_COLS])
+            .distinct())
+        plan = None
+        for pos in range(n_nodes):
+            node = graph.nodes.select(
+                *[F.col(a).alias(f"x{pos + 1}_{a}") for a in attrs])
+            lbl = F.col(f"s_{_BULK_LABELS[pos]}")
+            cond = lbl.isNull() | (F.col(f"x{pos + 1}_label") == lbl)
+            if pos in anchored:
+                cond = cond & (F.col(f"x{pos + 1}_name")
+                               == F.col(f"s_{anchored[pos]}"))
+            if pos == 0:
+                plan = s.join(node, cond)
+                continue
+            e = graph.undirected_edges.select(
+                F.col("edgeId").alias(f"r{pos}_edgeId"),
+                F.col("src").alias(f"r{pos}_src"),
+                F.col("dst").alias(f"r{pos}_dst"),
+                F.col("relType").alias(f"r{pos}_relType"))
+            typ = F.col(f"s_{_BULK_TYPES[pos - 1]}")
+            plan = plan.join(
+                e, (F.col(f"x{pos}_nodeId") == F.col(f"r{pos}_src"))
+                & (typ.isNull() | (F.col(f"r{pos}_relType") == typ)))
+            plan = plan.join(node,
+                             (F.col(f"r{pos}_dst")
+                              == F.col(f"x{pos + 1}_nodeId")) & cond)
+        for a, b in combinations(range(1, n_nodes), 2):
+            plan = plan.filter(
+                F.col(f"r{a}_edgeId") != F.col(f"r{b}_edgeId"))
+        df = plan.select(
+            *[F.col(f"s_{c}").alias(c) for c in SPEC_COLS],
+            F.col(f"x{ret + 1}_nodeId").alias("nodeId"),
+            F.col(f"x{ret + 1}_label").alias("label"),
+            F.col(f"x{ret + 1}_name").alias("name"),
+            *[F.col(f"x{ret + 1}_{c}").alias(c) for c in prop_cols],
+        ).distinct()
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -159,3 +159,154 @@ def answer_questions(retrieved: DataFrame, questions: DataFrame,
         "data", F.coalesce(F.col("data"), F.array()))
     return generate_answers_batch(qa, generator,
                                   add_more_answers=add_more_answers)
+
+
+def _esc_name(c: Column) -> Column:
+    """Native twin of NodeSpec.cypher's escaping (ir.py)."""
+    return F.replace(F.replace(c, F.lit("\\"), F.lit("\\\\")),
+                     F.lit('"'), F.lit('\\"'))
+
+
+def _node_txt(var: str, label: Column, name: Column | None) -> Column:
+    lbl = F.when(label.isNull(), F.lit("")).otherwise(
+        F.concat(F.lit(":"), label))
+    if name is None:
+        return F.concat(F.lit(f"({var}"), lbl, F.lit(")"))
+    return F.concat(F.lit(f"({var}"), lbl, F.lit(' {name: "'),
+                    name, F.lit('"})'))
+
+
+def _rel_txt(var: str, typ: Column) -> Column:
+    t = F.when(typ.isNull(), F.lit("")).otherwise(F.concat(F.lit(":"), typ))
+    return F.concat(F.lit(f"-[{var}"), t, F.lit("]-"))
+
+
+def text_pattern_col() -> Column:
+    """Native provenance string — PatternSpec.text_pattern("") built from
+    the signature columns (retriever.py:9-12 'pattern' provenance), so
+    the bulk execution path needs no per-spec Python rendering."""
+    l1, t1, l2 = F.col("label1"), F.col("type1"), F.col("label2")
+    t2, l3 = F.col("type2"), F.col("label3")
+    n1 = _esc_name(F.col("name1"))
+    one = F.concat(_node_txt("x1", l1, n1), _rel_txt("r1", t1),
+                   _node_txt("x2", l2, F.lit("")))
+    two = F.concat(_node_txt("x1", l1, n1), _rel_txt("r1", t1),
+                   _node_txt("x2", l2, None), _rel_txt("r2", t2),
+                   _node_txt("x3", l3, F.lit("")))
+    tp = F.concat(_node_txt("x1", l1, n1), _rel_txt("r1", t1),
+                  _node_txt("x2", l2, F.lit("")), _rel_txt("r2", t2),
+                  _node_txt("x3", l3, _esc_name(F.col("name3"))))
+    return (F.when(F.col("pattern") == "1hop", one)
+            .when(F.col("pattern") == "2hop", two)
+            .otherwise(tp))
+
+
+def rank_signatures(sigs: DataFrame, questions: DataFrame,
+                    ranker: QueryRanker, k: int = 5) -> DataFrame:
+    """DISTRIBUTED stage 3: rank each question's enumerated candidates
+    inside executors — one ``applyInPandas`` group per question, the
+    ranker pickled to workers (it must be picklable; the built-in
+    rankers are).  Replaces the driver-side collect+loop of
+    :func:`run_pipeline` for workloads with many questions: no
+    signature row ever reaches the driver, and ranking parallelizes
+    across the cluster.  Output: (qid, <signature cols>, queryIdx).
+    """
+    from graphraft_spark.patterns.compiler import SPEC_COLS
+
+    sig_cols = list(SPEC_COLS)
+    joined = sigs.join(F.broadcast(questions.select("qid", "question")),
+                       "qid")
+    schema = ("qid bigint, "
+              + ", ".join(f"{c} string" for c in sig_cols)
+              + ", queryIdx int")
+
+    def rank_group(pdf):
+        import pandas as pd
+
+        from graphraft_spark.patterns.enumerate import instantiate_queries
+
+        pdf = pdf.astype(object).where(pdf.notna(), None)
+        rows = pdf.to_dict("records")
+        question = rows[0]["question"]
+        by_text = {}
+        for row, (_, text) in zip(rows, instantiate_queries(rows)):
+            by_text.setdefault(text, row)
+        top = ranker.rank(question, list(by_text), k=k)
+        out = [{"qid": by_text[t]["qid"],
+                **{c: by_text[t][c] for c in sig_cols},
+                "queryIdx": idx}
+               for idx, t in enumerate(top)]
+        return pd.DataFrame(out, columns=["qid"] + sig_cols + ["queryIdx"])
+
+    return joined.groupBy("qid").applyInPandas(rank_group, schema=schema)
+
+
+def run_pipeline_bulk(
+    spark: SparkSession,
+    graph: PropertyGraph,
+    questions: Sequence[tuple[int, str, Sequence[str]]],
+    ranker: QueryRanker,
+    generator: AnswerGenerator,
+    max_nodes: int = 20,
+    k: int = 5,
+    patterns: Sequence[str] = ("1hop", "2hop", "2path"),
+    specific_target_label: str | None = None,
+    similarity: Callable[[Column], Column] | None = None,
+    prop_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fully-distributed twin of :func:`run_pipeline` — same inputs,
+    same output, ZERO driver-side collects and a plan whose size does
+    not grow with the number of ranked specs:
+
+    * stage 3 ranks via :func:`rank_signatures` (applyInPandas per
+      question) instead of collecting every signature to the driver;
+    * stage 4 executes via ``run_patterns_bulk`` (spec-as-data: one
+      broadcast join tree per template) instead of unioning one join
+      subtree per distinct spec.
+
+    Use this shape when questions number in the thousands+ (the driver
+    loop's collect is fine at interactive scale and keeps the ranker
+    seam synchronous for LLM APIs).  Requires a picklable ranker.
+    """
+    from graphraft_spark.patterns.compiler import SPEC_COLS, run_patterns_bulk
+
+    sim = similarity or default_similarity
+    anchor_rows = [(int(qid), str(n)) for qid, _, src_names in questions
+                   for n in src_names]
+    empty = spark.createDataFrame(
+        [], "qid bigint, nodeId bigint, queryIdx int, rank int, "
+            "similarity double, name string, "
+            + "".join(f"{c} string, " for c in prop_cols)
+            + "patterns array<string>")
+    if not anchor_rows:
+        return empty
+    anchors = spark.createDataFrame(anchor_rows, "qid bigint, name string")
+    sigs = enumerate_paths_batch(graph, anchors, patterns=patterns,
+                                 specific_target_label=specific_target_label)
+    qdf = spark.createDataFrame([(int(qid), text) for qid, text, _ in questions],
+                                "qid bigint, question string")
+    ranked = rank_signatures(sigs, qdf, ranker, k=k)
+
+    executed = run_patterns_bulk(
+        graph, ranked.select(*SPEC_COLS).distinct(), prop_cols,
+        patterns=tuple(patterns)).withColumn("pstr", text_pattern_col())
+    # `executed` derives from `ranked` (distinct specs) — alias both
+    # sides so the fan-out join is not an ambiguous self-join
+    ex, rk = executed.alias("ex"), ranked.alias("rk")
+    cond = None
+    for c in SPEC_COLS:
+        eq = F.col(f"ex.{c}").eqNullSafe(F.col(f"rk.{c}"))
+        cond = eq if cond is None else cond & eq
+    results = (
+        ex.join(F.broadcast(rk), cond)
+        .select(F.col("rk.qid").alias("qid"),
+                F.col("rk.queryIdx").alias("queryIdx"),
+                F.col("ex.nodeId").alias("nodeId"),
+                F.col("ex.name").alias("name"),
+                *[F.col(f"ex.{c}").alias(c) for c in prop_cols],
+                sim(F.col("ex.nodeId")).alias("similarity"),
+                F.col("ex.pstr").alias("pattern"))
+    )
+    return budgeted_accumulate(results, max_nodes=max_nodes,
+                               prop_cols=("name",) + tuple(prop_cols),
+                               persist_inputs=True)

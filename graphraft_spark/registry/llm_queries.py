@@ -299,9 +299,7 @@ _TXT2 = ("'MATCH (x1:' || l1 || ' {name: \"' || nm1 || '\"})-[r1:' || t1 "
 _P_PSIM = "((nodeId % 100000) * 7919 % 104729)"
 
 
-@register(
-    "p_full_pipeline",
-    oracle=GRAPH_ORACLE_CTE + f"""
+P_FULL_ORACLE = GRAPH_ORACLE_CTE + f"""
 , p_anchors(qid, name) AS (
     SELECT CAST(qid AS BIGINT) AS qid, name
     FROM (VALUES (1, 'small ring'),
@@ -372,7 +370,10 @@ p_ordered AS (
 )
 SELECT qid, nodeId, name, detail, ROUND(similarity, 6) AS similarity
 FROM p_ordered WHERE seen_order < 15
-""")
+"""
+
+
+@register("p_full_pipeline", oracle=P_FULL_ORACLE)
 def p_full_pipeline(spark, sf_dir):
     """End-to-end GraphRAFT.run() analog (graphraft.py:41-66) on the
     TPC-H graph: entity match → batch enumerate (ONE job for all
@@ -387,6 +388,33 @@ def p_full_pipeline(spark, sf_dir):
 
     g = tpch_graph(spark, sf_dir)
     out = run_pipeline(
+        spark, g,
+        questions=[
+            (1, "who supplies small ring?", ["small ring"]),
+            (2, "what did customer 42 buy?", ["Customer#000000042"]),
+        ],
+        ranker=LexicographicRanker(), generator=EchoGenerator(),
+        max_nodes=15, k=3, patterns=("1hop", "2hop"),
+        prop_cols=("detail",))
+    return out.select("qid", "nodeId", "name", "detail",
+                      F.round("similarity", 6).alias("similarity"))
+
+
+@register("p_pipeline_bulk", extra=True, oracle=P_FULL_ORACLE)
+def p_pipeline_bulk(spark, sf_dir):
+    """Fully-distributed pipeline twin (run_pipeline_bulk): identical
+    inputs and oracle as p_full_pipeline, but stage 3 ranks via
+    applyInPandas inside executors and stage 4 executes ALL ranked
+    specs through one spec-as-data join tree per template
+    (run_patterns_bulk) — zero driver collects, plan size independent
+    of spec count.  Same oracle passing on both proves the two
+    execution strategies are semantically identical."""
+    from graphraft_spark.graph import tpch_graph
+    from graphraft_spark.llm import EchoGenerator, LexicographicRanker
+    from graphraft_spark.pipeline import run_pipeline_bulk
+
+    g = tpch_graph(spark, sf_dir)
+    out = run_pipeline_bulk(
         spark, g,
         questions=[
             (1, "who supplies small ring?", ["small ring"]),
