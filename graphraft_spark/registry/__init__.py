@@ -97,8 +97,8 @@ PRIORITY = [
     "st_sessionize_batch", "st_graph_deltas", "st_sliding_agg",
     # temporal
     "tm_interval_join",
-    # multimodal
-    "mm_frame_sample",
+    # multimodal (real content-checked PNG decode; frame sampling is extra)
+    "mm_png_feature",
     # llm surface
     "f_llm1_prompt", "f_node_formatter", "f_generate_answers",
     # OLAP classics (q_top_revenue demoted to extra r4 — its

@@ -41,7 +41,7 @@ def mm_media_metadata(spark, sf_dir):
 
 
 @register(
-    "mm_frame_sample",
+    "mm_frame_sample", extra=True,
     oracle="""
 SELECT doc_id AS media_id,
        unnest(range(0, greatest(1, CAST(floor(n_chars * 10 / 1000.0)
@@ -69,7 +69,7 @@ def mm_feature_extract(spark, sf_dir):
 
 
 @register(
-    "mm_png_feature", extra=True,
+    "mm_png_feature",
     oracle="""
 SELECT doc_id AS media_id,
        CAST(SUM(CASE WHEN y < 8  AND x < 8  THEN val END) AS BIGINT) AS c00,
