@@ -89,3 +89,20 @@ def test_mm_wav_energy_oracle_parity(spark):
     want = {row[0]: tuple(row[1:])
             for row in con.sql(EXTRA_ORACLES["mm_wav_energy"]).fetchall()}
     assert got == want and len(got) == 500
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(channels=st.integers(1, 3), n_frames=st.integers(0, 64),
+           rate=st.sampled_from([8000, 16000, 44100]), data=st.data())
+    def test_roundtrip_property(channels, n_frames, rate, data):
+        n = n_frames * channels
+        s = data.draw(st.lists(st.integers(-32768, 32767),
+                               min_size=n, max_size=n))
+        out = wav_decode(wav_encode(s, rate=rate, channels=channels))
+        assert out == (rate, channels, s)
+except ImportError:  # pragma: no cover
+    pass
