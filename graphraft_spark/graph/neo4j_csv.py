@@ -70,8 +70,14 @@ def _id_map(ids: DataFrame) -> DataFrame:
 
 
 def read_neo4j_csv(spark: SparkSession, nodes_path: str,
-                   rels_path: str) -> PropertyGraph:
-    """neo4j-admin CSV layout → validated PropertyGraph."""
+                   rels_path: str,
+                   skip_bad_relationships: bool = False) -> PropertyGraph:
+    """neo4j-admin CSV layout → validated PropertyGraph.
+
+    A relationship naming an unknown node ID fails the read by default
+    (the same default as ``neo4j-admin database import``);
+    ``skip_bad_relationships=True`` drops such rows instead (the
+    importer's ``--skip-bad-relationships`` analog)."""
     raw_nodes = spark.read.option("header", True).csv(nodes_path)
     raw_rels = spark.read.option("header", True).csv(rels_path)
 
@@ -96,10 +102,19 @@ def read_neo4j_csv(spark: SparkSession, nodes_path: str,
                            F.col("nodeId").alias("src"))
     dst_map = idmap.select(F.col("raw_id").alias("_did"),
                            F.col("nodeId").alias("dst"))
-    edges = (
+    joined = (
         raw_rels
-        .join(src_map, raw_rels[start_col] == src_map["_sid"])
-        .join(dst_map, raw_rels[end_col] == dst_map["_did"])
+        .join(src_map, raw_rels[start_col] == src_map["_sid"], "left")
+        .join(dst_map, raw_rels[end_col] == dst_map["_did"], "left"))
+    if not skip_bad_relationships:
+        bad = joined.filter(F.col("src").isNull() | F.col("dst").isNull())
+        sample = [(r[start_col], r[end_col]) for r in bad.limit(3).collect()]
+        if sample:
+            raise ValueError(
+                f"relationships reference unknown node IDs, e.g. {sample} "
+                "— fix the export or pass skip_bad_relationships=True")
+    edges = (
+        joined.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .select(
             F.monotonically_increasing_id().alias("edgeId"),
             "src", "dst", F.col(type_col).alias("relType")))

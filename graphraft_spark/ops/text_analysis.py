@@ -281,3 +281,42 @@ def pack_bins_scalable(df, budget: int, size_col: str,
             .cast("bigint"))
         .drop("_pid", "_off")
     )
+
+
+def mix_rates(counts: dict[str, int], tau: float,
+              target_total: int) -> dict[str, float]:
+    """Temperature-based source mixing (the multilingual-corpus recipe:
+    sample source s with probability ∝ n_s^(1/τ); τ>1 upweights small
+    sources, τ=1 is proportional).  Given observed per-source counts
+    (a tiny groupBy().count() collect), return the per-source KEEP RATE
+    that yields ≈``target_total`` rows in expectation, capped at 1 —
+    driver-side arithmetic on |sources| numbers, never row data."""
+    if tau <= 0:
+        raise ValueError("tau must be > 0")
+    weights = {s: n ** (1.0 / tau) for s, n in counts.items() if n > 0}
+    z = sum(weights.values())
+    return {s: min(1.0, target_total * w / z / counts[s])
+            for s, w in weights.items()}
+
+
+def temperature_mix(df, rates: dict[str, float],
+                    source_col: str = "source", key_col: str = "doc_id",
+                    salt: str = "mix"):
+    """Deterministic hash-thinning to the per-source rates from
+    :func:`mix_rates`: keep a row iff its portable key hash falls under
+    rate·2^20.  Reproducible across runs/partitionings/engines (same
+    md5 arithmetic as data/ops.hash_split — expressible in a DuckDB
+    oracle), one scan, no shuffle, no RNG."""
+    from graphraft_spark.data.ops import _portable_hash60
+
+    m = 1 << 20
+    thresh = None
+    for s, r in rates.items():
+        t = F.lit(int(round(r * m)))
+        cond = F.col(source_col) == s
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    if thresh is None:
+        raise ValueError("rates must not be empty")
+    thresh = thresh.otherwise(F.lit(0))  # unknown source -> drop
+    h = _portable_hash60(F.col(key_col), salt) % m
+    return df.filter(h < thresh)

@@ -357,3 +357,30 @@ def t_quality_gate(spark, sf_dir):
     pr = F.percent_rank().over(Window.orderBy("quality", "doc_id"))
     return (scored.withColumn("pr", pr).filter(F.col("pr") >= 0.25)
             .select("doc_id", "quality"))
+
+
+@register(
+    "t_temperature_mix", extra=True,
+    oracle="""
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           (('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT) % 1048576 AS h,
+           CAST(round((CAST(substr(source, 4) AS BIGINT) + 1)
+                      * 1048576 / 20.0, 0) AS BIGINT) AS t
+    FROM documents
+)
+WHERE h < t
+""")
+def t_temperature_mix(spark, sf_dir):
+    """Deterministic source-mixing by hash-thinning: each source keeps
+    rate (i+1)/20 of its documents, reproducibly (portable md5 — no
+    RNG), one scan, no shuffle.  The τ-weighted rate derivation
+    (mix_rates) is driver-side arithmetic, unit-tested; this query
+    pins the thinning operator itself against the oracle."""
+    from graphraft_spark.ops.text_analysis import temperature_mix
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {f"src{i}": (i + 1) / 20 for i in range(20)}
+    return temperature_mix(d, rates).select("doc_id", "source")

@@ -48,15 +48,17 @@ def test_read_string_ids_get_deterministic_dense_ids(spark, tmp_path):
     assert {r["name"]: r["nodeId"] for r in g2.nodes.collect()} == by_name
 
 
-def test_dangling_edge_fails_validation(spark, tmp_path):
+def test_dangling_edge_is_loud_by_default(spark, tmp_path):
+    """Unknown endpoint IDs fail the read (neo4j-admin's own default);
+    skip_bad_relationships=True drops them instead."""
     from graphraft_spark.graph.neo4j_csv import read_neo4j_csv
 
     nodes = _write(tmp_path, "nodes.csv", "id:ID,name,:LABEL\n1,A,Author\n")
     rels = _write(tmp_path, "rels.csv",
                   ":START_ID,:END_ID,:TYPE\n1,99,WRITES\n")
-    # unknown endpoint ids drop at the mapping join -> the edge vanishes
-    # rather than dangling; the graph still validates
-    g = read_neo4j_csv(spark, nodes, rels)
+    with pytest.raises(ValueError, match="unknown node IDs"):
+        read_neo4j_csv(spark, nodes, rels)
+    g = read_neo4j_csv(spark, nodes, rels, skip_bad_relationships=True)
     assert g.edges.count() == 0
 
 

@@ -687,3 +687,50 @@ def test_ivf_save_then_append_composes(spark, tmp_path):
     want = {(r.qid, r.vec_id, r.rn) for r in ivf_search(
         ivf_assign(emb, cents), cents, queries, k=5, nprobe=2).collect()}
     assert got == want and len(got) > 0
+
+
+def test_mix_rates_temperature_math():
+    """τ=1 → proportional rates scaled to the target; τ→∞ flattens
+    toward uniform sampling; rates cap at 1 for tiny sources."""
+    from graphraft_spark.ops.text_analysis import mix_rates
+
+    counts = {"big": 8000, "small": 1000, "tiny": 10}
+    r1 = mix_rates(counts, tau=1.0, target_total=901)
+    # τ=1: expected take ∝ n -> every source keeps the same rate
+    assert abs(r1["big"] - r1["small"]) < 1e-12
+    assert abs(r1["big"] - 901 / 9010) < 1e-12
+    r5 = mix_rates(counts, tau=5.0, target_total=901)
+    # upweights small sources: small keeps a larger share than big
+    assert r5["small"] > r1["small"] and r5["big"] < r1["big"]
+    # tiny source rate caps at 1
+    rbig = mix_rates(counts, tau=100.0, target_total=9000)
+    assert rbig["tiny"] == 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mix_rates(counts, tau=0, target_total=100)
+
+
+def test_temperature_mix_deterministic_and_rate_accurate(spark):
+    from pyspark.sql import functions as F
+
+    from graphraft_spark.ops.text_analysis import mix_rates, temperature_mix
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string"))
+        .alias("source"))
+    counts = {f"s{i}": 1000 for i in range(4)}
+    rates = mix_rates(counts, tau=1.0, target_total=2000)
+    out = temperature_mix(df, rates)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # each source keeps ~50% (hash-thinning, binomial tolerance)
+    for s in counts:
+        assert 400 < got[s] < 600, got
+    # deterministic: identical on re-run and under repartitioning
+    again = temperature_mix(df.repartition(13), rates)
+    assert sorted(r["doc_id"] for r in out.collect()) \
+        == sorted(r["doc_id"] for r in again.collect())
+    # unknown sources drop
+    extra = df.withColumn("source", F.lit("unknown"))
+    assert temperature_mix(extra, rates).count() == 0
