@@ -180,4 +180,5 @@ def png_grid_feature(payload: bytes, grid: int = 2) -> list[float]:
             cell = cy * grid + min(x * grid // width, grid - 1)
             sums[cell] += v
             counts[cell] += 1
-    return [s / c / 255.0 for s, c in zip(sums, counts)]
+    # images smaller than the grid leave trailing cells empty
+    return [s / c / 255.0 if c else 0.0 for s, c in zip(sums, counts)]

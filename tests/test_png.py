@@ -80,6 +80,12 @@ def test_unsupported_features_raise():
         png_decode(bytes(blob))
 
 
+def test_grid_feature_smaller_than_grid():
+    # 1-pixel-high image with a 2x2 grid: bottom cells are empty -> 0.0
+    f = png_grid_feature(png_encode(2, 1, bytes([255, 255])), grid=2)
+    assert f == [1.0, 1.0, 0.0, 0.0]
+
+
 def test_grid_feature_known_values():
     # 4x4 grey image: left half 0, right half 200 -> cell means
     px = bytes([0, 0, 200, 200] * 4)
