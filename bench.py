@@ -20,6 +20,18 @@ sys.path.insert(0, REPO)
 # the operators that dominate real workloads: graph expansion,
 # budgeted retrieval, ANN, dedup, metrics, windowed events, TPC-H aggs
 HEADLINE = [
+    # light, latency-sensitive lines first (a fresh heap, before the
+    # heavy ANN/LSH/pipeline lines pressure the shared JVM)
+    "q_pricing_summary",
+    "q_top_revenue",
+    "q_market_volume",
+    "e_parallel_sort",
+    "t_quality_features",
+    "st_tumbling_agg",
+    "st_sliding_agg",
+    "st_graph_deltas",
+    "tm_asof_enrich",
+    "m_metrics_per_row",
     "g_onehop_enum",
     "g_twohop_enum",
     "g_pattern_exec_2hop",
@@ -34,21 +46,11 @@ HEADLINE = [
     "d_minhash_lsh_fast",
     "d_minhash_lsh_scaled",
     "d_lsh_repair_components",
-    "m_metrics_per_row",
-    "e_parallel_sort",
-    "t_quality_features",
     "t_decontaminate",
-    "st_tumbling_agg",
-    "st_sliding_agg",
-    "st_graph_deltas",
-    "tm_asof_enrich",
-    # end-to-end flagship: the distributed pipeline twin; the driver-loop
-    # variant measured 9.6 s vs bulk 7.9 s at sf0.1 (BASELINE.md) — one
-    # headline line suffices, the oracle covers both
+    # end-to-end flagship last: the distributed pipeline twin; the
+    # driver-loop variant measured 9.6 s vs bulk 7.9 s at sf0.1
+    # (BASELINE.md) — one headline line suffices, the oracle covers both
     "p_pipeline_bulk",
-    "q_pricing_summary",
-    "q_top_revenue",
-    "q_market_volume",
 ]
 
 
