@@ -1,0 +1,157 @@
+"""Pure-stdlib AVI (RIFF) codec for UNCOMPRESSED video: the third
+modality behind the multimodal ``decode_fn`` seam (after PNG images,
+ops/png.py, and WAV audio, ops/wav.py).
+
+AVI is a RIFF container: ``LIST hdrl`` holds the ``avih`` main header
+(frame timing + dimensions) and a ``LIST strl`` stream header; ``LIST
+movi`` holds one ``00db`` chunk per uncompressed frame.  Frames are
+device-independent bitmaps — BOTTOM-UP rows of BGR24 pixels, each row
+padded to a 4-byte boundary — which this module converts to/from
+top-down RGB.  That is a real, documented video format decodable with
+``struct`` alone; compressed codecs (the ``00dc`` chunk flavor) are
+rejected loudly and remain the production-ffmpeg seam.
+
+``avi_frame_iter`` walks the container WITHOUT materializing every
+frame, so frame sampling reads only the sampled chunks — the honest
+analog of keyframe-seeking at scale.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def _row_stride(width: int) -> int:
+    return (width * 3 + 3) & ~3
+
+
+def avi_encode(frames: list[bytes], width: int, height: int,
+               fps: int = 25) -> bytes:
+    """Top-down RGB24 frame buffers (``width*height*3`` bytes each) →
+    uncompressed AVI bytes."""
+    stride = _row_stride(width)
+    dibs = []
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError("frame buffer does not match width*height*3")
+        rows = []
+        for y in range(height - 1, -1, -1):  # DIB rows are bottom-up
+            row = bytearray()
+            base = y * width * 3
+            for x in range(width):
+                r, g, b = f[base + x * 3:base + x * 3 + 3]
+                row += bytes((b, g, r))       # ...and BGR
+            row += bytes(stride - width * 3)  # 4-byte row padding
+            rows.append(bytes(row))
+        dibs.append(b"".join(rows))
+
+    frame_bytes = stride * height
+    avih = struct.pack("<IIIIIIIIIIIIII",
+                       1_000_000 // fps, frame_bytes * fps, 0, 0,
+                       len(frames), 0, 1, frame_bytes,
+                       width, height, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh",
+                       b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+                       len(frames), frame_bytes, 0xFFFFFFFF, 0,
+                       0, 0, width, height)
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                       0, frame_bytes, 0, 0, 0, 0)  # BI_RGB
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+    movi = _list(b"movi", b"".join(_chunk(b"00db", d) for d in dibs))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _walk(payload: bytes) -> tuple[int, int, int, int, list[tuple[int, int]]]:
+    """Parse headers; return (width, height, fps, n_frames,
+    [(offset, length)] of the 00db frame chunks) without reading pixel
+    data."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    width = height = usec = None
+
+    frames: list[tuple[int, int]] = []
+
+    def scan(pos: int, end: int) -> None:
+        nonlocal width, height, usec
+        while pos + 8 <= end:
+            tag = payload[pos:pos + 4]
+            (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            if pos + 8 + length > end:
+                raise ValueError(f"truncated {tag!r} chunk")
+            if tag == b"LIST":
+                scan(pos + 12, pos + 8 + length)
+            elif tag == b"avih":
+                usec, _, _, _, _, _, _, _, width, height = struct.unpack(
+                    "<IIIIIIIIII", payload[pos + 8:pos + 48])
+            elif tag == b"00db":
+                frames.append((pos + 8, length))
+            elif tag == b"00dc":
+                raise ValueError(
+                    "compressed AVI frames (00dc) unsupported — decode "
+                    "with ffmpeg behind the same decode_fn seam")
+            pos += 8 + length + (length & 1)
+
+    scan(12, len(payload))
+    if width is None:
+        raise ValueError("missing avih header")
+    if usec is None or usec == 0:
+        raise ValueError("missing frame timing")
+    return width, height, round(1_000_000 / usec), len(frames), frames
+
+
+def _dib_to_rgb(dib: bytes, width: int, height: int) -> bytes:
+    stride = _row_stride(width)
+    if len(dib) != stride * height:
+        raise ValueError("frame chunk does not match dimensions")
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src = (height - 1 - y) * stride
+        dst = y * width * 3
+        for x in range(width):
+            b, g, r = dib[src + x * 3:src + x * 3 + 3]
+            out[dst + x * 3:dst + x * 3 + 3] = bytes((r, g, b))
+    return bytes(out)
+
+
+def avi_decode(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """→ ``(width, height, fps, [top-down RGB24 frame, ...])``."""
+    width, height, fps, _, frames = _walk(payload)
+    return width, height, fps, [
+        _dib_to_rgb(payload[off:off + ln], width, height)
+        for off, ln in frames]
+
+
+def avi_frame_iter(payload: bytes, every_n: int = 1
+                   ) -> Iterator[tuple[int, bytes]]:
+    """Yield ``(frame_idx, rgb_bytes)`` for every ``every_n``-th frame,
+    decoding ONLY the sampled chunks (the container walk itself reads
+    headers + chunk sizes, never skipped pixel data)."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    width, height, _, _, frames = _walk(payload)
+    for idx in range(0, len(frames), every_n):
+        off, ln = frames[idx]
+        yield idx, _dib_to_rgb(payload[off:off + ln], width, height)
+
+
+def avi_frame_energy(payload: bytes, every_n: int = 2) -> list[float]:
+    """Decode-based video feature with the standard ``bytes ->
+    list[float]`` seam contract: mean pixel intensity of each sampled
+    frame, normalized to [0, 1]."""
+    out = []
+    for _, rgb in avi_frame_iter(payload, every_n):
+        out.append(sum(rgb) / len(rgb) / 255.0 if rgb else 0.0)
+    return out

@@ -7,10 +7,12 @@ pure-stdlib PNG codec (zlib+struct, all five filter types) plugged into
 the ``decode_fn`` seam and oracle-checked on pixel content (registry
 ``mm_png_feature``).  AUDIO decode is REAL: ops/wav.py is a pure-stdlib
 RIFF/PCM16 codec, oracle-checked on sample content (``mm_wav_energy``).
-Only VIDEO decode remains stubbed behind the same seam (no pure-python
-codec exists for any real video format) — production swaps in ffmpeg
-with the same ``bytes -> list[float]`` signature (SURVEY north-star:
-multimodal columns).
+VIDEO decode is REAL for uncompressed AVI: ops/avi.py walks the RIFF
+container and decodes DIB frames, with sampled iteration that never
+reads skipped frames (``mm_avi_frames``).  Compressed codecs
+(JPEG/H.264/...) remain the production-ffmpeg seam with the same
+``bytes -> list[float]`` signature (SURVEY north-star: multimodal
+columns).
 """
 
 from __future__ import annotations

@@ -166,3 +166,50 @@ def mm_wav_energy(spark, sf_dir):
     win = [F.round(F.element_at("feature", i + 1) * 64 * 32768 * 32768, 0)
            .cast("bigint") for i in range(2)]
     return feats.select("media_id", win[0].alias("w0"), win[1].alias("w1"))
+
+
+@register(
+    "mm_avi_frames", extra=True,
+    oracle="""
+SELECT doc_id AS media_id, CAST(f.range AS BIGINT) AS frame_idx,
+       CAST(SUM((d.doc_id * 7 + f.range * 13 + i.range) % 256)
+            AS BIGINT) AS psum
+FROM documents d, range(4) f, range(24) i
+WHERE f.range < (d.doc_id % 3) + 2 AND f.range % 2 = 0
+GROUP BY doc_id, f.range
+""")
+def mm_avi_frames(spark, sf_dir):
+    """REAL video decode in-pipeline, oracle-checked on CONTENT: each
+    document becomes a genuine uncompressed AVI (4x2 RGB24,
+    (doc_id % 3)+2 frames, channel i of frame f = (doc_id*7+f*13+i) %
+    256), encoded then frame-SAMPLED (every 2nd frame, skipped frames'
+    pixel data never decoded) by the pure-stdlib RIFF codec
+    (ops/avi.py) inside mapInPandas; per-frame pixel sums compared as
+    exact integers against DuckDB's closed form.  Completes the third
+    modality: images (PNG), audio (WAV), video (uncompressed AVI) all
+    genuinely decoded; only compressed codecs stay behind the
+    production-ffmpeg seam."""
+    from graphraft_spark.ops.avi import avi_encode, avi_frame_iter
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = did % 3 + 2
+                frames = [bytes((did * 7 + f * 13 + i) % 256
+                                for i in range(4 * 2 * 3))
+                          for f in range(n)]
+                blob = avi_encode(frames, 4, 2)
+                for idx, rgb in avi_frame_iter(blob, every_n=2):
+                    rows.append({"media_id": did, "frame_idx": idx,
+                                 "psum": sum(rgb)})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "psum"])
+
+    return d.select("doc_id").mapInPandas(
+        run, schema="media_id bigint, frame_idx bigint, psum bigint")
