@@ -140,3 +140,30 @@ def test_bulk_pattern_execution_broadcasts_specs_no_cartesian(spark, graph):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_no_cartesian_anywhere_bnlj_only_in_knn_family(spark):
+    """Sweep every PRIMARY query's physical plan: CartesianProduct is
+    banned outright; BroadcastNestedLoopJoin is legitimate ONLY where a
+    tiny broadcast side scores against the corpus (the KNN/ANN cross-
+    score shape — one query row against every vector) and must not
+    creep into any other family."""
+    from graphraft_spark import registry
+
+    registry.load_all()
+    BNLJ_OK = {
+        # query-vector-vs-corpus scoring: broadcast side is O(1) rows
+        "s_entity_match_fallback", "s_knn_topk", "s_knn_excluding",
+        "ann_bruteforce_topk", "ann_ivf_search",
+        # budgeted retrieval: the crossing-row probe is a 1-row frame
+        "r_retrieve_data", "r_budget_accumulate", "r_token_budget",
+        "m_retrieval_eval",
+    }
+    offenders = {}
+    for name, fn in registry.QUERIES.items():
+        p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in p and name not in BNLJ_OK:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
