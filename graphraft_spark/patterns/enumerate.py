@@ -144,12 +144,23 @@ def _batch_spec_for(pattern: str) -> PatternSpec:
 def enumerate_paths_batch(graph: PropertyGraph, anchors: DataFrame,
                           patterns: Sequence[str] = PATTERNS,
                           gold: DataFrame | None = None,
-                          specific_target_label: str | None = None) -> DataFrame:
+                          specific_target_label: str | None = None,
+                          approx_rsd: float | None = None) -> DataFrame:
     """All templates for ALL questions in one plan: ``anchors`` is a
     ``(qid, name)`` frame; output adds a ``qid`` column to the signature
     table.  One Spark job enumerates every question (vs the reference's
     per-question Cypher round-trips, llm1.py:83-87).  ``gold`` is an
-    optional ``(qid, nodeId)`` frame for supervised ``correctCnt``."""
+    optional ``(qid, nodeId)`` frame for supervised ``correctCnt``.
+
+    ``approx_rsd`` switches ``totalCnt`` to HyperLogLog++
+    (``approx_count_distinct`` at that relative standard deviation) —
+    the hub-anchor scale path: real MAG signatures reach 700k distinct
+    targets (BASELINE.md), where the exact count's distinct shuffle
+    carries every (signature, target) pair but the HLL sketch is a
+    fixed-size mergeable partial per signature.  The count only feeds
+    E5's ``num_results`` SORT key (llm1.py:53-58), so a few-percent
+    error is semantically benign; ``correctCnt`` (the gate numerator)
+    stays EXACT — gold matches are few."""
     from graphraft_spark.patterns.compiler import compile_pattern_batch
 
     all_cols = ["qid", "pattern", "label1", "name1", "type1", "label2",
@@ -165,8 +176,21 @@ def enumerate_paths_batch(graph: PropertyGraph, anchors: DataFrame,
                                  for out_name, src in _SIGNATURES[pattern]]
         tgt = F.col(f"{_TARGET[pattern]}_nodeId")
         if gold is None:
+            cnt = (F.approx_count_distinct(tgt, approx_rsd)
+                   if approx_rsd is not None else F.countDistinct(tgt))
+            df = bindings.groupBy(*keys).agg(cnt.alias("totalCnt"))
+        elif approx_rsd is not None:
+            g = gold.select(F.col("qid").alias("g_qid"),
+                            F.col("nodeId").alias("g_nodeId"))
+            bindings = bindings.join(
+                F.broadcast(g),
+                (F.col("qid") == F.col("g_qid")) & (tgt == F.col("g_nodeId")),
+                "left")
+            # HLL total + single exact distinct (gold) — one distinct
+            # aggregate, so still no Expand
             df = bindings.groupBy(*keys).agg(
-                F.countDistinct(tgt).alias("totalCnt"))
+                F.approx_count_distinct(tgt, approx_rsd).alias("totalCnt"),
+                F.countDistinct("g_nodeId").alias("correctCnt"))
         else:
             g = gold.select(F.col("qid").alias("g_qid"),
                             F.col("nodeId").alias("g_nodeId"))

@@ -192,3 +192,41 @@ def test_batch_supervised_correct_counts(spark, tiny_graph):
                  tiny_graph, anchors, patterns=("1hop",),
                  gold=gold).collect()}
     assert single == batch and single
+
+
+def test_enumerate_batch_approx_mode(spark, tiny_graph):
+    """approx_rsd switches totalCnt to HLL++ (tolerance-checked vs the
+    exact run; exact at tiny cardinalities), keeps correctCnt EXACT,
+    and keeps Expand out of the plan."""
+    from pyspark.sql import functions as F
+
+    from graphraft_spark.patterns.enumerate import enumerate_paths_batch
+
+    anchors = spark.createDataFrame(
+        [(1, "Ada"), (1, "Bob"), (2, "MIT")], "qid bigint, name string")
+    gold = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 1)], "qid bigint, nodeId bigint")
+
+    def key(r):
+        return (r["qid"], r["pattern"], r["label1"], r["name1"],
+                r["type1"], r["label2"], r["type2"], r["label3"])
+
+    exact = {key(r): (r["totalCnt"], r["correctCnt"]) for r in
+             enumerate_paths_batch(tiny_graph, anchors, gold=gold).collect()}
+    ap_df = enumerate_paths_batch(tiny_graph, anchors, gold=gold,
+                                  approx_rsd=0.02)
+    assert "Expand" not in \
+        ap_df._jdf.queryExecution().executedPlan().toString()
+    approx = {key(r): (r["totalCnt"], r["correctCnt"])
+              for r in ap_df.collect()}
+    assert exact.keys() == approx.keys() and len(exact) > 5
+    for k, (tot, cor) in exact.items():
+        a_tot, a_cor = approx[k]
+        assert a_cor == cor, k          # gate numerator stays exact
+        assert abs(a_tot - tot) <= max(1, 0.1 * tot), k
+    # unsupervised approx too
+    un = {key(r): r["totalCnt"] for r in
+          enumerate_paths_batch(tiny_graph, anchors,
+                                approx_rsd=0.02).collect()}
+    for k, tot in un.items():
+        assert abs(tot - exact[k][0]) <= max(1, 0.1 * exact[k][0])
