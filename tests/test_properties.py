@@ -234,3 +234,49 @@ def test_pack_bins_scalable_property(spark, sizes, budget, parts):
     got = {(r.doc_id, r.bin_id) for r in pack_bins_scalable(
         df, budget, "sz", partitions=parts).collect()}
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(edges=edge_lists, data=st.data())
+def test_bulk_execution_matches_per_spec_on_random_graphs(spark, edges, data):
+    """run_patterns_bulk == run_pattern_nodes looped, on random multi-
+    edge graphs (self-loops, shared names, both labels ambiguous) and
+    random instantiated specs of every template."""
+    from graphraft_spark.patterns.compiler import (
+        SPEC_COLS,
+        run_pattern_nodes,
+        run_patterns_bulk,
+    )
+    from graphraft_spark.patterns.ir import onehop, twohop, twopath
+
+    _, g = _graph_from(spark, edges)
+    names = st.sampled_from(["n0", "n1", "n2"])
+    rels = st.sampled_from(["A", "B"])
+    cases = []
+    for _ in range(data.draw(st.integers(2, 4))):
+        kind = data.draw(st.sampled_from(["1hop", "2hop", "2path"]))
+        n1, t1 = data.draw(names), data.draw(rels)
+        if kind == "1hop":
+            spec = onehop("N", n1, t1, "N")
+            row = ("1hop", "N", n1, t1, "N", None, None, None)
+        elif kind == "2hop":
+            t2 = data.draw(rels)
+            spec = twohop("N", n1, t1, "N", t2, "N")
+            row = ("2hop", "N", n1, t1, "N", t2, "N", None)
+        else:
+            t2, n3 = data.draw(rels), data.draw(names)
+            spec = twopath("N", n1, t1, "N", t2, "N", n3)
+            row = ("2path", "N", n1, t1, "N", t2, "N", n3)
+        cases.append((spec, row))
+
+    specs_df = spark.createDataFrame(
+        [row for _, row in cases],
+        ", ".join(f"{c} string" for c in SPEC_COLS))
+    got = {}
+    for r in run_patterns_bulk(g, specs_df).collect():
+        key = tuple(r[c] for c in SPEC_COLS)
+        got.setdefault(key, set()).add(r["nodeId"])
+    for spec, row in cases:
+        want = {r["nodeId"]
+                for r in run_pattern_nodes(g, spec).collect()}
+        assert got.get(row, set()) == want, row
