@@ -279,3 +279,97 @@ def st_props_variant(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.count(F.when(k % 2 == 0, 1)).alias("n_even_k"))
+
+
+@register(
+    "st_sig_maintenance", extra=True,
+    oracle="""
+WITH ev AS (
+    SELECT DISTINCT user_id AS u, event_type AS t FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+tid AS (
+    SELECT t, ('0x' || substr(md5(t), 1, 8))::BIGINT + 10000000000 AS tid
+    FROM (SELECT DISTINCT t FROM ev)
+),
+edges AS (
+    SELECT e.u AS src, x.tid AS dst, upper(e.t) AS rel,
+           CAST(e.u AS VARCHAR) || '|' || CAST(x.tid AS VARCHAR)
+               || '|' || upper(e.t) AS eid
+    FROM ev e JOIN tid x ON e.t = x.t
+),
+und AS (
+    SELECT src, dst, rel, eid FROM edges
+    UNION ALL
+    SELECT dst, src, rel, eid FROM edges
+),
+nodes AS (
+    SELECT u AS nodeId, 'User' AS label,
+           'user_' || CAST(u AS VARCHAR) AS name
+    FROM (SELECT DISTINCT u FROM ev)
+    UNION ALL
+    SELECT tid, 'EventType', t FROM tid
+),
+anchors(qid, name) AS (VALUES (1, 'user_1'), (2, 'user_2'), (3, 'user_3')),
+x1 AS (
+    SELECT a.qid, n.nodeId, n.label, n.name
+    FROM nodes n JOIN anchors a ON n.name = a.name
+),
+h1 AS (
+    SELECT x1.qid, x1.label AS l1, x1.name AS n1, e.rel AS t1,
+           n2.label AS l2, n2.nodeId AS x2, e.eid AS e1
+    FROM x1
+    JOIN und e ON e.src = x1.nodeId
+    JOIN nodes n2 ON n2.nodeId = e.dst
+),
+h2 AS (
+    SELECT h1.qid, h1.l1, h1.n1, h1.t1, h1.l2, e2.rel AS t2,
+           n3.label AS l3, n3.nodeId AS x3
+    FROM h1
+    JOIN und e2 ON e2.src = h1.x2 AND e2.eid <> h1.e1
+    JOIN nodes n3 ON n3.nodeId = e2.dst
+)
+SELECT qid, '1hop' AS pattern, l1 AS label1, n1 AS name1, t1 AS type1,
+       l2 AS label2, CAST(NULL AS VARCHAR) AS type2,
+       CAST(NULL AS VARCHAR) AS label3, CAST(NULL AS VARCHAR) AS name3,
+       COUNT(DISTINCT x2) AS totalCnt
+FROM h1 GROUP BY qid, l1, n1, t1, l2
+UNION ALL
+SELECT qid, '2hop', l1, n1, t1, l2, t2, l3, CAST(NULL AS VARCHAR),
+       COUNT(DISTINCT x3)
+FROM h2 GROUP BY qid, l1, n1, t1, l2, t2, l3
+""")
+def st_sig_maintenance(spark, sf_dir):
+    """Incremental signature-table maintenance over the streaming event
+    graph: events land in TWO delta epochs (even / odd user ids);
+    epoch 1 re-enumerates ONLY the questions whose 2-hop neighborhood
+    its deltas touch (streaming/signature_maintenance.py); the
+    merge-on-read signature table must equal the full batch enumeration
+    over the complete graph — which is what the oracle computes in
+    SQL from the events table directly."""
+    import os
+    import shutil
+
+    from graphraft_spark.streaming.graph_updates import apply_delta_batch
+    from graphraft_spark.streaming.signature_maintenance import (
+        maintain_signatures,
+        read_signatures,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{repo}/.scratch/sig_maint_{tag}"
+    shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild
+    delta_dir, sig_dir = f"{base}/deltas", f"{base}/sigs"
+
+    events = load_events(spark, sf_dir)
+    anchors = spark.createDataFrame(
+        [(1, "user_1"), (2, "user_2"), (3, "user_3")],
+        "qid bigint, name string")
+    for epoch, part in ((0, events.filter(F.col("user_id") % 2 == 0)),
+                        (1, events.filter(F.col("user_id") % 2 == 1))):
+        apply_delta_batch(part, epoch, delta_dir)
+        maintain_signatures(spark, delta_dir, sig_dir, anchors,
+                            epoch_id=epoch)
+    return read_signatures(spark, sig_dir)
