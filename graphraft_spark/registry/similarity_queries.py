@@ -302,3 +302,25 @@ def ann_srp_lsh_topk(spark, sf_dir):
     out = srp_lsh_topk(emb, _queries(spark, sf_dir), k=5, dim=64, bits=8)
     return out.select("qid", "vec_id", F.round("score", 6).alias("score"),
                       F.col("rn").cast("int").alias("rn"))
+
+
+_PQ_CACHE: dict = {}
+
+
+@register("ann_pq_search", extra=True)  # rows-only: float k-means training
+def ann_pq_search(spark, sf_dir):
+    """Product-quantization ANN (ops/pq.py): deterministic per-subspace
+    codebooks (m=8 over dim 64 -> 8 bytes/vector, 32x vs float32),
+    byte-coded corpus, asymmetric-distance top-5.  Training is
+    engine-specific float k-means, so this rides the rows-only tier;
+    exactness-at-codewords and coarse-recall are pinned by pytest."""
+    from graphraft_spark.ops.pq import pq_encode, pq_search, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir not in _PQ_CACHE:
+        books = pq_train(emb, m=8, k=16, iters=3)
+        _PQ_CACHE[sf_dir] = (books, pq_encode(emb, books).persist())
+    books, codes = _PQ_CACHE[sf_dir]
+    out = pq_search(codes, books, _queries(spark, sf_dir), k=5)
+    return out.select("qid", "vec_id", F.round("dist2", 6).alias("dist2"),
+                      F.col("rank").cast("int").alias("rank"))
