@@ -698,3 +698,42 @@ def connected_components_bistar(pairs: DataFrame,
     # to themselves via the second branch
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "comp").select("id", "comp", "cluster_size")
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    sep: str = "\n\n") -> DataFrame:
+    """Paragraph-level exact dedup across the corpus (the Dolma/
+    RedPajama recipe): every document keeps only the FIRST global
+    occurrence of each of its paragraphs — repeated boilerplate
+    (headers, licenses, navigation) vanishes corpus-wide while each
+    document's surviving paragraphs keep their original order.
+
+    Shape: posexplode paragraphs → one shuffle keyed by paragraph hash
+    for global first-seen (ties broken by (doc, position) so the
+    result is deterministic) → one shuffle back by document for
+    order-preserving reassembly.  Documents whose every paragraph was
+    seen earlier come back with empty text (filter afterwards if
+    desired)."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep)))
+        .alias("pos", "para"))
+    w = Window.partitionBy("pkey").orderBy(id_col, "pos")
+    kept = (
+        paras.filter(F.trim("para") != "")
+        .withColumn("pkey", F.md5(F.col("para")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "para")))
+             .alias("parts"))
+        .select(
+            id_col,
+            F.array_join(F.transform("parts", lambda p: p["para"]), sep)
+            .alias(text_col))
+    )
+    return (df.select(id_col).join(rebuilt, id_col, "left")
+            .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col)))

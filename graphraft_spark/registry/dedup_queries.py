@@ -500,3 +500,36 @@ def d_stream_neardup(spark, sf_dir):
     stream_neardup_flags(stream, index_dir, threshold=0.5)
     return neardup_flags(spark, index_dir) \
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "d_paragraph_dedup", extra=True,
+    oracle="""
+WITH p AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS para,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, para, pos,
+           row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+    FROM p WHERE trim(para) <> ''
+)
+SELECT d.doc_id,
+       COALESCE(string_agg(k.para, ' ' ORDER BY k.pos), '') AS text
+FROM documents d
+LEFT JOIN kept k ON k.doc_id = d.doc_id AND k.rn = 1
+GROUP BY d.doc_id
+""")
+def d_paragraph_dedup(spark, sf_dir):
+    """Corpus-global paragraph dedup (Dolma recipe, ops/dedup.py
+    paragraph_dedup): each document keeps only the first global
+    occurrence of each paragraph, order preserved.  The separator is a
+    knob; the synthetic corpus has no paragraph breaks, so words stand
+    in as 'paragraphs' — the plan (posexplode -> hash-keyed first-seen
+    window -> per-doc ordered reassembly) is identical."""
+    from graphraft_spark.ops.dedup import paragraph_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return paragraph_dedup(d, sep=" ")

@@ -180,3 +180,25 @@ def test_bistar_handles_long_chain_beyond_propagation_budget(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=10)
+
+
+def test_paragraph_dedup_order_and_global_first_seen(spark):
+    from graphraft_spark.ops.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\n\nbeta\n\ngamma"),
+         (2, "beta\n\ndelta\n\nalpha"),   # beta+alpha seen in doc 1
+         (3, "gamma\n\nbeta")],           # fully duplicated
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup(docs).collect()}
+    assert got[1] == "alpha\n\nbeta\n\ngamma"
+    assert got[2] == "delta"
+    assert got[3] == ""
+    # within-document order survives partial removal
+    docs2 = spark.createDataFrame(
+        [(1, "x\n\ny"), (2, "a\n\nx\n\nb\n\ny\n\nc")],
+        "doc_id bigint, text string")
+    got2 = {r["doc_id"]: r["text"]
+            for r in paragraph_dedup(docs2).collect()}
+    assert got2[2] == "a\n\nb\n\nc"
