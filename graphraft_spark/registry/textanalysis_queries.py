@@ -384,3 +384,38 @@ def t_temperature_mix(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     rates = {f"src{i}": (i + 1) / 20 for i in range(20)}
     return temperature_mix(d, rates).select("doc_id", "source")
+
+
+@register(
+    "t_corpus_report", extra=True,
+    oracle="""
+SELECT COALESCE(source, '<all>') AS source,
+       COALESCE(lang, '<all>') AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), ())
+""")
+def t_corpus_report(spark, sf_dir):
+    """Corpus statistics card in ONE aggregation pass: per
+    (source, lang), per source, and overall via ROLLUP (the grouping
+    sets ((source,lang),(source),()) ) — the
+    dataset-documentation numbers (counts, char-length min/avg/max)
+    every curated corpus ships with.  Map-side partial aggregation;
+    one shuffle regardless of how many grouping levels."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.rollup("source", "lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+        .select(F.coalesce("source", F.lit("<all>")).alias("source"),
+                F.coalesce("lang", F.lit("<all>")).alias("lang"),
+                "n_docs", "total_chars", "avg_chars", "min_chars",
+                "max_chars")
+    )
