@@ -39,6 +39,8 @@ def pq_train(vectors: DataFrame, m: int = 4, k: int = 16, iters: int = 5,
     and slices them per subspace."""
     import numpy as np
 
+    if k > 256:
+        raise ValueError("pq codes are one byte: k must be <= 256")
     init_rows = (
         vectors.select(id_col, emb_col)
         .withColumn("h", F.xxhash64(F.col(id_col), F.lit(seed)))

@@ -109,7 +109,13 @@ def maintain_signatures(spark: SparkSession, delta_dir: str, sig_dir: str,
 
 def read_signatures(spark: SparkSession, sig_dir: str) -> DataFrame:
     """Merge-on-read: per question, the rows of its LATEST epoch
-    (tombstone rows drop out after the winner is chosen)."""
+    (tombstone rows drop out after the winner is chosen).  A signature
+    log that was never written reads as an empty, correctly-typed
+    frame (no PATH_NOT_FOUND on a zero-delta stream)."""
+    if not os.path.isdir(sig_dir):
+        return spark.createDataFrame(
+            [], "qid bigint, " + ", ".join(
+                f"{c} string" for c in SIG_COLS[:-1]) + ", totalCnt bigint")
     df = spark.read.option("basePath", sig_dir).parquet(sig_dir)
     latest = df.groupBy("qid").agg(F.max("epoch").alias("epoch"))
     return (df.join(latest, ["qid", "epoch"])

@@ -149,3 +149,10 @@ def test_rerank_recovers_exact_topk(spark, corpus, trained):
         sum((a - b) ** 2 for a, b in zip(vecs[i], qv)), i))[:5]
     got = [r["vec_id"] for r in sorted(exact5, key=lambda r: r["rank"])]
     assert got == want
+
+
+def test_k_over_256_raises(corpus):
+    from graphraft_spark.ops.pq import pq_train
+
+    with pytest.raises(ValueError, match="256"):
+        pq_train(corpus, m=4, k=300, iters=1)

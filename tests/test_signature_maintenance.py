@@ -109,3 +109,13 @@ def test_tombstones_supersede_older_epochs(spark, tmp_path):
     assert read_signatures(spark, sig_dir).count() > 0
     recompute_epoch(spark, g_empty, anchors, qids, 1, sig_dir)
     assert read_signatures(spark, sig_dir).count() == 0
+
+
+def test_empty_log_reads_as_empty_frame(spark, tmp_path):
+    from graphraft_spark.streaming.signature_maintenance import (
+        read_signatures,
+    )
+
+    df = read_signatures(spark, str(tmp_path / "never_written"))
+    assert df.count() == 0
+    assert "qid" in df.columns and "totalCnt" in df.columns
