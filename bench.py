@@ -43,6 +43,8 @@ HEADLINE = [
     "ann_bruteforce_scaled",
     "ann_srp_lsh_topk",
     "d_exact_dedup",
+    "d_paragraph_dedup",
+    "ann_pq_search",
     "d_minhash_lsh_fast",
     "d_minhash_lsh_scaled",
     "d_lsh_repair_components",
