@@ -125,6 +125,8 @@ def load_all() -> None:
         multimodal_queries,
         llm_queries,
         tpch_queries,
+        tpch_queries2,
+        sampling_queries,
     )
 
     ordered = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}

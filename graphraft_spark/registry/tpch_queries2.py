@@ -1,0 +1,432 @@
+"""Classic analytics, part 2 — the remaining TPC-H query shapes the
+synthetic star schema can express (SURVEY §2.H).  Together with
+tpch_queries.py this covers every TPC-H pattern that does not need the
+``partsupp`` table or the lineitem ship-mode/commit-date columns the
+testdata lacks: Q6 (selective scan-sum), Q7 (nation-pair volume), Q8
+(market share ratio), Q10 (returned-item top-k), Q13 (distribution of
+counts incl. zero via left join), Q14 (conditional-percentage), Q17
+(per-part avg threshold), Q18 (having-subquery top-k), Q22 (dormant
+rich customers: anti-join + global-threshold comparison).
+
+Determinism conventions (same as tpch_queries.py): money sums run in
+DECIMAL(18,4) on both engines and surface as DOUBLE; ratios divide two
+exact decimal sums only after casting each to DOUBLE (IEEE division of
+identical operands); threshold comparisons against an average are
+rewritten multiplicatively (``x * cnt > total``) so no engine-specific
+decimal-division scale rule enters the predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphraft_spark.registry import register
+
+
+def _dec(c):
+    return F.col(c).cast("decimal(18,4)")
+
+
+def _disc_price():
+    return _dec("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+
+
+@register(
+    "q_forecast_revenue", extra=True,
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: no join at all — three pushable predicates and a
+    two-column projection; the whole query is one parquet scan plus a
+    partial+final agg (map-side combine, single-row shuffle)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_nation_pair_volume", extra=True,
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       strftime(l.l_shipdate, '%Y') AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS volume
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, strftime(l.l_shipdate, '%Y')
+""")
+def q_nation_pair_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between distinct nation pairs by
+    year.  Both nation dims and the supplier dim broadcast; the only
+    shuffles are the two fact-side equijoins and the final agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("cust_nation"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast(
+                "timestamp_ntz")))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.date_format("l_shipdate", "yyyy").alias("l_year"))
+        .agg(F.sum(_disc_price()).cast("double").alias("volume"))
+    )
+
+
+@register(
+    "q_market_share", extra=True,
+    oracle="""
+SELECT l_year,
+       CAST(nation_volume AS DOUBLE) / CAST(total_volume AS DOUBLE)
+           AS mkt_share
+FROM (
+    SELECT strftime(o.o_orderdate, '%Y') AS l_year,
+           SUM(CASE WHEN n1.n_name = 'NATION_5'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * CAST(1 - l.l_discount AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS nation_volume,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS total_volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY strftime(o.o_orderdate, '%Y')
+)
+""")
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of yearly revenue
+    shipped into one region.  The share is a ratio of two exact decimal
+    sums computed in the SAME aggregate (conditional numerator), cast to
+    double only for the final IEEE division — bitwise identical on both
+    engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_regionkey").alias("n2_region"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("n2_region") == F.col("r_regionkey"))
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("l_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                         _disc_price()).otherwise(zero))
+            .alias("nation_volume"),
+            F.sum(_disc_price()).alias("total_volume"),
+        )
+        .select(
+            "l_year",
+            (F.col("nation_volume").cast("double")
+             / F.col("total_volume").cast("double")).alias("mkt_share"))
+    )
+
+
+@register(
+    "q_returned_items", extra=True,
+    oracle="""
+SELECT c.c_custkey, ANY_VALUE(c.c_name) AS c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue,
+       CAST(ANY_VALUE(c.c_acctbal) AS DOUBLE) AS c_acctbal,
+       ANY_VALUE(n.n_name) AS n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey
+ORDER BY revenue DESC, c.c_custkey LIMIT 20
+""")
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: customers who returned the most revenue in one
+    quarter — selective order-date window, returnflag filter pushed to
+    the lineitem scan, top-20 via TakeOrderedAndProject."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast(
+                "timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast(
+                "timestamp_ntz"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("c_name").alias("c_name"),
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.any_value("c_acctbal").cast("double").alias("c_acctbal"),
+            F.any_value("n_name").alias("n_name"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_customer_distribution", extra=True,
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""")
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    INCLUDING zero-order customers — the left join keeps them and
+    COUNT(o_orderkey) ignores the null rows, exactly the classic
+    trap this query exists to test."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        c.join(o.filter(F.col("o_orderpriority") != "1-URGENT"),
+               F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q_promo_revenue", extra=True,
+    oracle="""
+SELECT CAST(promo AS DOUBLE) * 100.0 / CAST(total AS DOUBLE)
+           AS promo_revenue_pct
+FROM (
+    SELECT SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * CAST(1 - l.l_discount AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS total
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+)
+""")
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: share of one month's revenue from promo parts —
+    conditional numerator and unconditional denominator in one
+    aggregate over a broadcast part join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast(
+                "timestamp_ntz")))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", _disc_price())
+                  .otherwise(zero)).alias("promo"),
+            F.sum(_disc_price()).alias("total"),
+        )
+        .select(
+            (F.col("promo").cast("double") * F.lit(100.0)
+             / F.col("total").cast("double")).alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "q_small_qty_revenue", extra=True,
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+    SELECT l_partkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_partkey
+) a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND CAST(l.l_quantity AS DECIMAL(18,4)) * 5 * a.cnt < a.sum_qty
+""")
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: lineitems below 20% of their part's average
+    quantity.  The avg threshold is rewritten multiplicatively
+    (``qty * 5 * cnt < sum_qty`` over exact decimals) so neither
+    engine's decimal-division scale rule touches the predicate; the
+    per-part aggregate joins back to the fact on the same key (one
+    shuffle, reused partitioning under AQE)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"),
+             F.count("*").alias("cnt")))
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#13")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double").alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_large_volume_customers", extra=True,
+    oracle="""
+SELECT c.c_custkey, ANY_VALUE(c.c_name) AS c_name, o.o_orderkey,
+       strftime(ANY_VALUE(o.o_orderdate), '%Y-%m-%d') AS o_orderdate_s,
+       CAST(ANY_VALUE(o.o_totalprice) AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 210
+)
+GROUP BY c.c_custkey, o.o_orderkey
+ORDER BY CAST(ANY_VALUE(o.o_totalprice) AS DOUBLE) DESC, o.o_orderkey
+LIMIT 25
+""")
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity clears a threshold
+    (HAVING subquery → semi join), re-joined to customer detail, top-25
+    by order price.  The qty threshold compares exact decimals."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_okey"))
+        .agg(F.sum(_dec("l_quantity")).alias("big_qty"))
+        .filter(F.col("big_qty") > F.lit(210).cast("decimal(18,4)"))
+        .select("big_okey"))
+    return (
+        li.join(big, F.col("l_orderkey") == F.col("big_okey"), "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(
+            F.any_value("c_name").alias("c_name"),
+            F.date_format(F.any_value("o_orderdate"), "yyyy-MM-dd")
+            .alias("o_orderdate_s"),
+            F.any_value("o_totalprice").cast("double").alias("o_totalprice"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "q_dormant_rich_customers", extra=True,
+    oracle="""
+SELECT c.c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer c
+CROSS JOIN (
+    SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS total, COUNT(*) AS cnt
+    FROM customer WHERE c_acctbal > 0
+) t
+WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * t.cnt > t.total
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c.c_nationkey
+""")
+def q_dormant_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers richer than the positive-balance
+    average with no RECENT order (none since 1999 — the synthetic data
+    has near-zero never-ordered customers, so the classic "no orders at
+    all" predicate would green-pass on an empty result, which proves
+    nothing).  A single-row broadcast of the global (sum, count), a
+    multiplicative above-average predicate on exact decimals, and a
+    left-anti join against the filtered orders; grouped by nation in
+    lieu of the reference's phone country code (column absent)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    stats = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(_dec("c_acctbal")).alias("total"),
+             F.count("*").alias("cnt")))
+    return (
+        c.join(F.broadcast(stats))
+        .filter(_dec("c_acctbal") * F.col("cnt") > F.col("total"))
+        .join(o.filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast(
+                  "timestamp_ntz")),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"),
+             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
+    )
