@@ -737,3 +737,107 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     )
     return (df.select(id_col).join(rebuilt, id_col, "left")
             .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col)))
+
+
+# --- exact-substring span dedup (Lee et al. 2022, arXiv:2107.06499) -------
+
+def window_hash_positions(text: Column, k: int) -> Column:
+    """All overlapping k-token windows of normalized text as
+    array<struct<pos,wh>> — pos is 1-BASED (so the DuckDB oracle's
+    1-based array slicing lines up), wh an md5 of the space-joined
+    window.  Texts shorter than k tokens yield an empty array (no
+    window is a partial window; the sequence() is guarded because
+    Spark's sequence(1, 0) counts DOWN instead of returning empty)."""
+    ws = words(text)
+    n = F.size(ws)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(ws, i, k))).alias("wh")))
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Exact-substring duplicate detection: maximal token spans whose
+    every k-token window occurs earlier in the corpus (global
+    first-seen order by (doc, pos); the first occurrence is NOT
+    flagged, so one copy of every substring survives — the ExactSubstr
+    policy of Lee et al. 2022, at k-token granularity instead of a
+    suffix array, which is the standard distributed approximation:
+    one hash shuffle replaces the sequential suffix-array build).
+
+    Returns (id, span_start, span_end, n_windows): token positions are
+    1-based inclusive; overlapping/adjacent flagged windows are merged
+    into maximal spans with a per-document gaps-and-islands pass
+    (running max over the doc's own partition — per-doc state never
+    leaves its partition, so scale cost is the largest DOCUMENT, not
+    the corpus).
+    """
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(window_hash_positions(F.col(text_col), k))
+        .alias("win")).select("id", "win.pos", "win.wh")
+    first_seen = Window.partitionBy("wh").orderBy("id", "pos")
+    flagged = (
+        wins.withColumn("rn", F.row_number().over(first_seen))
+        .filter(F.col("rn") > 1)
+        .select("id", "pos", (F.col("pos") + (k - 1)).alias("endpos")))
+    doc_order = Window.partitionBy("id").orderBy("pos", "endpos")
+    prev_end = (Window.partitionBy("id").orderBy("pos", "endpos")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        flagged.withColumn("prev_end", F.max("endpos").over(prev_end))
+        .withColumn(
+            "new_island",
+            F.when(F.col("prev_end").isNull()
+                   | (F.col("pos") > F.col("prev_end")), 1).otherwise(0))
+        .withColumn("island", F.sum("new_island").over(doc_order)))
+    return (
+        islands.groupBy("id", "island")
+        .agg(F.min("pos").alias("span_start"),
+             F.max("endpos").alias("span_end"),
+             F.count("*").alias("n_windows"))
+        .select(F.col("id").alias(id_col), "span_start", "span_end",
+                "n_windows"))
+
+
+def exact_substring_scrub(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Remove every duplicated span found by ``duplicate_spans`` from
+    the documents, keeping the corpus-global first occurrence of each
+    substring.  Returns (id, text, n_tokens_kept).
+
+    The scrub itself is join-light: spans collapse to one small
+    array per affected document (a document has at most
+    n_tokens/k·2 maximal spans), broadcast back onto the corpus row
+    via a left join on the id, then an index-aware higher-order
+    F.filter drops covered tokens — no explode of the corpus, no
+    range join.
+    """
+    spans = (
+        duplicate_spans(df, text_col, id_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("span_start", "span_end"))
+             .alias("spans")))
+    ws = words(F.col(text_col))
+    # F.filter's index lambda is 0-based; spans are 1-based inclusive.
+    kept = F.filter(
+        ws,
+        lambda tok, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"])))
+    return (
+        df.join(spans, id_col, "left")
+        .withColumn("spans",
+                    F.coalesce(
+                        F.col("spans"),
+                        F.array().cast(
+                            "array<struct<span_start:int,span_end:int>>")))
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias(text_col),
+            F.size(kept).alias("n_tokens_kept"))
+    )

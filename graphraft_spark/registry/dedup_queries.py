@@ -533,3 +533,102 @@ def d_paragraph_dedup(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return paragraph_dedup(d, sep=" ")
+
+
+# --- exact-substring span dedup (Lee et al. arXiv:2107.06499) -------------
+
+# Shared oracle fragments: 1-based k=8 token windows over normalized
+# text, global first-seen flagging, per-doc island merge — the DuckDB
+# twin of ops/dedup.py:window_hash_positions/duplicate_spans.
+_SPAN_WINS = f"""
+toks AS (
+    SELECT doc_id, string_split_regex({_NORM.format(t='text')}, ' ') AS w
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(w[i:i+7], ' ')) AS wh
+    FROM toks, UNNEST(generate_series(1, GREATEST(len(w) - 7, 0))) AS t(i)
+),
+flagged AS (
+    SELECT doc_id, pos, pos + 7 AS endpos
+    FROM (SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (PARTITION BY wh
+                                    ORDER BY doc_id, pos) AS rn
+          FROM wins)
+    WHERE rn > 1
+),
+islands AS (
+    SELECT doc_id, pos, endpos,
+           SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id
+                     ORDER BY pos, endpos) AS island
+    FROM (SELECT doc_id, pos, endpos,
+                 MAX(endpos) OVER (PARTITION BY doc_id
+                                   ORDER BY pos, endpos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_end
+          FROM flagged)
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS span_start, MAX(endpos) AS span_end,
+           COUNT(*) AS n_windows
+    FROM islands GROUP BY doc_id, island
+)"""
+
+
+@register(
+    "d_span_dedup", extra=True,
+    oracle=f"""
+WITH {_SPAN_WINS}
+SELECT doc_id, span_start, span_end, n_windows FROM spans
+""")
+def d_span_dedup(spark, sf_dir):
+    """Exact-substring duplicate spans (k=8 token windows, corpus-global
+    first occurrence kept): the suffix-array dedup of Lee et al.
+    re-expressed as one window-hash shuffle + a per-document island
+    merge.  The oracle reproduces every span boundary."""
+    from graphraft_spark.ops.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, "text", "doc_id", k=8)
+
+
+@register(
+    "d_span_scrub", extra=True,
+    oracle=f"""
+WITH {_SPAN_WINS},
+posed AS (
+    SELECT t.doc_id, g.i AS pos, t.w[g.i] AS tok
+    FROM toks t, UNNEST(generate_series(1, len(t.w))) AS g(i)
+),
+kept AS (
+    SELECT p.doc_id, p.pos, p.tok
+    FROM posed p
+    WHERE NOT EXISTS (SELECT 1 FROM spans s
+                      WHERE s.doc_id = p.doc_id
+                        AND p.pos BETWEEN s.span_start AND s.span_end)
+)
+SELECT d.doc_id,
+       md5(COALESCE(k.text, '')) AS clean_md5,
+       COALESCE(k.n_tokens_kept, 0) AS n_tokens_kept
+FROM documents d
+LEFT JOIN (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+           COUNT(*) AS n_tokens_kept
+    FROM kept GROUP BY doc_id
+) k ON k.doc_id = d.doc_id
+""")
+def d_span_scrub(spark, sf_dir):
+    """Scrubbed corpus after exact-substring dedup: duplicated spans
+    removed, first global occurrence retained, original token order
+    preserved.  Output is (doc_id, md5(clean_text), tokens kept) so the
+    oracle value-checks the RECONSTRUCTED text of every document."""
+    from graphraft_spark.ops.dedup import exact_substring_scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = exact_substring_scrub(docs, "text", "doc_id", k=8)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"),
+        F.col("n_tokens_kept").cast("bigint").alias("n_tokens_kept"))
