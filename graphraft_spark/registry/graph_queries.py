@@ -388,3 +388,55 @@ def g_sql_onehop(spark, sf_dir):
 
     register_sql_views(spark, sf_dir)
     return spark.sql(_SQL_ONEHOP)
+
+
+@register(
+    "g_degree_top", extra=True,
+    oracle=GRAPH_ORACLE_CTE + """
+SELECT n.nodeId, n.label, d.degree
+FROM (
+    SELECT nodeId, COUNT(*) AS degree FROM (
+        SELECT src AS nodeId FROM edges
+        UNION ALL
+        SELECT dst AS nodeId FROM edges
+    ) GROUP BY nodeId
+) d
+JOIN nodes n ON n.nodeId = d.nodeId
+ORDER BY d.degree DESC, n.nodeId LIMIT 20
+""")
+def g_degree_top(spark, sf_dir):
+    """Degree centrality (graph/algos.py:degrees): hub detection over
+    the property graph — one shuffle keyed by node id, then a top-k
+    (TakeOrderedAndProject) against the broadcast node dim."""
+    from graphraft_spark.graph.algos import degrees
+
+    g = tpch_graph(spark, sf_dir)
+    return (
+        degrees(g.edges)
+        .join(g.nodes.select("nodeId", "label"), "nodeId")
+        .select("nodeId", "label", "degree")
+        .orderBy(F.desc("degree"), F.asc("nodeId"))
+        .limit(20)
+    )
+
+
+@register("g_pagerank_top", extra=True)  # rows-only: iterative float algo
+def g_pagerank_top(spark, sf_dir):
+    """PageRank top-20 (graph/algos.py:pagerank, 10 rounds): node
+    importance over the directed property graph.  Not SQL-expressible
+    (iterative); semantics are pinned instead by
+    tests/test_graph_algos.py's exact parity (1e-12) with an
+    independent dense numpy power iteration, including dangling-mass
+    redistribution."""
+    from graphraft_spark.graph.algos import pagerank
+
+    g = tpch_graph(spark, sf_dir)
+    pr = pagerank(g.nodes.select("nodeId"), g.edges.select("src", "dst"),
+                  n_iter=10)
+    return (
+        pr.join(g.nodes.select("nodeId", "label", "name"), "nodeId")
+        .select("nodeId", "label", "name",
+                F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("nodeId"))
+        .limit(20)
+    )

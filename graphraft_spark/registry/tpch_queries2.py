@@ -430,3 +430,49 @@ def q_dormant_rich_customers(spark, sf_dir):
         .agg(F.count("*").alias("numcust"),
              F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
     )
+
+
+@register(
+    "q_setops_customers", extra=True,
+    oracle="""
+SELECT 'both_years' AS cohort, COUNT(*) AS n FROM (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+UNION ALL
+SELECT 'churned' AS cohort, COUNT(*) AS n FROM (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+""")
+def q_setops_customers(spark, sf_dir):
+    """Set-operation coverage (§2.H): INTERSECT (retained customers)
+    and EXCEPT (churned customers) between two order-year cohorts —
+    the native DataFrame set ops, which Catalyst plans as
+    distinct+semi/anti joins (AQE picks broadcast when a cohort is
+    small)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def cohort(y0, y1):
+        return (o.filter(
+            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp_ntz")))
+            .select("o_custkey").distinct())
+
+    c96 = cohort("1996-01-01", "1997-01-01")
+    c97 = cohort("1997-01-01", "1998-01-01")
+    both = c96.intersect(c97).agg(F.count("*").alias("n")) \
+        .select(F.lit("both_years").alias("cohort"), "n")
+    churn = c96.exceptAll(c97).agg(F.count("*").alias("n")) \
+        .select(F.lit("churned").alias("cohort"), "n")
+    return both.unionByName(churn)
