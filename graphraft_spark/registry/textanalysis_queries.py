@@ -419,3 +419,23 @@ def t_corpus_report(spark, sf_dir):
                 "n_docs", "total_chars", "avg_chars", "min_chars",
                 "max_chars")
     )
+
+
+@register("t_bpe_tokenize", extra=True)  # rows-only: iterative trainer
+def t_bpe_tokenize(spark, sf_dir):
+    """Distributed BPE: train 8 merges on the documents corpus (word-
+    frequency table collapse + per-round pair aggregates, ops/bpe.py),
+    then encode every document with the learned ranks via the Arrow-
+    batched encoder.  Iterative → no SQL oracle; exact semantics pinned
+    by tests/test_bpe.py parity with an independent reference
+    implementation (identical merge sequences and encodings)."""
+    from graphraft_spark.ops.bpe import encode_bpe, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, num_merges=8)
+    return (
+        encode_bpe(docs, merges)
+        .select("doc_id", F.size("tokens").alias("n_tokens"),
+                F.concat_ws(" ", F.slice("tokens", 1, 12))
+                .alias("head_tokens"))
+    )
