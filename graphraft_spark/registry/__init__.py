@@ -126,7 +126,6 @@ def load_all() -> None:
         llm_queries,
         tpch_queries,
         tpch_queries2,
-        sampling_queries,
     )
 
     ordered = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
