@@ -403,3 +403,67 @@ def stream_ivf_ingest(vec_stream: DataFrame, centroids: DataFrame,
         .start()
     )
     q.awaitTermination()
+
+
+def mmr_rerank(candidates: DataFrame, k: int, lam: float = 0.5,
+               qid_col: str = "qid", id_col: str = "vec_id",
+               emb_col: str = "embedding",
+               score_col: str = "score") -> DataFrame:
+    """Maximal-marginal-relevance re-rank of per-query candidate sets:
+    greedily pick argmax  lam·relevance − (1−lam)·max cosine to the
+    already-selected — the standard diversity-aware top-k (Carbonell &
+    Goldstein 1998) used to de-duplicate retrieval results and training
+    batches.
+
+    The greedy loop is inherently sequential PER QUERY but queries are
+    independent, so the distributed shape is applyInPandas over
+    groupBy(qid): each group is one bounded candidate set (the ef
+    retrieved by a first-stage ANN, typically ≤ a few hundred rows), and
+    the O(ef²) similarity matrix lives only inside its executor batch.
+    Scale cost is candidates·dim shuffled once — never corpus-sized.
+
+    Determinism: candidates are sorted by (−score, id) before the
+    greedy loop and ties broken by first-index, so the output is
+    independent of the incoming row order/partitioning.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (f"{qid_col} bigint, {id_col} bigint, score double, "
+                  "mmr_score double, mmr_rank int")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([score_col, id_col],
+                              ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        E = np.stack([np.asarray(e, dtype="float64")
+                      for e in pdf[emb_col]])
+        norms = np.linalg.norm(E, axis=1)
+        norms[norms == 0.0] = 1.0
+        En = E / norms[:, None]
+        sim = En @ En.T
+        rel = pdf[score_col].to_numpy(dtype="float64")
+        selected: list[int] = []
+        mmr_scores: list[float] = []
+        mask = np.ones(n, dtype=bool)
+        while mask.any() and len(selected) < k:
+            if selected:
+                penalty = sim[:, selected].max(axis=1)
+                mmr = lam * rel - (1.0 - lam) * penalty
+            else:
+                mmr = lam * rel
+            mmr_masked = np.where(mask, mmr, -np.inf)
+            i = int(np.argmax(mmr_masked))  # first max = sorted tiebreak
+            selected.append(i)
+            mmr_scores.append(float(mmr_masked[i]))
+            mask[i] = False
+        return pd.DataFrame({
+            qid_col: pdf[qid_col].iloc[selected].to_numpy(),
+            id_col: pdf[id_col].iloc[selected].to_numpy(),
+            "score": rel[selected],
+            "mmr_score": mmr_scores,
+            "mmr_rank": np.arange(1, len(selected) + 1, dtype="int32"),
+        })
+
+    return candidates.groupBy(qid_col).applyInPandas(kernel, out_schema)

@@ -324,3 +324,22 @@ def ann_pq_search(spark, sf_dir):
     out = pq_search(codes, books, _queries(spark, sf_dir), k=5)
     return out.select("qid", "vec_id", F.round("dist2", 6).alias("dist2"),
                       F.col("rank").cast("int").alias("rank"))
+
+
+@register("ann_mmr_rerank", extra=True)  # rows-only: iterative greedy
+def ann_mmr_rerank(spark, sf_dir):
+    """Diversity-aware retrieval: brute-force top-20 first stage, then
+    MMR greedy re-rank to 5 per query (ops/similarity.py:mmr_rerank,
+    lam=0.7).  The greedy loop is per-query-sequential so it rides the
+    rows-only tier; exact semantics are pinned by tests/test_mmr.py
+    parity with an independent reference implementation, including the
+    near-duplicate-displacement property."""
+    from graphraft_spark.ops.similarity import brute_force_topk, mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = brute_force_topk(emb, _queries(spark, sf_dir), k=20)
+    cands = first.join(emb.select("vec_id", "embedding"), "vec_id")
+    out = mmr_rerank(cands, k=5, lam=0.7)
+    return out.select("qid", "vec_id", F.round("score", 6).alias("score"),
+                      F.round("mmr_score", 6).alias("mmr_score"),
+                      "mmr_rank")
