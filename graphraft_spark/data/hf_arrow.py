@@ -5,8 +5,12 @@ existing qa/qa_with_ner/qa_with_cypher_queries artifacts (llm1.py:119,
 llm2.py:135 load_from_disk).
 
 Small QA tables (thousands of rows) go driver-side through pyarrow →
-Spark; that is the right tool at this scale.  Terabyte corpora should be
-exported to parquet once (``to_parquet``) and read natively.
+Spark; that is the right tool at this scale.  For sharded corpora use
+the executor-parallel twin instead —
+``graphraft_spark.sources.read_hf_split_distributed`` (a PySpark 4
+Python Data Source: one partition per .arrow shard, Arrow-batch
+transfer, column pruning + filter pushdown) — or export to parquet
+once (``to_parquet``) and read natively.
 """
 
 from __future__ import annotations

@@ -1,0 +1,6 @@
+from graphraft_spark.sources.hf_arrow_source import (
+    HFArrowDataSource,
+    read_hf_split_distributed,
+)
+
+__all__ = ["HFArrowDataSource", "read_hf_split_distributed"]
