@@ -167,3 +167,41 @@ def test_no_cartesian_anywhere_bnlj_only_in_knn_family(spark):
         elif "BroadcastNestedLoopJoin" in p and name not in BNLJ_OK:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_tpch2_filters_push_and_dims_broadcast(spark):
+    """Round-5 TPC-H additions: Q6's predicates must reach the lineitem
+    scan; Q7's dimension joins must broadcast (no SMJ for nation/
+    supplier); nothing builds a cartesian product."""
+    from graphraft_spark.registry import EXTRA_QUERIES, load_all
+
+    load_all()
+    p6 = physical(EXTRA_QUERIES["q_forecast_revenue"](spark, SF))
+    assert "PushedFilters" in p6 and "l_shipdate" in p6.split(
+        "PushedFilters")[1][:400], "Q6 date filter must push to scan"
+    assert "CartesianProduct" not in p6
+
+    p7 = physical(EXTRA_QUERIES["q_nation_pair_volume"](spark, SF))
+    assert "BroadcastHashJoin" in p7
+    assert "CartesianProduct" not in p7
+
+
+def test_span_dedup_plan_shape(spark):
+    """Exact-substring dedup: window-hash shuffle + per-doc windows —
+    no cartesian, no nested-loop join, no Python in the plan."""
+    from graphraft_spark.ops.dedup import exact_substring_scrub
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = physical(exact_substring_scrub(docs, k=8))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, \
+        "span dedup must stay whole-stage-codegen JVM-side"
+
+
+def test_setops_plan_uses_joins_not_cartesian(spark):
+    from graphraft_spark.registry import EXTRA_QUERIES, load_all
+
+    load_all()
+    p = physical(EXTRA_QUERIES["q_setops_customers"](spark, SF))
+    assert "CartesianProduct" not in p
