@@ -81,3 +81,65 @@ def tm_interval_join(spark, sf_dir):
     return joined.groupBy("incident_id").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "ev_funnel", extra=True,
+    oracle="""
+WITH s1 AS (
+    SELECT user_id AS u, MIN(epoch_us(ts)) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+    SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS t2
+    FROM events e JOIN s1 ON s1.u = e.user_id AND epoch_us(e.ts) > s1.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+    SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS t3
+    FROM events e JOIN s2 ON s2.u = e.user_id AND epoch_us(e.ts) > s2.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+j AS (SELECT s1.u, t1, t2, t3
+      FROM s1 LEFT JOIN s2 ON s2.u = s1.u LEFT JOIN s3 ON s3.u = s1.u)
+SELECT 1 AS step, 'view' AS step_name, COUNT(t1) AS n_users,
+       CAST(NULL AS BIGINT) AS n_converted FROM j
+UNION ALL
+SELECT 2, 'click', COUNT(t2), CAST(NULL AS BIGINT) FROM j
+UNION ALL
+SELECT 3, 'purchase', COUNT(t3),
+       COALESCE(SUM(CASE WHEN t3 IS NOT NULL
+                          AND t3 - t1 <= 604800000000
+                         THEN 1 ELSE 0 END), 0) FROM j
+""")
+def ev_funnel(spark, sf_dir):
+    """Anchored-greedy funnel view→click→purchase within 7 days
+    (ops/funnel.py): each step is a pushdown-filtered scan joined to
+    the previous step's per-user frame — K user-keyed shuffles, never
+    per-event-pair work.  Timestamps compare in epoch microseconds on
+    both engines."""
+    from graphraft_spark.ops.funnel import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, ["view", "click", "purchase"],
+                         within_seconds=7 * 86400)
+
+
+@register(
+    "ev_retention", extra=True,
+    oracle="""
+WITH ev AS (
+    SELECT user_id AS u, epoch_us(ts) // 604800000000 AS period
+    FROM events),
+firsts AS (SELECT u, MIN(period) AS cohort FROM ev GROUP BY u),
+active AS (SELECT DISTINCT u, period FROM ev)
+SELECT f.cohort, a.period - f.cohort AS periods_since,
+       COUNT(DISTINCT a.u) AS n_users
+FROM active a JOIN firsts f ON f.u = a.u
+GROUP BY f.cohort, a.period - f.cohort
+""")
+def ev_retention(spark, sf_dir):
+    """Weekly cohort retention (ops/funnel.py:retention_cohorts):
+    fixed-width epoch periods (identical arithmetic on any engine,
+    no calendar-week convention), two user-keyed shuffles."""
+    from graphraft_spark.ops.funnel import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev)
