@@ -373,3 +373,57 @@ def st_sig_maintenance(spark, sf_dir):
         maintain_signatures(spark, delta_dir, sig_dir, anchors,
                             epoch_id=epoch)
     return read_signatures(spark, sig_dir)
+
+
+@register(
+    "st_funnel_maintenance", extra=True,
+    oracle="""
+WITH s1 AS (
+    SELECT user_id AS u, MIN(epoch_us(ts)) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+    SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS t2
+    FROM events e JOIN s1 ON s1.u = e.user_id AND epoch_us(e.ts) > s1.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+    SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS t3
+    FROM events e JOIN s2 ON s2.u = e.user_id AND epoch_us(e.ts) > s2.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT s1.u AS user, s1.t1, s2.t2, s3.t3,
+       s3.t3 IS NOT NULL AND s3.t3 - s1.t1 <= 604800000000 AS converted
+FROM s1 LEFT JOIN s2 ON s2.u = s1.u LEFT JOIN s3 ON s3.u = s1.u
+""")
+def st_funnel_maintenance(spark, sf_dir):
+    """Incremental funnel maintenance (streaming/funnel_stream.py):
+    events land in two epochs split by EVENT id parity, so nearly
+    every user's history straddles both epochs and epoch 1's
+    affected-user recompute must re-anchor against epoch 0's logged
+    events (late/out-of-order arrival is the norm, not the edge); the
+    merge-on-read funnel state must equal the one-shot batch funnel
+    over all events — which is what the oracle computes directly."""
+    import os
+    import shutil
+
+    from graphraft_spark.streaming.events import load_events
+    from graphraft_spark.streaming.funnel_stream import (
+        append_events,
+        read_funnel,
+        refresh_funnel,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{repo}/.scratch/funnel_maint_{tag}"
+    shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild
+    log_dir, funnel_dir = f"{base}/log", f"{base}/funnel"
+
+    events = load_events(spark, sf_dir).select("event_id", "user_id",
+                                               "ts", "event_type")
+    steps = ["view", "click", "purchase"]
+    for epoch, part in ((0, events.filter(F.col("event_id") % 2 == 0)),
+                        (1, events.filter(F.col("event_id") % 2 == 1))):
+        append_events(part, epoch, log_dir)
+        refresh_funnel(spark, log_dir, funnel_dir, epoch, steps,
+                       within_seconds=7 * 86400)
+    return read_funnel(spark, funnel_dir)
