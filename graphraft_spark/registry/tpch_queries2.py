@@ -476,3 +476,55 @@ def q_setops_customers(spark, sf_dir):
     churn = c96.exceptAll(c97).agg(F.count("*").alias("n")) \
         .select(F.lit("churned").alias("cohort"), "n")
     return both.unionByName(churn)
+
+
+@register(
+    "q_order_gaps", extra=True,
+    oracle="""
+SELECT quartile,
+       COUNT(*) AS n_gaps,
+       MIN(gap_days) AS min_gap,
+       MAX(gap_days) AS max_gap
+FROM (
+    SELECT gap_days, NTILE(4) OVER (ORDER BY gap_days, o_orderkey)
+               AS quartile
+    FROM (
+        SELECT o_orderkey,
+               epoch_us(o_orderdate) // 86400000000
+                 - LAG(epoch_us(o_orderdate) // 86400000000)
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS gap_days
+        FROM orders
+    )
+    WHERE gap_days IS NOT NULL
+)
+GROUP BY quartile
+""")
+def q_order_gaps(spark, sf_dir):
+    """LAG + NTILE coverage (§2.H windows): per-customer days between
+    consecutive orders, bucketed into global quartiles.  The gap uses
+    exact integer day arithmetic; NTILE's order has the orderkey
+    tiebreak so bucket boundaries are deterministic.  The per-customer
+    LAG partitions by custkey (state stays in-partition); only the
+    NTILE needs a global sort — at fleet scale swap it for
+    percent_rank-over-ranges or the GK sketch (ops/sketches.py)."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    day = (F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz"))
+           - F.pmod(F.unix_micros(F.col("o_orderdate").cast(
+               "timestamp_ltz")), F.lit(86400000000))) / F.lit(86400000000)
+    day = day.cast("bigint")
+    per_cust = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey")
+    gaps = (o.select("o_orderkey", "o_custkey", "o_orderdate",
+                     day.alias("day"))
+            .withColumn("gap_days",
+                        F.col("day") - F.lag("day").over(per_cust))
+            .filter(F.col("gap_days").isNotNull()))
+    quart = Window.orderBy("gap_days", "o_orderkey")
+    return (gaps.withColumn("quartile", F.ntile(4).over(quart))
+            .groupBy("quartile")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.min("gap_days").alias("min_gap"),
+                 F.max("gap_days").alias("max_gap")))
