@@ -1,0 +1,111 @@
+"""Property nets for the continuation-session operators: random inputs
+vs independent pure-Python references (funnel binding, exact-substring
+spans).  Few examples, deterministic seeds — Spark round-trips are
+expensive, so each example is small but the space is adversarial
+(duplicate timestamps, interleaved types, repeated tokens)."""
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graphraft_spark.ops.dedup import duplicate_spans
+from graphraft_spark.ops.funnel import funnel
+
+SET = dict(max_examples=12, deadline=None,
+           suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+# --- funnel reference -----------------------------------------------------
+
+def ref_funnel(rows, steps):
+    """rows: (user, ts_us, type).  Greedy anchored binding."""
+    out = {}
+    by_user = {}
+    for u, ts, t in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        bounds = []
+        cur = None
+        for step in steps:
+            cand = [ts for ts, t in evs if t == step
+                    and (cur is None or ts > cur)]
+            if not cand:
+                break
+            cur = min(cand)
+            bounds.append(cur)
+        if steps and any(t == steps[0] for _, t in evs):
+            out[u] = bounds
+    return out
+
+
+events_strategy = st.lists(
+    st.tuples(st.integers(1, 4),                 # user
+              st.integers(0, 50),                # hour offset
+              st.sampled_from(["A", "B", "C", "X"])),
+    min_size=1, max_size=25)
+
+
+@given(rows=events_strategy)
+@settings(**SET)
+def test_funnel_matches_reference(spark, rows):
+    base = datetime(2024, 1, 1)
+    data = [(u, base + timedelta(hours=h), t) for u, h, t in rows]
+    df = spark.createDataFrame(
+        data, "user_id bigint, ts timestamp_ntz, event_type string")
+    got = {r["user"]: [r[f"t{k}"] for k in (1, 2, 3)
+                       if r[f"t{k}"] is not None]
+           for r in funnel(df, ["A", "B", "C"]).collect()}
+    us = lambda h: int((base + timedelta(hours=h)).timestamp() * 1_000_000)
+    want = ref_funnel([(u, us(h), t) for u, h, t in rows], ["A", "B", "C"])
+    assert got == want
+
+
+# --- exact-substring spans reference --------------------------------------
+
+def ref_spans(docs, k):
+    """docs: {doc_id: text}.  Windows, global first-seen, islands."""
+    wins = []   # (doc, pos, window-string)
+    for d in sorted(docs):
+        toks = docs[d].lower().split()
+        for i in range(len(toks) - k + 1):
+            wins.append((d, i + 1, " ".join(toks[i:i + k])))
+    flagged = []
+    first = {}
+    for d, p, w in sorted(wins):                 # global (doc, pos) order
+        if w not in first:
+            first[w] = (d, p)
+    for d, p, w in wins:
+        if first[w] != (d, p):
+            flagged.append((d, p, p + k - 1))
+    spans = {}
+    for d in {x[0] for x in flagged}:
+        ivals = sorted((s, e) for dd, s, e in flagged if dd == d)
+        merged = []
+        for s, e in ivals:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        spans[d] = merged
+    return spans
+
+
+token = st.sampled_from(["aa", "bb", "cc", "dd"])
+doc_strategy = st.lists(token, min_size=0, max_size=14).map(" ".join)
+
+
+@given(texts=st.lists(doc_strategy, min_size=1, max_size=4))
+@settings(**SET)
+def test_duplicate_spans_match_reference(spark, texts):
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id bigint, text string")
+    got = {}
+    for r in duplicate_spans(df, k=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    got = {d: sorted(v) for d, v in got.items()}
+    want = {d: v for d, v in ref_spans(docs, 3).items() if v}
+    assert got == want
