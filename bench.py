@@ -109,6 +109,18 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — report, don't die
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        # Isolate lines from each other: the heavy ANN/numpy lines leave
+        # enough heap churn that a FOLLOWING query's min-of-3 reads 3-4x
+        # its isolated time (measured: ann_srp_lsh_topk 5.3s after the
+        # matmul family vs 1.6-2.0s isolated).  One explicit GC between
+        # lines removes the interference; the pause is outside the timed
+        # window.  (No clearCache — the deliberate per-sf caches, e.g.
+        # trained centroids/PQ codes, must survive between their train
+        # and search lines.)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — isolation is best-effort
+            pass
 
     total = round(sum(times.values()), 3)
     out = {
