@@ -75,8 +75,9 @@ def funnel_counts(events: DataFrame, steps: list[str],
     aggs = []
     for k, step in enumerate(steps, start=1):
         aggs.append(F.count(f"t{k}").alias(f"n_step{k}"))
-    counts = f.agg(*aggs, F.sum(F.col("converted").cast("long"))
-                   .alias("n_converted"))
+    counts = f.agg(*aggs,
+                   F.coalesce(F.sum(F.col("converted").cast("long")),
+                              F.lit(0)).alias("n_converted"))
     # unpivot to (step, step_name, n_users [, n_converted on last])
     rows = [
         F.struct(F.lit(k).alias("step"), F.lit(s).alias("step_name"),
