@@ -84,11 +84,13 @@ PRIORITY = [
     "r_budget_accumulate", "r_token_budget",
     # dataset ops
     "f_sft_llm1", "e_rank_sample", "e_repair_head",
-    "e_embedding_join", "e_map_filter_rename",
+    "e_embedding_join",
     # metrics
     "m_retrieval_eval",
-    # dedup
+    # dedup (d_span_dedup promoted from extra in round 5 — the
+    # exact-substring flagship; slot from e_map_filter_rename)
     "d_exact_dedup", "d_simhash", "d_embedding_neardup", "d_components",
+    "d_span_dedup",
     # similarity
     "ann_bruteforce_topk", "ann_srp_lsh_topk",
     # text analysis

@@ -216,7 +216,7 @@ def e_embedding_join(spark, sf_dir):
 
 
 @register(
-    "e_map_filter_rename",
+    "e_map_filter_rename", extra=True,  # demoted: trivial projections; primary slot given to d_span_dedup (family stays covered by e_repair_head/e_parallel_sort)
     oracle="""
 SELECT CAST(o_custkey AS BIGINT) AS question_id,
        COUNT(*) AS n_answers,

@@ -579,7 +579,7 @@ spans AS (
 
 
 @register(
-    "d_span_dedup", extra=True,
+    "d_span_dedup",
     oracle=f"""
 WITH {_SPAN_WINS}
 SELECT doc_id, span_start, span_end, n_windows FROM spans
