@@ -48,7 +48,9 @@ HEADLINE = [
     "d_minhash_lsh_fast",
     "d_minhash_lsh_scaled",
     "d_lsh_repair_components",
+    "d_span_dedup",
     "t_decontaminate",
+    "ev_funnel",
     # end-to-end flagship last: the distributed pipeline twin; the
     # driver-loop variant measured 9.6 s vs bulk 7.9 s at sf0.1
     # (BASELINE.md) — one headline line suffices, the oracle covers both
