@@ -759,27 +759,11 @@ def window_hash_positions(text: Column, k: int) -> Column:
             F.md5(F.concat_ws(" ", F.slice(ws, i, k))).alias("wh")))
 
 
-def duplicate_spans(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", k: int = 8) -> DataFrame:
-    """Exact-substring duplicate detection: maximal token spans whose
-    every k-token window occurs earlier in the corpus (global
-    first-seen order by (doc, pos); the first occurrence is NOT
-    flagged, so one copy of every substring survives — the ExactSubstr
-    policy of Lee et al. 2022, at k-token granularity instead of a
-    suffix array, which is the standard distributed approximation:
-    one hash shuffle replaces the sequential suffix-array build).
-
-    Returns (id, span_start, span_end, n_windows): token positions are
-    1-based inclusive; overlapping/adjacent flagged windows are merged
-    into maximal spans with a per-document gaps-and-islands pass
-    (running max over the doc's own partition — per-doc state never
-    leaves its partition, so scale cost is the largest DOCUMENT, not
-    the corpus).
-    """
-    wins = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(window_hash_positions(F.col(text_col), k))
-        .alias("win")).select("id", "win.pos", "win.wh")
+def _spans_from_windows(wins: DataFrame, k: int,
+                        id_col: str) -> DataFrame:
+    """Shared tail of the span-dedup variants: global first-seen
+    flagging keyed by window hash, then the per-document
+    gaps-and-islands merge into maximal spans."""
     first_seen = Window.partitionBy("wh").orderBy("id", "pos")
     flagged = (
         wins.withColumn("rn", F.row_number().over(first_seen))
@@ -802,6 +786,30 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
              F.count("*").alias("n_windows"))
         .select(F.col("id").alias(id_col), "span_start", "span_end",
                 "n_windows"))
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Exact-substring duplicate detection: maximal token spans whose
+    every k-token window occurs earlier in the corpus (global
+    first-seen order by (doc, pos); the first occurrence is NOT
+    flagged, so one copy of every substring survives — the ExactSubstr
+    policy of Lee et al. 2022, at k-token granularity instead of a
+    suffix array, which is the standard distributed approximation:
+    one hash shuffle replaces the sequential suffix-array build).
+
+    Returns (id, span_start, span_end, n_windows): token positions are
+    1-based inclusive; overlapping/adjacent flagged windows are merged
+    into maximal spans with a per-document gaps-and-islands pass
+    (running max over the doc's own partition — per-doc state never
+    leaves its partition, so scale cost is the largest DOCUMENT, not
+    the corpus).
+    """
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(window_hash_positions(F.col(text_col), k))
+        .alias("win")).select("id", "win.pos", "win.wh")
+    return _spans_from_windows(wins, k, id_col)
 
 
 def exact_substring_scrub(df: DataFrame, text_col: str = "text",
@@ -841,3 +849,154 @@ def exact_substring_scrub(df: DataFrame, text_col: str = "text",
             F.array_join(kept, " ").alias(text_col),
             F.size(kept).alias("n_tokens_kept"))
     )
+
+
+def _spans_from_windows(wins: DataFrame, k: int,
+                        id_col: str) -> DataFrame:
+    """Shared tail of the span-dedup variants: global first-seen
+    flagging keyed by window hash, then the per-document
+    gaps-and-islands merge into maximal spans."""
+    first_seen = Window.partitionBy("wh").orderBy("id", "pos")
+    flagged = (
+        wins.withColumn("rn", F.row_number().over(first_seen))
+        .filter(F.col("rn") > 1)
+        .select("id", "pos", (F.col("pos") + (k - 1)).alias("endpos")))
+    doc_order = Window.partitionBy("id").orderBy("pos", "endpos")
+    prev_end = (Window.partitionBy("id").orderBy("pos", "endpos")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        flagged.withColumn("prev_end", F.max("endpos").over(prev_end))
+        .withColumn(
+            "new_island",
+            F.when(F.col("prev_end").isNull()
+                   | (F.col("pos") > F.col("prev_end")), 1).otherwise(0))
+        .withColumn("island", F.sum("new_island").over(doc_order)))
+    return (
+        islands.groupBy("id", "island")
+        .agg(F.min("pos").alias("span_start"),
+             F.max("endpos").alias("span_end"),
+             F.count("*").alias("n_windows"))
+        .select(F.col("id").alias(id_col), "span_start", "span_end",
+                "n_windows"))
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Exact-substring duplicate detection: maximal token spans whose
+    every k-token window occurs earlier in the corpus (global
+    first-seen order by (doc, pos); the first occurrence is NOT
+    flagged, so one copy of every substring survives — the ExactSubstr
+    policy of Lee et al. 2022, at k-token granularity instead of a
+    suffix array, which is the standard distributed approximation:
+    one hash shuffle replaces the sequential suffix-array build).
+
+    Returns (id, span_start, span_end, n_windows): token positions are
+    1-based inclusive; overlapping/adjacent flagged windows are merged
+    into maximal spans with a per-document gaps-and-islands pass
+    (running max over the doc's own partition — per-doc state never
+    leaves its partition, so scale cost is the largest DOCUMENT, not
+    the corpus).
+    """
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(window_hash_positions(F.col(text_col), k))
+        .alias("win")).select("id", "win.pos", "win.wh")
+    return _spans_from_windows(wins, k, id_col)
+
+
+def exact_substring_scrub(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Remove every duplicated span found by ``duplicate_spans`` from
+    the documents, keeping the corpus-global first occurrence of each
+    substring.  Returns (id, text, n_tokens_kept).
+
+    The scrub itself is join-light: spans collapse to one small
+    array per affected document (a document has at most
+    n_tokens/k·2 maximal spans), broadcast back onto the corpus row
+    via a left join on the id, then an index-aware higher-order
+    F.filter drops covered tokens — no explode of the corpus, no
+    range join.
+    """
+    spans = (
+        duplicate_spans(df, text_col, id_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("span_start", "span_end"))
+             .alias("spans")))
+    ws = words(F.col(text_col))
+    # F.filter's index lambda is 0-based; spans are 1-based inclusive.
+    kept = F.filter(
+        ws,
+        lambda tok, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"])))
+    return (
+        df.join(spans, id_col, "left")
+        .withColumn("spans",
+                    F.coalesce(
+                        F.col("spans"),
+                        F.array().cast(
+                            "array<struct<span_start:int,span_end:int>>")))
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias(text_col),
+            F.size(kept).alias("n_tokens_kept"))
+    )
+
+
+# Polynomial window-hash constants for the span-dedup fast path: two
+# independent (base, prime) pairs combined into one ~60-bit key.
+# Unrolled per-position multiply-adds (mod applied per term so every
+# intermediate stays < 2^63 under ANSI arithmetic).
+_SPAN_B1, _SPAN_P1 = 31337, 1_000_000_007
+_SPAN_B2, _SPAN_P2 = 271_828, 998_244_353
+
+
+def _poly_coeffs(base: int, prime: int, k: int) -> list[int]:
+    return [pow(base, k - 1 - j, prime) for j in range(k)]
+
+
+def window_hash_positions_fast(text: Column, k: int) -> Column:
+    """Fast-path twin of :func:`window_hash_positions`: hashes each
+    TOKEN once (md5-prefix → bigint, the portable primitive) and forms
+    each window key as two unrolled polynomial combinations — k
+    multiply-adds per window instead of an md5 over a k-token string.
+    ~60-bit combined key; the DuckDB oracle reproduces the arithmetic
+    exactly, and at corpus scale the token md5 can swap for xxhash64
+    like the minhash fast path (same structure, one hash per token).
+
+    Built as k-1 zip_with passes over SHIFTED token-hash arrays (the
+    shingles() pattern): each input array is evaluated once.  The
+    naive per-window ``element_at(tok, i+j)`` lambda re-inlines the
+    whole token-hash transform at every position — measured >100x
+    slower (O(n²k) md5s per document) — because Catalyst substitutes,
+    not materializes, expressions referenced inside higher-order
+    lambdas.
+
+    Same output contract as the md5 variant (pos 1-based, wh per
+    window) with ``wh`` a BIGINT instead of an md5 string."""
+    ws = words(text)
+    tok = F.transform(
+        ws, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("bigint"))
+    n = F.size(ws)
+    c1 = _poly_coeffs(_SPAN_B1, _SPAN_P1, k)
+    c2 = _poly_coeffs(_SPAN_B2, _SPAN_P2, k)
+    acc1 = F.transform(tok, lambda t: (t % _SPAN_P1) * c1[0] % _SPAN_P1)
+    acc2 = F.transform(tok, lambda t: (t % _SPAN_P2) * c2[0] % _SPAN_P2)
+    def _mixer(coeff, prime):
+        # NOTE: bind via closure, not a default arg — a 3-parameter
+        # lambda makes zip_with pass the element INDEX as the third
+        # argument.
+        return lambda a, t: a + (t % prime) * coeff % prime
+
+    for j in range(1, k):
+        sh = F.slice(tok, j + 1, F.greatest(n - j, F.lit(0)))
+        acc1 = F.zip_with(acc1, sh, _mixer(c1[j], _SPAN_P1))
+        acc2 = F.zip_with(acc2, sh, _mixer(c2[j], _SPAN_P2))
+    # trailing k-1 entries are null (zip_with pads the shorter side)
+    wh = F.zip_with(acc1, acc2,
+                    lambda a, b: (a % _SPAN_P1) * _SPAN_P2 + (b % _SPAN_P2))
+    win = F.transform(
+        wh, lambda h, i: F.struct((i + 1).alias("pos"), h.alias("wh")))
+    return F.when(n >= k, F.slice(win, 1, F.greatest(n - (k - 1), F.lit(1)))) \
+        .otherwise(F.array().cast("array<struct<pos:int,wh:bigint>>"))
