@@ -440,3 +440,59 @@ def g_pagerank_top(spark, sf_dir):
         .orderBy(F.desc("rank"), F.asc("nodeId"))
         .limit(20)
     )
+
+
+# Shared recursive-CTE text: Spark 4.1 and DuckDB both execute this
+# verbatim (Spark over the register_sql_views temp views, DuckDB over
+# the GRAPH_ORACLE_CTE tables) — min-depth BFS from one seed with a
+# walk bound, aggregation kept OUTSIDE the recursive term (neither
+# engine allows it inside).
+_REACH_SQL = """
+WITH RECURSIVE walk(nodeId, depth) AS (
+    SELECT nodeId, 0 AS depth FROM nodes
+    WHERE name = 'NATION_7' AND label = 'Nation'
+    UNION ALL
+    SELECT e.dst, w.depth + 1
+    FROM walk w JOIN undirected_edges e ON e.src = w.nodeId
+    WHERE w.depth < 2
+)
+SELECT depth, COUNT(*) AS n_nodes
+FROM (SELECT nodeId, MIN(depth) AS depth FROM walk GROUP BY nodeId)
+GROUP BY depth
+"""
+
+
+@register(
+    "g_reachability_cte", extra=True,
+    oracle=GRAPH_ORACLE_CTE + """
+, walk_base AS (
+    SELECT nodeId, 0 AS depth FROM nodes
+    WHERE name = 'NATION_7' AND label = 'Nation'
+),
+walk1 AS (
+    SELECT e.dst AS nodeId, 1 AS depth
+    FROM walk_base w JOIN undirected_edges e ON e.src = w.nodeId
+),
+walk2 AS (
+    SELECT e.dst AS nodeId, 2 AS depth
+    FROM walk1 w JOIN undirected_edges e ON e.src = w.nodeId
+),
+walk AS (
+    SELECT * FROM walk_base UNION ALL
+    SELECT * FROM walk1 UNION ALL SELECT * FROM walk2
+)
+SELECT depth, COUNT(*) AS n_nodes
+FROM (SELECT nodeId, MIN(depth) AS depth FROM walk GROUP BY nodeId)
+GROUP BY depth
+""")
+def g_reachability_cte(spark, sf_dir):
+    """Min-depth BFS reachability (depth ≤ 2) from one seed node via a
+    Spark 4 RECURSIVE CTE over the registered graph views — the
+    hierarchy/transitive-closure §2.H shape.  The DuckDB oracle unrolls
+    the same two levels explicitly (its WITH RECURSIVE cannot follow
+    another CTE list in one statement), so both engines compute
+    identical walk multisets before the outer min-depth aggregation."""
+    from graphraft_spark.graph.tpch import register_sql_views
+
+    register_sql_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL)
