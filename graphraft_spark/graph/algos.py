@@ -96,3 +96,69 @@ def pagerank(nodes: DataFrame, edges: DataFrame, alpha: float = 0.85,
     base.unpersist()
     e.unpersist()
     return out
+
+
+def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
+                          seeds: DataFrame, alpha: float = 0.85,
+                          n_iter: int = 20) -> DataFrame:
+    """Personalized PageRank: teleport returns to the SEED set instead
+    of everywhere, so rank mass concentrates in the seeds' neighborhood
+    — the standard graph-proximity score for retrieval (rank candidate
+    nodes by PPR from the question's anchor entities).
+
+    ``seeds``: (nodeId) frame; teleport mass splits uniformly across
+    it, and dangling mass returns to the seeds as well (the usual PPR
+    convention — all non-edge mass restarts at the personalization
+    vector).  Same per-round plan and localCheckpoint guard as
+    :func:`pagerank`.
+    """
+    n_nodes = nodes.select("nodeId").distinct()
+    out_deg = (edges.groupBy(F.col("src").alias("nodeId"))
+               .agg(F.count("*").alias("out_deg")))
+    seed = seeds.select("nodeId").distinct() \
+        .withColumn("is_seed", F.lit(True))
+    base = (n_nodes.join(out_deg, "nodeId", "left")
+            .join(F.broadcast(seed), "nodeId", "left")
+            .select("nodeId",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+            .persist())
+    n_seeds = base.filter("is_seed").count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs at least one seed "
+                         "present in the node set")
+    base.count()
+    e = edges.select("src", "dst").persist()
+    e.count()
+
+    # start all mass on the seeds (the PPR stationary measure support)
+    ranks = base.select(
+        "nodeId", "out_deg", "is_seed",
+        F.when(F.col("is_seed"), F.lit(1.0 / n_seeds)).otherwise(0.0)
+        .alias("rank"))
+    for i in range(n_iter):
+        dangling = (ranks.filter(F.col("out_deg") == 0)
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("dmass")))
+        contrib = (
+            e.join(ranks.filter(F.col("out_deg") > 0),
+                   F.col("src") == F.col("nodeId"))
+            .select(F.col("dst").alias("nodeId"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("nodeId").agg(F.sum("c").alias("in_mass")))
+        ranks = (
+            base.join(contrib, "nodeId", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "nodeId", "out_deg", "is_seed",
+                (F.when(F.col("is_seed"),
+                        F.lit((1.0 - alpha) / n_seeds)
+                        + F.lit(alpha) * F.col("dmass") / n_seeds)
+                 .otherwise(0.0)
+                 + F.lit(alpha) * F.coalesce("in_mass", F.lit(0.0)))
+                .alias("rank")))
+        ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("nodeId", "rank").localCheckpoint(eager=True)
+    base.unpersist()
+    e.unpersist()
+    return out

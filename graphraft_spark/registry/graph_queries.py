@@ -496,3 +496,29 @@ def g_reachability_cte(spark, sf_dir):
 
     register_sql_views(spark, sf_dir)
     return spark.sql(_REACH_SQL)
+
+
+@register("g_ppr_top", extra=True)  # rows-only: iterative float algo
+def g_ppr_top(spark, sf_dir):
+    """Personalized PageRank from the standard anchor entities
+    (graph/algos.py:personalized_pagerank, 10 rounds) — the graph-
+    proximity retrieval score: candidates rank by closeness to the
+    question's anchors rather than global importance.  Iterative → no
+    SQL oracle; 1e-12 numpy parity pinned in tests/test_graph_algos.py
+    (teleport-to-seeds, dangling-to-seeds)."""
+    from graphraft_spark.graph.algos import personalized_pagerank
+
+    g = tpch_graph(spark, sf_dir)
+    seeds = (g.nodes.filter(F.col("name").isin(ANCHORS))
+             .select("nodeId"))
+    pr = personalized_pagerank(
+        g.nodes.select("nodeId"),
+        g.undirected_edges.select("src", "dst"), seeds, n_iter=10)
+    return (
+        pr.join(g.nodes.select("nodeId", "label", "name"), "nodeId")
+        .filter(F.col("rank") > 0)
+        .select("nodeId", "label", "name",
+                F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("nodeId"))
+        .limit(20)
+    )

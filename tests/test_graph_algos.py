@@ -67,3 +67,65 @@ def test_degrees_counts_both_endpoints(spark):
                                   "src bigint, dst bigint")
     got = {r["nodeId"]: r["degree"] for r in degrees(edges).collect()}
     assert got == {0: 1, 1: 3, 2: 1, 3: 1}
+
+
+def np_ppr(n, edge_list, seeds, alpha=0.85, n_iter=8):
+    import numpy as np
+    out_deg = np.zeros(n)
+    for s, _ in edge_list:
+        out_deg[s] += 1
+    r = np.zeros(n)
+    r[list(seeds)] = 1.0 / len(seeds)
+    tele = np.zeros(n)
+    tele[list(seeds)] = 1.0 / len(seeds)
+    for _ in range(n_iter):
+        nxt = (1.0 - alpha) * tele
+        nxt += alpha * r[out_deg == 0].sum() * tele
+        for s, d in edge_list:
+            nxt[d] += alpha * r[s] / out_deg[s]
+        r = nxt
+    return r
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_personalized_pagerank_matches_numpy(spark, name):
+    from graphraft_spark.graph.algos import personalized_pagerank
+
+    n, edge_list = GRAPHS[name]
+    seeds = {0, min(2, n - 1)}
+    nodes = spark.createDataFrame([(i,) for i in range(n)],
+                                  "nodeId bigint")
+    edges = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+    seed_df = spark.createDataFrame([(s,) for s in sorted(seeds)],
+                                    "nodeId bigint")
+    got = {r["nodeId"]: r["rank"]
+           for r in personalized_pagerank(nodes, edges, seed_df,
+                                          n_iter=8).collect()}
+    want = np_ppr(n, edge_list, seeds, n_iter=8)
+    for i in range(n):
+        assert got[i] == pytest.approx(want[i], abs=1e-12), (name, i)
+
+
+def test_ppr_concentrates_near_seed(spark):
+    from graphraft_spark.graph.algos import personalized_pagerank
+
+    # chain 0->1->2->3: seeding at 0 must rank 1 above 3
+    nodes = spark.createDataFrame([(i,) for i in range(4)],
+                                  "nodeId bigint")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                  "src bigint, dst bigint")
+    seed_df = spark.createDataFrame([(0,)], "nodeId bigint")
+    got = {r["nodeId"]: r["rank"]
+           for r in personalized_pagerank(nodes, edges, seed_df,
+                                          n_iter=12).collect()}
+    assert got[0] > got[1] > got[2] > got[3]
+
+
+def test_ppr_requires_seed(spark):
+    from graphraft_spark.graph.algos import personalized_pagerank
+
+    nodes = spark.createDataFrame([(0,), (1,)], "nodeId bigint")
+    edges = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
+    empty = spark.createDataFrame([], "nodeId bigint")
+    with pytest.raises(ValueError):
+        personalized_pagerank(nodes, edges, empty)
