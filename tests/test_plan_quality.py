@@ -205,3 +205,27 @@ def test_setops_plan_uses_joins_not_cartesian(spark):
     load_all()
     p = physical(EXTRA_QUERIES["q_setops_customers"](spark, SF))
     assert "CartesianProduct" not in p
+
+
+def test_plan_lint_clean_across_both_tiers(spark):
+    """tools/plan_lint.py's checks over every non-eager registered
+    query: zero errors.  (The standalone tool exists for ad-hoc runs;
+    this pins the same sweep in CI.)"""
+    import sys
+    sys.path.insert(0, f"{__file__.rsplit('/tests/', 1)[0]}/tools")
+    from plan_lint import EAGER, lint_plan
+
+    from graphraft_spark import registry
+
+    registry.load_all()
+    lookup = dict(registry.EXTRA_QUERIES)
+    lookup.update(registry.QUERIES)
+    errors = {}
+    for name, fn in sorted(lookup.items()):
+        if name in EAGER:
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        errs = [m for lvl, m in lint_plan(name, plan) if lvl == "ERROR"]
+        if errs:
+            errors[name] = errs
+    assert not errors, errors

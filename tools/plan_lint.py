@@ -1,0 +1,140 @@
+"""Registry-wide physical-plan linter: sweeps every registered query
+(both tiers) and reports scale anti-patterns, so a new query with a
+cartesian product or an accidental Python hot path is caught the day
+it lands, not in a future benchmark.
+
+Checks per plan:
+
+- ``CartesianProduct``                → ERROR (never acceptable)
+- ``BroadcastNestedLoopJoin``         → ERROR unless the query is in
+  the KNN/cross-score allowlist (tiny broadcast side scoring the
+  corpus) or carries a 1-row crossing probe
+- Python evaluation nodes             → ERROR unless the query is a
+  documented Arrow seam (model calls, NFC, matmul kernels, media
+  decode, per-group sequential algorithms)
+- global ``Sort`` with no Limit above → WARN (fleet-scale smell; the
+  distributed twin should rank within partitions or take top-k)
+
+Queries whose CALLABLE eagerly executes work (iterative algorithms,
+incremental-maintenance state builders) are excluded by name — linting
+them would run multi-second jobs, and their plan shape is pinned by
+their own tests instead.
+
+Usage: python tools/plan_lint.py [sf_dir] [name_prefix ...]
+Exit 1 when any ERROR is found.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# tiny-broadcast-vs-corpus scoring / 1-row probes — BNLJ is the plan
+BNLJ_OK = {
+    "s_entity_match_fallback", "s_knn_topk", "s_knn_excluding",
+    "s_cosine_pair", "ann_bruteforce_topk", "ann_ivf_search",
+    "r_retrieve_data", "r_budget_accumulate", "r_token_budget",
+    "m_retrieval_eval", "e_embedding_join", "q_dormant_rich_customers",
+    "d_ngram_jaccard", "ann_knn_exclusion_scaled",
+    # centroid assignment / per-group KNN / MMR first stage /
+    # per-qid candidate expansion: tiny broadcast side scores or
+    # expands against the corpus — the cross-score plan shape
+    "ann_ivf_assign", "ann_mmr_rerank", "s_knn_per_group",
+    "r_negative_samples",
+}
+
+# documented Arrow seams (SURVEY §3): model calls, NFC, kernels,
+# media decode, per-group sequential algorithms
+PYTHON_OK_PREFIXES = ("f_", "mm_", "p_", "st_sessionize", "ann_mmr")
+PYTHON_OK = {
+    "s_fulltext_match", "s_entity_match_fallback", "t_bpe_tokenize",
+    "ann_bruteforce_scaled", "ann_ivf_kmeans_search",
+}
+
+# callables that EXECUTE work when invoked (iterative/stateful):
+# linting would run their jobs; plan shape pinned by their own tests
+EAGER = {
+    "g_pagerank_top", "g_ppr_top", "t_bpe_tokenize",
+    "ann_ivf_kmeans_train", "ann_ivf_kmeans_search", "ann_pq_search",
+    "ann_ivf_pq_search", "ann_pq_rerank", "d_components",
+    "d_components_bistar", "d_lsh_repair_components",
+    "st_sig_maintenance", "st_funnel_maintenance", "st_graph_deltas",
+    "st_graph_stream_update", "d_stream_neardup", "st_ivf_stream",
+    "t_quality_classifier", "t_perplexity_filter", "c_classifier_train",
+}
+
+PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+            "MapInPandas", "FlatMapGroupsInPandasWithState")
+
+
+def lint_plan(name: str, plan: str) -> list[tuple[str, str]]:
+    findings = []
+    if "CartesianProduct" in plan:
+        findings.append(("ERROR", "CartesianProduct"))
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+        findings.append(("ERROR", "BroadcastNestedLoopJoin outside the "
+                                  "KNN/cross-score allowlist"))
+    if (any(p in plan for p in PY_NODES)
+            and name not in PYTHON_OK
+            and not name.startswith(PYTHON_OK_PREFIXES)):
+        node = next(p for p in PY_NODES if p in plan)
+        findings.append(("ERROR", f"{node} outside the documented seams"))
+    # global sort not feeding a limit: scan plan lines pairwise
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Sort " in line and "global=true" in line:
+            above = "\n".join(lines[max(0, i - 6):i])
+            if ("TakeOrderedAndProject" not in plan
+                    and "Limit" not in above
+                    and "Window" not in above):
+                findings.append(("WARN", "global Sort with no Limit"))
+            break
+    return findings
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    prefixes = tuple(args[1:])
+
+    from graphraft_spark import registry
+    from graphraft_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("plan-lint", master="local[4]",
+                      extra_conf={"spark.sql.shuffle.partitions": "4"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lookup = dict(registry.EXTRA_QUERIES)
+    lookup.update(registry.QUERIES)
+    n_err = n_warn = n_skip = 0
+    for name, fn in sorted(lookup.items()):
+        if prefixes and not name.startswith(prefixes):
+            continue
+        if name in EAGER:
+            n_skip += 1
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution() \
+                .executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: plan build failed: "
+                  f"{type(e).__name__}: {e}"[:300])
+            n_err += 1
+            continue
+        for level, msg in lint_plan(name, plan):
+            print(f"{level:5s} {name}: {msg}")
+            if level == "ERROR":
+                n_err += 1
+            else:
+                n_warn += 1
+    print(f"\nplan-lint: {n_err} errors, {n_warn} warnings, "
+          f"{n_skip} eager-skipped")
+    sys.exit(1 if n_err else 0)
+
+
+if __name__ == "__main__":
+    main()
