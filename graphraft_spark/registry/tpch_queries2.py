@@ -528,3 +528,38 @@ def q_order_gaps(spark, sf_dir):
             .agg(F.count("*").alias("n_gaps"),
                  F.min("gap_days").alias("min_gap"),
                  F.max("gap_days").alias("max_gap")))
+
+
+@register(
+    "q_copurchase_pairs", extra=True,
+    oracle="""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 15
+""")
+def q_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, top-15.  The self-join is keyed by order id, so pair blowup
+    is bounded by the per-order basket size squared (single digits),
+    never corpus²  — the co-occurrence-projection shape that stays
+    linear at fleet scale; dedup-first keeps multiplicity out of the
+    counts."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.select(F.col("l_orderkey").alias("okey"),
+                  F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("okey"),
+                  F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, ["okey"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(15)
+    )
