@@ -38,7 +38,7 @@ BNLJ_OK = {
     "s_cosine_pair", "ann_bruteforce_topk", "ann_ivf_search",
     "r_retrieve_data", "r_budget_accumulate", "r_token_budget",
     "m_retrieval_eval", "e_embedding_join", "q_dormant_rich_customers",
-    "d_ngram_jaccard", "ann_knn_exclusion_scaled",
+    "d_ngram_jaccard",
     # centroid assignment / per-group KNN / MMR first stage /
     # per-qid candidate expansion: tiny broadcast side scores or
     # expands against the corpus — the cross-score plan shape
@@ -59,11 +59,9 @@ PYTHON_OK = {
 EAGER = {
     "g_pagerank_top", "g_ppr_top", "t_bpe_tokenize",
     "ann_ivf_kmeans_train", "ann_ivf_kmeans_search", "ann_pq_search",
-    "ann_ivf_pq_search", "ann_pq_rerank", "d_components",
-    "d_components_bistar", "d_lsh_repair_components",
+    "d_components", "d_lsh_repair_components",
     "st_sig_maintenance", "st_funnel_maintenance", "st_graph_deltas",
-    "st_graph_stream_update", "d_stream_neardup", "st_ivf_stream",
-    "t_quality_classifier", "t_perplexity_filter", "c_classifier_train",
+    "st_graph_stream_update", "d_stream_neardup",
 }
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
