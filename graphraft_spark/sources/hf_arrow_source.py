@@ -89,6 +89,12 @@ class HFArrowDataSource(DataSource):
     def reader(self, schema) -> "HFArrowReader":
         return HFArrowReader(self.options["path"], schema)
 
+    def writer(self, schema, overwrite: bool) -> "HFArrowWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("hfarrow requires .option('path', <split dir>)")
+        return HFArrowWriter(path, schema, overwrite)
+
 
 # Catalyst filter → (column, op) evaluable with pyarrow.compute.
 _SIMPLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
@@ -155,3 +161,127 @@ def read_hf_split_distributed(spark, split_dir: str):
     # Python-source filter pushdown ships default-off; runtime-settable.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark.read.format("hfarrow").option("path", split_dir).load()
+
+
+# --- writer: executor-parallel save_to_disk layout ------------------------
+
+from dataclasses import dataclass as _dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@_dataclass
+class _WrittenFile(WriterCommitMessage):
+    filename: str | None
+
+
+def _hf_feature(dt):
+    """Spark type → HF `features` entry (Value / Sequence-of-Value).
+    Returns None for types the HF features JSON can't describe this
+    simply — dataset_info.json is then omitted (the data files and
+    state.json, which our readers use, are always written)."""
+    from pyspark.sql import types as T
+
+    atomic = {
+        T.LongType: "int64", T.IntegerType: "int32",
+        T.DoubleType: "float64", T.FloatType: "float32",
+        T.StringType: "string", T.BooleanType: "bool",
+        T.TimestampNTZType: "timestamp[us]",
+        T.TimestampType: "timestamp[us]",
+    }
+    if type(dt) in atomic:
+        return {"dtype": atomic[type(dt)], "_type": "Value"}
+    if isinstance(dt, T.ArrayType):
+        inner = _hf_feature(dt.elementType)
+        if inner is not None:
+            return {"feature": inner, "_type": "Sequence"}
+    return None
+
+
+class HFArrowWriter(DataSourceArrowWriter):
+    """One `data-IIIII-of-NNNNN.arrow` IPC stream per non-empty task,
+    staged under temp names and renamed in the driver-side commit —
+    write tasks are speculatable/retryable because only committed
+    messages get renamed; aborted attempts leave tmp files that the
+    next overwrite clears."""
+
+    def __init__(self, path: str, schema, overwrite: bool) -> None:
+        self.path = path
+        self.schema = schema
+        self.overwrite = overwrite
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator):
+        import uuid
+
+        writer = sink = fname = None
+        for batch in iterator:
+            if writer is None:
+                fname = f"tmp-{uuid.uuid4().hex}.arrow"
+                sink = pa.OSFile(os.path.join(self.path, fname), "wb")
+                writer = pa.ipc.new_stream(sink, batch.schema)
+            writer.write_batch(batch)
+        if writer is not None:
+            writer.close()
+            sink.close()
+        return _WrittenFile(fname)
+
+    def commit(self, messages):
+        import hashlib
+        import json
+
+        files = sorted(m.filename for m in messages
+                       if m is not None and m.filename)
+        if self.overwrite:
+            for e in os.listdir(self.path):
+                if (e.startswith("data-") and e.endswith(".arrow")) \
+                        or e in ("state.json", "dataset_info.json"):
+                    os.remove(os.path.join(self.path, e))
+        total = len(files)
+        final = []
+        for i, f in enumerate(files):
+            name = f"data-{i:05d}-of-{total:05d}.arrow"
+            os.replace(os.path.join(self.path, f),
+                       os.path.join(self.path, name))
+            final.append(name)
+        state = {
+            "_data_files": [{"filename": f} for f in final],
+            "_fingerprint": hashlib.md5(
+                ";".join(final).encode()).hexdigest()[:16],
+            "_format_columns": None,
+            "_format_kwargs": {},
+            "_format_type": None,
+            "_output_all_columns": False,
+            "_split": None,
+        }
+        with open(os.path.join(self.path, "state.json"), "w") as fh:
+            json.dump(state, fh, indent=2)
+        feats = {f.name: _hf_feature(f.dataType) for f in self.schema.fields}
+        if all(v is not None for v in feats.values()):
+            info = {"citation": "", "description": "", "features": feats,
+                    "homepage": "", "license": ""}
+            with open(os.path.join(self.path, "dataset_info.json"),
+                      "w") as fh:
+                json.dump(info, fh, indent=2)
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m is not None and m.filename:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+def write_hf_split_distributed(df, split_dir: str,
+                               mode: str = "overwrite") -> None:
+    """Executor-parallel writer twin of ``read_hf_split_distributed``:
+    saves a DataFrame as an HF save_to_disk split (data shards +
+    state.json; dataset_info.json when the schema maps to HF
+    Value/Sequence features)."""
+    spark = df.sparkSession
+    spark.dataSource.register(HFArrowDataSource)
+    df.write.format("hfarrow").option("path", split_dir).mode(mode).save()

@@ -79,3 +79,67 @@ def test_parity_with_driver_side_reader_on_reference_data(spark):
     a = {r[key] for r in dist.select(key).collect()}
     b = {r[key] for r in drv.select(key).collect()}
     assert a == b
+
+
+# --- writer ---------------------------------------------------------------
+
+def test_write_roundtrip_and_layout(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+    from graphraft_spark.data.hf_arrow import read_hf_split
+    from graphraft_spark.sources import write_hf_split_distributed
+
+    df = (spark.range(500)
+          .select(F.col("id"),
+                  F.concat(F.lit("doc "), F.col("id")).alias("text"),
+                  F.array(F.col("id"), F.col("id") * 2).alias("ids"))
+          .repartition(4))
+    out = str(tmp_path / "split")
+    write_hf_split_distributed(df, out)
+
+    import os
+    files = sorted(f for f in os.listdir(out) if f.endswith(".arrow"))
+    # HF naming: data-IIIII-of-NNNNN, consecutive, count matches
+    assert files == [f"data-{i:05d}-of-{len(files):05d}.arrow"
+                     for i in range(len(files))]
+    state = json.load(open(os.path.join(out, "state.json")))
+    assert [d["filename"] for d in state["_data_files"]] == files
+    info = json.load(open(os.path.join(out, "dataset_info.json")))
+    assert info["features"]["ids"] == {
+        "feature": {"dtype": "int64", "_type": "Value"},
+        "_type": "Sequence"}
+
+    back = read_hf_split(spark, out)        # driver-side reader
+    assert back.count() == 500
+    got = {(r["id"], r["text"], tuple(r["ids"])) for r in back.collect()}
+    want = {(r["id"], r["text"], tuple(r["ids"])) for r in df.collect()}
+    assert got == want
+
+
+def test_write_read_through_source_and_overwrite(spark, tmp_path):
+    from graphraft_spark.sources import (
+        read_hf_split_distributed,
+        write_hf_split_distributed,
+    )
+
+    out = str(tmp_path / "split")
+    write_hf_split_distributed(
+        spark.range(100).withColumnRenamed("id", "v"), out)
+    write_hf_split_distributed(
+        spark.range(30).withColumnRenamed("id", "v"), out)  # overwrite
+    back = read_hf_split_distributed(spark, out)
+    assert back.count() == 30
+    assert sorted(r["v"] for r in back.collect()) == list(range(30))
+
+
+def test_write_skips_empty_partitions(spark, tmp_path):
+    import os
+
+    from graphraft_spark.sources import write_hf_split_distributed
+
+    df = spark.range(3).repartition(8)      # most partitions empty
+    out = str(tmp_path / "sparse")
+    write_hf_split_distributed(df, out)
+    files = [f for f in os.listdir(out) if f.endswith(".arrow")]
+    assert 1 <= len(files) <= 3
