@@ -313,3 +313,107 @@ def r_negative_samples(spark, sf_dir):
                            positives, k=5)
     return out.select("qid", "nodeId",
                       F.col("neg_rank").cast("int").alias("neg_rank"))
+
+
+@register(
+    "e_corpus_diff", extra=True,
+    oracle="""
+SELECT status, COUNT(*) AS n
+FROM (
+    SELECT CASE
+        WHEN a.doc_id IS NULL THEN 'added'
+        WHEN b.doc_id IS NULL THEN 'removed'
+        WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        ELSE 'unchanged' END AS status
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0) a
+    FULL OUTER JOIN (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 11 <> 0
+    ) b ON a.doc_id = b.doc_id
+)
+GROUP BY status
+""")
+def e_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff — the dataset-versioning primitive: one
+    full-outer join on the id with a content-hash comparison classifies
+    every document as added/removed/changed/unchanged.  Both snapshots
+    here derive deterministically from the documents table (drop 1/7th
+    for the old snapshot, drop 1/11th and append ' v2' to 1/5th for the
+    new), so the oracle checks the classification itself.  One id-keyed
+    shuffle; at scale both sides bucket by id and the join is
+    shuffle-free."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("h_old"))
+    new = (docs.filter(F.col("doc_id") % 11 != 0)
+           .select("doc_id",
+                   F.md5(F.when(F.col("doc_id") % 5 == 0,
+                                F.concat("text", F.lit(" v2")))
+                         .otherwise(F.col("text"))).alias("h_new")))
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select(
+            F.when(F.col("h_old").isNull(), "added")
+            .when(F.col("h_new").isNull(), "removed")
+            .when(F.col("h_old") != F.col("h_new"), "changed")
+            .otherwise("unchanged").alias("status"))
+        .groupBy("status").agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "e_corpus_expectations", extra=True,
+    oracle="""
+SELECT 'doc_id_not_null' AS expectation,
+       COUNT(*) FILTER (doc_id IS NULL) AS violations, COUNT(*) AS total
+FROM documents
+UNION ALL
+SELECT 'doc_id_unique',
+       (SELECT COUNT(*) FROM (
+           SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1
+       )), COUNT(*)
+FROM documents
+UNION ALL
+SELECT 'text_nonempty', COUNT(*) FILTER (trim(text) = ''), COUNT(*)
+FROM documents
+UNION ALL
+SELECT 'lang_in_domain',
+       COUNT(*) FILTER (lang NOT IN ('en', 'de', 'es', 'fr', 'zh')),
+       COUNT(*)
+FROM documents
+UNION ALL
+SELECT 'n_chars_matches_text',
+       COUNT(*) FILTER (n_chars <> length(text)), COUNT(*)
+FROM documents
+""")
+def e_corpus_expectations(spark, sf_dir):
+    """Deequ-style expectation suite over the corpus in ONE pass:
+    conditional counts fold every constraint (null, uniqueness via a
+    grouped-duplicate subcount, domain membership, derived-column
+    consistency) into a single scan + tiny aggregate; the uniqueness
+    check is the only extra shuffle and it aggregates before counting.
+    The oracle recomputes each violation count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = docs.count()
+    one_pass = docs.agg(
+        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("nulls"),
+        F.count(F.when(F.trim("text") == "", 1)).alias("empty"),
+        F.count(F.when(~F.col("lang").isin(
+            "en", "de", "es", "fr", "zh"), 1)).alias("lang"),
+        F.count(F.when(F.col("n_chars") != F.length("text"), 1))
+        .alias("chars"),
+    ).first()
+    dups = (docs.groupBy("doc_id").agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1).count())
+    rows = [
+        ("doc_id_not_null", one_pass["nulls"]),
+        ("doc_id_unique", dups),
+        ("text_nonempty", one_pass["empty"]),
+        ("lang_in_domain", one_pass["lang"]),
+        ("n_chars_matches_text", one_pass["chars"]),
+    ]
+    return spark.createDataFrame(
+        [(n, v, total) for n, v in rows],
+        "expectation string, violations bigint, total bigint")
