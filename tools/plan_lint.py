@@ -61,7 +61,7 @@ EAGER = {
     "ann_ivf_kmeans_train", "ann_ivf_kmeans_search", "ann_pq_search",
     "d_components", "d_lsh_repair_components",
     "st_sig_maintenance", "st_funnel_maintenance", "st_graph_deltas",
-    "st_graph_stream_update", "d_stream_neardup",
+    "st_graph_stream_update", "d_stream_neardup", "ann_recall_report",
 }
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
