@@ -236,8 +236,12 @@ class HFArrowWriter(DataSourceArrowWriter):
         files = sorted(m.filename for m in messages
                        if m is not None and m.filename)
         if self.overwrite:
+            mine = set(files)
             for e in os.listdir(self.path):
-                if (e.startswith("data-") and e.endswith(".arrow")) \
+                stale_tmp = (e.startswith("tmp-") and e.endswith(".arrow")
+                             and e not in mine)  # aborted former attempts
+                if stale_tmp \
+                        or (e.startswith("data-") and e.endswith(".arrow")) \
                         or e in ("state.json", "dataset_info.json"):
                     os.remove(os.path.join(self.path, e))
         total = len(files)
