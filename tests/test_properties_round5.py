@@ -109,3 +109,71 @@ def test_duplicate_spans_match_reference(spark, texts):
     got = {d: sorted(v) for d, v in got.items()}
     want = {d: v for d, v in ref_spans(docs, 3).items() if v}
     assert got == want
+
+
+# --- MMR reference (independent of tests/test_mmr.py's cases) -------------
+
+def ref_mmr_ids(cands, k, lam):
+    import math
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    pool = sorted(cands, key=lambda c: (-c[1], c[0]))
+    selected, out = [], []
+    while pool and len(out) < k:
+        best, best_val = None, None
+        for c in pool:
+            pen = max((cos(c[2], s[2]) for s in selected), default=None)
+            val = lam * c[1] - (1 - lam) * pen if pen is not None \
+                else lam * c[1]
+            if best_val is None or val > best_val:
+                best, best_val = c, val
+        selected.append(best)
+        out.append(best[0])
+        pool.remove(best)
+    return out
+
+
+cand_strategy = st.lists(
+    st.tuples(st.integers(0, 9),                       # id (may repeat -> dedup)
+              st.integers(-5, 10),                     # score (int -> exact)
+              st.lists(st.integers(-2, 2), min_size=3, max_size=3)),
+    min_size=1, max_size=8)
+
+
+@given(raw=cand_strategy, lam=st.sampled_from([0.0, 0.3, 0.7, 1.0]))
+@settings(**SET)
+def test_mmr_matches_reference_on_random_sets(spark, raw, lam):
+    from graphraft_spark.ops.similarity import mmr_rerank
+
+    seen = {}
+    for i, sc, emb in raw:
+        seen.setdefault(i, (i, float(sc), [float(x) for x in emb]))
+    cands = list(seen.values())
+    df = spark.createDataFrame(
+        [(1, i, s, e) for i, s, e in cands],
+        "qid bigint, vec_id bigint, score double, embedding array<double>")
+    got = [r["vec_id"] for r in sorted(
+        mmr_rerank(df, k=3, lam=lam).collect(),
+        key=lambda r: r["mmr_rank"])]
+    assert got == ref_mmr_ids(cands, 3, lam)
+
+
+# --- BPE on random corpora ------------------------------------------------
+
+bpe_word = st.lists(st.sampled_from("ab"), min_size=1, max_size=5).map("".join)
+bpe_doc = st.lists(bpe_word, min_size=1, max_size=6).map(" ".join)
+
+
+@given(texts=st.lists(bpe_doc, min_size=1, max_size=3))
+@settings(**SET)
+def test_bpe_trainer_matches_reference_on_random_corpora(spark, texts):
+    from graphraft_spark.ops.bpe import train_bpe
+    from tests.test_bpe import ref_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+    assert train_bpe(df, num_merges=6) == ref_train(texts, 6)
