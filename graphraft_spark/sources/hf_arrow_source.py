@@ -289,3 +289,20 @@ def write_hf_split_distributed(df, split_dir: str,
     spark = df.sparkSession
     spark.dataSource.register(HFArrowDataSource)
     df.write.format("hfarrow").option("path", split_dir).mode(mode).save()
+
+
+def write_hf_dataset_distributed(splits: "dict[str, object]",
+                                 dataset_dir: str,
+                                 mode: str = "overwrite") -> None:
+    """dataset_dict-level writer: one split directory per entry plus the
+    top-level dataset_dict.json (exact layout of the reference's
+    mag-data/qa artifacts: {"splits": [...]} with insertion order
+    preserved).  The inverse of data/hf_arrow.py:read_hf_dataset."""
+    import json
+
+    os.makedirs(dataset_dir, exist_ok=True)
+    for name, df in splits.items():
+        write_hf_split_distributed(df, os.path.join(dataset_dir, name),
+                                   mode=mode)
+    with open(os.path.join(dataset_dir, "dataset_dict.json"), "w") as fh:
+        json.dump({"splits": list(splits)}, fh)

@@ -143,3 +143,22 @@ def test_write_skips_empty_partitions(spark, tmp_path):
     write_hf_split_distributed(df, out)
     files = [f for f in os.listdir(out) if f.endswith(".arrow")]
     assert 1 <= len(files) <= 3
+
+
+def test_write_dataset_dict_roundtrip(spark, tmp_path):
+    import json
+    import os
+
+    from graphraft_spark.data.hf_arrow import read_hf_dataset
+    from graphraft_spark.sources import write_hf_dataset_distributed
+
+    train = spark.range(40).withColumnRenamed("id", "v")
+    valid = spark.range(10).withColumnRenamed("id", "v")
+    out = str(tmp_path / "dd")
+    write_hf_dataset_distributed({"train": train, "valid": valid}, out)
+
+    dd = json.load(open(os.path.join(out, "dataset_dict.json")))
+    assert dd == {"splits": ["train", "valid"]}
+    back = read_hf_dataset(spark, out)
+    assert set(back) == {"train", "valid"}
+    assert back["train"].count() == 40 and back["valid"].count() == 10
