@@ -32,6 +32,7 @@ PROBE_QUERIES = [
     "tm_asof_enrich",     # temporal join over the same loader
     "g_twohop_enum",      # graph derivation + materialized cache
     "d_minhash_lsh",      # portable hashing + documents table
+    "d_span_dedup",       # promoted primary r5: window hashing over documents
     "e_embedding_join",   # embeddings schema
 ]
 
