@@ -632,3 +632,47 @@ def d_span_scrub(spark, sf_dir):
     return out.select(
         "doc_id", F.md5("text").alias("clean_md5"),
         F.col("n_tokens_kept").cast("bigint").alias("n_tokens_kept"))
+
+
+@register(
+    "d_intradoc_line_dedup", extra=True,
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(
+           list_filter(lines, (x, i) -> list_position(lines, x) = i),
+           chr(10))) AS clean_md5,
+       len(list_filter(lines, (x, i) -> list_position(lines, x) = i))
+           AS n_lines_kept,
+       len(lines) AS n_lines
+FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN string_split(text, chr(10))
+                     || [string_split(text, chr(10))[1]]
+                ELSE string_split(text, chr(10)) END AS lines
+    FROM documents
+)
+""")
+def d_intradoc_line_dedup(spark, sf_dir):
+    """Intra-document repeated-line removal (the Dolma in-doc dedup
+    step, complementing corpus-global d_paragraph_dedup): keep each
+    document's FIRST occurrence of every line, order preserved.  The
+    synthetic corpus has NO naturally repeated lines (a green identity
+    pass proves nothing), so every third document gets its first line
+    re-appended — identically on both engines — and the operator must
+    remove exactly those.  Entirely in-array higher-order expressions:
+    zero shuffle, zero explode; keep-first is array_position(x) ==
+    index on both engines, so the oracle value-checks every
+    reconstructed document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = F.split(F.col("text"), "\n")
+    lines = F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(base, F.slice(base, 1, 1))).otherwise(base)
+    docs = docs.select("doc_id", lines.alias("lines"))
+    ln = F.col("lines")
+    kept = F.filter(ln, lambda x, i: F.array_position(ln, x) == i + 1)
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(kept, "\n")).alias("clean_md5"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        F.size(ln).cast("bigint").alias("n_lines"))
