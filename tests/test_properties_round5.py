@@ -151,7 +151,16 @@ def test_mmr_matches_reference_on_random_sets(spark, raw, lam):
 
     seen = {}
     for i, sc, emb in raw:
-        seen.setdefault(i, (i, float(sc), [float(x) for x in emb]))
+        # id-scaled jitter keeps inputs GENERIC: hypothesis found a case
+        # with a mathematically exact cosine tie (-1/sqrt(5) reached via
+        # two different arithmetic paths), where the kernel's matmul and
+        # the reference's per-pair formula round the tied values apart
+        # by 1 ulp and pick different-but-equally-valid candidates.
+        # Greedy MMR order is only well-defined up to such ties, so the
+        # parity property is asserted on tie-free inputs.
+        jittered = [x + (i * 7 + j + 1) * 1e-3
+                    for j, x in enumerate(emb)]
+        seen.setdefault(i, (i, float(sc) + i * 1e-6, jittered))
     cands = list(seen.values())
     df = spark.createDataFrame(
         [(1, i, s, e) for i, s, e in cands],
