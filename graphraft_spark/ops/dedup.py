@@ -795,7 +795,8 @@ def _spans_from_windows(wins: DataFrame, k: int,
 
 
 def duplicate_spans(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", k: int = 8) -> DataFrame:
+                    id_col: str = "doc_id", k: int = 8,
+                    hash_fn: str = "md5") -> DataFrame:
     """Exact-substring duplicate detection: maximal token spans whose
     every k-token window occurs earlier in the corpus (global
     first-seen order by (doc, pos); the first occurrence is NOT
@@ -804,97 +805,12 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     suffix array, which is the standard distributed approximation:
     one hash shuffle replaces the sequential suffix-array build).
 
-    Returns (id, span_start, span_end, n_windows): token positions are
-    1-based inclusive; overlapping/adjacent flagged windows are merged
-    into maximal spans with a per-document gaps-and-islands pass
-    (running max over the doc's own partition — per-doc state never
-    leaves its partition, so scale cost is the largest DOCUMENT, not
-    the corpus).
-    """
-    wins = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(window_hash_positions(F.col(text_col), k))
-        .alias("win")).select("id", "win.pos", "win.wh")
-    return _spans_from_windows(wins, k, id_col)
-
-
-def exact_substring_scrub(df: DataFrame, text_col: str = "text",
-                          id_col: str = "doc_id", k: int = 8) -> DataFrame:
-    """Remove every duplicated span found by ``duplicate_spans`` from
-    the documents, keeping the corpus-global first occurrence of each
-    substring.  Returns (id, text, n_tokens_kept).
-
-    The scrub itself is join-light: spans collapse to one small
-    array per affected document (a document has at most
-    n_tokens/k·2 maximal spans), broadcast back onto the corpus row
-    via a left join on the id, then an index-aware higher-order
-    F.filter drops covered tokens — no explode of the corpus, no
-    range join.
-    """
-    spans = (
-        duplicate_spans(df, text_col, id_col, k)
-        .groupBy(id_col)
-        .agg(F.collect_list(F.struct("span_start", "span_end"))
-             .alias("spans")))
-    ws = words(F.col(text_col))
-    # F.filter's index lambda is 0-based; spans are 1-based inclusive.
-    kept = F.filter(
-        ws,
-        lambda tok, i: ~F.exists(
-            F.col("spans"),
-            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"])))
-    return (
-        df.join(spans, id_col, "left")
-        .withColumn("spans",
-                    F.coalesce(
-                        F.col("spans"),
-                        F.array().cast(
-                            "array<struct<span_start:int,span_end:int>>")))
-        .select(
-            F.col(id_col),
-            F.array_join(kept, " ").alias(text_col),
-            F.size(kept).alias("n_tokens_kept"))
-    )
-
-
-def _spans_from_windows(wins: DataFrame, k: int,
-                        id_col: str) -> DataFrame:
-    """Shared tail of the span-dedup variants: global first-seen
-    flagging keyed by window hash, then the per-document
-    gaps-and-islands merge into maximal spans."""
-    first_seen = Window.partitionBy("wh").orderBy("id", "pos")
-    flagged = (
-        wins.withColumn("rn", F.row_number().over(first_seen))
-        .filter(F.col("rn") > 1)
-        .select("id", "pos", (F.col("pos") + (k - 1)).alias("endpos")))
-    doc_order = Window.partitionBy("id").orderBy("pos", "endpos")
-    prev_end = (Window.partitionBy("id").orderBy("pos", "endpos")
-                .rowsBetween(Window.unboundedPreceding, -1))
-    islands = (
-        flagged.withColumn("prev_end", F.max("endpos").over(prev_end))
-        .withColumn(
-            "new_island",
-            F.when(F.col("prev_end").isNull()
-                   | (F.col("pos") > F.col("prev_end")), 1).otherwise(0))
-        .withColumn("island", F.sum("new_island").over(doc_order)))
-    return (
-        islands.groupBy("id", "island")
-        .agg(F.min("pos").alias("span_start"),
-             F.max("endpos").alias("span_end"),
-             F.count("*").alias("n_windows"))
-        .select(F.col("id").alias(id_col), "span_start", "span_end",
-                "n_windows"))
-
-
-def duplicate_spans(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", k: int = 8) -> DataFrame:
-    """Exact-substring duplicate detection: maximal token spans whose
-    every k-token window occurs earlier in the corpus (global
-    first-seen order by (doc, pos); the first occurrence is NOT
-    flagged, so one copy of every substring survives — the ExactSubstr
-    policy of Lee et al. 2022, at k-token granularity instead of a
-    suffix array, which is the standard distributed approximation:
-    one hash shuffle replaces the sequential suffix-array build).
+    ``hash_fn``: "md5" hashes each k-token window string with md5;
+    "poly" hashes each TOKEN once and combines windows with two
+    unrolled polynomial passes (:func:`window_hash_positions_fast`) —
+    same span output on collision-free inputs, k multiply-adds per
+    window instead of a k-token md5, and the arithmetic is portable
+    (DuckDB-oracle-checked by ``d_span_dedup_fast``).
 
     Returns (id, span_start, span_end, n_windows): token positions are
     1-based inclusive; overlapping/adjacent flagged windows are merged
@@ -903,9 +819,11 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     leaves its partition, so scale cost is the largest DOCUMENT, not
     the corpus).
     """
+    winfn = {"md5": window_hash_positions,
+             "poly": window_hash_positions_fast}[hash_fn]
     wins = df.select(
         F.col(id_col).alias("id"),
-        F.explode(window_hash_positions(F.col(text_col), k))
+        F.explode(winfn(F.col(text_col), k))
         .alias("win")).select("id", "win.pos", "win.wh")
     return _spans_from_windows(wins, k, id_col)
 

@@ -429,8 +429,18 @@ def mmr_rerank(candidates: DataFrame, k: int, lam: float = 0.5,
     import numpy as np
     import pandas as pd
 
-    out_schema = (f"{qid_col} bigint, {id_col} bigint, score double, "
-                  "mmr_score double, mmr_rank int")
+    from pyspark.sql import types as T
+
+    # qid/id keep their incoming types; the relevance column keeps its
+    # incoming NAME (score_col) so callers with custom columns round-trip.
+    in_schema = {f.name: f.dataType for f in candidates.schema.fields}
+    out_schema = T.StructType([
+        T.StructField(qid_col, in_schema[qid_col]),
+        T.StructField(id_col, in_schema[id_col]),
+        T.StructField(score_col, T.DoubleType()),
+        T.StructField("mmr_score", T.DoubleType()),
+        T.StructField("mmr_rank", T.IntegerType()),
+    ])
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values([score_col, id_col],
@@ -461,7 +471,7 @@ def mmr_rerank(candidates: DataFrame, k: int, lam: float = 0.5,
         return pd.DataFrame({
             qid_col: pdf[qid_col].iloc[selected].to_numpy(),
             id_col: pdf[id_col].iloc[selected].to_numpy(),
-            "score": rel[selected],
+            score_col: rel[selected],
             "mmr_score": mmr_scores,
             "mmr_rank": np.arange(1, len(selected) + 1, dtype="int32"),
         })

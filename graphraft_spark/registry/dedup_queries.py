@@ -634,6 +634,74 @@ def d_span_scrub(spark, sf_dir):
         F.col("n_tokens_kept").cast("bigint").alias("n_tokens_kept"))
 
 
+def _span_poly_oracle(k: int) -> str:
+    """DuckDB twin of ops/dedup.py:window_hash_positions_fast — per-token
+    md5-prefix bigint hashes combined with the same two unrolled
+    polynomial passes (mod applied per term, sum left unreduced until
+    the final combine, exactly as the Spark expressions compute it)."""
+    from graphraft_spark.ops.dedup import (
+        _poly_coeffs, _SPAN_B1, _SPAN_B2, _SPAN_P1, _SPAN_P2)
+
+    c1 = _poly_coeffs(_SPAN_B1, _SPAN_P1, k)
+    c2 = _poly_coeffs(_SPAN_B2, _SPAN_P2, k)
+    term = "(th[i+{j}] % {p}) * {c} % {p}"
+    acc1 = " + ".join(term.format(j=j, p=_SPAN_P1, c=c1[j]) for j in range(k))
+    acc2 = " + ".join(term.format(j=j, p=_SPAN_P2, c=c2[j]) for j in range(k))
+    return f"""
+toks AS (
+    SELECT doc_id,
+           list_transform(
+               string_split_regex({_NORM.format(t='text')}, ' '),
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, i AS pos,
+           (({acc1}) % {_SPAN_P1}) * {_SPAN_P2}
+               + (({acc2}) % {_SPAN_P2}) AS wh
+    FROM toks,
+         UNNEST(generate_series(1, GREATEST(len(th) - {k - 1}, 0))) AS t(i)
+),
+flagged AS (
+    SELECT doc_id, pos, pos + {k - 1} AS endpos
+    FROM (SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (PARTITION BY wh
+                                    ORDER BY doc_id, pos) AS rn
+          FROM wins)
+    WHERE rn > 1
+),
+islands AS (
+    SELECT doc_id, pos, endpos,
+           SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id
+                     ORDER BY pos, endpos) AS island
+    FROM (SELECT doc_id, pos, endpos,
+                 MAX(endpos) OVER (PARTITION BY doc_id
+                                   ORDER BY pos, endpos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_end
+          FROM flagged)
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(endpos) AS span_end,
+       COUNT(*) AS n_windows
+FROM islands GROUP BY doc_id, island
+"""
+
+
+@register("d_span_dedup_fast", extra=True,
+          oracle=f"WITH {_span_poly_oracle(8)[1:]}")
+def d_span_dedup_fast(spark, sf_dir):
+    """Fast-path twin of d_span_dedup: per-token hashing + unrolled
+    polynomial window keys (hash_fn='poly') instead of a per-window
+    md5.  The oracle replays the ~60-bit polynomial arithmetic
+    bit-for-bit in DuckDB, verifying key parity AND span output."""
+    from graphraft_spark.ops.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, "text", "doc_id", k=8, hash_fn="poly")
+
+
 @register(
     "d_intradoc_line_dedup", extra=True,
     oracle="""

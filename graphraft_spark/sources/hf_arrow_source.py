@@ -93,6 +93,14 @@ class HFArrowDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("hfarrow requires .option('path', <split dir>)")
+        if not overwrite:
+            # append would have to merge pre-existing data-*.arrow shards
+            # into the rename + state.json bookkeeping; until that is
+            # implemented, a non-overwrite save would silently drop (or
+            # os.replace-clobber) existing shards — refuse instead.
+            raise ValueError(
+                "hfarrow supports mode='overwrite' only; append/ignore "
+                "would corrupt an existing save_to_disk split")
         return HFArrowWriter(path, schema, overwrite)
 
 
@@ -156,9 +164,15 @@ class HFArrowReader(DataSourceReader):
 
 def read_hf_split_distributed(spark, split_dir: str):
     """Register-and-read convenience: the executor-parallel twin of
-    data/hf_arrow.py:read_hf_split (same rows, shard-parallel scan)."""
+    data/hf_arrow.py:read_hf_split (same rows, shard-parallel scan).
+
+    NOTE: enables ``spark.sql.python.filterPushdown.enabled`` on the
+    session (ships default-off; runtime-settable).  The flag only
+    affects Python data sources — it lets ``pushFilters`` receive
+    Catalyst predicates — and pushed filters are exact-by-construction
+    (unsupported ones are handed back), so leaving it on session-wide
+    is semantics-preserving for every other query."""
     spark.dataSource.register(HFArrowDataSource)
-    # Python-source filter pushdown ships default-off; runtime-settable.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark.read.format("hfarrow").option("path", split_dir).load()
 

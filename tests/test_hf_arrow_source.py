@@ -133,6 +133,20 @@ def test_write_read_through_source_and_overwrite(spark, tmp_path):
     assert sorted(r["v"] for r in back.collect()) == list(range(30))
 
 
+def test_write_append_mode_rejected(spark, tmp_path):
+    """Non-overwrite saves would silently drop or clobber existing
+    shards (the rename + state.json bookkeeping only counts the new
+    commit's files) — the source must refuse them up front."""
+    from graphraft_spark.sources import write_hf_split_distributed
+
+    out = str(tmp_path / "split")
+    write_hf_split_distributed(spark.range(10), out)
+    with pytest.raises(Exception, match="overwrite"):
+        write_hf_split_distributed(spark.range(5), out, mode="append")
+    # original split intact and readable
+    assert read_hf_split_distributed(spark, out).count() == 10
+
+
 def test_write_skips_empty_partitions(spark, tmp_path):
     import os
 

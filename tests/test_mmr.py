@@ -77,3 +77,24 @@ def test_lambda_one_is_plain_topk(spark):
            for r in mmr_rerank(_df(spark), k=3, lam=1.0).collect()
            if r["qid"] == 1]
     assert got == [10, 11, 12]
+
+
+def test_mmr_custom_column_names_and_types(spark):
+    """String ids, int qids, custom score column name: the output
+    schema must mirror the input key types and keep score_col's name
+    (regression: the schema was hardcoded bigint/bigint/'score')."""
+    df = spark.createDataFrame(
+        [(q, f"doc-{i}", s, e) for q, i, s, e in CANDS],
+        "query_id int, doc_id string, relevance double, "
+        "embedding array<double>")
+    out = mmr_rerank(df, k=3, lam=0.5, qid_col="query_id",
+                     id_col="doc_id", emb_col="embedding",
+                     score_col="relevance")
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "query_id:int", "doc_id:string", "relevance:double",
+        "mmr_score:double", "mmr_rank:int"]
+    rows = {(r["query_id"], r["mmr_rank"]): r["doc_id"]
+            for r in out.collect()}
+    assert rows[(1, 1)] == "doc-10"
+    assert rows[(1, 2)] == "doc-12"
+    assert rows[(2, 1)] == "doc-20"
