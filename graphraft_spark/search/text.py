@@ -110,7 +110,9 @@ def match_entities(spark: SparkSession, graph: PropertyGraph,
 def batch_match_entities(graph, entities: "DataFrame",
                          name_emb_col: str | None = None,
                          entity_emb_col: str | None = None,
-                         nfc: bool | None = False) -> "DataFrame":
+                         nfc: bool | None = False,
+                         knn_via: str = "brute",
+                         knn_opts: dict | None = None) -> "DataFrame":
     """Set-based C1+C2 for MANY entities at once (the batch shape of
     _match_labeled_entities, ner.py:95-120): one normalized-equality
     join for fulltext hits; entities with zero hits fall back to vector
@@ -120,13 +122,32 @@ def batch_match_entities(graph, entities: "DataFrame",
     ``nfc=None`` auto-enables true Unicode NFC matching when the graph's
     names contain non-ASCII (the reference always NFC-normalizes,
     ner.py:111-113; we keep it off ASCII data so oracle SQL stays
-    expressible — SURVEY §7.7)."""
+    expressible — SURVEY §7.7).
+
+    ``knn_via`` routes the vector fallback:
+
+    - ``"brute"`` (default, exact): broadcast the unmatched entities
+      (tiny by contract — they are the zero-hit remainder of a question
+      batch) against every node name embedding.  Right up to corpora
+      where a full name scan per batch is acceptable.
+    - ``"srp"``: SRP-LSH multiprobe (ops/similarity.py:srp_lsh_topk)
+      — hashes names into 2^bits buckets and probes only the entity's
+      bucket + Hamming-1 neighbors.  Approximate (an empty probe set
+      yields no fallback row for that entity).  ``knn_opts``:
+      ``bits`` (default 8), ``seed``.
+    - ``"ivf"``: partition-pruned probe of a PRE-BUILT IVF index over
+      (name, embedding) rows (ops/similarity.py:ivf_search_pruned) —
+      the 100 TB shape: per-entity scan cost is nprobe/k of the corpus.
+      ``knn_opts``: ``index_dir`` (required; build with
+      ivf_assign + save_ivf_index using id_col='name'), ``nprobe``.
+    """
     if nfc is None:
         nfc = has_non_ascii_names(graph.nodes)
     from pyspark.sql import Window
 
     from graphraft_spark.search.vector import dot_col
 
+    opts = dict(knn_opts or {})
     e = entities.select("qid", "entity",
                         norm_col(F.col("entity"), nfc).alias("k"))
     n = graph.nodes.select(
@@ -138,17 +159,54 @@ def batch_match_entities(graph, entities: "DataFrame",
             .distinct())
     if not (name_emb_col and entity_emb_col):
         return hits
-    missing = (e.join(hits.select("qid", "entity").distinct(),
-                      ["qid", "entity"], "left_anti")
-               .join(entities.select("qid", "entity", entity_emb_col),
-                     ["qid", "entity"]))
-    scored = (missing.crossJoin(n.select("name", name_emb_col))
-              .withColumn("sim", dot_col(F.col(entity_emb_col),
-                                         F.col(name_emb_col))))
-    w = Window.partitionBy("qid", "entity").orderBy(
-        F.desc("sim"), F.asc("name"))
-    fallback = (scored.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("qid", "entity", "name",
-                        F.lit("vector").alias("matched_by")))
+    # tiny by contract (zero-hit remainder), but after two joins its
+    # stats are opaque to the planner — broadcast explicitly so the
+    # fallback never shuffles the corpus side.
+    missing = F.broadcast(
+        e.join(hits.select("qid", "entity").distinct(),
+               ["qid", "entity"], "left_anti")
+        .join(entities.select("qid", "entity", entity_emb_col),
+              ["qid", "entity"]))
+    if knn_via == "brute":
+        scored = (missing.crossJoin(n.select("name", name_emb_col))
+                  .withColumn("sim", dot_col(F.col(entity_emb_col),
+                                             F.col(name_emb_col))))
+        w = Window.partitionBy("qid", "entity").orderBy(
+            F.desc("sim"), F.asc("name"))
+        fallback = (scored.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .select("qid", "entity", "name",
+                            F.lit("vector").alias("matched_by")))
+        return hits.unionByName(fallback)
+    # ANN tiers share a surrogate struct key so (qid, entity) survives
+    # the single-key contract of the similarity operators.
+    q = missing.select(F.struct("qid", "entity").alias("ekey"),
+                       F.col(entity_emb_col).alias("q_emb"))
+    if knn_via == "srp":
+        from graphraft_spark.ops.similarity import srp_lsh_topk
+
+        first = graph.nodes.select(name_emb_col).first()
+        dim = len(first[0]) if first else 0
+        top = srp_lsh_topk(
+            n.select("name", name_emb_col), q, k=1, dim=dim,
+            bits=opts.get("bits", 8), seed=opts.get("seed", 7),
+            id_col="name", emb_col=name_emb_col,
+            qid_col="ekey", qemb_col="q_emb")
+    elif knn_via == "ivf":
+        from graphraft_spark.ops.similarity import ivf_search_pruned
+
+        # the saved index has its own column names (id/emb as written
+        # by save_ivf_index), independent of the graph's name_emb_col
+        top = ivf_search_pruned(
+            entities.sparkSession, opts["index_dir"], q, k=1,
+            nprobe=opts.get("nprobe", 2), qid_col="ekey",
+            qemb_col="q_emb", id_col=opts.get("id_col", "name"),
+            emb_col=opts.get("emb_col", "embedding"))
+    else:
+        raise ValueError(f"unknown knn_via {knn_via!r} "
+                         "(expected 'brute' | 'srp' | 'ivf')")
+    id_out = "name" if knn_via == "srp" else opts.get("id_col", "name")
+    fallback = top.select(
+        F.col("ekey.qid").alias("qid"), F.col("ekey.entity").alias("entity"),
+        F.col(id_out).alias("name"), F.lit("vector").alias("matched_by"))
     return hits.unionByName(fallback)
