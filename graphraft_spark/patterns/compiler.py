@@ -77,7 +77,8 @@ def compile_pattern(graph: PropertyGraph, spec: PatternSpec,
 def compile_pattern_batch(graph: PropertyGraph, spec: PatternSpec,
                           anchors: DataFrame,
                           anchor_positions: tuple[int, ...] = (0,),
-                          prop_cols: tuple[str, ...] = ()) -> DataFrame:
+                          prop_cols: tuple[str, ...] = (),
+                          defer_target: bool = False) -> DataFrame:
     """Batch variant of :func:`compile_pattern`: anchored positions join a
     ``(qid, name)`` DataFrame instead of an inlined name list, and every
     binding row carries its ``qid``.  This is how the pipeline enumerates
@@ -88,7 +89,17 @@ def compile_pattern_batch(graph: PropertyGraph, spec: PatternSpec,
     Position 0 must be anchored; additional anchored positions (the
     2path template's terminal) are constrained to the SAME question's
     anchor set via a qid-equality filter.
-    """
+
+    ``defer_target=True`` skips the node-attribute join at the FINAL
+    position when it is unanchored and unconstrained: the terminal hop's
+    edge ``dst`` becomes ``x{last}_nodeId`` directly and no
+    ``x{last}_label`` / ``x{last}_name`` columns are produced.  This is
+    the aggregate-early/decorate-late shape: the terminal node join is
+    the widest join of the plan (it runs on the FULL binding fan-out —
+    5.6M rows for two hub anchors at sf0.1, measured), while the caller
+    can dedupe bindings down to distinct (signature, target) pairs
+    first and decorate ~10x fewer rows.  Callers must re-join node
+    attributes themselves (enumerate_paths_batch does)."""
     if 0 not in anchor_positions:
         raise ValueError("position 0 must be an anchor position")
     attrs = NODE_ATTRS + tuple(prop_cols)
@@ -105,6 +116,7 @@ def compile_pattern_batch(graph: PropertyGraph, spec: PatternSpec,
                 df.select(F.col("qid").alias(f"x{pos + 1}_qid"), *sel))
         return df.select(*sel)
 
+    last = len(spec.nodes) - 1
     plan = frame(0)
     edges = graph.undirected_edges
     for j, rel in enumerate(spec.rels):
@@ -118,6 +130,14 @@ def compile_pattern_batch(graph: PropertyGraph, spec: PatternSpec,
             F.col("relType").alias(f"r{j + 1}_relType"),
         )
         plan = plan.join(e, plan[f"x{j + 1}_nodeId"] == e[f"r{j + 1}_src"])
+        if (defer_target and j + 1 == last
+                and (j + 1) not in anchor_positions
+                and spec.nodes[j + 1].label is None):
+            # terminal node unconstrained: its id IS the hop's dst;
+            # label/name decoration is the caller's (post-dedupe) job
+            plan = plan.withColumn(f"x{j + 2}_nodeId",
+                                   F.col(f"r{j + 1}_dst"))
+            continue
         nxt = frame(j + 1)
         plan = plan.join(nxt, F.col(f"r{j + 1}_dst") == nxt[f"x{j + 2}_nodeId"])
         if (j + 1) in anchor_positions:

@@ -169,16 +169,50 @@ def enumerate_paths_batch(graph: PropertyGraph, anchors: DataFrame,
         all_cols.append("correctCnt")
     out = None
     for pattern in patterns:
+        # aggregate-early / decorate-late: the terminal node join is the
+        # widest join of the plan (it runs on the full binding fan-out),
+        # but the terminal node contributes only its LABEL to the
+        # signature and its label is a function of the target id — so
+        # dedupe bindings to distinct (signature-prefix, target) pairs
+        # FIRST and join node attributes onto the ~10x smaller result.
+        # (The exact paths do this; the HLL path aggregates the raw
+        # bindings without a distinct shuffle, so it still needs the
+        # terminal label as a group key and keeps the eager join.)
+        defer = approx_rsd is None
         bindings = compile_pattern_batch(
             graph, _batch_spec_for(pattern), anchors,
-            anchor_positions=_ANCHOR_POSITIONS[pattern])
+            anchor_positions=_ANCHOR_POSITIONS[pattern],
+            defer_target=defer)
+        avail = set(bindings.columns)
+        pre = [(o, s) for o, s in _SIGNATURES[pattern] if s in avail]
+        post = [(o, s) for o, s in _SIGNATURES[pattern] if s not in avail]
         keys = [F.col("qid")] + [F.col(src).alias(out_name)
                                  for out_name, src in _SIGNATURES[pattern]]
+        key_names = ["qid"] + [o for o, _ in _SIGNATURES[pattern]]
         tgt = F.col(f"{_TARGET[pattern]}_nodeId")
-        if gold is None:
-            cnt = (F.approx_count_distinct(tgt, approx_rsd)
-                   if approx_rsd is not None else F.countDistinct(tgt))
-            df = bindings.groupBy(*keys).agg(cnt.alias("totalCnt"))
+
+        def decorate(d):
+            """Join deferred terminal-node attrs (inner: the graph is
+            validated, every edge dst is a node) onto the deduped frame."""
+            if not post:
+                return d
+            dec = graph.nodes.select(
+                F.col("nodeId").alias("_tgt"),
+                *[F.col(s.split("_", 1)[1]).alias(o) for o, s in post])
+            return d.join(dec, "_tgt")
+
+        if gold is None and approx_rsd is not None:
+            df = bindings.groupBy(*keys).agg(
+                F.approx_count_distinct(tgt, approx_rsd).alias("totalCnt"))
+        elif gold is None:
+            d = bindings.select(
+                "qid", *[F.col(s).alias(o) for o, s in pre],
+                tgt.alias("_tgt")).distinct()
+            # rows are distinct on (keys-prefix, _tgt) and the joined
+            # attrs are functions of _tgt, so count(*) per full key set
+            # IS countDistinct(target)
+            df = decorate(d).groupBy(*key_names).agg(
+                F.count("*").alias("totalCnt"))
         elif approx_rsd is not None:
             g = gold.select(F.col("qid").alias("g_qid"),
                             F.col("nodeId").alias("g_nodeId"))
@@ -192,21 +226,26 @@ def enumerate_paths_batch(graph: PropertyGraph, anchors: DataFrame,
                 F.approx_count_distinct(tgt, approx_rsd).alias("totalCnt"),
                 F.countDistinct("g_nodeId").alias("correctCnt"))
         else:
-            g = gold.select(F.col("qid").alias("g_qid"),
-                            F.col("nodeId").alias("g_nodeId"))
-            bindings = bindings.join(
-                F.broadcast(g),
-                (F.col("qid") == F.col("g_qid")) & (tgt == F.col("g_nodeId")),
-                "left")
             # single-DISTINCT supervised aggregate (no Expand) — see
-            # enumerate_pattern; (qid, keys, tgt) determines is_gold
-            key_names = ["qid"] + [o for o, _ in _SIGNATURES[pattern]]
+            # enumerate_pattern; (qid, keys, tgt) determines is_gold.
+            # Dedupe first, then broadcast-join gold onto the deduped
+            # frame (gold is per-(qid, target) — a function of the
+            # dedupe key, so joining after is exact and much smaller).
             d = bindings.select(
-                *keys, tgt.alias("_tgt"),
-                F.col("g_nodeId").isNotNull().alias("_gold")).distinct()
-            df = d.groupBy(*key_names).agg(
+                "qid", *[F.col(s).alias(o) for o, s in pre],
+                tgt.alias("_tgt")).distinct()
+            # distinct: a duplicated gold row must not fan out the
+            # already-deduped (signature, target) frame
+            g = gold.select(F.col("qid").alias("g_qid"),
+                            F.col("nodeId").alias("g_nodeId")).distinct()
+            d = d.join(
+                F.broadcast(g),
+                (F.col("qid") == F.col("g_qid"))
+                & (F.col("_tgt") == F.col("g_nodeId")), "left")
+            df = decorate(d).groupBy(*key_names).agg(
                 F.count("*").alias("totalCnt"),
-                F.count(F.when(F.col("_gold"), 1)).alias("correctCnt"))
+                F.count(F.when(F.col("g_nodeId").isNotNull(), 1))
+                .alias("correctCnt"))
         df = df.withColumn("pattern", F.lit(pattern))
         for c in all_cols:
             if c not in df.columns:
