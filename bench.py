@@ -99,15 +99,25 @@ def main() -> None:
     # TWO warmups: measured per-query settle curve at sf0.1 shows the
     # first 2-3 executions still paying C2/codegen compilation (8.1 →
     # 4.3 → 5.5 → 2.0 → 1.7 s for the 2-hop flagship); one warmup left
-    # the timed runs in the warming tail
-    times, spread, errors = {}, {}, {}
+    # the timed runs in the warming tail.
+    # SELF-ADJUDICATING VARIANCE (r5 verdict item 6): when the 3-run
+    # spread exceeds the min (an environment spike, not a plan cost —
+    # r5 recorded g_twohop_enum spread 20.1s on a 2.7s line), take two
+    # extra runs and report min-of-5 plus the median, and list the line
+    # under "outliers" so the artifact carries its own adjudication.
+    times, spread, medians, errors = {}, {}, {}, {}
+    outliers = []
     for name in names:
         try:
             run(name)
             run(name)
             timed = [run(name) for _ in range(3)]
+            if max(timed) - min(timed) > min(timed):
+                timed += [run(name) for _ in range(2)]
+                outliers.append(name)
             times[name] = min(timed)
             spread[name] = round(max(timed) - min(timed), 3)
+            medians[name] = sorted(timed)[len(timed) // 2]
         except Exception as e:  # noqa: BLE001 — report, don't die
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -131,8 +141,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "spread": spread,
+        "median": medians,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if outliers:
+        out["outliers"] = outliers
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
