@@ -35,6 +35,18 @@ DEFAULT_CONFS: dict[str, str] = {
     # side, but don't starve storage memory — persisted derived graphs /
     # shingle frames evicting mid-bench forces full recomputes
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # The bulk pattern-pipeline plans compile ~134 whole-stage-codegen
+    # units per query — past the default 100-entry compiled-class cache,
+    # so EVERY execution cyclically evicted and re-Janino-compiled the
+    # entire plan (~134 compiles/run measured via CodegenMetrics), and
+    # 32 task threads piling onto cold generated classes produced the
+    # intermittent 2-4x wall spikes BENCH_r05 recorded on
+    # p_pipeline_bulk.  5000 entries holds the whole query suite's
+    # generated classes (metaspace cost only); measured: compiles/run
+    # drop to 0 after warmup, steady-state wall 4.5s -> 3.4s at
+    # sf0.001.  Same effect on real executors at cluster scale — this
+    # cache is per-JVM.
+    "spark.sql.codegen.cache.maxEntries": "5000",
     # Timestamps in the synthetic data are naive; keep them NTZ so Spark
     # and the DuckDB oracle agree byte-for-byte.
     "spark.sql.timestampType": "TIMESTAMP_NTZ",
