@@ -72,6 +72,13 @@ def main() -> None:
     spark = get_spark("graphraft-bench", extra_conf={
         "spark.driver.extraJavaOptions":
             "-XX:+UseG1GC -XX:MaxGCPauseMillis=200",
+        # Shuffle/spill on tmpfs: /tmp is ext4 on a VM disk here, and
+        # kernel writeback stalls showed up as intermittent 6-8s swings
+        # on shuffle-heavy lines (g_twohop_enum bimodal 1.6s/8s under
+        # the 8MB broadcast threshold; flat 1.3-1.7s on tmpfs).  Plans
+        # are unchanged — this isolates the measurement from disk
+        # jitter, the way real clusters put local dirs on fast SSDs.
+        "spark.local.dir": "/dev/shm/spark-local-bench",
     })
     spark.sparkContext.setLogLevel("ERROR")
 

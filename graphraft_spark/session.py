@@ -20,8 +20,19 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Anchor/name lists, dimension tables (region/nation/supplier) are
-    # tiny: broadcast them instead of shuffling the big side.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # tiny: broadcast them instead of shuffling the big side.  8 MB,
+    # not the old 64 MB: under 64 MB the planner STATICALLY broadcast
+    # whole sf0.1 graph node/edge parquet tables into every hop join of
+    # the pattern pipeline — a plan that only exists because the bench
+    # corpus is small (at 100 TB those relations can never broadcast),
+    # whose multi-second hash-relation rebuilds were the residual
+    # p_pipeline_bulk variance (measured: min 5.1s / median 5.8s at
+    # 8 MB vs 5.5-15s at 64 MB; every graph/retrieval headline got
+    # equal or faster).  Genuinely-small sides still broadcast: dims
+    # fit in 8 MB statically, and AQE's dynamic join selection
+    # re-broadcasts anything whose RUNTIME size is small — the
+    # decision that actually transfers to cluster scale.
+    "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
     # Arrow for pandas_udf / mapInPandas / toPandas round-trips.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # zstd for everything the engine writes (graph cache, ANN index,
