@@ -99,7 +99,18 @@ class GraphRAFTEngine:
     def match_nodes(self, entities: Sequence[tuple[str, str]]) -> list[str]:
         """Stage 3 (ner.py:95-120): normalized-equality match with vector
         fallback when an encoder is plugged in.  NFC auto-enables on
-        non-ASCII data (config.nfc=None) — probed once per engine."""
+        non-ASCII data (config.nfc=None) — probed once per engine.
+
+        ``match_entities`` runs one small Spark job per entity — the
+        single-question REPL shape.  A question yields a handful of
+        entities (ner.py's LLM emits 1-4); anything frame-sized here
+        means a batch pipeline is misrouted through the per-question
+        API, so refuse and point at the set-based twin."""
+        if len(entities) > 32:
+            raise ValueError(
+                f"{len(entities)} entities through the per-question path "
+                "(one Spark job each); use batch_match_entities for "
+                "frame-sized entity lists")
         return match_entities(self.spark, self.graph, entities,
                               encoder=self.encoder, nfc=self._nfc())
 

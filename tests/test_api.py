@@ -124,3 +124,16 @@ def test_batch_match_is_one_job_regardless_of_entity_count(spark, tiny_graph):
 
     few, many = jobs_for(3), jobs_for(60)
     assert few == many, (few, many)
+
+
+def test_frame_sized_entity_list_refused(spark, tiny_graph):
+    """The per-question path runs one Spark job per entity; a
+    frame-sized list means a batch pipeline is misrouted (VERDICT r5:
+    api.py must assert, batch_match_entities is the batch twin)."""
+    import pytest
+
+    from graphraft_spark.api import GraphRAFTEngine
+
+    engine = GraphRAFTEngine(spark, tiny_graph)
+    with pytest.raises(ValueError, match="batch_match_entities"):
+        engine.match_nodes([("_Entity_", f"e{i}") for i in range(33)])
