@@ -100,6 +100,44 @@ def content_signature(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_tokens: int = 128, overlap: int = 32):
+    """Overlapping token-window chunking — the standard RAG /
+    pretraining-sequence chunker: each document becomes chunks of
+    ``chunk_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens.  Start positions are 1, 1+step, ... up to
+    ``max(1, n_tokens - overlap)`` with step = chunk_tokens - overlap,
+    so every token is covered, the final chunk may be short, and no
+    chunk is fully contained in its predecessor.
+
+    Pure higher-order expressions (split → sequence → transform →
+    posexplode): zero Python, zero shuffle — chunking is row-local, so
+    at 100 TB this is a single codegen'd scan whose output feeds the
+    embedding/packing stages.  Returns
+    (id, chunk_id, start_token, chunk, n_tokens), start 1-based.
+    """
+    from graphraft_spark.ops.dedup import words
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    base = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    n = F.size("_w")
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)),
+                        F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_token"),
+            F.array_join(F.slice("_w", s, chunk_tokens), " ")
+            .alias("chunk"),
+            F.least(F.lit(chunk_tokens), n - s + 1).alias("n_tokens")))
+    return (base.select(id_col,
+                        F.posexplode(chunks).alias("chunk_id", "_c"))
+            .select(id_col, "chunk_id", "_c.start_token", "_c.chunk",
+                    "_c.n_tokens"))
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: source mixing quotas, context-window packing, PII scrub
 # ---------------------------------------------------------------------------

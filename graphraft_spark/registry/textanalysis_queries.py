@@ -439,3 +439,43 @@ def t_bpe_tokenize(spark, sf_dir):
                 F.concat_ws(" ", F.slice("tokens", 1, 12))
                 .alias("head_tokens"))
     )
+
+
+@register(
+    "t_chunk_overlap", extra=True,
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+c AS (
+  SELECT doc_id,
+         unnest(generate_series(
+             0, len(generate_series(1, greatest(len(w) - 8, 1), 24)) - 1))
+           AS chunk_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(w) - 8, 1), 24),
+             s -> struct_pack(
+               start_token := s,
+               chunk := array_to_string(w[s : s + 31], ' '),
+               n_tokens := least(32, len(w) - s + 1)))) AS ch
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(ch.start_token AS INT) AS start_token,
+       ch.chunk AS chunk,
+       CAST(ch.n_tokens AS INT) AS n_tokens
+FROM c
+""")
+def t_chunk_overlap(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap — sized so the sf documents genuinely produce overlapping
+    multi-chunk output) — the RAG/pretraining chunker as one row-local codegen
+    scan; the oracle replays start arithmetic and slicing in SQL."""
+    from graphraft_spark.ops.text_analysis import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(d, chunk_tokens=32, overlap=8)
+    return out.select("doc_id", F.col("chunk_id").cast("int"),
+                      F.col("start_token").cast("int"), "chunk",
+                      F.col("n_tokens").cast("int"))
