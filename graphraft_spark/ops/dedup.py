@@ -806,6 +806,11 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     one hash shuffle replaces the sequential suffix-array build).
 
     ``hash_fn``: "md5" hashes each k-token window string with md5;
+    "rolling" computes window keys with a vectorized numpy rolling
+    hash over per-token siphashes (:func:`window_hash_rows_rolling`) —
+    the right construction at Lee et al.'s real k≈50, where the
+    expression variants collapse (measured: rolling beats md5 by >10×
+    at k=50 on the ×10 corpus, see BASELINE.md);
     "poly" hashes each TOKEN once and combines windows with two
     unrolled polynomial passes (:func:`window_hash_positions_fast`) —
     same span output on collision-free inputs, k multiply-adds per
@@ -819,6 +824,14 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     leaves its partition, so scale cost is the largest DOCUMENT, not
     the corpus).
     """
+    if hash_fn == "rolling":
+        wins = window_hash_rows_rolling(df, text_col, id_col, k)
+        return _spans_from_windows(wins, k, id_col)
+    if hash_fn == "poly" and k > 32:
+        raise ValueError(
+            "hash_fn='poly' unrolls 2(k-1) zip_with passes and exceeds "
+            f"the analyzer's iteration budget at k={k}; use "
+            "hash_fn='rolling' for large windows")
     winfn = {"md5": window_hash_positions,
              "poly": window_hash_positions_fast}[hash_fn]
     wins = df.select(
@@ -865,6 +878,69 @@ def exact_substring_scrub(df: DataFrame, text_col: str = "text",
             F.array_join(kept, " ").alias(text_col),
             F.size(kept).alias("n_tokens_kept"))
     )
+
+
+def window_hash_rows_rolling(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             k: int = 50) -> DataFrame:
+    """Large-k window hashing as (id, pos, wh) ROWS via an
+    Arrow-batched numpy kernel — the k≈50 construction (Lee et al.'s
+    real window size), where both expression-level variants collapse:
+    the md5 path materializes O(n·k) window-string bytes (measured
+    78 s on the ×10 corpus at k=50, 4× its k=8 cost) and the poly
+    path's 2(k-1) unrolled zip_with passes exceed the analyzer's
+    iteration budget outright.
+
+    Per document: tokens hashed once (pd.util.hash_array — fixed-key
+    siphash, deterministic across workers), then every window key in
+    one vectorized pass as a weighted sum over a sliding view in
+    uint64 wraparound arithmetic — O(n) work, no window strings, no
+    O(k) expression tree.  A documented Python seam in the style of
+    the matmul/media kernels: one scan in, rows out, nothing
+    corpus-sized held per task.
+
+    Same contract as the expression variants (pos 1-based, texts
+    shorter than k yield nothing); ``wh`` is the uint64 key viewed as
+    int64.  Span output is asserted equal to the md5 variant in
+    tests/test_span_dedup.py on collision-free corpora."""
+    id_type = {f.name: f.dataType.simpleString()
+               for f in df.schema.fields}[id_col]
+    schema = f"id {id_type}, pos int, wh bigint"
+
+    def gen(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        base = np.uint64(1099511628211)
+        w = np.empty(k, dtype=np.uint64)
+        acc = np.uint64(1)
+        for j in range(k - 1, -1, -1):
+            w[j] = acc
+            acc = acc * base
+        for pdf in batches:
+            ids, poss, whs = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = re.sub(r"\s+", " ", str(t).lower()).strip() \
+                    .split(" ")
+                n = len(toks)
+                if n < k:
+                    continue
+                h = pd.util.hash_array(np.asarray(toks, dtype=object))
+                win = np.lib.stride_tricks.sliding_window_view(h, k)
+                wh = (win * w).sum(axis=1, dtype=np.uint64)
+                ids.extend([i] * len(wh))
+                poss.extend(range(1, len(wh) + 1))
+                whs.append(wh)
+            wh_all = (np.concatenate(whs).view(np.int64)
+                      if whs else np.array([], dtype=np.int64))
+            yield pd.DataFrame({"id": ids,
+                                "pos": np.asarray(poss, dtype=np.int32),
+                                "wh": wh_all})
+
+    return df.select(F.col(id_col), F.col(text_col)) \
+        .mapInPandas(gen, schema=schema)
 
 
 # Polynomial window-hash constants for the span-dedup fast path: two

@@ -2,6 +2,8 @@
 with known duplicated substrings, asserting exact span boundaries,
 first-occurrence retention, island merging, and scrub reconstruction."""
 
+from pyspark.sql import functions as F
+
 from graphraft_spark.ops.dedup import (
     duplicate_spans,
     exact_substring_scrub,
@@ -75,3 +77,34 @@ def test_short_documents_yield_no_windows(spark):
     out = {r["doc_id"]: r["text"]
            for r in exact_substring_scrub(docs, k=4).collect()}
     assert out == {1: "one two three", 2: "one two three"}
+
+
+def test_rolling_variant_matches_md5_at_small_and_large_k(spark):
+    """hash_fn='rolling' (numpy rolling hash, the k≈50 construction)
+    must produce the exact span set of the md5 expression variant —
+    including at a k larger than the poly path can even analyze."""
+    sf = "/root/testdata/sf0.001"
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "text"))
+    # duplicate half the corpus under new ids so spans actually exist
+    dup = docs.filter(F.col("doc_id") % 2 == 0) \
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionByName(dup)
+    for k in (8, 40):
+        a = {tuple(r) for r in
+             duplicate_spans(corpus, k=k, hash_fn="md5").collect()}
+        b = {tuple(r) for r in
+             duplicate_spans(corpus, k=k, hash_fn="rolling").collect()}
+        assert a == b and len(a) > 0, f"k={k}"
+
+
+def test_poly_rejects_large_k(spark):
+    """2(k-1) unrolled zip_with passes exceed the analyzer's iteration
+    budget — refuse with a pointer at the rolling variant instead of
+    failing deep inside analysis."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")],
+                                 "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="rolling"):
+        duplicate_spans(docs, k=50, hash_fn="poly")
