@@ -229,14 +229,26 @@ class HFArrowWriter(DataSourceArrowWriter):
         os.makedirs(path, exist_ok=True)
 
     def write(self, iterator):
+        import json
         import uuid
+
+        # `datasets` embeds its features spec as the shard schema's
+        # 'huggingface' metadata (golden: mag-data/qa/valid shard);
+        # mirror it whenever the features are HF-expressible so an
+        # engine-written shard is metadata-identical to a
+        # save_to_disk one.
+        feats = {f.name: _hf_feature(f.dataType) for f in self.schema.fields}
+        md = (None if any(v is None for v in feats.values())
+              else {"huggingface": json.dumps({"info": {"features": feats}})})
 
         writer = sink = fname = None
         for batch in iterator:
             if writer is None:
                 fname = f"tmp-{uuid.uuid4().hex}.arrow"
                 sink = pa.OSFile(os.path.join(self.path, fname), "wb")
-                writer = pa.ipc.new_stream(sink, batch.schema)
+                schema = (batch.schema.with_metadata(md)
+                          if md else batch.schema)
+                writer = pa.ipc.new_stream(sink, schema)
             writer.write_batch(batch)
         if writer is not None:
             writer.close()

@@ -176,3 +176,75 @@ def test_write_dataset_dict_roundtrip(spark, tmp_path):
     back = read_hf_dataset(spark, out)
     assert set(back) == {"train", "valid"}
     assert back["train"].count() == 40 and back["valid"].count() == 10
+
+
+GOLDEN = "/root/reference/mag-data/qa/valid"
+
+
+def test_golden_layout_parity_with_reference_save_to_disk(spark, tmp_path):
+    """Pin the writer's byte layout against a REAL `datasets`
+    save_to_disk artifact (VERDICT r5 item 2; the `datasets` library is
+    not in the environment, so the golden directory stands in for a
+    load_from_disk acceptance run — reference consumers llm1.py:119,
+    llm2.py:135).
+
+    Round-trips the golden mag-data/qa/valid split through the
+    distributed reader+writer and asserts, against the golden bytes:
+
+      * identical file inventory (one shard + state.json +
+        dataset_info.json),
+      * state.json: identical key set and identical values for every
+        key except _fingerprint (HF fingerprints hash the transform
+        lineage — unreproducible by construction, and load_from_disk
+        only requires presence),
+      * dataset_info.json features == golden features verbatim,
+      * the shard's 'huggingface' schema metadata BYTE-equal to the
+        golden shard's (datasets embeds its features spec there),
+      * arrow types equal and row content equal, row-for-row.
+
+    Known benign delta: Spark's arrow conversion names list children
+    'element' where datasets names them 'item' — pyarrow type equality
+    (asserted) ignores child field names, and datasets casts tables to
+    its features schema on load.
+    """
+    import json
+
+    import pyarrow as pa
+
+    from graphraft_spark.sources import write_hf_split_distributed
+    from graphraft_spark.sources.hf_arrow_source import (
+        read_hf_split_distributed)
+
+    out = str(tmp_path / "valid")
+    df = read_hf_split_distributed(spark, GOLDEN)
+    write_hf_split_distributed(df.coalesce(1), out)
+
+    assert sorted(os.listdir(out)) == sorted(
+        e for e in os.listdir(GOLDEN) if not e.startswith("."))
+
+    gstate = json.load(open(os.path.join(GOLDEN, "state.json")))
+    state = json.load(open(os.path.join(out, "state.json")))
+    assert state.keys() == gstate.keys()
+    for k in gstate:
+        if k != "_fingerprint":
+            assert state[k] == gstate[k], k
+
+    ginfo = json.load(open(os.path.join(GOLDEN, "dataset_info.json")))
+    info = json.load(open(os.path.join(out, "dataset_info.json")))
+    assert info["features"] == ginfo["features"]
+
+    def shard(d):
+        with pa.memory_map(
+                os.path.join(d, "data-00000-of-00001.arrow")) as src:
+            return pa.ipc.open_stream(src).read_all()
+
+    ours, golden = shard(out), shard(GOLDEN)
+    assert ours.schema.metadata == golden.schema.metadata
+    assert ours.schema.names == golden.schema.names
+    assert ours.schema.types == golden.schema.types
+    assert ours.num_rows == golden.num_rows
+
+    key = lambda t: sorted(
+        (r["id"], tuple(r["answer_ids"]), r["question"])
+        for r in t.to_pylist())
+    assert key(ours) == key(golden)
