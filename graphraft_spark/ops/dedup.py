@@ -842,7 +842,8 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
 
 
 def exact_substring_scrub(df: DataFrame, text_col: str = "text",
-                          id_col: str = "doc_id", k: int = 8) -> DataFrame:
+                          id_col: str = "doc_id", k: int = 8,
+                          hash_fn: str = "md5") -> DataFrame:
     """Remove every duplicated span found by ``duplicate_spans`` from
     the documents, keeping the corpus-global first occurrence of each
     substring.  Returns (id, text, n_tokens_kept).
@@ -855,7 +856,7 @@ def exact_substring_scrub(df: DataFrame, text_col: str = "text",
     range join.
     """
     spans = (
-        duplicate_spans(df, text_col, id_col, k)
+        duplicate_spans(df, text_col, id_col, k, hash_fn=hash_fn)
         .groupBy(id_col)
         .agg(F.collect_list(F.struct("span_start", "span_end"))
              .alias("spans")))
