@@ -58,6 +58,13 @@ DEFAULT_CONFS: dict[str, str] = {
     # sf0.001.  Same effect on real executors at cluster scale — this
     # cache is per-JVM.
     "spark.sql.codegen.cache.maxEntries": "5000",
+    # ...and the JIT code cache must hold the compiled forms: the JVM
+    # default 240 MB (2x116 MB segments) fills after a few dozen heavy
+    # queries in one session, and a full code cache triggers
+    # flush/recompile storms — measured as 13-20s MEDIANS on
+    # late-session bench lines that run flat 1.5-3s in a fresh JVM.
+    # 1 GB is reserved address space, not resident memory.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
     # Timestamps in the synthetic data are naive; keep them NTZ so Spark
     # and the DuckDB oracle agree byte-for-byte.
     "spark.sql.timestampType": "TIMESTAMP_NTZ",
