@@ -89,6 +89,34 @@ def knn_excluding(df: DataFrame, emb_col: str, q: Sequence[float], ef: int,
                     id_col, "left_anti")
 
 
+def knn_pseudo_entities(graph, questions: DataFrame, k: int = 2,
+                        name_emb_col: str = "nameEmbedding",
+                        qemb_col: str = "q_emb") -> DataFrame:
+    """C5 kNN-NER ablation path
+    (prepare_for_text2cypher_ablation.ipynb cells 6-7 / 23-24): per
+    question, the ``k`` nearest node NAMES by question-embedding
+    similarity REPLACE the LLM-NER entities (`find_knn_nodes`, k=2/5),
+    and the result feeds ``enumerate_paths_batch`` directly as its
+    (qid, name) anchor frame.
+
+    One batch job for ALL questions (scored pairs → per-qid window
+    top-k) instead of the reference's per-question vector-index call.
+    Scoring is the dot product — rank-equal to the reference's cosine
+    index on normalized embeddings (ingest normalizes, A3); ties break
+    on name so the anchor set is deterministic.  Returns
+    (qid, name, rn) with rn 1-based."""
+    from graphraft_spark.ops.similarity import brute_force_topk
+
+    vectors = graph.nodes.select(
+        F.col("name").alias("vec_id"), F.col(name_emb_col).alias("embedding"))
+    top = brute_force_topk(
+        vectors, questions.select("qid", qemb_col), k=k,
+        id_col="vec_id", qid_col="qid",
+        emb_col="embedding", qemb_col=qemb_col, arrow=False)
+    # (qemb_col is forwarded, so callers may keep their own column name)
+    return top.select("qid", F.col("vec_id").alias("name"), "rn")
+
+
 # Arrow/numpy fast paths for wide embeddings (bench, not oracle).
 # pandas_udf construction needs an active SparkSession (the return-type
 # DDL is parsed by the JVM), so the udfs are built lazily at first call.

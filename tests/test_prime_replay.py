@@ -204,3 +204,75 @@ def test_entity_match_vector_fallback_real_strings(spark, ner_rows):
            for r in out}
     assert got == {(j, d): (kept[:dim][j], "vector")
                    for j, d in enumerate(dropped)}
+
+
+def test_knn_ner_ablation_path_all_questions(spark, ner_rows):
+    """C5 kNN-NER ablation replay shape (ablation notebook cells 6-7 /
+    23-24): question embeddings -> k=2 nearest node names as
+    pseudo-entities -> batch enumeration, over ALL 2,241 real valid
+    questions in one plan.  The real query_emb_dict.pt is a
+    .MISSING_LARGE_BLOBS entry, so embeddings are deterministic
+    synthetics (hash-seeded); the anchor stage is asserted against an
+    independent numpy oracle, and the anchors drive
+    enumerate_paths_batch end-to-end on a graph over the real entity
+    names."""
+    import hashlib
+
+    import numpy as np
+
+    from graphraft_spark.graph.model import PropertyGraph
+    from graphraft_spark.patterns.enumerate import enumerate_paths_batch
+    from graphraft_spark.search.vector import knn_pseudo_entities
+
+    dim = 16
+    names = sorted({e for r in ner_rows
+                    for e in r["predicted_entities"]})[:400]
+
+    def emb(text):
+        h = hashlib.md5(text.encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        v = rng.standard_normal(dim)
+        return (v / np.linalg.norm(v)).tolist()
+
+    node_embs = {n: emb(n) for n in names}
+    qids, qembs = [], {}
+    for r in ner_rows:
+        qids.append(int(r["id"]))
+        qembs[int(r["id"])] = emb(r["question"])
+
+    nodes = spark.createDataFrame(
+        [(i, "_Entity_", n, node_embs[n]) for i, n in enumerate(names)],
+        "nodeId bigint, label string, name string, "
+        "nameEmbedding array<double>")
+    edges = spark.createDataFrame(
+        [(i, i, (i + 1) % len(names), "RELATES")
+         for i in range(len(names))],
+        "edgeId bigint, src bigint, dst bigint, relType string")
+    g = PropertyGraph(nodes=nodes, edges=edges)
+    questions = spark.createDataFrame(
+        [(q, qembs[q]) for q in qids], "qid bigint, q_emb array<double>")
+
+    anchors = knn_pseudo_entities(g, questions, k=2)
+    got = {}
+    for r in anchors.collect():
+        got.setdefault(r["qid"], []).append((r["rn"], r["name"]))
+    got = {q: [n for _, n in sorted(v)] for q, v in got.items()}
+
+    # independent oracle: numpy matmul, ties by name ascending
+    M = np.array([node_embs[n] for n in names])
+    expect = {}
+    for q in qids:
+        scores = M @ np.array(qembs[q])
+        order = sorted(range(len(names)),
+                       key=lambda i: (-scores[i], names[i]))[:2]
+        expect[q] = [names[i] for i in order]
+    assert got == expect
+
+    # the anchors ARE the enumeration's anchor frame: every question
+    # must produce 1hop signatures (ring graph: every node has edges)
+    sigs = enumerate_paths_batch(
+        g, anchors.select("qid", "name"), patterns=("1hop",))
+    per_q = {r["qid"]: r["n"] for r in
+             sigs.groupBy("qid").agg(F.count("*").alias("n")).collect()}
+    assert set(per_q) == set(qids)
+    assert all(n >= 1 for n in per_q.values())
