@@ -149,3 +149,25 @@ def negative_samples(candidates: DataFrame, positives: DataFrame, k: int,
     w = Window.partitionBy(qid_col).orderBy(h.asc(), F.col(id_col))
     return (anti.withColumn("neg_rank", F.row_number().over(w))
             .filter(F.col("neg_rank") <= k))
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str,
+                          seed: str = "epoch0",
+                          out_col: str = "shuffle_rank") -> DataFrame:
+    """Training-order randomization: a total, seed-keyed, engine-portable
+    ordering — ``rank = row_number() over (order by H(seed, key), key)``.
+    Changing ``seed`` (e.g. per epoch) produces an independent order;
+    the same seed reproduces it bit-for-bit on any engine (portable md5
+    arithmetic, same contract as hash_split).
+
+    The global window is ONE total-order sort — exactly the shuffle a
+    training-data writer pays anyway to emit a shuffled dataset, and at
+    100 TB the standard physical form is range-partitioning on the hash
+    (sort-within-partitions after repartitionByRange) rather than a
+    single-partition window; the rank semantics are identical, so the
+    oracle covers both."""
+    from pyspark.sql import Window
+
+    h = _portable_hash60(F.col(key_col), seed)
+    w = Window.orderBy(h.asc(), F.col(key_col).asc())
+    return df.withColumn(out_col, F.row_number().over(w))

@@ -479,3 +479,51 @@ def t_chunk_overlap(spark, sf_dir):
     return out.select("doc_id", F.col("chunk_id").cast("int"),
                       F.col("start_token").cast("int"), "chunk",
                       F.col("n_tokens").cast("int"))
+
+
+@register(
+    "t_top_ngrams", extra=True,
+    oracle=f"""
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 0)),
+           i -> w[i] || ' ' || w[i+1])) AS ngram
+  FROM (SELECT string_split({_NORM}, ' ') AS w FROM documents)
+)
+GROUP BY ngram
+ORDER BY cnt DESC, ngram
+LIMIT 100
+""")
+def t_top_ngrams(spark, sf_dir):
+    """Corpus bigram vocabulary stats (the vocab-building scan feeding
+    tokenizer training / repetition analysis): explode all word
+    2-grams, one count shuffle, deterministic top-100.  At 100 TB the
+    count is map-side-combined; the top-k is a tiny sorted tail."""
+    from graphraft_spark.ops.text_analysis import bigrams_all
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (d.select(F.explode(bigrams_all(F.col("text"))).alias("ngram"))
+            .groupBy("ngram").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("ngram")).limit(100))
+
+
+@register(
+    "e_shuffle_det", extra=True,
+    oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY ('0x' || substr(md5('epoch0' || CAST(doc_id AS VARCHAR)),
+                   1, 15))::BIGINT, doc_id) AS INT) AS shuffle_rank
+FROM documents
+""")
+def e_shuffle_det(spark, sf_dir):
+    """Deterministic seed-keyed global shuffle order (training-order
+    randomization; per-epoch reshuffle = new seed) — portable-hash
+    total order, reproduced bit-for-bit by the SQL oracle."""
+    from graphraft_spark.data.ops import deterministic_shuffle
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    return deterministic_shuffle(d, "doc_id", seed="epoch0") \
+        .select("doc_id", F.col("shuffle_rank").cast("int"))
