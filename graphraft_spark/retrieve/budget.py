@@ -195,3 +195,78 @@ def token_budgeted_accumulate(results: DataFrame, max_tokens: int,
         .filter(F.col("cum_tok") < rate * max_tokens)
         .drop("tok")
     )
+
+
+def token_budgeted_accumulate_exact(results: DataFrame, max_tokens: int,
+                                    first_len: Column,
+                                    append_len: Column,
+                                    rate: float = 1.0) -> DataFrame:
+    """D5 with the reference's EXACT per-occurrence semantics
+    (retriever.py:78-90 + stop_retrieval:63-69): the budget is
+    re-checked after EVERY consumed row — a repeat occurrence's pattern
+    append also grows the formatted text — and when the total reaches
+    ``rate * max_tokens``, consumption stops and the LAST NEWLY ADDED
+    node is deleted (``del retrieved_data[last_new_node]``,
+    retriever.py:87-89 — not necessarily the node of the crossing row,
+    which may have been a pattern append to an older node).
+
+    ``first_len`` / ``append_len`` are Columns over an occurrence row
+    giving the token-count delta when the row adds a new node /
+    appends to a known one (the formatter joins node blocks and
+    pattern entries with whitespace, so deltas are additive; pass
+    tokenizer pandas_udfs for model-exact counts).
+
+    One shuffle by qid + two window passes — per-question state never
+    leaves its partition.  Returns kept nodes with the patterns
+    accumulated from occurrences strictly before the crossing row.
+    """
+    ranked = _ranked(results)
+    seen = Window.partitionBy(_Q, "nodeId").orderBy("queryIdx", "rank")
+    order = Window.partitionBy(_Q).orderBy("queryIdx", "rank")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    occ = (ranked
+           .withColumn("is_first",
+                       F.row_number().over(seen) == 1)
+           .withColumn("delta", F.when(F.col("is_first"), first_len)
+                       .otherwise(append_len))
+           .withColumn("cum_tok", F.sum("delta").over(cum))
+           .withColumn("o", F.row_number().over(order)))
+    budget = rate * max_tokens
+    # crossing occurrence (first with cum >= budget) and the order
+    # position of the last first-seen row before it, per question
+    stats = (occ.groupBy(_Q).agg(
+        F.min(F.when(F.col("cum_tok") >= budget,
+                     F.struct("o", "is_first")))
+        .alias("cr"))
+        .select(_Q, F.col("cr.o").alias("cross_o"),
+                F.col("cr.is_first").alias("cross_is_first")))
+    occ = occ.join(F.broadcast(stats), _Q, "left")
+    kept_occ = occ.filter(F.col("cross_o").isNull()
+                          | (F.col("o") < F.col("cross_o")))
+    # retriever.py:87-89 deletes last_new at the crossing.  When the
+    # crossing row is itself first-seen, last_new IS that node — already
+    # outside kept_occ, nothing more to drop.  When the crossing row
+    # appends to an older node, last_new is the most recent
+    # first-seen node BEFORE the crossing — delete it entirely.
+    last_new = (kept_occ.filter("is_first")
+                .groupBy(_Q)
+                .agg(F.max(F.struct("o", "nodeId")).alias("ln"))
+                .join(F.broadcast(
+                    stats.filter(F.col("cross_o").isNotNull()
+                                 & ~F.col("cross_is_first"))
+                    .select(_Q)), _Q)
+                .select(_Q, F.col("ln.nodeId").alias("drop_id")))
+    nodes = (kept_occ.groupBy(_Q, "nodeId").agg(
+        F.min(F.struct("queryIdx", "rank", "similarity")).alias("fp"),
+        F.array_sort(F.collect_list(F.struct("o", "pattern")))
+        .alias("pp"))
+        .select(_Q, "nodeId",
+                F.col("fp.queryIdx").alias("queryIdx"),
+                F.col("fp.rank").alias("rank"),
+                F.col("fp.similarity").alias("similarity"),
+                F.transform("pp", lambda p: p["pattern"]).alias("patterns")))
+    return (nodes.join(F.broadcast(last_new), [_Q], "left")
+            .filter(F.col("drop_id").isNull()
+                    | (F.col("nodeId") != F.col("drop_id")))
+            .drop("drop_id"))

@@ -87,3 +87,61 @@ def test_multi_question_isolation(spark):
     out = budgeted_accumulate(base.unionByName(shifted), max_nodes=4)
     got = {(r["qid"], r["nodeId"]) for r in out.collect()}
     assert got == {(1, 1), (1, 2), (1, 3), (2, 101), (2, 102), (2, 103)}
+
+
+def test_token_budget_exact_matches_reference_loop(spark):
+    """token_budgeted_accumulate_exact vs a verbatim port of the
+    reference's consumption loop (retriever.py:78-90 + stop check
+    :63-69): appends count toward the budget, the stop deletes the LAST
+    NEWLY ADDED node (which may differ from the crossing row's node),
+    and patterns accumulate only from occurrences before the crossing.
+    Fuzzed over seeded random streams including multi-question frames.
+    """
+    import random
+
+    from graphraft_spark.retrieve.budget import (
+        token_budgeted_accumulate_exact)
+
+    def ref_loop(occs, budget):
+        data, total, last_new = {}, 0, None
+        for node, pat, fl, al in occs:
+            if node in data:
+                data[node].append(pat)
+                total += al
+            else:
+                data[node] = [pat]
+                total += fl
+                last_new = node
+            if total >= budget:
+                if last_new is not None:
+                    del data[last_new]
+                break
+        return data
+
+    rng = random.Random(7)
+    for trial in range(6):
+        budget = rng.choice([5, 12, 25, 10**6])
+        rows, expect = [], {}
+        for qid in (1, 2, 3):
+            occs = []
+            n_occ = rng.randint(1, 14)
+            for i in range(n_occ):
+                node = rng.randint(1, 6)
+                occs.append((node, f"p{qid}-{i}", rng.randint(1, 6),
+                             rng.randint(1, 3)))
+            expect[qid] = ref_loop(occs, budget)
+            for i, (node, pat, fl, al) in enumerate(occs):
+                # similarity forces consumption order i inside queryIdx 0
+                rows.append((qid, 0, node, float(-i), pat, fl, al))
+        df = spark.createDataFrame(
+            rows, "qid bigint, queryIdx int, nodeId bigint, "
+                  "similarity double, pattern string, flen int, alen int")
+        out = token_budgeted_accumulate_exact(
+            df, max_tokens=budget, first_len=F.col("flen"),
+            append_len=F.col("alen"))
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["qid"], {})[r["nodeId"]] = list(r["patterns"])
+        want = {q: {n: pats for n, pats in d.items()}
+                for q, d in expect.items() if d}
+        assert got == {q: d for q, d in want.items()}, f"trial {trial}"
