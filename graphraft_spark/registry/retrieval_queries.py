@@ -278,3 +278,77 @@ def r_token_budget(spark, sf_dir):
         "qid", "nodeId", F.round("similarity", 6).alias("similarity"),
         F.col("queryIdx").cast("int").alias("queryIdx"),
         F.col("rank").cast("int").alias("rank"), "cum_tok")
+
+
+@register(
+    "r_token_budget_exact", extra=True,
+    oracle=f"""
+WITH {_RESULTS_SQL.strip()},
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, queryIdx
+                                 ORDER BY similarity DESC, nodeId) AS rank
+    FROM results
+),
+o AS (
+    SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY queryIdx, rank) AS o,
+        ROW_NUMBER() OVER (PARTITION BY qid, nodeId
+                           ORDER BY queryIdx, rank) = 1 AS is_first
+    FROM ranked
+),
+c AS (
+    SELECT *, SUM(CASE WHEN is_first THEN nodeId % 7 + 1
+                       ELSE nodeId % 3 + 1 END)
+        OVER (PARTITION BY qid ORDER BY o ROWS UNBOUNDED PRECEDING)
+        AS cum_tok
+    FROM o
+),
+st AS (
+    SELECT qid,
+           min(o) FILTER (WHERE cum_tok >= 40) AS cross_o,
+           arg_min(is_first, o) FILTER (WHERE cum_tok >= 40)
+               AS cross_is_first
+    FROM c GROUP BY qid
+),
+k AS (
+    SELECT c.* FROM c LEFT JOIN st USING (qid)
+    WHERE st.cross_o IS NULL OR c.o < st.cross_o
+),
+ln AS (
+    SELECT k.qid, arg_max(nodeId, o) AS drop_id
+    FROM k JOIN st USING (qid)
+    WHERE k.is_first AND st.cross_o IS NOT NULL AND NOT st.cross_is_first
+    GROUP BY k.qid
+),
+nodes AS (
+    SELECT qid, nodeId, MIN(similarity) AS similarity,
+           MIN(queryIdx * 1000000 + rank) AS fkey,
+           CAST(COUNT(*) AS INT) AS n_patterns
+    FROM k GROUP BY qid, nodeId
+)
+SELECT n.qid, n.nodeId, ROUND(n.similarity, 6) AS similarity,
+       CAST(n.fkey // 1000000 AS INT) AS queryIdx,
+       CAST(n.fkey % 1000000 AS INT) AS rank,
+       n.n_patterns
+FROM nodes n
+LEFT JOIN ln ON n.qid = ln.qid AND n.nodeId = ln.drop_id
+WHERE ln.drop_id IS NULL
+""")
+def r_token_budget_exact(spark, sf_dir):
+    """D5 with the reference's exact per-occurrence semantics
+    (retriever.py:78-90): append deltas count toward the budget and the
+    crossing deletes the last newly-added node.  Deterministic
+    first/append token lengths (nodeId%7+1 / nodeId%3+1); the oracle
+    replays the crossing logic with window sums + FILTER aggregates."""
+    from graphraft_spark.retrieve.budget import (
+        token_budgeted_accumulate_exact)
+
+    out = token_budgeted_accumulate_exact(
+        _results(spark, sf_dir), max_tokens=40,
+        first_len=(F.col("nodeId") % 7 + 1).cast("bigint"),
+        append_len=(F.col("nodeId") % 3 + 1).cast("bigint"))
+    return out.select(
+        "qid", "nodeId", F.round("similarity", 6).alias("similarity"),
+        F.col("queryIdx").cast("int").alias("queryIdx"),
+        F.col("rank").cast("int").alias("rank"),
+        F.size("patterns").cast("int").alias("n_patterns"))
