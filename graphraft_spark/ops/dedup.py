@@ -881,6 +881,42 @@ def exact_substring_scrub(df: DataFrame, text_col: str = "text",
     )
 
 
+def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
+                   every: int = 50, id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by cluster-then-prune — assign embeddings to coarse
+    clusters, find within-cluster cosine-duplicate PAIRS, collapse
+    pairs to duplicate GROUPS, keep one representative per group.
+
+    Composition of the engine's existing pieces, which is also the
+    100 TB shape: deterministic coarse centroids (``ivf_centroids``;
+    swap in the k-means trainer at scale) → broadcast argmax
+    assignment (one scan) → pairwise similarity ONLY within clusters
+    (``embedding_neardup`` with the assignment as the bucket —
+    per-cluster quadratic, never corpus-quadratic, the SemDeDup
+    insight) → min-label connected components.  Representative = the
+    group's min id (the paper keeps an arbitrary member; min id makes
+    the choice deterministic and oracle-expressible).
+
+    Returns (id, centroid_id, comp, is_kept): ``comp`` is the
+    duplicate-group id (its min member id; singletons are their own
+    group), ``is_kept`` marks the representative.
+    """
+    from graphraft_spark.ops.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(vectors, every, id_col, emb_col)
+    assigned = ivf_assign(vectors, cents, id_col, emb_col)
+    pairs = embedding_neardup(assigned, emb_col=emb_col, id_col=id_col,
+                              bucket_col="centroid_id",
+                              threshold=threshold)
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    return (assigned.select(F.col(id_col).alias("id"), "centroid_id")
+            .join(comps.select("id", "comp"), "id", "left")
+            .withColumn("comp", F.coalesce("comp", F.col("id")))
+            .withColumn("is_kept", F.col("id") == F.col("comp")))
+
+
 def window_hash_rows_rolling(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id",
                              k: int = 50) -> DataFrame:

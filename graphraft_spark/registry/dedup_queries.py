@@ -744,3 +744,76 @@ def d_intradoc_line_dedup(spark, sf_dir):
         F.md5(F.array_join(kept, "\n")).alias("clean_md5"),
         F.size(kept).cast("bigint").alias("n_lines_kept"),
         F.size(ln).cast("bigint").alias("n_lines"))
+
+
+@register(
+    "d_semantic_dedup", extra=True,
+    oracle="""
+WITH RECURSIVE base AS (
+    SELECT CAST(vec_id AS BIGINT) AS id,
+           CAST(embedding AS DOUBLE[]) AS e0
+    FROM embeddings
+),
+normed AS (
+    SELECT id, list_transform(
+        e0, x -> x / sqrt(list_dot_product(e0, e0))) AS e
+    FROM base
+),
+corpus AS (
+    SELECT id, e FROM normed
+    UNION ALL
+    SELECT id + 1000000, e FROM normed
+),
+cents AS (
+    SELECT CAST(id / 50 AS BIGINT) AS centroid_id, e AS c_emb
+    FROM corpus WHERE id % 50 = 0
+),
+assigned AS (
+    SELECT id, e, centroid_id FROM (
+        SELECT corpus.id, corpus.e, cents.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY corpus.id
+                   ORDER BY list_dot_product(corpus.e, cents.c_emb) DESC,
+                            cents.centroid_id) AS rn
+        FROM corpus CROSS JOIN cents
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.id < b.id
+    WHERE list_dot_product(a.e, b.e) >= 0.999
+),
+und AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+    SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+)
+SELECT s.id, s.centroid_id, COALESCE(c.comp, s.id) AS comp,
+       (COALESCE(c.comp, s.id) = s.id) AS is_kept
+FROM assigned s LEFT JOIN comp c USING (id)
+""")
+def d_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup
+    over the embeddings table plus an exact-duplicate copy of every
+    vector (id+1,000,000) — every copy pair must collapse to one
+    representative.  Normalized embeddings, deterministic every-50th
+    centroids, within-cluster pairwise only; the oracle replays
+    assignment, pairing, and min-label components (recursive CTE)."""
+    from graphraft_spark.ops.dedup import semantic_dedup
+    from graphraft_spark.search.vector import l2_normalize_col
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        l2_normalize_col(F.col("embedding")).alias("embedding"))
+    corpus = emb.unionByName(emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+    out = semantic_dedup(corpus, threshold=0.999, every=50)
+    return out.select("id", "centroid_id", "comp", "is_kept")

@@ -44,6 +44,7 @@ BNLJ_OK = {
     # per-qid candidate expansion: tiny broadcast side scores or
     # expands against the corpus — the cross-score plan shape
     "ann_ivf_assign", "ann_mmr_rerank", "s_knn_per_group",
+    "d_semantic_dedup",
     "r_negative_samples",
 }
 
