@@ -148,6 +148,62 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 LONG_NUMBER_RE = r"[0-9]{9,}"
 
 
+def ngram_buckets(text: Column, n_buckets: int = 10_000) -> Column:
+    """Hashed-bigram feature buckets for a document (DSIR's hashed
+    n-gram featurization, Xie et al. 2023, arXiv:2302.03169): every
+    word 2-gram portable-hashed into ``n_buckets`` — with
+    multiplicity, matching the unigram-over-buckets language model the
+    importance weights assume."""
+    return F.transform(bigrams_all(text), lambda g: _h60(g) % n_buckets)
+
+
+def dsir_weights(df, target_df, text_col: str = "text",
+                 n_buckets: int = 10_000, smooth: float = 1.0):
+    """DSIR importance weights: per document,
+    ``sum over its n-gram buckets of log(p_target(b) / q_raw(b))``
+    — the hashed-n-gram log-likelihood ratio of Xie et al. 2023 —
+    where p/q are add-``smooth`` smoothed bucket distributions of the
+    (small) target corpus and the raw corpus.
+
+    Scale shape: the bucket log-ratio table is ≤ ``n_buckets`` rows —
+    built with two count aggregations, broadcast to the corpus scan;
+    the per-doc weight is one explode + sum.  Raw-side counts can be
+    computed on a sample at 100 TB (distribution estimate, not a sum
+    over all docs).  Returns (``df`` columns..., dsir_weight DOUBLE);
+    select the top-k by weight (deterministic) or Gumbel-sample for
+    the paper's stochastic variant."""
+    def bucket_counts(frame, name):
+        return (frame.select(
+            F.explode(ngram_buckets(F.col(text_col), n_buckets))
+            .alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias(name)))
+
+    tgt = bucket_counts(target_df, "t_cnt")
+    raw = bucket_counts(df, "r_cnt")
+    # corpus totals as 1-row frames (no driver collect — the whole
+    # weight table stays one lazy plan)
+    t_tot = tgt.agg(F.sum("t_cnt").alias("t_tot"))
+    r_tot = raw.agg(F.sum("r_cnt").alias("r_tot"))
+    ratio = (raw.join(tgt, "bucket", "outer")
+             .crossJoin(F.broadcast(t_tot))
+             .crossJoin(F.broadcast(r_tot))
+             .select("bucket",
+                     (F.log((F.coalesce("t_cnt", F.lit(0)) + smooth)
+                            / (F.col("t_tot") + smooth * n_buckets))
+                      - F.log((F.coalesce("r_cnt", F.lit(0)) + smooth)
+                              / (F.col("r_tot") + smooth * n_buckets)))
+                     .alias("log_ratio")))
+    per_doc = (df.select(F.col("*"),
+                         F.explode_outer(
+                             ngram_buckets(F.col(text_col), n_buckets))
+                         .alias("bucket"))
+               .join(F.broadcast(ratio), "bucket", "left"))
+    keys = [c for c in df.columns]
+    return (per_doc.groupBy(*keys)
+            .agg(F.coalesce(F.sum("log_ratio"), F.lit(0.0))
+                 .alias("dsir_weight")))
+
+
 def source_quota(df, cap: int, source_col: str = "source",
                  order_col: str = "doc_id"):
     """Per-source mixing quota: keep the first ``cap`` documents per

@@ -527,3 +527,56 @@ def e_shuffle_det(spark, sf_dir):
         .select("doc_id")
     return deterministic_shuffle(d, "doc_id", seed="epoch0") \
         .select("doc_id", F.col("shuffle_rank").cast("int"))
+
+
+_BUCKET = ("(('0x' || substr(md5({g}), 1, 15))::BIGINT % 1000000007) "
+           "% 10000")
+
+
+@register(
+    "t_dsir_weights", extra=True,
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, CASE WHEN len(w) >= 2
+      THEN list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1])
+      ELSE w END AS gs
+  FROM docs
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(gs, g -> {_BUCKET.format(g='g')})) AS bucket
+  FROM grams
+),
+tcnt AS (SELECT bucket, count(*) AS t_cnt FROM b
+         WHERE doc_id % 10 = 0 GROUP BY bucket),
+rcnt AS (SELECT bucket, count(*) AS r_cnt FROM b GROUP BY bucket),
+tt AS (SELECT sum(t_cnt) AS t_tot FROM tcnt),
+rt AS (SELECT sum(r_cnt) AS r_tot FROM rcnt),
+ratio AS (
+  SELECT COALESCE(rcnt.bucket, tcnt.bucket) AS bucket,
+         ln((COALESCE(t_cnt, 0) + 1.0) / (t_tot + 10000.0))
+       - ln((COALESCE(r_cnt, 0) + 1.0) / (r_tot + 10000.0)) AS log_ratio
+  FROM rcnt FULL OUTER JOIN tcnt ON rcnt.bucket = tcnt.bucket, tt, rt
+)
+SELECT b.doc_id, ROUND(COALESCE(SUM(r.log_ratio), 0), 6) AS dsir_weight
+FROM b LEFT JOIN ratio r ON b.bucket = r.bucket
+GROUP BY b.doc_id
+""")
+def t_dsir_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed-bigram importance
+    weights of every raw document against a target slice (docs with
+    doc_id%10==0) — log-likelihood ratio under smoothed bucket unigram
+    models.  The oracle replays featurization, both distributions, and
+    the per-doc sum."""
+    from graphraft_spark.ops.text_analysis import dsir_weights
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 10 == 0)
+    out = dsir_weights(d, target)
+    return out.select("doc_id",
+                      F.round("dsir_weight", 6).alias("dsir_weight"))

@@ -45,6 +45,8 @@ BNLJ_OK = {
     # expands against the corpus — the cross-score plan shape
     "ann_ivf_assign", "ann_mmr_rerank", "s_knn_per_group",
     "d_semantic_dedup",
+    # 1-row corpus-total frames crossed onto the bucket ratio table
+    "t_dsir_weights",
     "r_negative_samples",
 }
 
