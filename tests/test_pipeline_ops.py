@@ -734,3 +734,22 @@ def test_temperature_mix_deterministic_and_rate_accurate(spark):
     # unknown sources drop
     extra = df.withColumn("source", F.lit("unknown"))
     assert temperature_mix(extra, rates).count() == 0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR semantics: documents sharing the target corpus's n-grams
+    must out-weigh documents with disjoint vocabulary (the selection
+    signal the importance resampling sorts by)."""
+    from graphraft_spark.ops.text_analysis import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog")
+         for i in range(5)],
+        "doc_id bigint, text string")
+    raw = spark.createDataFrame(
+        [(1, "quick brown fox jumps high"),
+         (2, "zxq wvu tsr qpo nml kji")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r["dsir_weight"]
+           for r in dsir_weights(raw, target).collect()}
+    assert out[1] > out[2]
