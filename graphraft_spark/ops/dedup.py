@@ -883,7 +883,8 @@ def exact_substring_scrub(df: DataFrame, text_col: str = "text",
 
 def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
                    every: int = 50, id_col: str = "vec_id",
-                   emb_col: str = "embedding") -> DataFrame:
+                   emb_col: str = "embedding",
+                   keep: str = "min_id") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by cluster-then-prune — assign embeddings to coarse
     clusters, find within-cluster cosine-duplicate PAIRS, collapse
@@ -911,10 +912,28 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
                               bucket_col="centroid_id",
                               threshold=threshold)
     comps = connected_components(pairs.select("id_a", "id_b"))
-    return (assigned.select(F.col(id_col).alias("id"), "centroid_id")
-            .join(comps.select("id", "comp"), "id", "left")
-            .withColumn("comp", F.coalesce("comp", F.col("id")))
-            .withColumn("is_kept", F.col("id") == F.col("comp")))
+    out = (assigned.select(F.col(id_col).alias("id"), "centroid_id",
+                           F.col(emb_col).alias("_e"))
+           .join(comps.select("id", "comp"), "id", "left")
+           .withColumn("comp", F.coalesce("comp", F.col("id"))))
+    if keep == "min_id":
+        picked = out.withColumn("is_kept", F.col("id") == F.col("comp"))
+    elif keep == "far_from_centroid":
+        # the paper's rule (arXiv:2303.09540 §3): within each duplicate
+        # group keep the example LEAST similar to its cluster centroid
+        # (low-similarity examples carry the most marginal information);
+        # ties break on id for determinism
+        from graphraft_spark.search.vector import dot_col
+
+        scored = out.join(F.broadcast(cents), "centroid_id") \
+            .withColumn("_csim", dot_col(F.col("_e"), F.col("c_emb")))
+        w = Window.partitionBy("comp").orderBy(F.asc("_csim"), F.asc("id"))
+        picked = (scored.withColumn("is_kept",
+                                    F.row_number().over(w) == 1)
+                  .drop("c_emb", "_csim"))
+    else:
+        raise ValueError(f"unknown keep rule {keep!r}")
+    return picked.drop("_e")
 
 
 def window_hash_rows_rolling(df: DataFrame, text_col: str = "text",

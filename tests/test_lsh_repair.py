@@ -202,3 +202,33 @@ def test_paragraph_dedup_order_and_global_first_seen(spark):
     got2 = {r["doc_id"]: r["text"]
             for r in paragraph_dedup(docs2).collect()}
     assert got2[2] == "a\n\nb\n\nc"
+
+
+def test_semantic_dedup_keep_rules(spark):
+    """SemDeDup keep rules: min_id keeps the group's min member;
+    far_from_centroid (the paper's rule) keeps the member least
+    similar to its cluster centroid.  Three near-identical vectors
+    close to the centroid direction plus one rotated-but-above-
+    threshold member — the rotated one must be the far-from-centroid
+    representative."""
+    import math
+
+    from graphraft_spark.ops.dedup import semantic_dedup
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    # id 0 is the centroid sample (every=50 picks id 0); 1-3 are its
+    # duplicates at tiny angles, id 3 the farthest-rotated member
+    rows = [(0, unit(0.0)), (1, unit(0.01)), (2, unit(0.02)),
+            (3, unit(0.25))]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    by_min = {r["id"]: r["is_kept"] for r in
+              semantic_dedup(vecs, threshold=0.96, every=50).collect()}
+    assert by_min == {0: True, 1: False, 2: False, 3: False}
+
+    by_far = {r["id"]: r["is_kept"] for r in
+              semantic_dedup(vecs, threshold=0.96, every=50,
+                             keep="far_from_centroid").collect()}
+    assert by_far == {0: False, 1: False, 2: False, 3: True}
