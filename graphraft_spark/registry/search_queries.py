@@ -233,3 +233,58 @@ def s_entity_match_fallback(spark, sf_dir):
     ents = ents.withColumn("qemb", _pseudo_emb(F.col("entity")))
     return batch_match_entities(g2, ents, name_emb_col="nemb",
                                 entity_emb_col="qemb")
+
+
+_BM25_TERMS = ["spark", "merge", "window"]
+_BM25_TF = "\n".join(
+    f"         len(list_filter(w, x -> x = '{t}')) AS tf{i},"
+    for i, t in enumerate(_BM25_TERMS)).rstrip(",")
+_BM25_DF = ",\n".join(
+    f"         sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(_BM25_TERMS)))
+_BM25_SCORE = "\n       + ".join(
+    f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+    f" * (CAST(tf{i} AS DOUBLE) * 2.2"
+    f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * (dl / avgdl))))"
+    for i in range(len(_BM25_TERMS)))
+
+
+@register(
+    "s_bm25_topk", extra=True,
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, len(w) AS dl,
+{_BM25_TF}
+  FROM docs
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+{_BM25_DF}
+  FROM tf
+),
+scored AS (
+  SELECT doc_id,
+         {_BM25_SCORE} AS raw
+  FROM tf, stats
+)
+SELECT doc_id, ROUND(raw, 6) AS bm25
+FROM scored WHERE raw > 0
+ORDER BY ROUND(raw, 6) DESC, doc_id
+LIMIT 20
+""")
+def s_bm25_topk(spark, sf_dir):
+    """BM25 ranked fulltext retrieval (the Lucene scoring behind the
+    reference's fulltext index, graphraft.py queryNodes): top-20 docs
+    for a 3-term query.  Term frequencies are a pure-codegen projection
+    (no explode), corpus stats one broadcast row, top-k a TakeOrdered —
+    zero corpus-sized shuffles."""
+    from graphraft_spark.search.bm25 import bm25_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(d, _BM25_TERMS, k=20)

@@ -580,3 +580,57 @@ def t_dsir_weights(spark, sf_dir):
     out = dsir_weights(d, target)
     return out.select("doc_id",
                       F.round("dsir_weight", 6).alias("dsir_weight"))
+
+
+@register(
+    "t_bigram_lm_score", extra=True,
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+trans AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM docs WHERE len(w) >= 2
+),
+bi AS (
+  SELECT bg, count(*) AS c_bi FROM trans
+  WHERE doc_id % 2 = 0 GROUP BY bg
+),
+ucnt AS (
+  SELECT tok, count(*) AS c_uni FROM (
+    SELECT unnest(w) AS tok FROM docs WHERE doc_id % 2 = 0
+  ) GROUP BY tok
+),
+tot AS (SELECT sum(c_uni) AS total, count(*) AS v FROM ucnt),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN b.c_bi IS NOT NULL AND p.c_uni IS NOT NULL
+              THEN ln(CAST(b.c_bi AS DOUBLE) / p.c_uni)
+              ELSE ln(0.4 * (COALESCE(cu.c_uni, 0) + 1.0) / (total + v))
+         END AS lp
+  FROM trans t
+  LEFT JOIN bi b ON t.bg = b.bg
+  LEFT JOIN ucnt p ON string_split(t.bg, ' ')[1] = p.tok
+  LEFT JOIN ucnt cu ON string_split(t.bg, ' ')[2] = cu.tok, tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+       ROUND(avg(lp), 6) AS lp_mean
+FROM scored GROUP BY doc_id
+""")
+def t_bigram_lm_score(spark, sf_dir):
+    """Distributed n-gram LM (CCNet recipe, LM trained in-engine):
+    bigram/unigram counts trained on the even-doc_id half, every
+    document scored by mean stupid-backoff transition log-prob.  Two
+    count shuffles + an exploded-transition sort-merge join — the LM
+    never has to fit in executor memory."""
+    from graphraft_spark.ops.word_lm import (stupid_backoff_score,
+                                             train_bigram_lm)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    bi, uni = train_bigram_lm(d.filter(F.col("doc_id") % 2 == 0))
+    out = stupid_backoff_score(d, bi, uni)
+    return out.select("doc_id", "n_trans",
+                      F.round("lp_mean", 6).alias("lp_mean"))

@@ -1,0 +1,100 @@
+"""BM25 ranked full-text retrieval over a document corpus.
+
+The reference's fulltext path (graphraft.py's Neo4j fulltext index,
+``db.index.fulltext.queryNodes``) is Lucene — which scores with BM25.
+The engine's entity matcher (search/text.py) reproduces the *matching*
+semantics; this module supplies the *ranking* semantics as a native
+Spark plan, and doubles as the keyword-retrieval stage a training-data
+pipeline uses for targeted corpus slicing (e.g. pulling topical
+documents before DSIR weighting).
+
+Scale shape (the 100 TB read):
+
+- term frequencies and document length are a single pure-codegen
+  projection over the corpus scan — the query's terms are a small
+  literal list, so ``size(filter(words, w -> w = term))`` per term
+  beats an explode+join by an entire shuffle;
+- corpus statistics (N, avgdl, per-term document frequency) reduce to
+  ONE row via a map-side-combined global aggregate, broadcast back;
+- top-k is ``orderBy().limit(k)`` = TakeOrdered — per-partition heaps,
+  only k rows cross to the driver-side merge, never a global sort.
+
+No explode, no corpus-sized shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text):
+    """Whitespace tokens of normalized text — identical to the
+    tokenization every other text operator (and its oracle) uses."""
+    return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")),
+                   " ")
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """(id, bm25) for every document matching ≥1 query term.
+
+    Robertson/Sparck-Jones BM25 with the Lucene idf form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` — non-negative for every
+    df, the same formula Lucene's BM25Similarity uses, so scores are
+    directly comparable to what the reference's fulltext index would
+    emit.  ``query_terms`` must be a small literal list (it is a user
+    query, not a frame).
+    """
+    if not query_terms or len(query_terms) > 64:
+        raise ValueError("query_terms must be a non-empty list of at "
+                         f"most 64 terms, got {len(query_terms)}")
+    w = _words(F.col(text_col))
+
+    def tf_of(term):
+        # closure factory: a default-arg lambda would make F.filter
+        # treat the second parameter as the element index
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    proj = docs.select(
+        F.col(id_col),
+        F.size(w).alias("dl"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = proj.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+          for i in range(len(query_terms))],
+    )
+    scored = proj.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (F.col("n") - F.col(f"df{i}") + 0.5)
+                    / (F.col(f"df{i}") + 0.5))
+        term = idf * (tf * (k1 + 1.0)
+                      / (tf + k1 * (1.0 - b
+                                    + b * F.col("dl") / F.col("avgdl"))))
+        score = term if score is None else score + term
+    return (scored
+            .withColumn("bm25", score)
+            .filter(F.col("bm25") > 0)
+            .select(id_col, "bm25"))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k documents by BM25, deterministic tiebreak on id.
+
+    The rank key is the score ROUNDED to 6 decimals so the ordering is
+    reproducible across engines (IEEE summation-order noise in the last
+    bits cannot reorder near-ties differently here vs an oracle)."""
+    scores = bm25_scores(docs, query_terms, text_col=text_col,
+                         id_col=id_col, k1=k1, b=b)
+    return (scores
+            .select(id_col, F.round("bm25", 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc(id_col))
+            .limit(k))

@@ -1,0 +1,97 @@
+"""BM25 ranked retrieval: hand-computed scores, ranking invariants,
+and the no-shuffle plan contract."""
+
+import math
+
+import pytest
+
+
+def _expected_bm25(tf, dl, n, df, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark spark spark joins tables"),          # tf(spark)=3, dl=5
+        (1, "spark is fast"),                           # tf=1, dl=3
+        (2, "duck db runs sql on files"),               # tf=0, dl=6
+        (3, "spark and spark again here now"),          # tf=2, dl=6
+        (4, "nothing relevant at all"),                 # tf=0, dl=4
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_single_term_scores_match_formula(corpus):
+    from graphraft_spark.search.bm25 import bm25_scores
+
+    got = {r.doc_id: r.bm25
+           for r in bm25_scores(corpus, ["spark"]).collect()}
+    n, avgdl, df = 5, 24 / 5, 3
+    want = {
+        0: _expected_bm25(3, 5, n, df, avgdl),
+        1: _expected_bm25(1, 3, n, df, avgdl),
+        3: _expected_bm25(2, 6, n, df, avgdl),
+    }
+    assert set(got) == set(want)          # zero-tf docs are excluded
+    for d, w in want.items():
+        assert got[d] == pytest.approx(w, abs=1e-12)
+
+
+def test_multi_term_is_sum_of_per_term(corpus):
+    from graphraft_spark.search.bm25 import bm25_scores
+
+    both = {r.doc_id: r.bm25
+            for r in bm25_scores(corpus, ["spark", "tables"]).collect()}
+    spark_only = {r.doc_id: r.bm25
+                  for r in bm25_scores(corpus, ["spark"]).collect()}
+    tables_only = {r.doc_id: r.bm25
+                   for r in bm25_scores(corpus, ["tables"]).collect()}
+    for d in both:
+        want = spark_only.get(d, 0.0) + tables_only.get(d, 0.0)
+        assert both[d] == pytest.approx(want, abs=1e-12)
+
+
+def test_topk_orders_by_score_then_id(corpus):
+    from graphraft_spark.search.bm25 import bm25_topk
+
+    rows = bm25_topk(corpus, ["spark"], k=2).collect()
+    # doc 0 (tf=3, short) must outrank doc 3 (tf=2, longer)
+    assert [r.doc_id for r in rows] == [0, 3]
+    assert rows[0].bm25 > rows[1].bm25
+
+
+def test_normalization_case_and_whitespace(spark):
+    from graphraft_spark.search.bm25 import bm25_scores
+
+    df = spark.createDataFrame(
+        [(0, "  SPARK   Spark  "), (1, "spark")],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, ["spark"]).collect()}
+    assert set(got) == {0, 1}
+    assert got[0] > got[1]  # tf 2 vs 1 at dl 2 vs 1
+
+
+def test_rejects_empty_and_oversized_queries(corpus):
+    from graphraft_spark.search.bm25 import bm25_scores
+
+    with pytest.raises(ValueError):
+        bm25_scores(corpus, [])
+    with pytest.raises(ValueError):
+        bm25_scores(corpus, [f"t{i}" for i in range(65)])
+
+
+def test_plan_has_no_corpus_shuffle(corpus):
+    """The only exchange allowed is the 1-row stats aggregate's — tf/dl
+    projection and scoring must not shuffle the corpus, and the stats
+    side must come back broadcast."""
+    from graphraft_spark.search.bm25 import bm25_scores
+
+    plan = bm25_scores(corpus, ["spark"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no SortMergeJoin / ShuffledHashJoin anywhere: the corpus never
+    # repartitions
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -47,6 +47,9 @@ BNLJ_OK = {
     "d_semantic_dedup",
     # 1-row corpus-total frames crossed onto the bucket ratio table
     "t_dsir_weights",
+    # 1-row corpus-stats frames (N/avgdl/df; total/vocab) crossed onto
+    # the scoring scan
+    "s_bm25_topk", "t_bigram_lm_score",
     "r_negative_samples",
 }
 
