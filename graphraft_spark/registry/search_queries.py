@@ -249,9 +249,7 @@ _BM25_SCORE = "\n       + ".join(
     for i in range(len(_BM25_TERMS)))
 
 
-@register(
-    "s_bm25_topk", extra=True,
-    oracle=f"""
+_BM25_ORACLE = f"""
 WITH docs AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
@@ -277,7 +275,10 @@ SELECT doc_id, ROUND(raw, 6) AS bm25
 FROM scored WHERE raw > 0
 ORDER BY ROUND(raw, 6) DESC, doc_id
 LIMIT 20
-""")
+"""
+
+
+@register("s_bm25_topk", extra=True, oracle=_BM25_ORACLE)
 def s_bm25_topk(spark, sf_dir):
     """BM25 ranked fulltext retrieval (the Lucene scoring behind the
     reference's fulltext index, graphraft.py queryNodes): top-20 docs
@@ -288,3 +289,36 @@ def s_bm25_topk(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bm25_topk(d, _BM25_TERMS, k=20)
+
+
+@register("s_bm25_indexed", extra=True, oracle=_BM25_ORACLE)
+def s_bm25_indexed(spark, sf_dir):
+    """BM25 through the persisted inverted index: the query reads ONLY
+    the postings partitions its terms hash to (partition pruning —
+    same owned-artifact pattern as the IVF vector index).  Must emit
+    exactly what the direct-scan s_bm25_topk (and its oracle) emit."""
+    import os
+    import shutil
+
+    from graphraft_spark.search.bm25 import (bm25_query_indexed,
+                                             build_text_index)
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    index_dir = f"{repo}/.scratch/bm25_index_{tag}"
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    want = f"{st.st_size}:{int(st.st_mtime)}"
+    marker = f"{index_dir}/_SRC"
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = fh.read().strip()
+    if have != want:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_text_index(d, index_dir, n_buckets=64)
+        os.makedirs(index_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(want + "\n")
+    return bm25_query_indexed(spark, index_dir, _BM25_TERMS, k=20)

@@ -84,6 +84,94 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
             .select(id_col, "bm25"))
 
 
+def term_bucket(term, n_buckets: int):
+    """Engine-portable term → partition bucket (md5-prefix hash, the
+    same portable-hash family every other operator uses)."""
+    return (F.conv(F.substring(F.md5(term), 1, 15), 16, 10)
+            .cast("bigint") % n_buckets)
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of :func:`term_bucket` — lets the query path
+    compute the pruning literals without a Spark job."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15],
+               16) % n_buckets
+
+
+def build_text_index(docs: DataFrame, index_dir: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_buckets: int = 64) -> None:
+    """Persist an inverted index: postings (term, id, tf, dl)
+    partitioned by term bucket, plus the 1-row corpus stats.
+
+    This is the 100 TB retrieval shape — the per-query scan of
+    :func:`bm25_scores` amortizes into one build (an explode + one
+    count shuffle), and every query afterwards reads ONLY the postings
+    partitions its terms hash to (partition pruning, same pattern as
+    the IVF vector index in ops/similarity.py).  Document length is
+    denormalized into the postings so scoring never joins a
+    corpus-sized doclen table.
+    """
+    w = _words(F.col(text_col))
+    postings = (docs
+                .select(F.col(id_col), F.size(w).alias("dl"),
+                        F.explode(w).alias("term"))
+                .groupBy(id_col, "dl", "term")
+                .agg(F.count("*").alias("tf"))
+                .withColumn("bucket", term_bucket(F.col("term"),
+                                                  n_buckets)))
+    (postings.repartition("bucket")
+     .write.partitionBy("bucket").mode("overwrite")
+     .parquet(f"{index_dir}/postings"))
+    stats = docs.select(F.size(w).alias("dl")).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
+    # record the bucket count so the query path prunes with the same
+    # modulus the build used
+    docs.sparkSession.createDataFrame(
+        [(n_buckets,)], "n_buckets int").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def bm25_query_indexed(spark, index_dir: str, query_terms: list[str],
+                       k: int = 20, id_col: str = "doc_id",
+                       k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k by BM25 against a persisted index: reads only the queried
+    terms' postings partitions.  Result is identical (at the rounded-6
+    output precision) to :func:`bm25_topk` over the indexed corpus.
+
+    Per-term document frequency is recovered from the pruned postings
+    themselves (a term's posting count IS its df), so no separate df
+    table has to stay in sync."""
+    if not query_terms or len(query_terms) > 64:
+        raise ValueError("query_terms must be a non-empty list of at "
+                         f"most 64 terms, got {len(query_terms)}")
+    [meta] = spark.read.parquet(f"{index_dir}/meta").collect()
+    n_buckets = meta.n_buckets
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in query_terms})
+    cand = (spark.read.parquet(f"{index_dir}/postings")
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(list(query_terms))))
+    dfs = cand.groupBy("term").agg(F.count("*").alias("df"))
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    tf = F.col("tf").cast("double")
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    contrib = idf * (tf * (k1 + 1.0)
+                     / (tf + k1 * (1.0 - b
+                                   + b * F.col("dl") / F.col("avgdl"))))
+    return (cand
+            .join(F.broadcast(dfs), "term")
+            .crossJoin(F.broadcast(stats))
+            .select(id_col, contrib.alias("contrib"))
+            .groupBy(id_col)
+            .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc(id_col))
+            .limit(k))
+
+
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
               text_col: str = "text", id_col: str = "doc_id",
               k1: float = 1.2, b: float = 0.75) -> DataFrame:

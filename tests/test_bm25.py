@@ -95,3 +95,48 @@ def test_plan_has_no_corpus_shuffle(corpus):
     # repartitions
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_indexed_matches_direct(corpus, tmp_path):
+    from graphraft_spark.search.bm25 import (bm25_query_indexed,
+                                             bm25_topk, build_text_index)
+
+    idx = str(tmp_path / "bm25_idx")
+    build_text_index(corpus, idx, n_buckets=8)
+    spark = corpus.sparkSession
+    direct = bm25_topk(corpus, ["spark", "tables"], k=5).collect()
+    indexed = bm25_query_indexed(
+        spark, idx, ["spark", "tables"], k=5).collect()
+    assert [(r.doc_id, r.bm25) for r in direct] == \
+        [(r.doc_id, r.bm25) for r in indexed]
+
+
+def test_indexed_plan_prunes_partitions(corpus, tmp_path):
+    """The whole point of the index: a query must read only its terms'
+    bucket partitions, not the full postings table."""
+    from graphraft_spark.search.bm25 import (bm25_query_indexed,
+                                             build_text_index,
+                                             term_bucket_py)
+
+    idx = str(tmp_path / "bm25_idx2")
+    build_text_index(corpus, idx, n_buckets=8)
+    spark = corpus.sparkSession
+    df = bm25_query_indexed(spark, idx, ["spark"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "bucket" in pf
+    assert str(term_bucket_py("spark", 8)) in pf
+
+
+def test_bucket_hash_parity(spark):
+    """Driver-side bucket computation must equal the Spark expression
+    for every term, or pruning would read the wrong partitions."""
+    from graphraft_spark.search.bm25 import term_bucket, term_bucket_py
+
+    import pyspark.sql.functions as F
+    terms = ["spark", "tables", "", "ünïcode", "a b", "zz9"]
+    df = spark.createDataFrame([(t,) for t in terms], "t string") \
+        .select("t", term_bucket(F.col("t"), 64).alias("b"))
+    got = {r.t: r.b for r in df.collect()}
+    assert got == {t: term_bucket_py(t, 64) for t in terms}
