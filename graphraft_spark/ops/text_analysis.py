@@ -414,3 +414,43 @@ def temperature_mix(df, rates: dict[str, float],
     thresh = thresh.otherwise(F.lit(0))  # unknown source -> drop
     h = _portable_hash60(F.col(key_col), salt) % m
     return df.filter(h < thresh)
+
+
+def source_divergence(df, group_col: str = "source",
+                      text_col: str = "text", smooth: float = 1.0):
+    """Corpus-mix drift monitor: per group (source / snapshot / shard),
+    the KL divergence of its add-``smooth`` smoothed unigram
+    distribution from the whole corpus's — the number a pipeline
+    alerts on when one crawl slice starts looking unlike the mix
+    (and the objective SemDeDup/DSIR-style reweighting shifts).
+
+    KL(P_g || P_c) = sum over corpus vocab of P_g(t) ln(P_g(t)/P_c(t)),
+    both distributions smoothed over the SAME support (corpus vocab) so
+    every term contributes and the sum is finite.
+
+    Scale shape: one explode + two map-side-combined count aggregates;
+    the groups×vocab completion frame is vocab-sized per group (orders
+    of magnitude below the corpus) built by broadcasting the group
+    totals onto the vocab table — the corpus is scanned exactly once.
+    """
+    w = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                        r"\s+", " ")), " ")
+    toks = df.select(F.col(group_col).alias("g"),
+                     F.explode(w).alias("tok"))
+    g_cnt = toks.groupBy("g", "tok").agg(F.count("*").alias("c_gt"))
+    c_cnt = toks.groupBy("tok").agg(F.count("*").alias("c_t"))
+    g_tot = g_cnt.groupBy("g").agg(F.sum("c_gt").alias("n_g"))
+    scalar = F.broadcast(c_cnt.agg(F.sum("c_t").alias("n"),
+                                   F.count("*").alias("v")))
+    # complete support: every (group, vocab term) pair, absent counts 0
+    full = (c_cnt.crossJoin(F.broadcast(g_tot))
+            .join(g_cnt, ["g", "tok"], "left")
+            .crossJoin(scalar))
+    p_g = (F.coalesce("c_gt", F.lit(0)) + smooth) \
+        / (F.col("n_g") + smooth * F.col("v"))
+    p_c = (F.col("c_t") + smooth) / (F.col("n") + smooth * F.col("v"))
+    return (full
+            .select(F.col("g").alias(group_col),
+                    (p_g * F.log(p_g / p_c)).alias("term"))
+            .groupBy(group_col)
+            .agg(F.sum("term").alias("kl")))

@@ -634,3 +634,38 @@ def t_bigram_lm_score(spark, sf_dir):
     out = stupid_backoff_score(d, bi, uni)
     return out.select("doc_id", "n_trans",
                       F.round("lp_mean", 6).alias("lp_mean"))
+
+
+@register(
+    "t_source_kl", extra=True,
+    oracle=f"""
+WITH toks AS (
+  SELECT source AS g, unnest(string_split({_NORM}, ' ')) AS tok
+  FROM documents
+),
+gcnt AS (SELECT g, tok, count(*) AS c_gt FROM toks GROUP BY g, tok),
+ccnt AS (SELECT tok, count(*) AS c_t FROM toks GROUP BY tok),
+gtot AS (SELECT g, sum(c_gt) AS n_g FROM gcnt GROUP BY g),
+scalar AS (SELECT sum(c_t) AS n, count(*) AS v FROM ccnt),
+filled AS (
+  SELECT t.g, t.n_g, c.c_t, gc.c_gt, s.n, s.v
+  FROM ccnt c CROSS JOIN gtot t
+  LEFT JOIN gcnt gc ON gc.g = t.g AND gc.tok = c.tok, scalar s
+)
+SELECT g AS source,
+       ROUND(sum(
+         ((COALESCE(c_gt, 0) + 1.0) / (n_g + 1.0 * v))
+         * ln(((COALESCE(c_gt, 0) + 1.0) / (n_g + 1.0 * v))
+              / ((c_t + 1.0) / (n + 1.0 * v)))), 6) AS kl
+FROM filled GROUP BY g
+""")
+def t_source_kl(spark, sf_dir):
+    """Corpus-mix drift monitor: per-source KL divergence of the
+    smoothed unigram distribution from the whole corpus's, over the
+    shared corpus-vocab support.  One corpus scan, two count shuffles,
+    a vocab-sized completion frame per source."""
+    from graphraft_spark.ops.text_analysis import source_divergence
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = source_divergence(d, group_col="source")
+    return out.select("source", F.round("kl", 6).alias("kl"))
