@@ -100,39 +100,99 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
                16) % n_buckets
 
 
+def _postings_of(docs: DataFrame, text_col: str, id_col: str,
+                 n_buckets: int) -> DataFrame:
+    w = _words(F.col(text_col))
+    return (docs
+            .select(F.col(id_col), F.size(w).alias("dl"),
+                    F.explode(w).alias("term"))
+            .groupBy(id_col, "dl", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("bucket", term_bucket(F.col("term"),
+                                              n_buckets)))
+
+
+def _stats_of(docs: DataFrame, text_col: str) -> DataFrame:
+    """Additive per-epoch stats: document count and summed doc length.
+    Queries recover exact global N and avgdl by summing across epochs
+    (integer sums — no running-average drift)."""
+    w = _words(F.col(text_col))
+    return docs.select(F.size(w).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+
+
 def build_text_index(docs: DataFrame, index_dir: str,
                      text_col: str = "text", id_col: str = "doc_id",
                      n_buckets: int = 64) -> None:
     """Persist an inverted index: postings (term, id, tf, dl)
-    partitioned by term bucket, plus the 1-row corpus stats.
+    partitioned by (term bucket, epoch), plus additive per-epoch corpus
+    stats.  The bulk load lands as epoch 0; streaming appends use
+    :func:`text_index_append` with epoch ids ≥ 1.
 
     This is the 100 TB retrieval shape — the per-query scan of
     :func:`bm25_scores` amortizes into one build (an explode + one
     count shuffle), and every query afterwards reads ONLY the postings
-    partitions its terms hash to (partition pruning, same pattern as
-    the IVF vector index in ops/similarity.py).  Document length is
-    denormalized into the postings so scoring never joins a
-    corpus-sized doclen table.
+    partitions its terms hash to (partition pruning, same owned-
+    artifact pattern as the IVF vector index in ops/similarity.py).
+    Document length is denormalized into the postings so scoring never
+    joins a corpus-sized doclen table.
     """
-    w = _words(F.col(text_col))
-    postings = (docs
-                .select(F.col(id_col), F.size(w).alias("dl"),
-                        F.explode(w).alias("term"))
-                .groupBy(id_col, "dl", "term")
-                .agg(F.count("*").alias("tf"))
-                .withColumn("bucket", term_bucket(F.col("term"),
-                                                  n_buckets)))
+    postings = _postings_of(docs, text_col, id_col, n_buckets) \
+        .withColumn("epoch", F.lit(0))
     (postings.repartition("bucket")
-     .write.partitionBy("bucket").mode("overwrite")
+     .write.partitionBy("bucket", "epoch").mode("overwrite")
      .parquet(f"{index_dir}/postings"))
-    stats = docs.select(F.size(w).alias("dl")).agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-    stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
+    (_stats_of(docs, text_col).withColumn("epoch", F.lit(0))
+     .write.partitionBy("epoch").mode("overwrite")
+     .parquet(f"{index_dir}/stats"))
     # record the bucket count so the query path prunes with the same
     # modulus the build used
     docs.sparkSession.createDataFrame(
         [(n_buckets,)], "n_buckets int").coalesce(1) \
         .write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def text_index_append(batch: DataFrame, index_dir: str, epoch_id: int,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> None:
+    """Append one micro-batch of documents to a saved inverted index:
+    the batch's postings land under their (bucket, epoch=N) partitions
+    and its stats row under epoch=N, both with dynamic partition
+    overwrite — a replayed epoch overwrites itself, so ingestion is
+    idempotent under at-least-once delivery (the same delta-log
+    discipline as the IVF / incremental-graph / dedup indexes).  The
+    corpus is append-only by contract: re-ingesting a document in a
+    NEW epoch would double-count it."""
+    [meta] = batch.sparkSession.read.parquet(
+        f"{index_dir}/meta").collect()
+    postings = _postings_of(batch, text_col, id_col, meta.n_buckets) \
+        .withColumn("epoch", F.lit(int(epoch_id)))
+    (postings.write.mode("overwrite")
+     .partitionBy("bucket", "epoch")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(f"{index_dir}/postings"))
+    (_stats_of(batch, text_col)
+     .withColumn("epoch", F.lit(int(epoch_id)))
+     .write.mode("overwrite").partitionBy("epoch")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(f"{index_dir}/stats"))
+
+
+def stream_text_ingest(doc_stream: DataFrame, index_dir: str,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> None:
+    """Continuously ingest a document stream into a saved inverted
+    index (availableNow: drain then stop).  Queries via
+    :func:`bm25_query_indexed` see every epoch ingested so far —
+    partition discovery merges them, and the additive stats rows keep
+    N/avgdl exact.  Bulk-build first (epoch 0); stream epochs are
+    offset to ≥ 1."""
+    q = (doc_stream.writeStream
+         .foreachBatch(lambda b, e: text_index_append(
+             b, index_dir, int(e) + 1, text_col, id_col))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
 
 
 def bm25_query_indexed(spark, index_dir: str, query_terms: list[str],
@@ -155,7 +215,9 @@ def bm25_query_indexed(spark, index_dir: str, query_terms: list[str],
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(list(query_terms))))
     dfs = cand.groupBy("term").agg(F.count("*").alias("df"))
-    stats = spark.read.parquet(f"{index_dir}/stats")
+    stats = spark.read.parquet(f"{index_dir}/stats").agg(
+        F.sum("n_docs").alias("n"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"))
     tf = F.col("tf").cast("double")
     idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))

@@ -140,3 +140,66 @@ def test_bucket_hash_parity(spark):
         .select("t", term_bucket(F.col("t"), 64).alias("b"))
     got = {r.t: r.b for r in df.collect()}
     assert got == {t: term_bucket_py(t, 64) for t in terms}
+
+
+def test_streaming_append_matches_bulk(corpus, tmp_path):
+    """Bulk-build on half the corpus, stream the rest in micro-batches:
+    the indexed query must equal the direct scan over the FULL corpus,
+    and replaying an epoch must not change the result (idempotence)."""
+    import pyspark.sql.functions as F
+    from graphraft_spark.search.bm25 import (bm25_query_indexed,
+                                             bm25_topk, build_text_index,
+                                             stream_text_ingest,
+                                             text_index_append)
+
+    spark = corpus.sparkSession
+    idx = str(tmp_path / "bm25_stream_idx")
+    old = corpus.filter(F.col("doc_id") < 2)
+    new = corpus.filter(F.col("doc_id") >= 2)
+    build_text_index(old, idx, n_buckets=8)
+
+    stage = str(tmp_path / "incoming")
+    new.coalesce(2).write.parquet(stage)
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(stage))
+    stream_text_ingest(stream, idx)
+
+    want = [(r.doc_id, r.bm25)
+            for r in bm25_topk(corpus, ["spark", "tables"], k=5).collect()]
+    got = [(r.doc_id, r.bm25)
+           for r in bm25_query_indexed(spark, idx, ["spark", "tables"],
+                                       k=5).collect()]
+    assert got == want
+
+
+def test_epoch_replay_is_idempotent(corpus, tmp_path):
+    """At-least-once delivery: re-appending the SAME epoch with the
+    same batch must leave query results byte-identical."""
+    import pyspark.sql.functions as F
+    from graphraft_spark.search.bm25 import (bm25_query_indexed,
+                                             bm25_topk, build_text_index,
+                                             text_index_append)
+
+    spark = corpus.sparkSession
+    idx = str(tmp_path / "bm25_replay_idx")
+    build_text_index(corpus.filter(F.col("doc_id") < 2), idx,
+                     n_buckets=8)
+    text_index_append(corpus.filter(F.col("doc_id").isin(2, 3)), idx,
+                      epoch_id=1)
+    text_index_append(corpus.filter(F.col("doc_id") == 4), idx,
+                      epoch_id=2)
+    want = [(r.doc_id, r.bm25)
+            for r in bm25_topk(corpus, ["spark", "tables"], k=5).collect()]
+    first = [(r.doc_id, r.bm25)
+             for r in bm25_query_indexed(spark, idx, ["spark", "tables"],
+                                         k=5).collect()]
+    assert first == want
+    # duplicate delivery of epoch 1
+    text_index_append(corpus.filter(F.col("doc_id").isin(2, 3)), idx,
+                      epoch_id=1)
+    replayed = [(r.doc_id, r.bm25)
+                for r in bm25_query_indexed(spark, idx,
+                                            ["spark", "tables"],
+                                            k=5).collect()]
+    assert replayed == want
