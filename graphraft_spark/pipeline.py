@@ -253,6 +253,7 @@ def run_pipeline_bulk(
     specific_target_label: str | None = None,
     similarity: Callable[[Column], Column] | None = None,
     prop_cols: tuple[str, ...] = (),
+    persist_mode: str = "persist",
 ) -> DataFrame:
     """Fully-distributed twin of :func:`run_pipeline` — same inputs,
     same output, ZERO driver-side collects and a plan whose size does
@@ -309,4 +310,5 @@ def run_pipeline_bulk(
     )
     return budgeted_accumulate(results, max_nodes=max_nodes,
                                prop_cols=("name",) + tuple(prop_cols),
-                               persist_inputs=True)
+                               persist_inputs=True,
+                               persist_mode=persist_mode)

@@ -52,7 +52,8 @@ def _ranked(results: DataFrame) -> DataFrame:
 def budgeted_accumulate(results: DataFrame, max_nodes: int,
                         pattern_rate: float = 1.0,
                         prop_cols: tuple[str, ...] = (),
-                        persist_inputs: bool = False) -> DataFrame:
+                        persist_inputs: bool = False,
+                        persist_mode: str = "persist") -> DataFrame:
     """D2+D3+D4: first-seen dedup + provenance accumulation + node-budget
     stop over per-question result streams.
 
@@ -68,8 +69,18 @@ def budgeted_accumulate(results: DataFrame, max_nodes: int,
         _Q, "queryIdx", "rank", "nodeId", "similarity", "pattern",
         *prop_cols)
     if persist_inputs:
-        ranked = ranked.persist()
-        ranked.count()  # eager: first-seen agg + provenance both scan it
+        if persist_mode == "local_checkpoint":
+            # materialize AND truncate lineage: downstream tasks carry a
+            # stub plan instead of the full union-of-pattern-join tree,
+            # shrinking the task binary the cached-results scans
+            # deserialize (the stage BASELINE.md's excursion capture
+            # attributes the p_pipeline_bulk spike to).  Trade-off: the
+            # blocks are not recomputable on executor loss — callers on
+            # long multi-tenant clusters should stay on 'persist'.
+            ranked = ranked.localCheckpoint(eager=True)
+        else:
+            ranked = ranked.persist()
+            ranked.count()  # eager: both downstream branches scan it
 
     # Fold the payload (similarity + props) into the min-struct: the
     # (queryIdx, rank) prefix is unique within each (qid, nodeId) group,
