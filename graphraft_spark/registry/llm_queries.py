@@ -414,6 +414,13 @@ def p_pipeline_bulk(spark, sf_dir):
     from graphraft_spark.pipeline import run_pipeline_bulk
 
     g = tpch_graph(spark, sf_dir)
+    # persist_mode='local_checkpoint': materializes the ranked frame AND
+    # truncates its lineage.  A/B probe (tools/probe_bulk_spike.py, 30
+    # reps each, BASELINE.md round-6 follow-up): 30/30 flat at
+    # 3.5-4.4 s vs 'persist' clustering 8-16 s excursions (executor-
+    # thread CPU burn re-reading/recomputing churned storage blocks) and
+    # a ~20% slower steady state.  'persist' stays the library default
+    # for fault-tolerant recompute on executor loss.
     out = run_pipeline_bulk(
         spark, g,
         questions=[
@@ -422,6 +429,6 @@ def p_pipeline_bulk(spark, sf_dir):
         ],
         ranker=LexicographicRanker(), generator=EchoGenerator(),
         max_nodes=15, k=3, patterns=("1hop", "2hop"),
-        prop_cols=("detail",))
+        prop_cols=("detail",), persist_mode="local_checkpoint")
     return out.select("qid", "nodeId", "name", "detail",
                       F.round("similarity", 6).alias("similarity"))

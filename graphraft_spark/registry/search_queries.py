@@ -322,3 +322,60 @@ def s_bm25_indexed(spark, sf_dir):
         with open(marker, "w") as fh:
             fh.write(want + "\n")
     return bm25_query_indexed(spark, index_dir, _BM25_TERMS, k=20)
+
+
+_RRF_K = 60
+
+
+@register(
+    "s_hybrid_rrf", extra=True,
+    oracle=_BM25_ORACLE.rsplit("SELECT doc_id, ROUND(raw, 6)", 1)[0] + f"""
+, lex AS (
+  SELECT doc_id, ROUND(raw, 6) AS bm25
+  FROM scored WHERE raw > 0
+  ORDER BY ROUND(raw, 6) DESC, doc_id LIMIT 20
+),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM lex
+),
+knn AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), {_QSQL}) AS sim
+  FROM embeddings
+  ORDER BY sim DESC, vec_id LIMIT 20
+),
+knnr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+  FROM knn
+),
+contrib AS (
+  SELECT doc_id, 1.0 / ({_RRF_K} + rank) AS c FROM lexr
+  UNION ALL
+  SELECT doc_id, 1.0 / ({_RRF_K} + rank) AS c FROM knnr
+)
+SELECT doc_id, ROUND(sum(c), 6) AS rrf
+FROM contrib GROUP BY doc_id
+ORDER BY ROUND(sum(c), 6) DESC, doc_id LIMIT 15
+""")
+def s_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 over documents fused with cosine
+    KNN top-20 over embeddings by Reciprocal Rank Fusion (the standard
+    uncalibrated fusion).  Each ranker's heavy work is its own bounded
+    top-k plan; fusion is a union of two 20-row frames + one tiny
+    aggregate."""
+    from graphraft_spark.search.bm25 import bm25_topk
+    from graphraft_spark.search.hybrid import rrf_fuse, with_rank
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = with_rank(bm25_topk(d, _BM25_TERMS, k=20),
+                    [F.desc("bm25"), F.asc("doc_id")], "doc_id")
+    knn = (_scored(spark, sf_dir)
+           .orderBy(F.desc("similarity"), F.asc("vec_id"))
+           .limit(20)
+           .select(F.col("vec_id").alias("doc_id"), "similarity"))
+    vec = with_rank(knn, [F.desc("similarity"), F.asc("doc_id")],
+                    "doc_id")
+    return rrf_fuse([lex, vec], k=_RRF_K, topk=15)

@@ -49,7 +49,7 @@ BNLJ_OK = {
     "t_dsir_weights",
     # 1-row corpus-stats frames (N/avgdl/df; total/vocab) crossed onto
     # the scoring scan
-    "s_bm25_topk", "s_bm25_indexed", "t_bigram_lm_score",
+    "s_bm25_topk", "s_bm25_indexed", "s_hybrid_rrf", "t_bigram_lm_score",
     # vocab × group-totals completion frame + 1-row scalar cross
     "t_source_kl",
     "r_negative_samples",

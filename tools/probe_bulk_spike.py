@@ -49,8 +49,104 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     g = tpch_graph(spark, sf_dir)
 
+    def cpu_sample() -> tuple[int, int, int]:
+        """(busy, steal, iowait) jiffies from /proc/stat — steal is
+        host-side vCPU preemption, invisible to every in-guest JVM/
+        Python profile (the prior captures all came up empty)."""
+        with open("/proc/stat") as fh:
+            v = list(map(int, fh.readline().split()[1:9]))
+        busy = v[0] + v[1] + v[2] + v[5] + v[6]
+        return busy, v[7], v[4]
+
+    def jvm_pid() -> int | None:
+        me = os.getpid()
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as fh:
+                    f = fh.read().split()
+                if f[1] == "(java)" and int(f[3]) == me:
+                    return int(p)
+            except OSError:
+                continue
+        return None
+
+    def thread_cpu(pid: int) -> dict[str, float]:
+        """comm → cpu-seconds, summed over threads sharing a name."""
+        out: dict[str, float] = {}
+        base = f"/proc/{pid}/task"
+        try:
+            tids = os.listdir(base)
+        except OSError:
+            return out
+        for t in tids:
+            try:
+                with open(f"{base}/{t}/stat") as fh:
+                    f = fh.read().rsplit(")", 1)
+                comm = f[0].split("(", 1)[1]
+                rest = f[1].split()
+                cpu = (int(rest[11]) + int(rest[12])) / 100.0
+            except (OSError, IndexError):
+                continue
+            out[comm] = out.get(comm, 0.0) + cpu
+        return out
+
+    state = {"t0": None, "dumped": False}
+
+    def watchdog() -> None:
+        pid = None
+        while True:
+            time.sleep(0.5)
+            t0 = state["t0"]
+            if t0 is None or state["dumped"] or time.time() - t0 < 8:
+                continue
+            pid = pid or jvm_pid()
+            if pid is None:
+                continue
+            a = thread_cpu(pid)
+            time.sleep(2.0)
+            b = thread_cpu(pid)
+            delta = sorted(((b.get(k, 0) - a.get(k, 0), k) for k in b),
+                           reverse=True)
+            print("  SPIKE thread-CPU over 2s: "
+                  + ", ".join(f"{k}={d:.2f}" for d, k in delta[:8]
+                              if d > 0.05),
+                  file=sys.stderr)
+            # where are the executor threads? top-of-stack histogram
+            import subprocess
+            try:
+                js = subprocess.run(
+                    [os.path.join(os.environ.get("JAVA_HOME", ""),
+                                  "bin", "jstack"), str(pid)],
+                    capture_output=True, text=True, timeout=20).stdout
+                hist: dict[str, int] = {}
+                cur_exec = False
+                depth = 0
+                for ln in js.splitlines():
+                    if ln.startswith('"'):
+                        cur_exec = ln.startswith('"Executor task')
+                        depth = 0
+                    elif cur_exec and ln.strip().startswith("at ") \
+                            and depth < 3:
+                        frame = ln.strip()[3:].split("(")[0]
+                        if depth == 0:
+                            hist[frame] = hist.get(frame, 0) + 1
+                        depth += 1
+                top = sorted(hist.items(), key=lambda kv: -kv[1])[:6]
+                print("  SPIKE exec-thread top frames: "
+                      + "; ".join(f"{c}x {f}" for f, c in top),
+                      file=sys.stderr)
+            except Exception as ex:  # noqa: BLE001 — diagnostics only
+                print(f"  SPIKE jstack failed: {ex}", file=sys.stderr)
+            state["dumped"] = True
+
+    import threading
+    threading.Thread(target=watchdog, daemon=True).start()
+
     def run(mode: str) -> float:
         t0 = time.time()
+        state["t0"], state["dumped"] = t0, False
         out = run_pipeline_bulk(
             spark, g,
             questions=[
@@ -70,16 +166,22 @@ def main() -> None:
         warm = [run(mode), run(mode)]
         while len(warm) < 6 and max(warm[-2:]) > 1.25 * min(warm):
             warm.append(run(mode))
-        ts = []
+        ts, steals = [], []
         for i in range(reps):
+            b0, st0, io0 = cpu_sample()
             t = run(mode)
+            b1, st1, io1 = cpu_sample()
             ts.append(t)
-            print(f"  {mode} run {i + 1}/{reps}: {t}s (wall mark "
+            # jiffies are 10ms; normalize steal to seconds-of-CPU
+            steals.append(round((st1 - st0) / 100.0, 2))
+            print(f"  {mode} run {i + 1}/{reps}: {t}s "
+                  f"steal={steals[-1]}cpu-s busy={(b1 - b0) / 100.0:.1f} "
+                  f"iow={(io1 - io0) / 100.0:.2f} (wall "
                   f"{time.time():.1f})", file=sys.stderr)
         s = sorted(ts)
         report["modes"][mode] = {
-            "warmup": warm, "times": ts, "min": s[0],
-            "median": s[len(s) // 2], "max": s[-1],
+            "warmup": warm, "times": ts, "steal_cpu_s": steals,
+            "min": s[0], "median": s[len(s) // 2], "max": s[-1],
         }
     print(json.dumps(report))
 
