@@ -171,3 +171,26 @@ def deterministic_shuffle(df: DataFrame, key_col: str,
     h = _portable_hash60(F.col(key_col), seed)
     w = Window.orderBy(h.asc(), F.col(key_col).asc())
     return df.withColumn(out_col, F.row_number().over(w))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, n: int,
+                    key_col: str = "doc_id",
+                    salt: str = "ws0") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006): per row draw u ~ Uniform(0,1) from the portable
+    key hash and keep the n largest ``ln(u) / w`` — an exact
+    exponential-keys sample, reproducible bit-for-bit across runs,
+    partitionings, and engines (no RNG state; reshuffle = new salt).
+
+    This is the selection step DSIR's stochastic variant needs on top
+    of ``dsir_weights`` (pass ``exp(weight)`` for log-ratio weights —
+    weights must be strictly positive).  Plan shape: one codegen
+    projection + TakeOrdered; no shuffle beyond the top-n merge.
+    """
+    h = _portable_hash60(F.col(key_col), salt) % F.lit(2**59)
+    u = (h.cast("double") + 0.5) / F.lit(float(2**59))
+    w = F.col(weight_col).cast("double")
+    return (df.filter(w > 0)
+            .withColumn("sample_key", F.log(u) / w)
+            .orderBy(F.desc("sample_key"), F.asc(key_col))
+            .limit(n))

@@ -417,3 +417,34 @@ def e_corpus_expectations(spark, sf_dir):
     return spark.createDataFrame(
         [(n, v, total) for n, v in rows],
         "expectation string, violations bigint, total bigint")
+
+
+_WS_DEN = str(2**59)
+
+
+@register(
+    "e_weighted_sample", extra=True,
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ln((('0x' || substr(md5('ws0' || CAST(doc_id AS VARCHAR)),
+              1, 15))::BIGINT % {_WS_DEN} + 0.5) / {_WS_DEN}.0)
+         / CAST(n_chars AS DOUBLE) AS sample_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, ROUND(sample_key, 9) AS sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+""")
+def e_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential keys over the portable hash): 100 documents
+    drawn proportionally to n_chars, reproducible across engines — the
+    stochastic-selection step for DSIR-weighted data curation.  One
+    codegen projection + TakeOrdered."""
+    from graphraft_spark.data.ops import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "n_chars")
+    out = weighted_sample(d, "n_chars", n=100, key_col="doc_id")
+    return out.select("doc_id", F.round("sample_key", 9)
+                      .alias("sample_key"))
