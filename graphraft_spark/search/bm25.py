@@ -195,6 +195,43 @@ def stream_text_ingest(doc_stream: DataFrame, index_dir: str,
     q.awaitTermination()
 
 
+def compact_text_index(spark, index_dir: str) -> None:
+    """Fold every streamed epoch back into a single epoch 0 — the
+    maintenance step after sustained ingest (many small epoch
+    directories slow partition discovery and file listing; compaction
+    restores one well-sized file set per bucket).  Same merge-on-read →
+    compaction discipline as the incremental graph index.
+
+    Postings rows are per (doc, term) and the corpus is append-only, so
+    compaction is a straight rewrite (no re-aggregation); stats rows
+    are additive and collapse by summing.  The rewrite stages into a
+    sibling directory and swaps in with renames, so a reader never sees
+    a partial index."""
+    import os
+    import shutil
+
+    staged = f"{index_dir}/.compact"
+    shutil.rmtree(staged, ignore_errors=True)
+    (spark.read.parquet(f"{index_dir}/postings")
+     .withColumn("epoch", F.lit(0))
+     .repartition("bucket")
+     .write.partitionBy("bucket", "epoch").mode("overwrite")
+     .parquet(f"{staged}/postings"))
+    (spark.read.parquet(f"{index_dir}/stats")
+     .agg(F.sum("n_docs").alias("n_docs"),
+          F.sum("sum_dl").alias("sum_dl"))
+     .withColumn("epoch", F.lit(0))
+     .write.partitionBy("epoch").mode("overwrite")
+     .parquet(f"{staged}/stats"))
+    for part in ("postings", "stats"):
+        old = f"{index_dir}/{part}.old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(f"{index_dir}/{part}", old)
+        os.rename(f"{staged}/{part}", f"{index_dir}/{part}")
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staged, ignore_errors=True)
+
+
 def bm25_query_indexed(spark, index_dir: str, query_terms: list[str],
                        k: int = 20, id_col: str = "doc_id",
                        k1: float = 1.2, b: float = 0.75) -> DataFrame:

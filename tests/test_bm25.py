@@ -203,3 +203,35 @@ def test_epoch_replay_is_idempotent(corpus, tmp_path):
                                             ["spark", "tables"],
                                             k=5).collect()]
     assert replayed == want
+
+
+def test_compaction_preserves_results(corpus, tmp_path):
+    """After bulk + two appended epochs, compaction must collapse to a
+    single epoch 0 with byte-identical query results."""
+    import glob
+
+    import pyspark.sql.functions as F
+    from graphraft_spark.search.bm25 import (bm25_query_indexed,
+                                             build_text_index,
+                                             compact_text_index,
+                                             text_index_append)
+
+    spark = corpus.sparkSession
+    idx = str(tmp_path / "bm25_compact_idx")
+    build_text_index(corpus.filter(F.col("doc_id") < 2), idx,
+                     n_buckets=8)
+    text_index_append(corpus.filter(F.col("doc_id").isin(2, 3)), idx, 1)
+    text_index_append(corpus.filter(F.col("doc_id") == 4), idx, 2)
+    before = [(r.doc_id, r.bm25)
+              for r in bm25_query_indexed(spark, idx, ["spark", "tables"],
+                                          k=5).collect()]
+    compact_text_index(spark, idx)
+    epochs = {p.rsplit("epoch=", 1)[1].split("/")[0]
+              for p in glob.glob(f"{idx}/postings/bucket=*/epoch=*")}
+    assert epochs == {"0"}
+    after = [(r.doc_id, r.bm25)
+             for r in bm25_query_indexed(spark, idx, ["spark", "tables"],
+                                         k=5).collect()]
+    assert after == before
+    [stats] = spark.read.parquet(f"{idx}/stats").collect()
+    assert stats.n_docs == 5
