@@ -454,3 +454,39 @@ def source_divergence(df, group_col: str = "source",
                     (p_g * F.log(p_g / p_c)).alias("term"))
             .groupBy(group_col)
             .agg(F.sum("term").alias("kl")))
+
+
+def _positional_kgrams(text: Column, k: int) -> Column:
+    """Word k-grams in position order WITHOUT dedup (winnowing needs
+    the positional sequence; ops/dedup.shingles dedups for set ops).
+    Same zip_with construction; texts shorter than k words yield one
+    whole-text gram."""
+    ws = words(text)
+    n = F.size(ws)
+    sh = ws
+    for off in range(1, k):
+        nxt = F.slice(ws, off + 1, F.greatest(n - off, F.lit(0)))
+        sh = F.zip_with(sh, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(n >= k,
+                  F.slice(sh, 1, F.greatest(n - (k - 1), F.lit(1)))) \
+        .otherwise(F.slice(sh, 1, 1))
+
+
+def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, the
+    MOSS algorithm): hash every word k-gram positionally, slide a
+    w-window over the hash sequence, select each window's minimum, and
+    collapse repeats — ARRAY<BIGINT> of selected hashes.  Guarantees
+    every shared run of at least w + k - 1 words between two documents
+    shares at least one fingerprint, with expected density 2/(w+1) —
+    the positional coverage guarantee the top-``num``-mins sketch
+    (doc_fingerprint) does not give.  Pure codegen expressions; one
+    corpus scan, zero shuffles."""
+    hs = F.transform(_positional_kgrams(text, k), _h60)
+    m = F.size(hs)
+    wins = F.when(
+        m >= w,
+        F.transform(F.sequence(F.lit(1), m - (w - 1)),
+                    lambda j: F.array_min(F.slice(hs, j, w))),
+    ).otherwise(F.array(F.array_min(hs)))
+    return F.array_distinct(wins)

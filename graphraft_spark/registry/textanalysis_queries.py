@@ -669,3 +669,44 @@ def t_source_kl(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = source_divergence(d, group_col="source")
     return out.select("source", F.round("kl", 6).alias("kl"))
+
+
+@register(
+    "t_winnow", extra=True,
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, CASE WHEN len(w) >= 3
+      THEN list_transform(generate_series(1, len(w) - 2),
+                          i -> array_to_string(w[i:i+2], ' '))
+      ELSE [array_to_string(w, ' ')] END AS gs
+  FROM docs
+),
+hashes AS (
+  SELECT doc_id,
+         list_transform(gs, g -> {_H60.format(s='g')}) AS h
+  FROM grams
+),
+wins AS (
+  SELECT doc_id, CASE WHEN len(h) >= 4
+      THEN list_transform(generate_series(1, len(h) - 3),
+                          j -> list_min(h[j:j+3]))
+      ELSE [list_min(h)] END AS sel
+  FROM hashes
+)
+SELECT DISTINCT doc_id, unnest(sel) AS fp FROM wins
+""")
+def t_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS): per-document selected k-gram
+    hashes with the w+k-1 positional coverage guarantee, exploded to
+    (doc_id, fp) rows.  A self-join on fp is the plagiarism/overlap
+    detector; pure codegen scan here."""
+    from graphraft_spark.ops.text_analysis import winnow_fingerprints
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (d.select("doc_id",
+                     F.explode(winnow_fingerprints(F.col("text"),
+                                                   k=3, w=4)).alias("fp"))
+            .distinct())

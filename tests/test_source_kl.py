@@ -38,3 +38,36 @@ def test_disjoint_vocab_is_finite(spark):
 
     got = _kl(spark, [(0, "a", "x x y"), (1, "b", "q q r")])
     assert all(math.isfinite(v) and v > 0 for v in got.values())
+
+
+def test_winnow_coverage_guarantee(spark):
+    """Schleimer et al.'s property: two documents sharing a run of at
+    least w + k - 1 = 6 words must share at least one fingerprint."""
+    import pyspark.sql.functions as F
+
+    from graphraft_spark.ops.text_analysis import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 shared words
+    df = spark.createDataFrame(
+        [(1, f"one two {shared} three"),
+         (2, f"{shared} four five six seven"),
+         (3, "totally different words here entirely now")],
+        "doc_id bigint, text string")
+    rows = df.select("doc_id",
+                     winnow_fingerprints(F.col("text")).alias("fps")) \
+        .collect()
+    fps = {r.doc_id: set(r.fps) for r in rows}
+    assert fps[1] & fps[2], "shared 6-word run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+
+
+def test_winnow_short_text_single_fingerprint(spark):
+    import pyspark.sql.functions as F
+
+    from graphraft_spark.ops.text_analysis import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "just two")],
+                               "doc_id bigint, text string")
+    [r] = df.select(winnow_fingerprints(F.col("text")).alias("f")) \
+        .collect()
+    assert len(r.f) == 1
