@@ -51,6 +51,11 @@ HEADLINE = [
     "d_span_dedup",
     "t_decontaminate",
     "ev_funnel",
+    # round-6 continuation additions: index-probe BM25, hybrid fusion,
+    # in-engine-trained bigram LM scoring
+    "s_bm25_indexed",
+    "s_hybrid_rrf",
+    "t_bigram_lm_score",
     # end-to-end flagship last: the distributed pipeline twin; the
     # driver-loop variant measured 9.6 s vs bulk 7.9 s at sf0.1
     # (BASELINE.md) — one headline line suffices, the oracle covers both
