@@ -194,3 +194,25 @@ def weighted_sample(df: DataFrame, weight_col: str, n: int,
             .withColumn("sample_key", F.log(u) / w)
             .orderBy(F.desc("sample_key"), F.asc(key_col))
             .limit(n))
+
+
+def weighted_sample_per_group(df: DataFrame, weight_col: str, n: int,
+                              group_col: str = "source",
+                              key_col: str = "doc_id",
+                              salt: str = "ws0") -> DataFrame:
+    """Stratified :func:`weighted_sample`: an independent exponential-
+    keys draw of ``n`` rows per group (per source / language / shard) —
+    the shape curation quotas actually run at scale.  Window top-n per
+    group (hash-partition by group, per-partition heap — no global
+    sort); same portable-hash determinism."""
+    from pyspark.sql import Window
+
+    h = _portable_hash60(F.col(key_col), salt) % F.lit(2**59)
+    u = (h.cast("double") + 0.5) / F.lit(float(2**59))
+    w = F.col(weight_col).cast("double")
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("sample_key"), F.asc(key_col))
+    return (df.filter(w > 0)
+            .withColumn("sample_key", F.log(u) / w)
+            .withColumn("sample_rank", F.row_number().over(win))
+            .filter(F.col("sample_rank") <= n))

@@ -448,3 +448,40 @@ def e_weighted_sample(spark, sf_dir):
     out = weighted_sample(d, "n_chars", n=100, key_col="doc_id")
     return out.select("doc_id", F.round("sample_key", 9)
                       .alias("sample_key"))
+
+
+@register(
+    "e_weighted_sample_grouped", extra=True,
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         ln((('0x' || substr(md5('ws0' || CAST(doc_id AS VARCHAR)),
+              1, 15))::BIGINT % {_WS_DEN} + 0.5) / {_WS_DEN}.0)
+         / CAST(n_chars AS DOUBLE) AS sample_key
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, source, sample_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY sample_key DESC, doc_id)
+             AS sample_rank
+  FROM keyed
+)
+SELECT doc_id, source, ROUND(sample_key, 9) AS sample_key,
+       CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= 25
+""")
+def e_weighted_sample_grouped(spark, sf_dir):
+    """Stratified weighted sampling: an independent 25-row
+    length-proportional draw per source — window top-n per group, no
+    global sort."""
+    from graphraft_spark.data.ops import weighted_sample_per_group
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "n_chars")
+    out = weighted_sample_per_group(d, "n_chars", n=25,
+                                    group_col="source")
+    return out.select("doc_id", "source",
+                      F.round("sample_key", 9).alias("sample_key"),
+                      F.col("sample_rank").cast("int")
+                      .alias("sample_rank"))

@@ -57,3 +57,25 @@ def test_empirical_proportionality(spark):
         hits += r.doc_id == 0
     # expected inclusion p = 9/18 = 0.5; binomial 3-sigma band
     assert 0.3 < hits / trials < 0.7
+
+
+def test_per_group_draws_are_independent_and_capped(spark):
+    from graphraft_spark.data.ops import (weighted_sample,
+                                          weighted_sample_per_group)
+
+    rows = [(i, "a" if i < 60 else "b", float(i % 5 + 1))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, "
+                                     "w double")
+    out = weighted_sample_per_group(df, "w", 7, group_col="source") \
+        .collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.source, []).append(r.doc_id)
+    assert sorted(by_g) == ["a", "b"]
+    assert all(len(v) == 7 for v in by_g.values())
+    # a group's draw must equal the ungrouped draw restricted to it
+    import pyspark.sql.functions as F
+    solo = {r.doc_id for r in weighted_sample(
+        df.filter(F.col("source") == "a"), "w", 7).collect()}
+    assert set(by_g["a"]) == solo
