@@ -162,3 +162,50 @@ def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
     base.unpersist()
     e.unpersist()
     return out
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts by degree-ordered orientation
+    (the node-iterator of Suri & Vassilvitskii 2011, "Counting
+    Triangles and the Curse of the Last Reducer").
+
+    Orient each undirected edge from its lower-(degree, id) endpoint to
+    the higher; every triangle then has exactly one apex whose two
+    out-edges cover it, so counting = enumerate out-neighbor pairs per
+    apex and close them against the edge set.  The orientation bounds
+    every out-degree by O(sqrt(|E|)), so wedge enumeration is
+    O(|E|^1.5) worst-case TOTAL and no single hub dominates a reducer —
+    THE fix for the last-reducer skew a naive neighbor join hits at
+    100 TB.  Input may carry both directions and self-loops; both are
+    canonicalized away.  Returns (n, triangles): per-node participation
+    (sum/3 = total triangles)."""
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("n"))
+           .unionByName(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("deg")))
+    oa = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    ob = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) \
+        | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    oriented = (e.join(oa, "a").join(ob, "b")
+                .select(F.when(a_first, F.col("a")).otherwise(F.col("b"))
+                        .alias("apex"),
+                        F.when(a_first, F.col("b")).otherwise(F.col("a"))
+                        .alias("nb")))
+    o1 = oriented.select("apex", F.col("nb").alias("p"))
+    o2 = oriented.select("apex", F.col("nb").alias("q"))
+    wedges = (o1.join(o2, "apex")
+              .filter(F.col("p") < F.col("q")))  # id-ordered pair, once
+    tri = wedges.join(
+        e, (F.col("p") == F.col("a")) & (F.col("q") == F.col("b")))
+    per_node = (tri.select(F.col("apex").alias("n"))
+                .unionByName(tri.select(F.col("p").alias("n")))
+                .unionByName(tri.select(F.col("q").alias("n")))
+                .groupBy("n").agg(F.count("*").alias("triangles")))
+    return per_node

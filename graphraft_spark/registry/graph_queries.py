@@ -522,3 +522,35 @@ def g_ppr_top(spark, sf_dir):
         .orderBy(F.desc("rank"), F.asc("nodeId"))
         .limit(20)
     )
+
+
+@register(
+    "g_triangles", extra=True,
+    oracle=GRAPH_ORACLE_CTE + """
+, ue AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM ue e1
+    JOIN ue e2 ON e2.a = e1.b
+    JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n, CAST(count(*) AS BIGINT) AS triangles
+FROM (
+    SELECT x AS n FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+GROUP BY n
+""")
+def g_triangles(spark, sf_dir):
+    """Per-node triangle counts (graph/algos.py:triangle_count):
+    degree-ordered orientation bounds wedge enumeration at O(|E|^1.5)
+    total with no last-reducer hub skew.  The oracle enumerates
+    id-ordered triangles directly — same multiset."""
+    from graphraft_spark.graph.algos import triangle_count
+
+    g = tpch_graph(spark, sf_dir)
+    return triangle_count(g.edges, "src", "dst")

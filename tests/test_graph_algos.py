@@ -129,3 +129,37 @@ def test_ppr_requires_seed(spark):
     empty = spark.createDataFrame([], "nodeId bigint")
     with pytest.raises(ValueError):
         personalized_pagerank(nodes, edges, empty)
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 plus a pendant: each K4 node sits on C(3,2)=3 triangles,
+    the pendant on none; directions/duplicates/self-loops ignored."""
+    from graphraft_spark.graph.algos import triangle_count
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b]  # K4 both dirs
+        + [(3, 9), (9, 9)],                                     # pendant + loop
+        "src bigint, dst bigint")
+    got = {r.n: r.triangles for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert sum(got.values()) // 3 == 4  # K4 has 4 triangles
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from graphraft_spark.graph.algos import triangle_count
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = {(a, b) for a in nodes for b in nodes
+             if a < b and rng.random() < 0.25}
+    want = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if {(x, y), (x, z), (y, z)} <= edges:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    df = spark.createDataFrame(list(edges), "src bigint, dst bigint")
+    got = {r.n: r.triangles for r in triangle_count(df).collect()}
+    assert got == want
