@@ -209,3 +209,27 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
                 .unionByName(tri.select(F.col("q").alias("n")))
                 .groupBy("n").agg(F.count("*").alias("triangles")))
     return per_node
+
+
+def clustering_coefficient(edges: DataFrame, src_col: str = "src",
+                           dst_col: str = "dst") -> DataFrame:
+    """Local clustering coefficient per node: triangles / C(deg, 2)
+    over the simple undirected graph (0.0 for degree < 2) — the
+    standard cohesion signal on top of :func:`triangle_count`, same
+    skew-bounded plan plus one degree aggregate and a left join."""
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("n"))
+           .unionByName(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("deg")))
+    tri = triangle_count(edges, src_col, dst_col)
+    pairs = (F.col("deg") * (F.col("deg") - 1) / 2.0)
+    return (deg.join(tri, "n", "left")
+            .select("n", "deg",
+                    F.when(F.col("deg") >= 2,
+                           F.coalesce("triangles", F.lit(0)) / pairs)
+                    .otherwise(F.lit(0.0)).alias("lcc")))

@@ -554,3 +554,46 @@ def g_triangles(spark, sf_dir):
 
     g = tpch_graph(spark, sf_dir)
     return triangle_count(g.edges, "src", "dst")
+
+
+@register(
+    "g_clustering_coeff", extra=True,
+    oracle=GRAPH_ORACLE_CTE + """
+, ue AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+deg AS (
+    SELECT n, count(*) AS deg FROM (
+        SELECT a AS n FROM ue UNION ALL SELECT b AS n FROM ue
+    ) GROUP BY n
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM ue e1
+    JOIN ue e2 ON e2.a = e1.b
+    JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+    SELECT n, count(*) AS triangles FROM (
+        SELECT x AS n FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY n
+)
+SELECT d.n, CAST(d.deg AS BIGINT) AS deg,
+       ROUND(CASE WHEN d.deg >= 2
+             THEN COALESCE(t.triangles, 0) / (d.deg * (d.deg - 1) / 2.0)
+             ELSE 0.0 END, 6) AS lcc
+FROM deg d LEFT JOIN tcnt t ON t.n = d.n
+""")
+def g_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient (graph/algos.py) — triangles over
+    possible neighbor pairs per node; the oracle recomputes both
+    aggregates in SQL."""
+    from graphraft_spark.graph.algos import clustering_coefficient
+
+    g = tpch_graph(spark, sf_dir)
+    out = clustering_coefficient(g.edges, "src", "dst")
+    return out.select("n", F.col("deg").cast("bigint").alias("deg"),
+                      F.round("lcc", 6).alias("lcc"))

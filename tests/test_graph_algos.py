@@ -163,3 +163,18 @@ def test_triangle_count_matches_bruteforce_random(spark):
     df = spark.createDataFrame(list(edges), "src bigint, dst bigint")
     got = {r.n: r.triangles for r in triangle_count(df).collect()}
     assert got == want
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """Triangle 0-1-2 plus node 3 attached to 0 and 1: lcc(3)=1.0
+    (its two neighbors are connected), lcc(0)=lcc(1)=2/3 (deg 3, two
+    of three neighbor pairs closed), lcc(2)=1.0, pendant 4 → 0.0."""
+    from graphraft_spark.graph.algos import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 0), (3, 1), (4, 2)],
+        "src bigint, dst bigint")
+    got = {r.n: (r.deg, round(r.lcc, 6))
+           for r in clustering_coefficient(edges).collect()}
+    assert got == {0: (3, round(2 / 3, 6)), 1: (3, round(2 / 3, 6)),
+                   2: (3, round(1 / 3, 6)), 3: (2, 1.0), 4: (1, 0.0)}
