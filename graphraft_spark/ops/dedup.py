@@ -348,6 +348,17 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def containment(sh_a: Column, sh_b: Column) -> Column:
+    """Max-containment over distinct shingle arrays:
+    |A ∩ B| / min(|A|, |B|) — the asymmetric near-dup signal Jaccard
+    misses (a short document wholly embedded in a long one scores ~1.0
+    here but arbitrarily low on Jaccard; Broder 1997's containment).
+    """
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    m = F.least(F.size(sh_a), F.size(sh_b))
+    return F.when(m > 0, inter / m).otherwise(F.lit(0.0))
+
+
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 16,
                       bands: int = 4, k: int = 3,

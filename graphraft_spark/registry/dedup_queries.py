@@ -817,3 +817,47 @@ def d_semantic_dedup(spark, sf_dir):
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
     out = semantic_dedup(corpus, threshold=0.999, every=50)
     return out.select("id", "centroid_id", "comp", "is_kept")
+
+
+@register(
+    "d_ngram_containment", extra=True,
+    oracle=f"""
+WITH {_DOCS_NEAR_SQL.strip()},
+sh AS (
+    SELECT doc_id, {_SHINGLES} AS s,
+           array_to_string(words[1:3], ' ') AS bucket
+    FROM (SELECT doc_id, {_WORDS} AS words FROM docs)
+),
+bucketed AS (
+    SELECT doc_id, s, bucket FROM sh WHERE len(s) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / least(len(a.s), len(b.s)), 6) AS containment
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / least(len(a.s), len(b.s)) >= 0.8
+""")
+def d_ngram_containment(spark, sf_dir):
+    """Asymmetric near-dup: max-containment |A∩B|/min(|A|,|B|) ≥ 0.8
+    over 3-word shingles (Broder's containment) — catches a short
+    document embedded in a long one, which Jaccard dilutes below any
+    usable threshold.  Same deterministic blocking as d_ngram_jaccard."""
+    from graphraft_spark.ops.dedup import containment, shingles, words
+
+    docs = _docs_near(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", shingles(F.col("text"), 3).alias("s"),
+        F.concat_ws(" ", F.slice(words(F.col("text")), 1, 3)).alias("bucket"),
+    ).filter(F.size("s") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    c = containment(F.col("a.s"), F.col("b.s"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(c >= 0.8)
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.round(c, 6).alias("containment"))
+    )

@@ -108,3 +108,24 @@ def test_poly_rejects_large_k(spark):
                                  "doc_id bigint, text string")
     with pytest.raises(ValueError, match="rolling"):
         duplicate_spans(docs, k=50, hash_fn="poly")
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one: containment 1.0 while
+    Jaccard is diluted below any usable threshold."""
+    import pyspark.sql.functions as F
+
+    from graphraft_spark.ops.dedup import containment, jaccard, shingles
+
+    short = "alpha beta gamma delta epsilon"
+    longd = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(1, short), (2, longd)],
+                               "doc_id bigint, text string")
+    sh = df.select("doc_id", shingles(F.col("text"), 3).alias("s"))
+    a = sh.filter("doc_id = 1").select(F.col("s").alias("sa"))
+    b = sh.filter("doc_id = 2").select(F.col("s").alias("sb"))
+    [r] = a.crossJoin(b).select(
+        containment(F.col("sa"), F.col("sb")).alias("c"),
+        jaccard(F.col("sa"), F.col("sb")).alias("j")).collect()
+    assert r.c == 1.0
+    assert r.j < 0.1
