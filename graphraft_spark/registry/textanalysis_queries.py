@@ -710,3 +710,76 @@ def t_winnow(spark, sf_dir):
                      F.explode(winnow_fingerprints(F.col("text"),
                                                    k=3, w=4)).alias("fp"))
             .distinct())
+
+
+@register(
+    "t_ppl_band", extra=True,
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, source, string_split({_NORM}, ' ') AS w FROM documents
+),
+trans AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM docs WHERE len(w) >= 2
+),
+bi AS (
+  SELECT bg, count(*) AS c_bi FROM trans
+  WHERE doc_id % 2 = 0 GROUP BY bg
+),
+ucnt AS (
+  SELECT tok, count(*) AS c_uni FROM (
+    SELECT unnest(w) AS tok FROM docs WHERE doc_id % 2 = 0
+  ) GROUP BY tok
+),
+tot AS (SELECT sum(c_uni) AS total, count(*) AS v FROM ucnt),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN b.c_bi IS NOT NULL AND p.c_uni IS NOT NULL
+              THEN ln(CAST(b.c_bi AS DOUBLE) / p.c_uni)
+              ELSE ln(0.4 * (COALESCE(cu.c_uni, 0) + 1.0) / (total + v))
+         END AS lp
+  FROM trans t
+  LEFT JOIN bi b ON t.bg = b.bg
+  LEFT JOIN ucnt p ON string_split(t.bg, ' ')[1] = p.tok
+  LEFT JOIN ucnt cu ON string_split(t.bg, ' ')[2] = cu.tok, tot
+),
+perdoc AS (
+  SELECT doc_id, avg(lp) AS lp_mean FROM scored GROUP BY doc_id
+),
+banded AS (
+  SELECT d.doc_id, d.source, p.lp_mean,
+         percent_rank() OVER (PARTITION BY d.source
+                              ORDER BY p.lp_mean DESC, d.doc_id) AS pr
+  FROM docs d JOIN perdoc p ON p.doc_id = d.doc_id
+)
+SELECT doc_id, source, ROUND(lp_mean, 6) AS lp_mean,
+       ROUND(pr, 6) AS band_rank
+FROM banded WHERE pr <= 0.6
+""")
+def t_ppl_band(spark, sf_dir):
+    """The full CCNet recipe in one query: score every document's mean
+    stupid-backoff log-prob under the bigram LM trained on the trusted
+    half, then keep each source's best-60% band by rank-exact
+    percent_rank (head+middle of the Wikipedia-style split).  Every
+    stage — LM training, scoring, banding — is in-engine and
+    SQL-replayable."""
+    from pyspark.sql import Window
+
+    from graphraft_spark.ops.word_lm import (stupid_backoff_score,
+                                             train_bigram_lm)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "text")
+    bi, uni = train_bigram_lm(d.filter(F.col("doc_id") % 2 == 0))
+    scored = stupid_backoff_score(d, bi, uni)
+    joined = d.select("doc_id", "source").join(scored, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("lp_mean"),
+                                             F.asc("doc_id"))
+    return (joined
+            .withColumn("pr", F.percent_rank().over(w))
+            .filter(F.col("pr") <= 0.6)
+            .select("doc_id", "source",
+                    F.round("lp_mean", 6).alias("lp_mean"),
+                    F.round("pr", 6).alias("band_rank")))

@@ -52,6 +52,8 @@ BNLJ_OK = {
     "s_bm25_topk", "s_bm25_indexed", "s_hybrid_rrf", "t_bigram_lm_score",
     # vocab × group-totals completion frame + 1-row scalar cross
     "t_source_kl",
+    # 1-row (total, vocab) scalar crossed onto the LM scoring join
+    "t_ppl_band",
     "r_negative_samples",
 }
 
