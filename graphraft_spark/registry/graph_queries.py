@@ -597,3 +597,44 @@ def g_clustering_coeff(spark, sf_dir):
     out = clustering_coefficient(g.edges, "src", "dst")
     return out.select("n", F.col("deg").cast("bigint").alias("deg"),
                       F.round("lcc", 6).alias("lcc"))
+
+
+@register(
+    "g_adamic_adar", extra=True,
+    oracle=GRAPH_ORACLE_CTE + """
+, ue AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+nb AS (
+    SELECT a AS z, b AS x FROM ue
+    UNION ALL
+    SELECT b AS z, a AS x FROM ue
+),
+deg AS (SELECT z, count(*) AS deg FROM nb GROUP BY z),
+wedges AS (
+    SELECT n1.x AS x, n2.x AS y, d.deg
+    FROM nb n1 JOIN nb n2 ON n1.z = n2.z AND n1.x < n2.x
+    JOIN deg d ON d.z = n1.z
+),
+scores AS (
+    SELECT x, y, sum(1.0 / ln(deg)) AS aa
+    FROM wedges GROUP BY x, y
+)
+SELECT s.x, s.y, ROUND(s.aa, 6) AS aa
+FROM scores s
+WHERE NOT EXISTS (SELECT 1 FROM ue WHERE ue.a = s.x AND ue.b = s.y)
+ORDER BY ROUND(s.aa, 6) DESC, s.x, s.y LIMIT 50
+""")
+def g_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (graph/algos.py): top-50 strongest
+    unconnected pairs by summed inverse-log common-neighbor degree.
+    Exact here; the max_mid_degree cap is the documented hub-skew
+    valve at scale."""
+    from graphraft_spark.graph.algos import adamic_adar
+
+    g = tpch_graph(spark, sf_dir)
+    out = adamic_adar(g.edges, "src", "dst")
+    return (out.select("x", "y", F.round("aa", 6).alias("aa"))
+            .orderBy(F.desc("aa"), F.asc("x"), F.asc("y"))
+            .limit(50))

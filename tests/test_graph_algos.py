@@ -178,3 +178,24 @@ def test_clustering_coefficient_hand_graph(spark):
            for r in clustering_coefficient(edges).collect()}
     assert got == {0: (3, round(2 / 3, 6)), 1: (3, round(2 / 3, 6)),
                    2: (3, round(1 / 3, 6)), 3: (2, 1.0), 4: (1, 0.0)}
+
+
+def test_adamic_adar_hand_graph(spark):
+    """Path 1-3-2 plus 1-4, 2-4: pair (1,2) has common neighbors {3,4}
+    → AA = 1/ln(2) + 1/ln(2); connected pairs are excluded; the hub cap
+    drops the listed mid."""
+    import math
+
+    from graphraft_spark.graph.algos import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 3), (3, 2), (1, 4), (2, 4)], "src bigint, dst bigint")
+    got = {(r.x, r.y): r.aa for r in adamic_adar(edges).collect()}
+    # deg(3)=2, deg(4)=2; (1,2) via both mids; (3,4) via mids 1 and 2
+    want_12 = 1 / math.log(2) + 1 / math.log(2)
+    assert got[(1, 2)] == pytest.approx(want_12, abs=1e-12)
+    assert got[(3, 4)] == pytest.approx(want_12, abs=1e-12)
+    assert (1, 3) not in got  # connected pairs excluded
+    # cap below every mid degree → no wedges at all
+    capped = adamic_adar(edges, max_mid_degree=1).collect()
+    assert capped == []
