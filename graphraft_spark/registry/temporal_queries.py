@@ -143,3 +143,33 @@ def ev_retention(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return retention_cohorts(ev)
+
+
+@register(
+    "tm_window_percentiles", extra=True,
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(max(value), 6) AS p100
+FROM events
+GROUP BY 1, 2
+""")
+def tm_window_percentiles(spark, sf_dir):
+    """Exact per-window order statistics (p50/p95/max of event value
+    per day × type) — the latency-dashboard aggregate, done EXACTLY
+    with Spark's interpolating percentile (matches quantile_cont's R-7
+    definition).  Map-side partial aggregation applies to count/max;
+    the percentile's sort is bounded per (day, type) group.  At 100 TB
+    swap in approx_percentile (t-digest sketch, mergeable) — the
+    sketches module documents the tolerance."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (e.groupBy(
+        F.to_date("ts").cast("string").alias("day"),
+        "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+             F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+             F.round(F.max("value"), 6).alias("p100")))
