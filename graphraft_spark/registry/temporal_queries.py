@@ -173,3 +173,35 @@ def tm_window_percentiles(spark, sf_dir):
              F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
              F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
              F.round(F.max("value"), 6).alias("p100")))
+
+
+@register(
+    "tm_user_rfm", extra=True,
+    oracle="""
+WITH anchor AS (SELECT max(ts) AS mx FROM events)
+SELECT user_id,
+       CAST(epoch_us((SELECT mx FROM anchor)) - epoch_us(max(ts))
+            AS BIGINT) AS recency_us,
+       CAST(count(*) AS BIGINT) AS frequency,
+       ROUND(sum(value), 6) AS monetary,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS breadth
+FROM events
+GROUP BY user_id
+""")
+def tm_user_rfm(spark, sf_dir):
+    """Per-user RFM+breadth behavioral features (recency vs the corpus
+    max timestamp, event count, summed value, distinct event types) —
+    the standard feature block for churn/quality models.  One grouped
+    aggregate plus a 1-row broadcast anchor; all map-side-combinable
+    except the exact distinct (which partial-aggregates on the
+    composite key first)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    anchor = F.broadcast(e.agg(F.max("ts").alias("mx")))
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    mx_us = F.unix_micros(F.col("mx").cast("timestamp_ltz"))
+    return (e.crossJoin(anchor)
+            .groupBy("user_id")
+            .agg(F.min(mx_us - us).alias("recency_us"),
+                 F.count("*").alias("frequency"),
+                 F.round(F.sum("value"), 6).alias("monetary"),
+                 F.countDistinct("event_type").alias("breadth")))

@@ -54,6 +54,8 @@ BNLJ_OK = {
     "t_source_kl",
     # 1-row (total, vocab) scalar crossed onto the LM scoring join
     "t_ppl_band",
+    # 1-row max-timestamp anchor crossed onto the user aggregate
+    "tm_user_rfm",
     "r_negative_samples",
 }
 
