@@ -216,3 +216,35 @@ def weighted_sample_per_group(df: DataFrame, weight_col: str, n: int,
             .withColumn("sample_key", F.log(u) / w)
             .withColumn("sample_rank", F.row_number().over(win))
             .filter(F.col("sample_rank") <= n))
+
+
+def scd2_compact(history: DataFrame, key_col: str, ts_col: str,
+                 attr_cols: tuple[str, ...],
+                 tiebreak_col: str | None = None) -> DataFrame:
+    """Build a slowly-changing-dimension (SCD type 2) table from a
+    change log: per key, keep only rows where the tracked attributes
+    actually changed, stamp ``valid_from`` = the change's timestamp and
+    ``valid_to`` = the NEXT change's (NULL while current), plus an
+    ``is_current`` flag — the merge-free way to version dimensions on
+    a plain columnar store (no Delta/iceberg required).
+
+    One shuffle on the key; two window passes over each key's ordered
+    history (lag to detect change points, lead to close intervals).
+    ``tiebreak_col`` breaks equal timestamps deterministically."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = None
+    for c in attr_cols:
+        neq = ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        changed = neq if changed is None else (changed | neq)
+    changed = changed | F.lag(ts_col).over(w).isNull()
+    points = history.withColumn("_chg", changed).filter("_chg")
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (points
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead(ts_col).over(w2))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .drop("_chg"))

@@ -205,3 +205,45 @@ def tm_user_rfm(spark, sf_dir):
                  F.count("*").alias("frequency"),
                  F.round(F.sum("value"), 6).alias("monetary"),
                  F.countDistinct("event_type").alias("breadth")))
+
+
+@register(
+    "tm_scd2_versions", extra=True,
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_attr,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+points AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM ordered
+    WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_attr
+)
+SELECT user_id, event_type,
+       CAST(ts AS VARCHAR) AS valid_from,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS VARCHAR) AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        IS NULL) AS is_current
+FROM points
+""")
+def tm_scd2_versions(spark, sf_dir):
+    """SCD type-2 dimension build (data/ops.py:scd2_compact): compact
+    each user's event_type change log into versioned rows with
+    valid_from/valid_to intervals and a current flag — merge-free
+    dimension versioning on plain parquet.  One key shuffle + two
+    window passes."""
+    from graphraft_spark.data.ops import scd2_compact
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "ts", "event_id", "event_type")
+    out = scd2_compact(e, "user_id", "ts", ("event_type",),
+                       tiebreak_col="event_id")
+    return out.select("user_id", "event_type",
+                      F.col("valid_from").cast("string"),
+                      F.col("valid_to").cast("string"),
+                      "is_current")

@@ -79,3 +79,25 @@ def test_per_group_draws_are_independent_and_capped(spark):
     solo = {r.doc_id for r in weighted_sample(
         df.filter(F.col("source") == "a"), "w", 7).collect()}
     assert set(by_g["a"]) == solo
+
+
+def test_scd2_compact_hand_history(spark):
+    """a: x→x→y→x collapses to 3 versions with closed intervals;
+    single-version key stays current from its first row."""
+    from graphraft_spark.data.ops import scd2_compact
+
+    rows = [
+        ("a", 1, 10, "x"), ("a", 2, 11, "x"),
+        ("a", 3, 12, "y"), ("a", 4, 13, "x"),
+        ("b", 1, 14, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts bigint, eid bigint, attr string")
+    out = scd2_compact(df, "k", "ts", ("attr",), tiebreak_col="eid") \
+        .collect()
+    a = sorted([(r.ts, r.attr, r.valid_to, r.is_current)
+                for r in out if r.k == "a"])
+    assert a == [(1, "x", 3, False), (3, "y", 4, False),
+                 (4, "x", None, True)]
+    [b] = [r for r in out if r.k == "b"]
+    assert (b.ts, b.is_current) == (1, True)
