@@ -638,3 +638,117 @@ def g_adamic_adar(spark, sf_dir):
     return (out.select("x", "y", F.round("aa", 6).alias("aa"))
             .orderBy(F.desc("aa"), F.asc("x"), F.asc("y"))
             .limit(50))
+
+
+_H60G = ("(('0x' || substr(md5('{salt}' || CAST(src AS VARCHAR) || '#' "
+         "|| CAST(dst AS VARCHAR)), 1, 15))::BIGINT)")
+
+
+@register(
+    "g_khop_sample", extra=True,
+    oracle=GRAPH_ORACLE_CTE + f"""
+, ue AS (SELECT DISTINCT src, dst FROM edges),
+seeds AS (SELECT * FROM (VALUES (4000000000), (4000000001),
+                                (4000000002), (4000000003),
+                                (4000000004)) s(src)),
+r0 AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+             ORDER BY {_H60G.format(salt='s0#h0')}, dst) AS nbr_rank
+  FROM ue
+),
+h1 AS (
+  SELECT r0.src, r0.dst, CAST(nbr_rank AS INT) AS nbr_rank,
+         CAST(1 AS INT) AS hop
+  FROM r0 JOIN seeds USING (src) WHERE nbr_rank <= 3
+),
+f1 AS (SELECT DISTINCT dst AS src FROM h1),
+r1 AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+             ORDER BY {_H60G.format(salt='s0#h1')}, dst) AS nbr_rank
+  FROM ue
+),
+h2 AS (
+  SELECT r1.src, r1.dst, CAST(nbr_rank AS INT) AS nbr_rank,
+         CAST(2 AS INT) AS hop
+  FROM r1 JOIN f1 USING (src) WHERE nbr_rank <= 2
+)
+SELECT * FROM h1 UNION ALL SELECT * FROM h2
+""")
+def g_khop_sample(spark, sf_dir):
+    """GraphSAGE-style layered neighbor sampling (graph/sampling.py):
+    fanout (3, 2) from five nation seeds, deterministic per-hop-salted
+    portable-hash ranks — the GNN mini-batch primitive, replayed
+    layer-by-layer in the oracle."""
+    from graphraft_spark.graph.sampling import khop_sample
+
+    g = tpch_graph(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        [(4_000_000_000 + i,) for i in range(5)], "nodeId bigint")
+    out = khop_sample(g.edges, seeds, fanouts=(3, 2), seed="s0")
+    return out.select("src", "dst",
+                      F.col("nbr_rank").cast("int").alias("nbr_rank"),
+                      F.col("hop").cast("int").alias("hop"))
+
+
+@register(
+    "g_random_walks", extra=True,
+    oracle=GRAPH_ORACLE_CTE + """, ue AS (SELECT DISTINCT src, dst FROM edges),
+p0 AS (SELECT * FROM (VALUES (0, 4000000000), (1, 4000000001), (2, 4000000002), (3, 4000000003), (4, 4000000004), (5, 4000000000), (6, 4000000001), (7, 4000000002), (8, 4000000003), (9, 4000000004)) s(walk_id, node)),
+p1 AS (
+  SELECT walk_id, nxt AS node FROM (
+    SELECT c.walk_id, c.nxt, c.cur,
+           row_number() OVER (PARTITION BY c.walk_id
+               ORDER BY (('0x' || substr(md5('w0' || CAST(walk_id AS VARCHAR) || '#1#' || CAST(cur AS VARCHAR) || '#' || CAST(nxt AS VARCHAR)), 1, 15))::BIGINT), c.nxt) AS rn
+    FROM (SELECT w.walk_id, w.node AS cur, ue.dst AS nxt
+          FROM p0 w JOIN ue ON ue.src = w.node) c
+  ) WHERE rn = 1
+),
+p2 AS (
+  SELECT walk_id, nxt AS node FROM (
+    SELECT c.walk_id, c.nxt, c.cur,
+           row_number() OVER (PARTITION BY c.walk_id
+               ORDER BY (('0x' || substr(md5('w0' || CAST(walk_id AS VARCHAR) || '#2#' || CAST(cur AS VARCHAR) || '#' || CAST(nxt AS VARCHAR)), 1, 15))::BIGINT), c.nxt) AS rn
+    FROM (SELECT w.walk_id, w.node AS cur, ue.dst AS nxt
+          FROM p1 w JOIN ue ON ue.src = w.node) c
+  ) WHERE rn = 1
+),
+p3 AS (
+  SELECT walk_id, nxt AS node FROM (
+    SELECT c.walk_id, c.nxt, c.cur,
+           row_number() OVER (PARTITION BY c.walk_id
+               ORDER BY (('0x' || substr(md5('w0' || CAST(walk_id AS VARCHAR) || '#3#' || CAST(cur AS VARCHAR) || '#' || CAST(nxt AS VARCHAR)), 1, 15))::BIGINT), c.nxt) AS rn
+    FROM (SELECT w.walk_id, w.node AS cur, ue.dst AS nxt
+          FROM p2 w JOIN ue ON ue.src = w.node) c
+  ) WHERE rn = 1
+),
+p4 AS (
+  SELECT walk_id, nxt AS node FROM (
+    SELECT c.walk_id, c.nxt, c.cur,
+           row_number() OVER (PARTITION BY c.walk_id
+               ORDER BY (('0x' || substr(md5('w0' || CAST(walk_id AS VARCHAR) || '#4#' || CAST(cur AS VARCHAR) || '#' || CAST(nxt AS VARCHAR)), 1, 15))::BIGINT), c.nxt) AS rn
+    FROM (SELECT w.walk_id, w.node AS cur, ue.dst AS nxt
+          FROM p3 w JOIN ue ON ue.src = w.node) c
+  ) WHERE rn = 1
+)
+SELECT walk_id, CAST(0 AS INT) AS step, node FROM p0
+UNION ALL SELECT walk_id, CAST(1 AS INT) AS step, node FROM p1
+UNION ALL SELECT walk_id, CAST(2 AS INT) AS step, node FROM p2
+UNION ALL SELECT walk_id, CAST(3 AS INT) AS step, node FROM p3
+UNION ALL SELECT walk_id, CAST(4 AS INT) AS step, node FROM p4
+""")
+def g_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus (graph/sampling.py:random_walks):
+    ten 4-step walks from nation starts, next hop = minimal portable
+    hash of (seed, walk_id, step, current, neighbor) — replayed
+    step-by-step by the unrolled oracle."""
+    from graphraft_spark.graph.sampling import random_walks
+
+    g = tpch_graph(spark, sf_dir)
+    starts = spark.createDataFrame(
+        [(i, 4_000_000_000 + (i % 5)) for i in range(10)],
+        "walk_id bigint, node bigint")
+    out = random_walks(g.edges, starts, length=4, seed="w0")
+    return out.select("walk_id", F.col("step").cast("int").alias("step"),
+                      "node")
