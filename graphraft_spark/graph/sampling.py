@@ -97,3 +97,20 @@ def random_walks(edges: DataFrame, starts: DataFrame, length: int = 4,
         out = out.unionByName(nxt)
         cur = nxt
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, cnt): co-occurrence pairs within ``window``
+    steps on each walk — the skip-gram training examples DeepWalk/
+    node2vec feed to word2vec.  A bounded self-join per walk (each row
+    matches ≤ 2·window others), then a count aggregate; both shuffle
+    on walk_id / pair keys only."""
+    a = walks.select(F.col("walk_id"), F.col("step").alias("s1"),
+                     F.col("node").alias("center"))
+    b = walks.select(F.col("walk_id"), F.col("step").alias("s2"),
+                     F.col("node").alias("context"))
+    return (a.join(b, "walk_id")
+            .filter((F.col("s1") != F.col("s2"))
+                    & (F.abs(F.col("s1") - F.col("s2")) <= window))
+            .groupBy("center", "context")
+            .agg(F.count("*").alias("cnt")))

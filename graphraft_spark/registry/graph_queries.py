@@ -752,3 +752,71 @@ def g_random_walks(spark, sf_dir):
     out = random_walks(g.edges, starts, length=4, seed="w0")
     return out.select("walk_id", F.col("step").cast("int").alias("step"),
                       "node")
+
+
+@register(
+    "g_walk_skipgrams", extra=True,
+    oracle=GRAPH_ORACLE_CTE + """, ue AS (SELECT DISTINCT src, dst FROM edges),
+p0 AS (SELECT * FROM (VALUES (0, 4000000000), (1, 4000000001), (2, 4000000002), (3, 4000000003), (4, 4000000004), (5, 4000000000), (6, 4000000001), (7, 4000000002), (8, 4000000003), (9, 4000000004)) s(walk_id, node)),
+p1 AS (
+  SELECT walk_id, nxt AS node FROM (
+    SELECT c.walk_id, c.nxt, c.cur,
+           row_number() OVER (PARTITION BY c.walk_id
+               ORDER BY (('0x' || substr(md5('w0' || CAST(walk_id AS VARCHAR) || '#1#' || CAST(cur AS VARCHAR) || '#' || CAST(nxt AS VARCHAR)), 1, 15))::BIGINT), c.nxt) AS rn
+    FROM (SELECT w.walk_id, w.node AS cur, ue.dst AS nxt
+          FROM p0 w JOIN ue ON ue.src = w.node) c
+  ) WHERE rn = 1
+),
+p2 AS (
+  SELECT walk_id, nxt AS node FROM (
+    SELECT c.walk_id, c.nxt, c.cur,
+           row_number() OVER (PARTITION BY c.walk_id
+               ORDER BY (('0x' || substr(md5('w0' || CAST(walk_id AS VARCHAR) || '#2#' || CAST(cur AS VARCHAR) || '#' || CAST(nxt AS VARCHAR)), 1, 15))::BIGINT), c.nxt) AS rn
+    FROM (SELECT w.walk_id, w.node AS cur, ue.dst AS nxt
+          FROM p1 w JOIN ue ON ue.src = w.node) c
+  ) WHERE rn = 1
+),
+p3 AS (
+  SELECT walk_id, nxt AS node FROM (
+    SELECT c.walk_id, c.nxt, c.cur,
+           row_number() OVER (PARTITION BY c.walk_id
+               ORDER BY (('0x' || substr(md5('w0' || CAST(walk_id AS VARCHAR) || '#3#' || CAST(cur AS VARCHAR) || '#' || CAST(nxt AS VARCHAR)), 1, 15))::BIGINT), c.nxt) AS rn
+    FROM (SELECT w.walk_id, w.node AS cur, ue.dst AS nxt
+          FROM p2 w JOIN ue ON ue.src = w.node) c
+  ) WHERE rn = 1
+),
+p4 AS (
+  SELECT walk_id, nxt AS node FROM (
+    SELECT c.walk_id, c.nxt, c.cur,
+           row_number() OVER (PARTITION BY c.walk_id
+               ORDER BY (('0x' || substr(md5('w0' || CAST(walk_id AS VARCHAR) || '#4#' || CAST(cur AS VARCHAR) || '#' || CAST(nxt AS VARCHAR)), 1, 15))::BIGINT), c.nxt) AS rn
+    FROM (SELECT w.walk_id, w.node AS cur, ue.dst AS nxt
+          FROM p3 w JOIN ue ON ue.src = w.node) c
+  ) WHERE rn = 1
+),
+walks AS (
+  SELECT walk_id, 0 AS step, node FROM p0
+  UNION ALL SELECT walk_id, 1 AS step, node FROM p1
+  UNION ALL SELECT walk_id, 2 AS step, node FROM p2
+  UNION ALL SELECT walk_id, 3 AS step, node FROM p3
+  UNION ALL SELECT walk_id, 4 AS step, node FROM p4
+)
+SELECT a.node AS center, b.node AS context,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(a.step - b.step) <= 2
+GROUP BY a.node, b.node
+""")
+def g_walk_skipgrams(spark, sf_dir):
+    """Skip-gram co-occurrence pairs (window 2) over the deterministic
+    walk corpus — the word2vec training examples of DeepWalk, oracle-
+    replayed end to end (walk generation + bounded self-join)."""
+    from graphraft_spark.graph.sampling import random_walks, skipgram_pairs
+
+    g = tpch_graph(spark, sf_dir)
+    starts = spark.createDataFrame(
+        [(i, 4_000_000_000 + (i % 5)) for i in range(10)],
+        "walk_id bigint, node bigint")
+    walks = random_walks(g.edges, starts, length=4, seed="w0")
+    return skipgram_pairs(walks, window=2)

@@ -54,3 +54,16 @@ def test_random_walks_follow_edges_and_stop_at_sinks(spark):
     w1 = sorted((r.step, r.node) for r in rows if r.walk_id == 1)
     assert w0 == [(0, 0), (1, 1), (2, 2), (3, 3)]  # deterministic line
     assert w1 == [(0, 2), (1, 3)]                  # stops at the sink
+
+
+def test_skipgram_pairs_window(spark):
+    from graphraft_spark.graph.sampling import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 11), (0, 2, 12), (0, 3, 13)],
+        "walk_id bigint, step bigint, node bigint")
+    got = {(r.center, r.context): r.cnt
+           for r in skipgram_pairs(walks, window=1).collect()}
+    # adjacent pairs only, both directions
+    assert got == {(10, 11): 1, (11, 10): 1, (11, 12): 1, (12, 11): 1,
+                   (12, 13): 1, (13, 12): 1}
