@@ -477,3 +477,74 @@ def mmr_rerank(candidates: DataFrame, k: int, lam: float = 0.5,
         })
 
     return candidates.groupBy(qid_col).applyInPandas(kernel, out_schema)
+
+
+def pca_fit(vectors: DataFrame, emb_col: str = "embedding",
+            k: int = 16, whiten: bool = False):
+    """Fit PCA on an embedding column: per-partition Gram/mean partials
+    via an Arrow kernel (each partition ships ONE (count, sum, X'X)
+    triple — dim² doubles, never vectors), driver-side eigh on the
+    dim×dim covariance.  Returns (mean: list, components: k lists,
+    eigenvalues: k floats) with a deterministic sign convention
+    (largest-|coeff| positive).  The standard pre-transform before
+    IVF/PQ (decorrelates dimensions so codebook distortion drops);
+    ``whiten=True`` scales components by 1/sqrt(eigenvalue)."""
+    import numpy as np
+
+    def kernel(batches):
+        import pandas as pd
+
+        n, s, g = 0, None, None
+        for pdf in batches:
+            x = np.stack(pdf[emb_col].to_numpy()).astype("float64")
+            n += x.shape[0]
+            s = x.sum(0) if s is None else s + x.sum(0)
+            gg = x.T @ x
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                "g": [g.reshape(-1).tolist()]})
+
+    dim = len(vectors.select(emb_col).first()[0])
+    parts = vectors.select(emb_col).mapInPandas(
+        kernel, schema="n long, s array<double>, g array<double>") \
+        .collect()
+    n = sum(p.n for p in parts)
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 vectors")
+    s = np.sum([p.s for p in parts], axis=0)
+    g = np.sum([np.array(p.g).reshape(dim, dim) for p in parts], axis=0)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps, eigs = [], []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        if whiten:
+            v = v / np.sqrt(max(vals[idx], 1e-12))
+        comps.append(v.tolist())
+        eigs.append(float(vals[idx]))
+    return mu.tolist(), comps, eigs
+
+
+def pca_project(vectors: DataFrame, mean: list, components: list,
+                emb_col: str = "embedding",
+                out_col: str = "pca") -> DataFrame:
+    """Project embeddings onto fitted components as a PURE CODEGEN
+    expression (mean and components are literals baked into the plan —
+    zero Python at serve time, same native-inference story as the
+    quality classifier)."""
+    centered = F.zip_with(
+        F.col(emb_col).cast("array<double>"),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x - m)
+    outs = []
+    for comp in components:
+        c = F.array(*[F.lit(float(v)) for v in comp])
+        outs.append(F.aggregate(
+            F.zip_with(centered, c, lambda x, w: x * w),
+            F.lit(0.0), lambda acc, v: acc + v))
+    return vectors.withColumn(out_col, F.array(*outs))

@@ -404,3 +404,21 @@ def ann_recall_report(spark, sf_dir):
         rows.append((name, round(hits / (5.0 * n_q), 4)))
     return spark.createDataFrame(sorted(rows),
                                  "tier string, recall_at_5 double")
+
+
+@register("ann_pca_project", extra=True)  # rows-only: float eigenbasis
+def ann_pca_project(spark, sf_dir):
+    """PCA-16 projection of the embedding corpus (ops/similarity.py
+    pca_fit/pca_project): distributed Gram partials + driver eigh +
+    codegen projection.  Float eigenvectors are honestly not
+    cross-engine hash-matchable; semantics pinned by the numpy parity
+    and variance-ordering tests instead."""
+    from graphraft_spark.ops.similarity import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean, comps, _ = pca_fit(emb, k=16)
+    out = pca_project(emb, mean, comps)
+    return out.select(
+        "vec_id",
+        F.transform("pca", lambda v: F.round(v, 6)).cast("string")
+        .alias("pca_str"))
