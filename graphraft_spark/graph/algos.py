@@ -271,3 +271,41 @@ def adamic_adar(edges: DataFrame, src_col: str = "src",
     return scores.join(
         e, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
         "left_anti")
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 50,
+           src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Nodes of the k-core: iteratively peel nodes of degree < k from
+    the simple undirected graph until stable.  Each round is one
+    degree aggregate + two semi-joins over the shrinking edge frame,
+    localCheckpointed (same per-round materialization discipline as
+    PageRank / connected components).  Rounds are bounded by the
+    peeling depth — small on real graphs; a path graph degenerates to
+    O(n), so ``max_iter`` raises instead of silently looping.
+    Returns (n, deg): surviving nodes with their in-core degree."""
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        deg = (e.select(F.col("a").alias("n"))
+               .unionByName(e.select(F.col("b").alias("n")))
+               .groupBy("n").agg(F.count("*").alias("deg")))
+        keep = deg.filter(F.col("deg") >= k).select("n")
+        e2 = (e.join(keep.withColumnRenamed("n", "a"), "a", "semi")
+              .join(keep.withColumnRenamed("n", "b"), "b", "semi")
+              .select("a", "b")
+              .localCheckpoint(eager=True))
+        if e2.count() == e.count():
+            e = e2
+            break
+        e = e2
+    else:
+        raise RuntimeError(f"k_core did not stabilize in {max_iter} "
+                           "rounds; raise max_iter")
+    return (e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .groupBy("n").agg(F.count("*").alias("deg")))

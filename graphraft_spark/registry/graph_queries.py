@@ -820,3 +820,16 @@ def g_walk_skipgrams(spark, sf_dir):
         "walk_id bigint, node bigint")
     walks = random_walks(g.edges, starts, length=4, seed="w0")
     return skipgram_pairs(walks, window=2)
+
+
+@register("g_kcore", extra=True)  # rows-only: iterative peeling
+def g_kcore(spark, sf_dir):
+    """3-core of the property graph (graph/algos.py:k_core) — the
+    dense backbone after iteratively peeling degree<3 nodes.
+    Iterative (eager per-round checkpoints), so rows-only at the
+    driver; exactness is pinned by the pure-Python peeling parity
+    test."""
+    from graphraft_spark.graph.algos import k_core
+
+    g = tpch_graph(spark, sf_dir)
+    return k_core(g.edges, k=3)

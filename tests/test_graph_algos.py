@@ -199,3 +199,41 @@ def test_adamic_adar_hand_graph(spark):
     # cap below every mid degree → no wedges at all
     capped = adamic_adar(edges, max_mid_degree=1).collect()
     assert capped == []
+
+
+def test_k_core_matches_python_peeling(spark):
+    import random
+
+    from graphraft_spark.graph.algos import k_core
+
+    rng = random.Random(11)
+    edges = {(a, b) for a in range(25) for b in range(25)
+             if a < b and rng.random() < 0.2}
+    # python reference peeling
+    es = set(edges)
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < 3}
+        if not drop:
+            break
+        es = {(a, b) for a, b in es if a not in drop and b not in drop}
+    want = {}
+    for a, b in es:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    df = spark.createDataFrame(list(edges), "src bigint, dst bigint")
+    got = {r.n: r.deg for r in k_core(df, 3).collect()}
+    assert got == want
+
+
+def test_k_core_triangle_with_tail(spark):
+    from graphraft_spark.graph.algos import k_core
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)],
+        "src bigint, dst bigint")
+    got = {r.n: r.deg for r in k_core(edges, 2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}  # the triangle survives, tail peels

@@ -70,7 +70,7 @@ PYTHON_OK = {
 # callables that EXECUTE work when invoked (iterative/stateful):
 # linting would run their jobs; plan shape pinned by their own tests
 EAGER = {
-    "g_pagerank_top", "g_ppr_top", "t_bpe_tokenize",
+    "g_pagerank_top", "g_ppr_top", "g_kcore", "t_bpe_tokenize",
     "ann_ivf_kmeans_train", "ann_ivf_kmeans_search", "ann_pq_search",
     "d_components", "d_lsh_repair_components",
     "st_sig_maintenance", "st_funnel_maintenance", "st_graph_deltas",
