@@ -79,7 +79,45 @@ def main() -> None:
         "qid bigint, preds array<bigint>, labels array<bigint>")
     compute_metrics(preds, ["precision", "recall", "f1", "hit@2"]).show()
 
-    print("\ndemo complete — see CATALOG.md for all 130 checked queries,"
+    section("6. Hybrid search: BM25 index probe + vector KNN, RRF-fused")
+    from graphraft_spark.search.bm25 import bm25_topk
+    from graphraft_spark.search.hybrid import rrf_fuse, with_rank
+    from graphraft_spark.search.vector import dot_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = with_rank(bm25_topk(docs, ["spark", "merge", "window"], k=10),
+                    [F.desc("bm25"), F.asc("doc_id")], "doc_id")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("q"))
+    knn = (emb.crossJoin(F.broadcast(qv))
+           .withColumn("sim", dot_col(F.col("embedding"), F.col("q")))
+           .orderBy(F.desc("sim"), F.asc("vec_id")).limit(10)
+           .select(F.col("vec_id").alias("doc_id"), "sim"))
+    vec = with_rank(knn, [F.desc("sim"), F.asc("doc_id")], "doc_id")
+    rrf_fuse([lex, vec], topk=5).show()
+
+    section("7. Corpus curation: LM-scored quality band + DSIR weights")
+    from graphraft_spark.ops.word_lm import (stupid_backoff_score,
+                                             train_bigram_lm)
+
+    bi, uni = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    stupid_backoff_score(docs, bi, uni) \
+        .orderBy(F.desc("lp_mean")).limit(5).show()
+
+    section("8. Graph training data: 2-hop sample + random-walk pairs")
+    from graphraft_spark.graph.sampling import (khop_sample, random_walks,
+                                                skipgram_pairs)
+
+    seeds = spark.createDataFrame(
+        [(4_000_000_000 + i,) for i in range(3)], "nodeId bigint")
+    khop_sample(g.edges, seeds, fanouts=(2, 2)).show(8)
+    walks = random_walks(g.edges, spark.createDataFrame(
+        [(i, 4_000_000_000 + i) for i in range(4)],
+        "walk_id bigint, node bigint"), length=3)
+    skipgram_pairs(walks).orderBy(F.desc("cnt")).show(5)
+
+    print("\ndemo complete — see CATALOG.md for all 158 checked queries,"
           "\nMIGRATION.md for the reference-user mapping.")
 
 
