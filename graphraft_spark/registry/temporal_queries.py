@@ -247,3 +247,30 @@ def tm_scd2_versions(spark, sf_dir):
                       F.col("valid_from").cast("string"),
                       F.col("valid_to").cast("string"),
                       "is_current")
+
+
+@register(
+    "tm_value_outliers", extra=True,
+    oracle="""
+WITH stats AS (
+    SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.mu) / s.sd, 6) AS zscore
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE abs((e.value - s.mu) / s.sd) > 3
+""")
+def tm_value_outliers(spark, sf_dir):
+    """Per-type z-score outlier flags (|z| > 3) on event values — the
+    metric-anomaly sweep.  Stats are one map-side-combined aggregate
+    broadcast back onto the scan; at 100 TB swap the exact stddev for
+    the same one-pass partials (it already is one)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd"))
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (e.join(F.broadcast(stats), "event_type")
+            .filter(F.abs(z) > 3)
+            .select("event_id", "event_type",
+                    F.round(z, 6).alias("zscore")))
