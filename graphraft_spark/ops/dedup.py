@@ -918,6 +918,17 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
     from graphraft_spark.ops.similarity import ivf_assign, ivf_centroids
 
     cents = ivf_centroids(vectors, every, id_col, emb_col)
+    # ivf_centroids samples ids divisible by `every` (numeric ids
+    # required — non-numeric ids cast to null and sample nothing).  On
+    # a corpus with no such id the crossJoin in ivf_assign against an
+    # empty centroid table would empty `assigned` and the whole result
+    # ('keep nothing').  Fall back to a single centroid — the min-id
+    # vector — so every row stays assigned and dedup degrades to one
+    # global cluster, which is exact (just not pruned) on small inputs.
+    if cents.isEmpty():
+        cents = (vectors.orderBy(id_col).limit(1)
+                 .select(F.lit(0).cast("bigint").alias("centroid_id"),
+                         F.col(emb_col).alias("c_emb")))
     assigned = ivf_assign(vectors, cents, id_col, emb_col)
     pairs = embedding_neardup(assigned, emb_col=emb_col, id_col=id_col,
                               bucket_col="centroid_id",

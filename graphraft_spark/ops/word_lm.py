@@ -44,13 +44,16 @@ def _transitions(docs: DataFrame, text_col: str,
     """(id, prev, cur) — one row per in-document bigram transition, in
     multiplicity (scoring averages over occurrences, not types)."""
     w = _words(F.col(text_col))
-    pairs = F.expr(
-        f"transform(sequence(1, size({text_col}_w) - 1), "
-        f"i -> struct({text_col}_w[i - 1] AS prev, "
-        f"{text_col}_w[i] AS cur))")
+    toks = F.col("_w")
+    # pure-Column construction (as bm25/_words do) — an F.expr f-string
+    # here would break on column names needing backticks
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("prev"),
+                           F.element_at(toks, i + 1).alias("cur")))
     return (docs
-            .select(id_col, w.alias(f"{text_col}_w"))
-            .filter(F.size(f"{text_col}_w") >= 2)
+            .select(id_col, w.alias("_w"))
+            .filter(F.size("_w") >= 2)
             .select(id_col, F.explode(pairs).alias("t"))
             .select(id_col, F.col("t.prev").alias("prev"),
                     F.col("t.cur").alias("cur")))

@@ -313,6 +313,7 @@ st AS (
 k AS (
     SELECT c.* FROM c LEFT JOIN st USING (qid)
     WHERE st.cross_o IS NULL OR c.o < st.cross_o
+       OR (c.o = st.cross_o AND NOT st.cross_is_first)
 ),
 ln AS (
     SELECT k.qid, arg_max(nodeId, o) AS drop_id

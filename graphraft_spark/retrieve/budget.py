@@ -253,13 +253,21 @@ def token_budgeted_accumulate_exact(results: DataFrame, max_tokens: int,
         .select(_Q, F.col("cr.o").alias("cross_o"),
                 F.col("cr.is_first").alias("cross_is_first")))
     occ = occ.join(F.broadcast(stats), _Q, "left")
+    # retriever.py:82-89 applies the crossing row's pattern append
+    # BEFORE the stop check, so when the crossing row appends to an
+    # already-retrieved node that append is consumed — keep it.  Only
+    # a first-seen crossing row is excluded (its node is the last_new
+    # that gets deleted anyway).
     kept_occ = occ.filter(F.col("cross_o").isNull()
-                          | (F.col("o") < F.col("cross_o")))
+                          | (F.col("o") < F.col("cross_o"))
+                          | ((F.col("o") == F.col("cross_o"))
+                             & ~F.col("cross_is_first")))
     # retriever.py:87-89 deletes last_new at the crossing.  When the
     # crossing row is itself first-seen, last_new IS that node — already
     # outside kept_occ, nothing more to drop.  When the crossing row
     # appends to an older node, last_new is the most recent
-    # first-seen node BEFORE the crossing — delete it entirely.
+    # first-seen node BEFORE the crossing — delete it entirely (if the
+    # append landed on last_new itself, the whole node goes with it).
     last_new = (kept_occ.filter("is_first")
                 .groupBy(_Q)
                 .agg(F.max(F.struct("o", "nodeId")).alias("ln"))

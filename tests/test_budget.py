@@ -119,7 +119,7 @@ def test_token_budget_exact_matches_reference_loop(spark):
         return data
 
     rng = random.Random(7)
-    for trial in range(6):
+    for trial in range(12):
         budget = rng.choice([5, 12, 25, 10**6])
         rows, expect = [], {}
         for qid in (1, 2, 3):
@@ -145,3 +145,27 @@ def test_token_budget_exact_matches_reference_loop(spark):
         want = {q: {n: pats for n, pats in d.items()}
                 for q, d in expect.items() if d}
         assert got == {q: d for q, d in want.items()}, f"trial {trial}"
+
+
+def test_token_budget_exact_crossing_append_kept(spark):
+    """Deterministic crossing-on-append case (retriever.py:82-89): the
+    budget crosses on a pattern APPEND to an older node — the reference
+    applies the append before the stop check, then deletes only
+    last_new_node.  Stream: n1 new (3), n2 new (3), n1 append (2),
+    budget 7 → cum 3,6,8; crossing row is n1's append → n1 keeps
+    ['a','c'], n2 (last_new) is dropped."""
+    from graphraft_spark.retrieve.budget import (
+        token_budgeted_accumulate_exact)
+
+    rows = [
+        (1, 0, 1, 0.9, "a", 3, 2),
+        (1, 0, 2, 0.8, "b", 3, 2),
+        (1, 0, 1, 0.7, "c", 3, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "qid bigint, queryIdx int, nodeId bigint, "
+              "similarity double, pattern string, flen int, alen int")
+    out = token_budgeted_accumulate_exact(
+        df, max_tokens=7, first_len=F.col("flen"),
+        append_len=F.col("alen")).collect()
+    assert {r["nodeId"]: list(r["patterns"]) for r in out} == {1: ["a", "c"]}

@@ -232,3 +232,24 @@ def test_semantic_dedup_keep_rules(spark):
               semantic_dedup(vecs, threshold=0.96, every=50,
                              keep="far_from_centroid").collect()}
     assert by_far == {0: False, 1: False, 2: False, 3: True}
+
+
+def test_semantic_dedup_no_sampled_centroid(spark):
+    """Corpus whose ids contain no multiple of `every` (e.g. ids 1..4
+    with every=50): ivf_centroids samples nothing, which previously
+    emptied the assignment and silently returned an EMPTY frame.  The
+    single-centroid fallback must keep every row assigned and still
+    dedup the near-identical pair."""
+    import math
+
+    from graphraft_spark.ops.dedup import semantic_dedup
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [(1, unit(0.0)), (2, unit(0.005)), (3, unit(1.2)), (4, unit(2.1))]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = semantic_dedup(vecs, threshold=0.96, every=50).collect()
+    assert {r["id"] for r in out} == {1, 2, 3, 4}
+    kept = {r["id"]: r["is_kept"] for r in out}
+    assert kept == {1: True, 2: False, 3: True, 4: True}
