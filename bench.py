@@ -63,6 +63,24 @@ HEADLINE = [
 ]
 
 
+def _tmpfs_local_dir(sf: str) -> dict[str, str]:
+    """RAM-backed shuffle dirs only when /dev/shm can hold the worst
+    shuffle at this sf with headroom — an unguarded tmpfs local dir
+    exhausts host memory at larger sf instead of just running slower.
+    sf0.1's heaviest lines spill <2 GiB total; scale linearly and
+    require 4x headroom, else fall back to the default disk dirs."""
+    try:
+        st = os.statvfs("/dev/shm")
+        free_gib = st.f_bavail * st.f_frsize / 2**30
+        need_gib = 4 * 2.0 * (float(sf) / 0.1 if
+                              sf.replace(".", "").isdigit() else 10.0)
+        if free_gib >= need_gib:
+            return {"spark.local.dir": "/dev/shm/spark-local-bench"}
+    except OSError:
+        pass
+    return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -91,7 +109,9 @@ def main() -> None:
         # the 8MB broadcast threshold; flat 1.3-1.7s on tmpfs).  Plans
         # are unchanged — this isolates the measurement from disk
         # jitter, the way real clusters put local dirs on fast SSDs.
-        "spark.local.dir": "/dev/shm/spark-local-bench",
+        # Space-guarded: falls back to disk when /dev/shm is too small
+        # for this sf (see _tmpfs_local_dir).
+        **_tmpfs_local_dir(sf),
     })
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -164,19 +184,35 @@ def main() -> None:
             pass
 
     total = round(sum(times.values()), 3)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full detail (spread/median/outliers) goes to a local file — the r6
+    # headline line outgrew the driver's output capture and the graded
+    # artifact recorded "parsed": null; the stdout contract is ONE
+    # compact machine line (total + per-query min, ~1 KB), printed LAST
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "spread": spread,
         "median": medians,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "outliers": outliers,
+        "errors": errors,
     }
-    if outliers:
-        out["outliers"] = outliers
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"bench: detail written to {detail_path}", file=sys.stderr)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
     if errors:
-        out["errors"] = errors
+        out["errors"] = {k: v[:80] for k, v in errors.items()}
     print(json.dumps(out))
 
 
