@@ -75,16 +75,24 @@ PRIORITY = [
     "ann_ivf_search", "t_fingerprint", "st_tumbling_agg",
     "tm_asof_enrich", "mm_media_metadata", "f_rank_trie",
     "p_full_pipeline", "q_pricing_summary",
+    # round-7 flagship promotions (r6 verdict item 2): the engine's best
+    # recent work moves into the driver-graded window — the zero-collect
+    # pipeline twin, persisted-postings BM25, SemDeDup, the
+    # reference-exact token budget, and in-engine-trained LM scoring.
+    # Slots from g_twopath_enum (template covered by p_full_pipeline),
+    # q_orders_without_lineitems, r_token_budget (superseded by exact),
+    # st_sliding_agg (covered by st_tumbling_agg), e_embedding_join.
+    "p_pipeline_bulk", "s_bm25_indexed", "d_semantic_dedup",
+    "r_token_budget_exact", "t_bigram_lm_score",
     # remaining graph pattern coverage
-    "g_twopath_enum", "g_supervised_enum", "g_enum_all_pruned",
+    "g_supervised_enum", "g_enum_all_pruned",
     "g_pattern_exec_2hop", "g_ingest_validate", "g_ingest_normalize",
     # search
     "s_fulltext_match", "s_knn_topk", "s_knn_excluding",
     # retrieval
-    "r_budget_accumulate", "r_token_budget",
+    "r_budget_accumulate",
     # dataset ops
     "f_sft_llm1", "e_rank_sample", "e_repair_head",
-    "e_embedding_join",
     # metrics
     "m_retrieval_eval",
     # dedup (d_span_dedup promoted from extra in round 5 — the
@@ -96,7 +104,7 @@ PRIORITY = [
     # text analysis
     "t_token_counts", "t_quality_features", "t_langid",
     # streaming
-    "st_sessionize_batch", "st_graph_deltas", "st_sliding_agg",
+    "st_sessionize_batch", "st_graph_deltas",
     # temporal
     "tm_interval_join",
     # multimodal (real content-checked PNG decode; frame sampling is extra)
@@ -106,7 +114,7 @@ PRIORITY = [
     # OLAP classics (q_top_revenue demoted to extra r4 — its
     # join+top-n shape stays covered by q_pricing_summary/s_knn_topk;
     # slot reused to broaden the streaming family)
-    "q_orders_without_lineitems", "q_rollup_status_priority",
+    "q_rollup_status_priority",
 ]
 
 

@@ -180,7 +180,7 @@ def e_repair_head(spark, sf_dir):
 
 
 @register(
-    "e_embedding_join",
+    "e_embedding_join", extra=True,  # demoted r7: plain equi-join shape; slot to d_semantic_dedup
     oracle="""
 SELECT CAST(o_custkey AS BIGINT) AS id, COUNT(*) AS n_orders,
        CAST(len(e.embedding) AS INT) AS emb_dim,

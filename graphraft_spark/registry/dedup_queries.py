@@ -747,7 +747,7 @@ def d_intradoc_line_dedup(spark, sf_dir):
 
 
 @register(
-    "d_semantic_dedup", extra=True,
+    "d_semantic_dedup",  # promoted r7: SemDeDup flagship
     oracle="""
 WITH RECURSIVE base AS (
     SELECT CAST(vec_id AS BIGINT) AS id,

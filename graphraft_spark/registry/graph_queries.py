@@ -70,7 +70,7 @@ def g_twohop_enum(spark, sf_dir):
 
 
 @register(
-    "g_twopath_enum",
+    "g_twopath_enum", extra=True,  # demoted r7: template covered by p_full_pipeline; slot to s_bm25_indexed
     oracle=GRAPH_ORACLE_CTE + f"""
 , anchors AS ({PAIR_ANCHORS_SQL})
 SELECT n1.label AS label1, n1.name AS name1, e1.relType AS type1,

@@ -400,7 +400,7 @@ def p_full_pipeline(spark, sf_dir):
                       F.round("similarity", 6).alias("similarity"))
 
 
-@register("p_pipeline_bulk", extra=True, oracle=P_FULL_ORACLE)
+@register("p_pipeline_bulk", oracle=P_FULL_ORACLE)  # promoted r7: zero-collect flagship twin
 def p_pipeline_bulk(spark, sf_dir):
     """Fully-distributed pipeline twin (run_pipeline_bulk): identical
     inputs and oracle as p_full_pipeline, but stage 3 ranks via

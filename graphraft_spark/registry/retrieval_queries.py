@@ -240,7 +240,7 @@ def r_retrieve_data(spark, sf_dir):
 
 
 @register(
-    "r_token_budget",
+    "r_token_budget", extra=True,  # demoted r7: superseded by the exact variant below
     oracle=f"""
 WITH {_RESULTS_SQL.strip()},
 ranked AS (
@@ -281,7 +281,7 @@ def r_token_budget(spark, sf_dir):
 
 
 @register(
-    "r_token_budget_exact", extra=True,
+    "r_token_budget_exact",  # promoted r7: the reference-exact D5 semantics
     oracle=f"""
 WITH {_RESULTS_SQL.strip()},
 ranked AS (

@@ -291,7 +291,7 @@ def s_bm25_topk(spark, sf_dir):
     return bm25_topk(d, _BM25_TERMS, k=20)
 
 
-@register("s_bm25_indexed", extra=True, oracle=_BM25_ORACLE)
+@register("s_bm25_indexed", oracle=_BM25_ORACLE)  # promoted r7: persisted-postings probe
 def s_bm25_indexed(spark, sf_dir):
     """BM25 through the persisted inverted index: the query reads ONLY
     the postings partitions its terms hash to (partition pruning —

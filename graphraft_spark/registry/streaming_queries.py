@@ -33,7 +33,7 @@ def st_tumbling_agg(spark, sf_dir):
 
 
 @register(
-    "st_sliding_agg",  # promoted to the graded window r4: broadens the thinnest (streaming) family
+    "st_sliding_agg", extra=True,  # demoted r7 (windowed agg covered by st_tumbling_agg); slot to t_bigram_lm_score
     oracle="""
 WITH starts AS (
     SELECT event_type, ts,

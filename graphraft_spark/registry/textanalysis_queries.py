@@ -583,7 +583,7 @@ def t_dsir_weights(spark, sf_dir):
 
 
 @register(
-    "t_bigram_lm_score", extra=True,
+    "t_bigram_lm_score",  # promoted r7: in-engine-trained LM scoring
     oracle=f"""
 WITH docs AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
