@@ -14,9 +14,11 @@ both directions (engine → neo4j-admin import, neo4j export → engine).
 ID mapping: Neo4j CSV IDs are arbitrary strings in an ID space; our
 model keys nodes by BIGINT ``nodeId``.  All-numeric ID columns cast
 directly (the common case — the reference's nodeIds are ints).
-Otherwise a deterministic dense id is assigned by sorting the distinct
-id strings (one ingest-time sort; at 100 TB scale swap in xxhash64 ids
-plus a collision audit — the seam is ``_id_map``).
+Otherwise a deterministic dense id is assigned by sorted order through
+a two-phase distributed rank (range-partition, rank within range, add
+broadcast prefix offsets) — one ingest-time range shuffle, no global
+window; the seam for alternative schemes (e.g. xxhash64 + collision
+audit) is ``_id_map``.
 
 The catch-all ``_Entity_`` label is dropped on read (the reference
 treats it as "the whole nodes frame", path_retriever.py:31) and added
@@ -52,21 +54,36 @@ def _single_label(label_col) -> "F.Column":
     return F.element_at(F.array_sort(labels), 1)
 
 
-def _id_map(ids: DataFrame) -> DataFrame:
+def _id_map(ids: DataFrame, num_ranges: int = 32) -> DataFrame:
     """(raw_id string) → (raw_id, nodeId bigint), deterministic.
 
     Numeric ID spaces cast 1:1; string spaces get dense ids by sorted
-    order (documented scale note in the module docstring)."""
+    order via the two-phase distributed rank: range-partition on the
+    id, rank WITHIN each range, then add the broadcast prefix-sum of
+    earlier ranges' counts.  Rank-within-range + offset equals the
+    global rank wherever the sampled range boundaries land (ids are
+    distinct), so the result is deterministic and no single partition
+    ever holds the whole id space — unlike a global row_number window.
+    """
     non_numeric = ids.filter(
         F.col("raw_id").try_cast("bigint").isNull()
         & F.col("raw_id").isNotNull())
     if non_numeric.limit(1).count() == 0:
         return ids.select("raw_id",
                           F.col("raw_id").cast("bigint").alias("nodeId"))
-    return ids.select(
-        "raw_id",
-        F.row_number().over(Window.orderBy("raw_id")).cast("bigint")
-        .alias("nodeId"))
+    parts = (ids.repartitionByRange(num_ranges, "raw_id")
+             .withColumn("_pid", F.spark_partition_id()))
+    # offsets frame is num_ranges rows — the global window is bounded
+    off_w = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (parts.groupBy("_pid").agg(F.count("*").alias("_n"))
+               .withColumn("_off", F.coalesce(F.sum("_n").over(off_w),
+                                              F.lit(0))))
+    in_range = Window.partitionBy("_pid").orderBy("raw_id")
+    return (parts.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+            .select("raw_id",
+                    (F.row_number().over(in_range) + F.col("_off"))
+                    .cast("bigint").alias("nodeId")))
 
 
 def read_neo4j_csv(spark: SparkSession, nodes_path: str,

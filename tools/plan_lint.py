@@ -14,6 +14,8 @@ Checks per plan:
   decode, per-group sequential algorithms)
 - global ``Sort`` with no Limit above → WARN (fleet-scale smell; the
   distributed twin should rank within partitions or take top-k)
+- global ``Window`` (no partitionBy)  → ERROR unless the query is in
+  the bounded-input whitelist (each entry documents its bound)
 
 Queries whose CALLABLE eagerly executes work (iterative algorithms,
 incremental-maintenance state builders) are excluded by name — linting
@@ -80,6 +82,31 @@ EAGER = {
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
             "MapInPandas", "FlatMapGroupsInPandasWithState")
 
+# Global (no-partitionBy) Window nodes force the frame onto ONE task —
+# acceptable ONLY when the input is bounded by construction.  Every
+# entry documents its bound at the operator (r6 verdict item 4).
+GLOBAL_WINDOW_OK = {
+    # rankings fused by RRF are top-N frames (search/hybrid.py:22 —
+    # with_rank's documented contract)
+    "s_hybrid_rrf",
+    # percent_rank quantile gate: documented single-shard form; the
+    # 100 TB paths (shard key / GK sketch broadcast) are in the
+    # docstring (registry/textanalysis_queries.py t_quality_gate)
+    "t_quality_gate",
+    # pack_bins single-shard form (ops/text_analysis.py); the scalable
+    # twin pack_bins_scalable avoids the global window entirely
+    "t_pack_bins",
+    # gap-quartile ntile: documented single-shard form over the gaps
+    # frame; fleet-scale swap named in the docstring
+    # (registry/tpch_queries2.py q_order_gaps)
+    "q_order_gaps",
+    # deterministic_shuffle: the total-order sort IS the product (a
+    # shuffled training order); scale note in data/ops.py docstring
+    "e_shuffle_det",
+    # 30-day RANGE moving average over an orderkey<5000-bounded frame
+    "q_moving_avg_30d",
+}
+
 
 def lint_plan(name: str, plan: str) -> list[tuple[str, str]]:
     findings = []
@@ -93,6 +120,18 @@ def lint_plan(name: str, plan: str) -> list[tuple[str, str]]:
             and not name.startswith(PYTHON_OK_PREFIXES)):
         node = next(p for p in PY_NODES if p in plan)
         findings.append(("ERROR", f"{node} outside the documented seams"))
+    # global Window (no partitionBy): the physical node prints
+    # `Window [exprs], [ord]` when unpartitioned vs
+    # `Window [exprs], [part], [ord]` when partitioned — count the
+    # top-level bracket separators
+    if name not in GLOBAL_WINDOW_OK:
+        for line in plan.splitlines():
+            ls = line.strip().lstrip("+-: *").strip()
+            if ls.startswith("Window ") and ls.count("], [") == 1:
+                findings.append(
+                    ("ERROR", "global Window (no partitionBy) outside "
+                              "the bounded-input whitelist"))
+                break
     # global sort not feeding a limit: scan plan lines pairwise
     lines = plan.splitlines()
     for i, line in enumerate(lines):
