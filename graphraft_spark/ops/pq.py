@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pq_train(vectors: DataFrame, m: int = 4, k: int = 16, iters: int = 5,
+def pq_train(vectors: DataFrame, m: int = 8, k: int = 16, iters: int = 5,
              id_col: str = "vec_id", emb_col: str = "embedding",
              seed: int = 7) -> list[list[list[float]]]:
     """Train per-subspace codebooks: ``m`` independent k-means runs,
@@ -36,7 +36,15 @@ def pq_train(vectors: DataFrame, m: int = 4, k: int = 16, iters: int = 5,
 
     Deterministic: init picks the ``k`` vectors with smallest
     ``xxhash64(id, seed)`` (same convention as ivf_centroids_kmeans)
-    and slices them per subspace."""
+    and slices them per subspace.
+
+    Default m=8: at dim 64 the recall@10 curves on clustered corpora
+    (tools/ann_tune.py, BASELINE.md r7) read m=8 ADC 0.06-0.12 /
+    rerank50 0.22-0.33 vs m=16 ADC 0.20-0.31 / rerank50 0.44-0.64 —
+    finer subspaces buy recall roughly linearly in m, at m bytes per
+    vector.  Serve PQ through the coarse→``rerank_exact`` two-stage
+    (it roughly triples ADC recall at every m); pick m as the largest
+    byte budget the candidate store affords, never below 8."""
     import numpy as np
 
     if k > 256:

@@ -210,11 +210,18 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
 
 
 def ivf_search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
-               k: int, nprobe: int = 2, id_col: str = "vec_id",
+               k: int, nprobe: int = 4, id_col: str = "vec_id",
                qid_col: str = "qid", emb_col: str = "embedding",
                qemb_col: str = "q_emb") -> DataFrame:
     """Probe the ``nprobe`` nearest centroids per query; exact top-k
-    within the probed partitions."""
+    within the probed partitions.
+
+    Default nprobe=4: on clustered mixture corpora (tools/ann_tune.py,
+    BASELINE.md r7) recall@10 at nprobe=2 collapses once clusters
+    overlap (0.30 medium / 0.25 hard vs 0.48 / 0.42 at nprobe=4, and
+    0.65 at nprobe=8) while well-separated corpora are already 0.93+
+    at nprobe=2 — 4 is the knee; raise it for recall-critical serving.
+    """
     qc = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("cscore", dot_col(F.col(qemb_col), F.col("c_emb")))
@@ -265,7 +272,7 @@ def srp_signature(emb: Column, planes: list[list[float]]) -> Column:
 
 
 def srp_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int,
-                 dim: int, bits: int = 8, seed: int = 7,
+                 dim: int, bits: int = 6, seed: int = 7,
                  multiprobe: bool = True,
                  id_col: str = "vec_id", emb_col: str = "embedding",
                  qid_col: str = "qid", qemb_col: str = "q_emb") -> DataFrame:
@@ -277,7 +284,15 @@ def srp_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int,
     shuffles only (bucket, qid) pairs against a corpus pre-partitioned
     by bucket (at 100 TB: write the corpus partitionBy(bucket) once and
     probes become partition-pruned reads — same plan as IVF with a
-    data-independent coarse quantizer, no centroid training pass)."""
+    data-independent coarse quantizer, no centroid training pass).
+
+    Choosing ``bits``: Hamming-1 multiprobe examines (bits+1)/2^bits
+    of the corpus, so recall FALLS as bits grow at fixed corpus size —
+    measured 0.30 at bits=6 vs 0.13 at bits=8 vs 0.07 at bits=10 on
+    20k clustered vectors (tools/ann_tune.py, BASELINE.md r7).  Pick
+    bits ≈ log2(n · (bits+1) / C) for a target candidate count C of
+    ~50-100×k; the default 6 fits 10k-100k-row partitions — at larger
+    corpora RAISE bits to keep buckets bounded, don't lower them."""
     planes = srp_hyperplanes(dim, bits, seed)
     corpus = vectors.select(
         id_col, emb_col, srp_signature(F.col(emb_col), planes).alias("bucket"))
@@ -326,7 +341,7 @@ def load_ivf_index(spark, index_dir: str):
 
 
 def ivf_search_pruned(spark, index_dir: str, queries: DataFrame, k: int,
-                      nprobe: int = 2, qid_col: str = "qid",
+                      nprobe: int = 4, qid_col: str = "qid",
                       qemb_col: str = "q_emb",
                       id_col: str = "vec_id",
                       emb_col: str = "embedding") -> DataFrame:
