@@ -1,0 +1,212 @@
+"""100×-shape scale soak (r6 verdict item 5): replicate the sf0.1
+corpus/graph with DISJOINT ids and run each flagship once per factor,
+so BASELINE.md carries a measured scaling curve instead of a ×10
+extrapolation.
+
+Flagships and their scaling axis:
+
+- g_twohop_enum      — graph ×N (node/edge ids offset per copy; anchor
+                       names repeat in every copy, so matched work and
+                       result size both scale ×N — the honest case)
+- BM25 build + probe — documents ×N (build the persisted postings
+                       index, then one 3-term probe; reported as
+                       build/probe separately)
+- d_minhash_lsh      — documents ×N via the persisted banding index
+                       (build + probe-all-pairs, the bench-scale path)
+- d_span_dedup k=50  — documents ×N, rolling-hash window keys
+- p_pipeline_bulk    — questions ×N against the sf0.1 graph (the spec
+                       fan-out axis; plan size must stay flat)
+
+Inputs are MATERIALIZED to .scratch parquet first so generation cost
+never rides the timed run; factors ascend so JVM/codegen warmup lands
+on the cheapest line (factor 1 is still partially warmup-priced —
+compare the 10 → 50 slope, not 1 → 10).
+
+Usage: python tools/scale_soak.py [sf_dir] [task_prefix ...]
+(task prefixes: bm25, minhash, span, g_twohop, p_pipeline — run the
+heavy families in separate processes so each gets a fresh JVM and its
+own wall-clock budget)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+FACTORS = tuple(int(x) for x in os.environ.get(
+    "SOAK_FACTORS", "1,10,50").split(","))
+SCRATCH = f"{REPO}/.scratch/soak"
+
+
+def _docs_times(spark, sf_dir, n, distinct_families=False):
+    """×n corpus.  Default: per-copy SUFFIX — every copy is a near-dup
+    of its siblings, so duplicate-GROUP SIZE grows with n (the density
+    axis; within-bucket pair verification is quadratic in group size by
+    construction).  ``distinct_families``: per-copy token suffix — every
+    copy is textually disjoint from the others, so group structure
+    stays base-sized and n scales only CORPUS SIZE (the axis a bigger
+    crawl actually grows)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    idx = spark.range(n).select(F.col("id").alias("copy"))
+    x = d.crossJoin(idx)
+    if distinct_families:
+        text = F.regexp_replace(
+            "text", r"(\S+)",
+            F.concat(F.lit("$1c"), F.col("copy").cast("string")))
+    else:
+        text = F.concat(F.col("text"), F.lit(" v"),
+                        F.col("copy").cast("string"))
+    return x.select(
+        (F.col("doc_id") * 1000 + F.col("copy")).alias("doc_id"),
+        text.alias("text"))
+
+
+def _mat(df, path):
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    prefixes = tuple(sys.argv[2:])
+
+    def want(task: str) -> bool:
+        return not prefixes or task.startswith(prefixes)
+
+    from graphraft_spark.graph import tpch_graph
+    from graphraft_spark.graph.model import PropertyGraph
+    from graphraft_spark.session import get_spark
+
+    spark = get_spark("scale-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+
+    def timed(task, factor, fn):
+        if not want(task):
+            return
+        t0 = time.time()
+        fn()
+        dt = round(time.time() - t0, 2)
+        rows.append((task, factor, dt))
+        print(f"{task} x{factor}: {dt}s", flush=True)
+
+    # ---- documents ×N, materialized once per factor ----
+    doc_paths = {}
+    if want("bm25") or want("span_dedup_k50"):
+        for n in FACTORS:
+            doc_paths[n] = _mat(_docs_times(spark, sf_dir, n),
+                                f"{SCRATCH}/docs_x{n}")
+
+    # BM25 index build + probe
+    from graphraft_spark.search.bm25 import (
+        bm25_query_indexed,
+        build_text_index,
+    )
+    for n in (FACTORS if want("bm25") else ()):
+        docs = spark.read.parquet(doc_paths[n])
+        idx_dir = f"{SCRATCH}/bm25_x{n}"
+        timed("bm25_build", n,
+              lambda: build_text_index(docs, idx_dir))
+        timed("bm25_probe", n,
+              lambda: _noop(bm25_query_indexed(
+                  spark, idx_dir, ["data", "model", "training"], k=20)))
+
+    # MinHash LSH via persisted banding index (build + pair probe).
+    # Corpus-SIZE axis: distinct families per copy.  The suffix
+    # (density) axis is measured separately and documented in
+    # BASELINE.md — group size × n makes verification quadratic in n
+    # by construction, which is a property of the corpus, not the plan.
+    from graphraft_spark.ops.dedup import (
+        build_lsh_index,
+        hashed_shingles,
+        minhash_lsh_dedup_hashed,
+    )
+    for n in (FACTORS if want("minhash") else ()):
+        docs = _mat(_docs_times(spark, sf_dir, n, distinct_families=True),
+                    f"{SCRATCH}/docs_fam_x{n}")
+        docs = spark.read.parquet(docs)
+        hs = docs.select(F.col("doc_id").alias("id"),
+                         hashed_shingles(F.col("text"), 3).alias("hs"))
+
+        def lsh_run(hs=hs):
+            index = build_lsh_index(hs, num_perm=12, bands=4,
+                                    max_bucket_size=100)
+            _noop(minhash_lsh_dedup_hashed(
+                hs, num_perm=12, bands=4, threshold=0.5,
+                max_bucket_size=100, eager_cleanup=True, index=index))
+
+        timed("minhash_lsh", n, lsh_run)
+
+    # Exact-substring span dedup, rolling hash at Lee et al.'s k=50
+    from graphraft_spark.ops.dedup import duplicate_spans
+    for n in (FACTORS if want("span_dedup_k50") else ()):
+        docs = spark.read.parquet(doc_paths[n])
+        timed("span_dedup_k50", n,
+              lambda: _noop(duplicate_spans(docs, "text", "doc_id",
+                                            k=50, hash_fn="rolling")))
+
+    # ---- graph ×N (disjoint id spaces per copy) ----
+    base = tpch_graph(spark, sf_dir)
+    from graphraft_spark.patterns.enumerate import enumerate_pattern
+    from graphraft_spark.registry.graph_queries import ANCHORS
+
+    for n in (FACTORS if want("g_twohop_enum") else ()):
+        gdir = f"{SCRATCH}/graph_x{n}"
+        idx = spark.range(n).select(F.col("id").alias("copy"))
+        off_n = (F.col("copy") * F.lit(100_000_000_000)).cast("bigint")
+        off_e = (F.col("copy") * F.lit(100_000_000_000_000)).cast("bigint")
+        _mat(base.nodes.crossJoin(idx).select(
+            (F.col("nodeId") + off_n).alias("nodeId"), "label", "name",
+            "detail"), f"{gdir}/nodes")
+        _mat(base.edges.crossJoin(idx).select(
+            (F.col("edgeId") + off_e).alias("edgeId"),
+            (F.col("src") + off_n).alias("src"),
+            (F.col("dst") + off_n).alias("dst"), "relType"),
+            f"{gdir}/edges")
+        g = PropertyGraph(
+            nodes=spark.read.parquet(f"{gdir}/nodes"),
+            edges=spark.read.parquet(f"{gdir}/edges"))
+        timed("g_twohop_enum", n,
+              lambda g=g: _noop(enumerate_pattern(g, "2hop", ANCHORS)))
+
+    # ---- pipeline ×N questions over the base graph ----
+    from graphraft_spark.llm import EchoGenerator, LexicographicRanker
+    from graphraft_spark.pipeline import run_pipeline_bulk
+
+    for n in (FACTORS if want("p_pipeline_bulk") else ()):
+        qs = []
+        for c in range(n):
+            qs.append((c * 10 + 1, "who supplies small ring?",
+                       ["small ring"]))
+            qs.append((c * 10 + 2, "what did customer 42 buy?",
+                       ["Customer#000000042"]))
+        timed("p_pipeline_bulk", n,
+              lambda qs=qs: _noop(run_pipeline_bulk(
+                  spark, base, questions=qs,
+                  ranker=LexicographicRanker(), generator=EchoGenerator(),
+                  max_nodes=15, k=3, patterns=("1hop", "2hop"),
+                  prop_cols=("detail",),
+                  persist_mode="local_checkpoint")))
+
+    print("\n| task | factor | wall_s |")
+    print("|---|---|---|")
+    for task, factor, dt in rows:
+        print(f"| {task} | x{factor} | {dt} |")
+    if not prefixes:
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
