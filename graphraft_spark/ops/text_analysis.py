@@ -490,3 +490,100 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
                     lambda j: F.array_min(F.slice(hs, j, w))),
     ).otherwise(F.array(F.array_min(hs)))
     return F.array_distinct(wins)
+
+
+def c4_line_filter(text: Column, min_words: int = 3) -> Column:
+    """C4 line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    §2.2): keep only lines that (a) end in terminal punctuation
+    (. ! ? or a closing quote), (b) carry at least ``min_words``
+    whitespace words, and (c) do not mention "javascript"
+    (case-insensitive) — the cookie-banner/JS-warning heuristic.
+
+    Returns the array of SURVIVING lines in order (raw text split on
+    newline; line content is not normalized — C4 filters on surface
+    form).  Pure higher-order expressions — codegen, oracle-replayable.
+    """
+    lines = F.split(text, "\n")
+    return F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?]["”]?\\s*$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+        & ~F.lower(ln).contains("javascript"))
+
+
+def c4_clean(df, text_col: str = "text", id_col: str = "doc_id",
+             min_words: int = 3):
+    """C4 cleaning end-to-end: line filter plus the document-level
+    gates of the same recipe — drop any document containing "lorem
+    ipsum" (placeholder text) or a curly brace (code).  Returns
+    (id, clean_text, n_lines_kept, n_lines, doc_kept); the text of a
+    dropped document is still cleaned (callers filter on ``doc_kept``
+    — keeping the row makes the gate auditable).
+
+    One scan, zero shuffles, zero Python — the shape that matters when
+    this runs first over a raw 100 TB crawl."""
+    t = F.col(text_col)
+    kept = c4_line_filter(t, min_words)
+    doc_kept = (~F.lower(t).contains("lorem ipsum")
+                & ~t.contains("{"))
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).alias("n_lines_kept"),
+        F.size(F.split(t, "\n")).alias("n_lines"),
+        doc_kept.alias("doc_kept"))
+
+
+# Gopher quality-gate thresholds (Rae et al. 2021, arXiv:2112.11446
+# Appendix A1.1), exposed for callers that tune them
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gates(df, text_col: str = "text", id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000):
+    """Gopher document-quality gates (Rae et al. 2021, A1.1) as one
+    per-rule boolean frame: (id, ok_word_count, ok_mean_word_len,
+    ok_symbol_ratio, ok_alpha_words, ok_stopwords, keep).
+
+    * word count in [min_words, max_words]
+    * mean word length in [3, 10]
+    * symbol-to-word ratio ≤ 0.1  (symbols: '#' and '...'/'…')
+    * ≥ 80% of words contain at least one alphabetic character
+    * contains ≥ 2 distinct Gopher stop words
+
+    (The paper's bullet/ellipsis LINE-share rules belong to the line
+    pass — see :func:`c4_line_filter` for the line stage.)  All rules
+    are plain expressions over one scan; ``keep`` is their conjunction.
+    Returning per-rule booleans instead of a filtered frame makes the
+    gate auditable — corpus curation wants per-rule kill counts."""
+    ws = words(F.col(text_col))
+    n_words = F.size(ws)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(ws, F.lit(0.0), lambda a, w: a + F.length(w))
+        / n_words).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(r"#|\.\.\.|…"), 0)))
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    stops = F.array([F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stops = F.size(F.array_intersect(F.array_distinct(ws), stops))
+
+    ok_word_count = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean_word_len = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_symbol_ratio = F.when(
+        n_words > 0,
+        n_symbols.cast("double") / n_words <= 0.1).otherwise(F.lit(False))
+    ok_alpha_words = F.when(
+        n_words > 0,
+        alpha_words.cast("double") / n_words >= 0.8).otherwise(F.lit(False))
+    ok_stopwords = n_stops >= 2
+    return df.select(
+        F.col(id_col),
+        ok_word_count.alias("ok_word_count"),
+        ok_mean_word_len.alias("ok_mean_word_len"),
+        ok_symbol_ratio.alias("ok_symbol_ratio"),
+        ok_alpha_words.alias("ok_alpha_words"),
+        ok_stopwords.alias("ok_stopwords"),
+        (ok_word_count & ok_mean_word_len & ok_symbol_ratio
+         & ok_alpha_words & ok_stopwords).alias("keep"))

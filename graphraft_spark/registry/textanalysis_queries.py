@@ -783,3 +783,87 @@ def t_ppl_band(spark, sf_dir):
             .select("doc_id", "source",
                     F.round("lp_mean", 6).alias("lp_mean"),
                     F.round("pr", 6).alias("band_rank")))
+
+
+@register(
+    "t_c4_clean", extra=True,
+    oracle="""
+WITH lined AS (
+    SELECT doc_id,
+           regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS t
+    FROM documents
+),
+f AS (
+    SELECT doc_id, t,
+           list_filter(string_split(t, chr(10)),
+               ln -> regexp_matches(ln, '[.!?]["”]?\\s*$')
+                     AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 3
+                     AND NOT contains(lower(ln), 'javascript')) AS kept
+    FROM lined
+)
+SELECT doc_id,
+       md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_md5,
+       CAST(len(kept) AS INT) AS n_lines_kept,
+       CAST(len(string_split(t, chr(10))) AS INT) AS n_lines,
+       (NOT contains(lower(t), 'lorem ipsum')
+        AND NOT contains(t, '{')) AS doc_kept
+FROM f
+""")
+def t_c4_clean(spark, sf_dir):
+    """C4 cleaning (Raffel et al. 2020 §2.2): line-level terminal-
+    punctuation/min-words/javascript filter + lorem-ipsum/brace doc
+    gates.  The synthetic corpus is single-line, so both engines first
+    split sentences onto lines ('. ' → '.\\n') identically; the clean
+    text is md5'd so the compared columns stay scalar."""
+    from graphraft_spark.ops.text_analysis import c4_clean
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lined = d.select(
+        "doc_id",
+        F.regexp_replace("text", r"\. ", ".\n").alias("text"))
+    out = c4_clean(lined)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"),
+        F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
+        F.col("n_lines").cast("int").alias("n_lines"), "doc_kept")
+
+
+@register(
+    "t_gopher_gates", extra=True,
+    oracle=f"""
+SELECT doc_id,
+       (len({_WORDS}) >= 50 AND len({_WORDS}) <= 100000) AS ok_word_count,
+       (ml >= 3.0 AND ml <= 10.0) AS ok_mean_word_len,
+       (CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+        / len({_WORDS}) <= 0.1) AS ok_symbol_ratio,
+       (CAST(len(list_filter({_WORDS},
+                 w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        / len({_WORDS}) >= 0.8) AS ok_alpha_words,
+       (len(list_intersect(list_distinct({_WORDS}),
+            ['the','be','to','of','and','that','have','with'])) >= 2)
+           AS ok_stopwords,
+       ((len({_WORDS}) >= 50 AND len({_WORDS}) <= 100000)
+        AND (ml >= 3.0 AND ml <= 10.0)
+        AND (CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+             / len({_WORDS}) <= 0.1)
+        AND (CAST(len(list_filter({_WORDS},
+                  w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+             / len({_WORDS}) >= 0.8)
+        AND (len(list_intersect(list_distinct({_WORDS}),
+             ['the','be','to','of','and','that','have','with'])) >= 2))
+           AS keep
+FROM (
+    SELECT doc_id, text,
+           list_sum(list_transform({_WORDS}, w -> length(w)))
+               / CAST(len({_WORDS}) AS DOUBLE) AS ml
+    FROM documents
+)
+""")
+def t_gopher_gates(spark, sf_dir):
+    """Gopher document-quality gates (Rae et al. 2021 A1.1) as
+    auditable per-rule booleans + their conjunction — one codegen scan
+    (ops/text_analysis.py:gopher_gates)."""
+    from graphraft_spark.ops.text_analysis import gopher_gates
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_gates(d)

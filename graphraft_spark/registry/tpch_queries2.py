@@ -563,3 +563,31 @@ def q_copurchase_pairs(spark, sf_dir):
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(15)
     )
+
+
+@register(
+    "q_zorder_key", extra=True,
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, zkey
+FROM (
+    SELECT o_orderkey, __ZK__ AS zkey FROM orders
+)
+ORDER BY zkey, o_orderkey LIMIT 500
+""".replace("__ZK__", __import__(
+        "graphraft_spark.ops.layout", fromlist=["zorder_key_sql"]
+    ).zorder_key_sql(["(o_custkey % 65536)", "(o_orderkey % 65536)"])))
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (custkey, orderkey) — the
+    multi-dimension file-skipping layout (Delta OPTIMIZE ZORDER BY
+    shape; ops/layout.py).  Pure shift/mask arithmetic, replayed
+    bit-for-bit by the oracle; write path covered by
+    tests/test_layout.py's min/max-tightness property."""
+    from graphraft_spark.ops.layout import with_zorder_key
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        (F.col("o_custkey") % 65536).alias("a"),
+        (F.col("o_orderkey") % 65536).alias("b"),
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"))
+    return (with_zorder_key(o, ["a", "b"])
+            .orderBy("zkey", "o_orderkey")
+            .select("o_orderkey", "zkey").limit(500))
