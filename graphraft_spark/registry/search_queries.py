@@ -379,3 +379,36 @@ def s_hybrid_rrf(spark, sf_dir):
     vec = with_rank(knn, [F.desc("similarity"), F.asc("doc_id")],
                     "doc_id")
     return rrf_fuse([lex, vec], k=_RRF_K, topk=15)
+
+
+@register(
+    "s_fuzzy_entity_match", extra=True,
+    oracle="""
+WITH ents AS (
+    SELECT CAST(c_custkey AS BIGINT) AS qid,
+           substr(c_name, 1, 3) || substr(c_name, 5) AS entity
+    FROM customer WHERE c_custkey <= 5
+)
+SELECT e.qid, e.entity, c.c_name AS name,
+       CAST(levenshtein(lower(trim(c.c_name)),
+                        lower(trim(e.entity))) AS INT) AS dist
+FROM customer c, ents e
+WHERE levenshtein(lower(trim(c.c_name)), lower(trim(e.entity))) <= 2
+""")
+def s_fuzzy_entity_match(spark, sf_dir):
+    """Typo-tolerant entity matching (search/text.py
+    fuzzy_match_entities): 5 entities derived from real customer names
+    with one char deleted, matched back within Levenshtein ≤ 2 via
+    exact pigeonhole blocking.  The oracle verifies against the naive
+    all-pairs join — the blocked plan must return the identical set."""
+    from graphraft_spark.search.text import fuzzy_match_entities
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ents = cust.filter(F.col("c_custkey") <= 5).select(
+        F.col("c_custkey").cast("bigint").alias("qid"),
+        F.concat(F.substring("c_name", 1, 3),
+                 F.col("c_name").substr(F.lit(5), F.length("c_name")))
+        .alias("entity"))
+    names = cust.select(F.col("c_name").alias("name"))
+    return fuzzy_match_entities(names, ents, max_dist=2) \
+        .select("qid", "entity", "name", F.col("dist").cast("int").alias("dist"))

@@ -210,3 +210,58 @@ def batch_match_entities(graph, entities: "DataFrame",
         F.col("ekey.qid").alias("qid"), F.col("ekey.entity").alias("entity"),
         F.col(id_out).alias("name"), F.lit("vector").alias("matched_by"))
     return hits.unionByName(fallback)
+
+
+def fuzzy_match_entities(nodes: DataFrame, entities: DataFrame,
+                         max_dist: int = 2, label: str | None = None,
+                         qid_col: str = "qid",
+                         entity_col: str = "entity",
+                         nfc: bool = False) -> DataFrame:
+    """C1 fuzzy extension: every node name within Levenshtein distance
+    ``max_dist`` of each entity, under the same normalization as
+    :func:`fulltext_match` — the typo-tolerant tier between exact
+    fulltext equality and the vector fallback (the reference's NER
+    output is LLM-generated and misspells entities; ner.py:95-120 then
+    finds nothing and pays the vector search).
+
+    Candidate generation is EXACT by the segment pigeonhole
+    (PassJoin, Li et al. VLDB 2011): split the normalized entity into
+    ``max_dist+1`` contiguous segments — a name within distance
+    ``max_dist`` must contain at least one segment verbatim, so the
+    substring pre-filter loses nothing.  The (tiny, broadcast)
+    entity-segment side scans the corpus once — the same BNLJ shape as
+    the KNN fallback — and native ``levenshtein`` verifies (codegen).
+    Entities shorter than ``max_dist+1`` chars yield empty segments
+    (contains('') = always), degrading to verify-everything: still
+    correct, just unpruned.
+
+    Returns (qid, entity, name, dist), distinct."""
+    nseg = max_dist + 1
+    base = entities.select(
+        F.col(qid_col).alias("qid"), F.col(entity_col).alias("entity"),
+        norm_col(F.col(entity_col), nfc).alias("_e"))
+    eN = F.col("_e")
+    L = F.length(eN)
+    segs = F.transform(
+        F.sequence(F.lit(0), F.lit(max_dist)),
+        lambda i: eN.substr(
+            (F.floor(i * L / nseg) + 1).cast("int"),
+            (F.floor((i + 1) * L / nseg)
+             - F.floor(i * L / nseg)).cast("int")))
+    ent = base.select("qid", "entity", "_e",
+                      F.explode(segs).alias("_seg"))
+
+    df = nodes
+    if label is not None and label != "_Entity_":
+        df = df.filter(F.col("label") == label)
+    names = df.select("name", norm_col(F.col("name"), nfc).alias("_n")) \
+        .distinct()
+    return (
+        names.join(F.broadcast(ent), F.col("_n").contains(F.col("_seg")))
+        # length band is a necessary condition — prunes before the DP
+        .filter(F.abs(F.length("_n") - F.length("_e")) <= max_dist)
+        .filter(F.levenshtein("_n", "_e") <= max_dist)
+        .select("qid", "entity", "name",
+                F.levenshtein("_n", "_e").alias("dist"))
+        .distinct()
+    )

@@ -47,6 +47,9 @@ BNLJ_OK = {
     # expands against the corpus — the cross-score plan shape
     "ann_ivf_assign", "ann_mmr_rerank", "s_knn_per_group",
     "d_semantic_dedup",
+    # broadcast entity-segment side substring-scans the names (the
+    # PassJoin pigeonhole candidate filter — same shape as KNN)
+    "s_fuzzy_entity_match",
     # 1-row corpus-total frames crossed onto the bucket ratio table
     "t_dsir_weights",
     # 1-row corpus-stats frames (N/avgdl/df; total/vocab) crossed onto
