@@ -867,3 +867,37 @@ def t_gopher_gates(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return gopher_gates(d)
+
+
+@register(
+    "t_url_canon", extra=True,
+    oracle="""
+SELECT doc_id,
+       'http://example.com/' || source || '/' || CAST(doc_id AS VARCHAR)
+       || CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN '?a=1&b=2' WHEN 1 THEN '?a=1' ELSE '' END
+           AS canon,
+       'example.com' AS host
+FROM documents
+""")
+def t_url_canon(spark, sf_dir):
+    """URL canonicalization (ops/url.py): the corpus has no URL column,
+    so messy URLs are synthesized per doc (uppercase scheme/host,
+    default port, tracking params, unsorted query, trailing slash,
+    fragment) and the operator must reduce every shape to the oracle's
+    closed-form expected canonical string."""
+    from graphraft_spark.ops.url import canonicalize_url, url_host
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("HTTP://Example.COM:80/"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("?utm_source=x&b=2&a=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/?a=1#frag"))
+        .otherwise(F.lit("")))
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canon"),
+        url_host(F.col("url")).alias("host"))

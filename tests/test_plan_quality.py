@@ -148,17 +148,17 @@ def test_no_cartesian_anywhere_bnlj_only_in_knn_family(spark):
     tiny broadcast side scores against the corpus (the KNN/ANN cross-
     score shape — one query row against every vector) and must not
     creep into any other family."""
+    import sys
+
     from graphraft_spark import registry
 
+    # single source of truth: the lint tool's allowlist, where every
+    # entry carries its documented tiny-broadcast justification (a
+    # duplicated list here went stale on the r7 tier rotation)
+    sys.path.insert(0, f"{__file__.rsplit('/tests/', 1)[0]}/tools")
+    from plan_lint import BNLJ_OK
+
     registry.load_all()
-    BNLJ_OK = {
-        # query-vector-vs-corpus scoring: broadcast side is O(1) rows
-        "s_entity_match_fallback", "s_knn_topk", "s_knn_excluding",
-        "ann_bruteforce_topk", "ann_ivf_search",
-        # budgeted retrieval: the crossing-row probe is a 1-row frame
-        "r_retrieve_data", "r_budget_accumulate", "r_token_budget",
-        "m_retrieval_eval",
-    }
     offenders = {}
     for name, fn in registry.QUERIES.items():
         p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
