@@ -44,3 +44,64 @@ def hll_union_ok(relative_err: Column, rsd: float) -> Column:
     """Predicate helper: is an observed relative error within the
     sketch's configured bound (3 standard deviations)?"""
     return F.abs(relative_err) <= 3 * rsd
+
+
+def _cms_hash(col: Column, row: Column, width: int) -> Column:
+    """Row-salted engine-portable counter index: DuckDB replays it as
+    ``('0x' || substr(md5(d || ':' || x), 1, 15))::BIGINT % width``."""
+    return F.conv(F.substring(
+        F.md5(F.concat(row.cast("string"), F.lit(":"),
+                       col.cast("string"))), 1, 15),
+        16, 10).cast("bigint") % width
+
+
+def cms_build(df: DataFrame, col: str, depth: int = 4,
+              width: int = 1024, count_col: str | None = None) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a column's
+    frequency distribution: a (row, slot, cnt) counter table with
+    ``depth`` hash rows of ``width`` slots — ≤ depth·width rows no
+    matter how many distinct values the input holds.
+
+    Unlike HLL/GK above, this one IS bit-portable (md5 counter
+    indexing), so the full build→probe path is DuckDB-oracle-checkable.
+    Mergeability is trivial: sketches of two corpus shards combine by
+    summing ``cnt`` on (row, slot) — see :func:`cms_merge` — which is
+    also the map-side partial aggregation Spark already applies, so
+    the shuffle carries at most depth·width rows per mapper.
+
+    ``count_col``: pre-aggregated input weight (e.g. a (word, n) frame)
+    instead of one row per occurrence."""
+    cnt = F.col(count_col).cast("bigint") if count_col else F.lit(1)
+    rows = df.select(
+        F.col(col).alias("_v"), cnt.alias("_c"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
+    return (rows
+            .select("row", _cms_hash(F.col("_v"), F.col("row"),
+                                     width).alias("slot"), "_c")
+            .groupBy("row", "slot").agg(F.sum("_c").alias("cnt")))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two sketches built with the same (depth, width)."""
+    return (a.unionByName(b)
+            .groupBy("row", "slot").agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_probe(cms: DataFrame, items: DataFrame, col: str,
+              depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-frequency estimates: min over hash rows of the item's
+    counters (a missing counter is 0).  Guarantees estimate ≥ true
+    count, with overshoot ≤ ε·N at probability 1-δ for
+    width = e/ε, depth = ln(1/δ) — the property pinned in tests.
+
+    Items is typically a SMALL probe frame (suspected heavy hitters) —
+    broadcast against the ≤ depth·width-row sketch."""
+    probes = items.select(
+        F.col(col).alias("item"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
+    probes = probes.withColumn(
+        "slot", _cms_hash(F.col("item"), F.col("row"), width))
+    return (probes.join(cms, ["row", "slot"], "left")
+            .groupBy("item")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_count")))

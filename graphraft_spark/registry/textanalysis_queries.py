@@ -901,3 +901,51 @@ def t_url_canon(spark, sf_dir):
         "doc_id",
         canonicalize_url(F.col("url")).alias("canon"),
         url_host(F.col("url")).alias("host"))
+
+
+@register(
+    "t_cms_wordfreq", extra=True,
+    oracle=f"""
+WITH w AS (
+    SELECT unnest({_WORDS}) AS v FROM documents
+),
+counts AS (SELECT v, COUNT(*) AS n FROM w GROUP BY v),
+top AS (SELECT v, n FROM counts ORDER BY n DESC, v LIMIT 20),
+cms AS (
+    SELECT d.d AS row,
+           ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || w.v), 1, 15))
+               ::BIGINT % 2048 AS slot,
+           COUNT(*) AS cnt
+    FROM w, (VALUES (0),(1),(2),(3)) d(d)
+    GROUP BY 1, 2
+)
+SELECT t.v AS item,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count,
+       CAST(MIN(t.n) AS BIGINT) AS true_count
+FROM top t
+CROSS JOIN (VALUES (0),(1),(2),(3)) d(d)
+LEFT JOIN cms c
+  ON c.row = d.d
+ AND c.slot = ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || t.v),
+               1, 15))::BIGINT % 2048
+GROUP BY t.v
+""")
+def t_cms_wordfreq(spark, sf_dir):
+    """Count-min sketch word frequencies (ops/sketches.py cms_build/
+    cms_probe, depth 4 × width 2048): the corpus collapses to ≤ 8,192
+    counter rows regardless of vocabulary size, and the 20 exact top
+    words are probed back — est ≥ true always; equality on a corpus
+    this small.  Bit-portable md5 counter indexing, fully oracle-
+    replayed (unlike the HLL/GK sketches, which are pytest-gated)."""
+    from graphraft_spark.ops.dedup import words as words_col
+    from graphraft_spark.ops.sketches import cms_build, cms_probe
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = d.select(F.explode(words_col(F.col("text"))).alias("v"))
+    cms = cms_build(w, "v", depth=4, width=2048)
+    counts = w.groupBy("v").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("v")).limit(20)
+    est = cms_probe(cms, top.select("v"), "v", depth=4, width=2048)
+    return (est.join(top, est.item == top.v)
+            .select("item", "est_count",
+                    F.col("n").cast("bigint").alias("true_count")))
