@@ -587,3 +587,43 @@ def gopher_gates(df, text_col: str = "text", id_col: str = "doc_id",
         ok_stopwords.alias("ok_stopwords"),
         (ok_word_count & ok_mean_word_len & ok_symbol_ratio
          & ok_alpha_words & ok_stopwords).alias("keep"))
+
+
+def pack_sequences(df, budget: int, tokens_col: str = "tokens",
+                   id_col: str = "doc_id", scalable: bool = True):
+    """Sequence packing for training batches: concatenate documents'
+    tokens into fixed-budget sequences, keeping per-document boundaries
+    so the trainer can reset attention masks at document edges (the
+    standard pretraining/SFT packing step downstream of
+    :func:`pack_bins`).
+
+    Returns (bin_id, doc_ids, tokens, boundaries, n_tokens): documents
+    in deterministic ``id_col`` order within each bin; ``boundaries[i]``
+    is the exclusive token offset where document i starts.  Bin
+    assignment is the sharding approximation (a document may straddle
+    — same contract as pack_bins); one range shuffle + one bin shuffle.
+    """
+    sized = df.select(F.col(id_col), F.col(tokens_col).alias("_t")) \
+        .withColumn("_n", F.size("_t"))
+    binner = pack_bins_scalable if scalable else pack_bins
+    binned = binner(sized, budget, "_n", order_col=id_col)
+    arr = (binned.groupBy("bin_id")
+           .agg(F.array_sort(F.collect_list(
+               F.struct(F.col(id_col).alias("i"), F.col("_t").alias("t"),
+                        F.col("_n").alias("n")))).alias("ds")))
+    offs = F.slice(F.aggregate(
+        F.col("ds"),
+        F.struct(F.array(F.lit(0).cast("bigint")).alias("offs"),
+                 F.lit(0).cast("bigint").alias("tot")),
+        lambda acc, x: F.struct(
+            F.concat(acc["offs"],
+                     F.array(acc["tot"] + x["n"])).alias("offs"),
+            (acc["tot"] + x["n"]).alias("tot")),
+        lambda acc: acc["offs"]), 1, F.size("ds"))
+    return arr.select(
+        "bin_id",
+        F.transform("ds", lambda x: x["i"]).alias("doc_ids"),
+        F.flatten(F.transform("ds", lambda x: x["t"])).alias("tokens"),
+        offs.alias("boundaries"),
+        F.aggregate("ds", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x["n"]).alias("n_tokens"))

@@ -6,6 +6,7 @@ unit-norm vectors ⇒ cosine = dot.  All scores in DOUBLE on both sides.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from graphraft_spark.ops.similarity import (
@@ -422,3 +423,49 @@ def ann_pca_project(spark, sf_dir):
         "vec_id",
         F.transform("pca", lambda v: F.round(v, 6)).cast("string")
         .alias("pca_str"))
+
+
+@register(
+    "ann_hard_negatives", extra=True,
+    oracle="""
+WITH anchors AS (
+    SELECT vec_id AS qid, embedding AS q_emb, label AS q_label
+    FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+    SELECT a.qid, e.vec_id, e.label,
+           ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i] * a.q_emb[i])), 6) AS score
+    FROM embeddings e, anchors a
+    WHERE e.label <> a.q_label
+)
+SELECT qid, vec_id AS neg_id, CAST(label AS INT) AS neg_label, score
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn = 1
+""")
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for embedding training (contrastive /
+    retrieval fine-tuning): per anchor, the MOST similar corpus vector
+    with a DIFFERENT label — the negative that actually moves the loss
+    (random negatives are trivially easy).  Composition of existing
+    pieces: brute-force scoring + label anti-filter + top-1; at scale
+    swap the scorer for the IVF/PQ tiers and keep the label filter on
+    the probed partitions."""
+    from graphraft_spark.ops.similarity import score_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"))
+    scored = (score_pairs(emb, anchors)
+              .filter(F.col("label") != F.col("q_label"))
+              .withColumn("score", F.round("score", 6)))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", F.col("vec_id").alias("neg_id"),
+                    F.col("label").cast("int").alias("neg_label"), "score"))

@@ -949,3 +949,57 @@ def t_cms_wordfreq(spark, sf_dir):
     return (est.join(top, est.item == top.v)
             .select("item", "est_count",
                     F.col("n").cast("bigint").alias("true_count")))
+
+
+@register(
+    "t_pack_sequences", extra=True,
+    oracle=f"""
+WITH sized AS (
+    SELECT doc_id, {_WORDS} AS t, len({_WORDS}) AS n
+    FROM documents
+),
+assigned AS (
+    SELECT doc_id, t, n,
+           CAST(floor(COALESCE(SUM(n) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin_id
+    FROM sized
+),
+binned AS (
+    SELECT doc_id, t, n, bin_id,
+           COALESCE(SUM(n) OVER (PARTITION BY bin_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+    FROM assigned
+)
+SELECT bin_id,
+       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id),
+                       '|') AS doc_ids,
+       md5(array_to_string(flatten(list(t ORDER BY doc_id)), ' '))
+           AS tokens_md5,
+       array_to_string(list(CAST(off AS VARCHAR) ORDER BY doc_id), '|')
+           AS boundaries,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM binned GROUP BY bin_id
+""")
+def t_pack_sequences(spark, sf_dir):
+    """Sequence packing (ops/text_analysis.py pack_sequences): docs'
+    word tokens concatenated into 512-token bins with per-document
+    boundary offsets — the attention-mask-reset packing step of a
+    pretraining pipeline.  Arrays serialize ('|'-joined / md5) so the
+    compared columns stay scalar; the distributed binner must equal
+    the oracle's single-window replay exactly."""
+    from graphraft_spark.ops.dedup import words as words_col
+    from graphraft_spark.ops.text_analysis import pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select("doc_id", words_col(F.col("text")).alias("tokens"))
+    out = pack_sequences(toks, budget=512)
+    return out.select(
+        "bin_id",
+        F.concat_ws("|", F.transform(
+            "doc_ids", lambda x: x.cast("string"))).alias("doc_ids"),
+        F.md5(F.array_join("tokens", " ")).alias("tokens_md5"),
+        F.concat_ws("|", F.transform(
+            "boundaries", lambda x: x.cast("string"))).alias("boundaries"),
+        "n_tokens")

@@ -50,6 +50,9 @@ BNLJ_OK = {
     # broadcast entity-segment side substring-scans the names (the
     # PassJoin pigeonhole candidate filter — same shape as KNN)
     "s_fuzzy_entity_match",
+    # broadcast anchor set cross-scores the corpus (KNN shape with a
+    # label anti-filter)
+    "ann_hard_negatives",
     # 1-row corpus-total frames crossed onto the bucket ratio table
     "t_dsir_weights",
     # 1-row corpus-stats frames (N/avgdl/df; total/vocab) crossed onto
