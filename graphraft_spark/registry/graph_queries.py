@@ -833,3 +833,43 @@ def g_kcore(spark, sf_dir):
 
     g = tpch_graph(spark, sf_dir)
     return k_core(g.edges, k=3)
+
+
+def _lpa_round_sql(r: int) -> str:
+    p = f"l{r - 1}"
+    return f"""
+, c{r} AS (
+    SELECT e.src AS nodeId, l.label, COUNT(*) AS c
+    FROM (SELECT src, dst FROM undirected_edges
+          UNION ALL SELECT nodeId, nodeId FROM nodes) e
+    JOIN {p} l ON l.nodeId = e.dst
+    GROUP BY 1, 2
+),
+b{r} AS (
+    SELECT nodeId, label FROM (
+        SELECT nodeId, label,
+               ROW_NUMBER() OVER (PARTITION BY nodeId
+                                  ORDER BY c DESC, label) AS rn
+        FROM c{r}) WHERE rn = 1
+),
+l{r} AS (
+    SELECT n.nodeId, COALESCE(b.label, n.nodeId) AS label
+    FROM nodes n LEFT JOIN b{r} b ON b.nodeId = n.nodeId
+)"""
+
+
+@register(
+    "g_label_prop", extra=True,
+    oracle=GRAPH_ORACLE_CTE
+    + ", l0 AS (SELECT nodeId, nodeId AS label FROM nodes)"
+    + "".join(_lpa_round_sql(r) for r in (1, 2, 3))
+    + "\nSELECT nodeId, label FROM l3")
+def g_label_prop(spark, sf_dir):
+    """Deterministic synchronous label propagation, 3 rounds
+    (graph/algos.py:label_propagation): most-frequent neighbor label,
+    min tie-break — community structure over the TPC-H graph; the
+    oracle unrolls the rounds (same pattern as g_random_walks)."""
+    from graphraft_spark.graph.algos import label_propagation
+
+    g = tpch_graph(spark, sf_dir)
+    return label_propagation(g.nodes, g.edges, rounds=3)
