@@ -627,3 +627,67 @@ def pack_sequences(df, budget: int, tokens_col: str = "tokens",
         offs.alias("boundaries"),
         F.aggregate("ds", F.lit(0).cast("bigint"),
                     lambda a, x: a + x["n"]).alias("n_tokens"))
+
+
+def span_corruption(df, budget_denom: int = 1_000_000,
+                    mask_rate: float = 0.15, span: int = 3,
+                    tokens_col: str = "tokens", id_col: str = "doc_id",
+                    salt: str = "t5"):
+    """T5-style span-corruption examples (Raffel et al. 2020 §3.1.4):
+    replace ~``mask_rate`` of each document's tokens, in spans of
+    ``span`` tokens, with numbered sentinels; the target is the
+    sentinel-delimited masked content.
+
+    Deterministic and engine-portable instead of RNG-driven: the
+    token stream is tiled into fixed ``span``-token windows and window
+    w of document d is masked iff
+    ``md5(salt:d:w) % budget_denom < mask_rate * budget_denom`` — the
+    same decision replays bit-for-bit in SQL, across partitionings,
+    and between runs (reshuffle = new salt, the convention of
+    hash_split/weighted_sample).  Expected masked fraction is
+    ``mask_rate``; exact positions vary per (doc, salt) as training
+    wants.
+
+    Returns (id, input_tokens, target_tokens, n_masked): inputs carry
+    one ``<extra_id_N>`` per masked span (N in document order);
+    targets are ``<extra_id_N> tok tok ...`` concatenated — exactly
+    the seq2seq denoising pair.  One scan, higher-order expressions
+    only."""
+    from graphraft_spark.data.ops import _portable_hash60
+
+    toks = F.col(tokens_col)
+    n_win = F.ceil(F.size(toks) / F.lit(span)).cast("int")
+    wins = F.sequence(F.lit(0), F.greatest(n_win - 1, F.lit(0)))
+    thresh = int(mask_rate * budget_denom)
+    masked_wins = F.filter(
+        wins,
+        lambda w: (F.size(toks) > 0)
+        & (_portable_hash60(
+            F.concat_ws(":", F.col(id_col).cast("string"),
+                        w.cast("string")), salt)
+           % budget_denom < thresh))
+    # sentinel index of window w = its position among masked windows
+    sent_of = lambda w: F.array_position(masked_wins, w) - 1  # noqa: E731
+
+    inputs = F.flatten(F.transform(
+        wins,
+        lambda w: F.when(
+            F.array_contains(masked_wins, w),
+            F.array(F.concat(F.lit("<extra_id_"),
+                             sent_of(w).cast("string"), F.lit(">"))))
+        .otherwise(F.slice(toks, (w * span + 1).cast("int"), span))))
+    targets = F.flatten(F.transform(
+        masked_wins,
+        lambda w: F.concat(
+            F.array(F.concat(F.lit("<extra_id_"),
+                             sent_of(w).cast("string"), F.lit(">"))),
+            F.slice(toks, (w * span + 1).cast("int"), span))))
+    n_masked = F.aggregate(
+        masked_wins, F.lit(0).cast("bigint"),
+        lambda a, w: a + F.size(F.slice(toks, (w * span + 1).cast("int"),
+                                        span)))
+    return df.select(
+        F.col(id_col),
+        inputs.alias("input_tokens"),
+        targets.alias("target_tokens"),
+        n_masked.alias("n_masked"))

@@ -1003,3 +1003,56 @@ def t_pack_sequences(spark, sf_dir):
         F.concat_ws("|", F.transform(
             "boundaries", lambda x: x.cast("string"))).alias("boundaries"),
         "n_tokens")
+
+
+@register(
+    "t_span_corruption", extra=True,
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, {_WORDS} AS w,
+           CAST(ceil(len({_WORDS}) / 3.0) AS INT) AS n_win
+    FROM documents
+),
+m AS (
+    SELECT doc_id, w,
+           range(0, greatest(n_win, 1)) AS wins,
+           list_filter(range(0, greatest(n_win, 1)),
+               x -> len(w) > 0
+                    AND ('0x' || substr(md5('t5' || CAST(doc_id AS VARCHAR)
+                         || ':' || CAST(x AS VARCHAR)), 1, 15))::BIGINT
+                        % 1000000 < 150000) AS mk
+    FROM base
+)
+SELECT doc_id,
+       md5(COALESCE(array_to_string(flatten(list_transform(wins,
+           x -> CASE WHEN list_contains(mk, x)
+                THEN ['<extra_id_' || CAST(list_position(mk, x) - 1
+                                           AS VARCHAR) || '>']
+                ELSE w[x*3+1 : x*3+3] END)), ' '), '')) AS input_md5,
+       md5(COALESCE(array_to_string(flatten(list_transform(mk,
+           x -> list_prepend('<extra_id_' || CAST(list_position(mk, x) - 1
+                             AS VARCHAR) || '>',
+                             w[x*3+1 : x*3+3]))), ' '), '')) AS target_md5,
+       CAST(COALESCE(list_sum(list_transform(mk,
+           x -> len(w[x*3+1 : x*3+3]))), 0) AS BIGINT) AS n_masked,
+       CAST(len(mk) AS INT) AS n_sentinels
+FROM m
+""")
+def t_span_corruption(spark, sf_dir):
+    """T5 span-corruption pairs (ops/text_analysis.py span_corruption):
+    deterministic hash-gated 3-token windows at 15% mask rate —
+    sentinel-numbered inputs and sentinel-delimited targets,
+    md5-serialized so the compared columns stay scalar."""
+    from graphraft_spark.ops.dedup import words as words_col
+    from graphraft_spark.ops.text_analysis import span_corruption
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select("doc_id", words_col(F.col("text")).alias("tokens"))
+    out = span_corruption(toks)
+    n_sent = (F.size("target_tokens") - F.col("n_masked")).cast("int")
+    return out.select(
+        "doc_id",
+        F.md5(F.array_join("input_tokens", " ")).alias("input_md5"),
+        F.md5(F.array_join("target_tokens", " ")).alias("target_md5"),
+        "n_masked",
+        n_sent.alias("n_sentinels"))

@@ -51,3 +51,36 @@ def test_gopher_gates_per_rule(spark):
     # rule-level audit stays truthful on the failing rows
     assert rows[2]["ok_stopwords"]
     assert rows[4]["ok_word_count"]
+
+
+def test_span_corruption_semantics(spark):
+    from graphraft_spark.ops.text_analysis import span_corruption
+
+    toks = spark.createDataFrame(
+        [(1, [f"t{i}" for i in range(10)]), (2, [])],
+        "doc_id bigint, tokens array<string>")
+    out = {r["doc_id"]: r for r in span_corruption(
+        toks, mask_rate=0.5, span=3, salt="s").collect()}
+    r1 = out[1]
+    inp, tgt = list(r1["input_tokens"]), list(r1["target_tokens"])
+    # masked content partitions exactly: inputs+targets minus sentinels
+    # reassemble the document
+    n_sent = sum(1 for t in inp if t.startswith("<extra_id_"))
+    assert tgt.count("<extra_id_0>") == (1 if n_sent >= 1 else 0)
+    recovered = []
+    ti = 0
+    for t in inp:
+        if t.startswith("<extra_id_"):
+            ti = tgt.index(t) + 1
+            while ti < len(tgt) and not tgt[ti].startswith("<extra_id_"):
+                recovered.append(tgt[ti]); ti += 1
+        else:
+            recovered.append(t)
+    assert recovered == [f"t{i}" for i in range(10)]
+    assert r1["n_masked"] == len(tgt) - n_sent
+    # empty doc → empty example
+    assert list(out[2]["input_tokens"]) == []
+    assert out[2]["n_masked"] == 0
+    # determinism across runs
+    again = span_corruption(toks, mask_rate=0.5, span=3, salt="s").collect()
+    assert {r["doc_id"]: list(r["input_tokens"]) for r in again}[1] == inp
