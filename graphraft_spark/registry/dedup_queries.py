@@ -861,3 +861,85 @@ def d_ngram_containment(spark, sf_dir):
                 F.col("b.doc_id").alias("id_b"),
                 F.round(c, 6).alias("containment"))
     )
+
+
+@register(
+    "e_entity_resolution", extra=True,
+    oracle="""
+WITH RECURSIVE recs AS (
+    SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name
+    FROM part WHERE p_partkey <= 30
+    UNION ALL
+    SELECT CAST(p_partkey AS BIGINT) + 100000,
+           substr(p_name, 1, 3) || substr(p_name, 5)
+    FROM part WHERE p_partkey <= 30
+),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM recs a JOIN recs b ON a.id < b.id
+    WHERE levenshtein(lower(trim(a.name)), lower(trim(b.name))) <= 1
+),
+und AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+    SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+),
+full_comp AS (
+    SELECT r.id, COALESCE(c.comp, r.id) AS comp
+    FROM recs r LEFT JOIN comp c ON c.id = r.id
+)
+SELECT f.id, f.comp, r.name AS canonical_name,
+       CAST(n.cluster_size AS BIGINT) AS cluster_size
+FROM full_comp f
+JOIN recs r ON r.id = f.comp
+JOIN (SELECT comp, COUNT(*) AS cluster_size FROM full_comp
+      GROUP BY comp) n ON n.comp = f.comp
+""")
+def e_entity_resolution(spark, sf_dir):
+    """Entity resolution end-to-end: records + typo variants → blocked
+    fuzzy pairs (search/text.py fuzzy_match_entities, Levenshtein ≤ 1
+    with the lossless pigeonhole pre-filter) → connected components →
+    one canonical record (min id) per cluster, its name attached.
+    The oracle replays naive all-pairs + recursive transitive closure,
+    so both the blocking and the clustering are verified together."""
+    from graphraft_spark.ops.dedup import connected_components
+    from graphraft_spark.search.text import fuzzy_match_entities
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .filter(F.col("p_partkey") <= 30)
+    orig = part.select(F.col("p_partkey").cast("bigint").alias("id"),
+                       F.col("p_name").alias("name"))
+    variant = part.select(
+        (F.col("p_partkey").cast("bigint") + 100000).alias("id"),
+        F.concat(F.substring("p_name", 1, 3),
+                 F.col("p_name").substr(F.lit(5), F.length("p_name")))
+        .alias("name"))
+    recs = orig.unionByName(variant)
+    hits = fuzzy_match_entities(
+        recs.select("name"),
+        recs.select(F.col("id").alias("qid"),
+                    F.col("name").alias("entity")),
+        max_dist=1)
+    # name → id resolution (names may repeat across records; join back)
+    pairs = (hits.join(recs.select(F.col("id").alias("id_b"),
+                                   F.col("name")), "name")
+             .filter(F.col("qid") < F.col("id_b"))
+             .select(F.col("qid").alias("id_a"), "id_b").distinct())
+    comp = connected_components(pairs).select("id", "comp")
+    full = (recs.select("id")
+            .join(comp, "id", "left")
+            .select("id", F.coalesce("comp", F.col("id")).alias("comp")))
+    sizes = full.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (full
+            .join(recs.select(F.col("id").alias("comp"),
+                              F.col("name").alias("canonical_name")),
+                  "comp")
+            .join(sizes, "comp")
+            .select("id", "comp", "canonical_name", "cluster_size"))

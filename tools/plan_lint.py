@@ -80,7 +80,7 @@ PYTHON_OK = {
 EAGER = {
     "g_pagerank_top", "g_ppr_top", "g_kcore", "t_bpe_tokenize",
     "ann_ivf_kmeans_train", "ann_ivf_kmeans_search", "ann_pq_search",
-    "d_components", "d_lsh_repair_components",
+    "d_components", "d_lsh_repair_components", "e_entity_resolution",
     "g_label_prop",
     "st_sig_maintenance", "st_funnel_maintenance", "st_graph_deltas",
     "st_graph_stream_update", "d_stream_neardup", "ann_recall_report",
