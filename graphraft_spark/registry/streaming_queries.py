@@ -427,3 +427,52 @@ def st_funnel_maintenance(spark, sf_dir):
         refresh_funnel(spark, log_dir, funnel_dir, epoch, steps,
                        within_seconds=7 * 86400)
     return read_funnel(spark, funnel_dir)
+
+
+@register(
+    "st_cms_maintenance", extra=True,
+    oracle="""
+WITH w AS (
+    SELECT event_type AS v FROM events WHERE event_type IS NOT NULL
+),
+cms AS (
+    SELECT d.d AS row,
+           ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || w.v), 1, 15))
+               ::BIGINT % 256 AS slot,
+           COUNT(*) AS cnt
+    FROM w, (VALUES (0),(1),(2),(3)) d(d)
+    GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT v FROM w)
+SELECT t.v AS item,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+FROM types t
+CROSS JOIN (VALUES (0),(1),(2),(3)) d(d)
+LEFT JOIN cms c
+  ON c.row = d.d
+ AND c.slot = ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || t.v),
+               1, 15))::BIGINT % 256
+GROUP BY t.v
+""")
+def st_cms_maintenance(spark, sf_dir):
+    """Streaming sketch maintenance: the event stream lands in THREE
+    epochs (event_id mod 3 — any partition of the stream works), each
+    epoch builds its own count-min sketch, and the serving sketch is
+    the cms_merge fold — which must equal the batch sketch over the
+    full table (the mergeability that makes CMS the streaming
+    heavy-hitter structure; each epoch's append is ≤ depth·width rows,
+    never the stream)."""
+    from graphraft_spark.ops.sketches import cms_build, cms_merge, cms_probe
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_type").isNotNull()) \
+        .select(F.col("event_type").alias("v"),
+                F.pmod(F.col("event_id"), F.lit(3)).alias("epoch"))
+    merged = None
+    for e in (0, 1, 2):
+        sk = cms_build(ev.filter(F.col("epoch") == e), "v",
+                       depth=4, width=256)
+        merged = sk if merged is None else cms_merge(merged, sk)
+    types = ev.select("v").distinct()
+    return cms_probe(merged, types, "v", depth=4, width=256) \
+        .select("item", "est_count")
