@@ -56,6 +56,11 @@ HEADLINE = [
     "s_bm25_indexed",
     "s_hybrid_rrf",
     "t_bigram_lm_score",
+    # round-7 additions: C4 line cleaning (scan-shaped codegen over the
+    # corpus), Morton layout keys, blocked fuzzy entity matching
+    "t_c4_clean",
+    "q_zorder_key",
+    "s_fuzzy_entity_match",
     # end-to-end flagship last: the distributed pipeline twin; the
     # driver-loop variant measured 9.6 s vs bulk 7.9 s at sf0.1
     # (BASELINE.md) — one headline line suffices, the oracle covers both
