@@ -469,3 +469,50 @@ def ann_hard_negatives(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select("qid", F.col("vec_id").alias("neg_id"),
                     F.col("label").cast("int").alias("neg_label"), "score"))
+
+
+@register("ann_recall_clustered", extra=True)  # rows-only: meta-eval
+def ann_recall_clustered(spark, sf_dir):
+    """Recall meta-report on a CLUSTERED corpus (data/synth.py mixture
+    generator — the regime real embedding corpora live in, unlike the
+    isotropic sf vectors that ann_recall_report honestly scores
+    0.2-0.4 on).  In-engine 4k-vector / 16-cluster corpus at medium
+    hardness (σ=0.5), 25 in-distribution queries, recall@5 of IVF at
+    the retuned nprobe=4 default vs nprobe=1, and SRP at the retuned
+    bits=6 — the driver-runnable twin of the full tools/ann_tune.py
+    sweep recorded in BASELINE.md r7."""
+    from graphraft_spark.data.synth import (
+        clustered_embeddings,
+        clustered_queries,
+    )
+    from graphraft_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_centroids_kmeans,
+        ivf_search,
+        srp_lsh_topk,
+    )
+
+    emb = clustered_embeddings(spark, 4000, dim=32, n_clusters=16,
+                               sigma=0.5).drop("cluster")
+    qs = clustered_queries(spark, 25, dim=32, n_clusters=16,
+                           sigma=0.5).drop("cluster")
+    gold = (brute_force_topk(emb, qs, k=5)
+            .select("qid", F.col("vec_id").alias("gold")))
+    cents = ivf_centroids_kmeans(emb, k=16, iters=4)
+    assigned = ivf_assign(emb, cents)
+    tiers = {
+        "ivf_nprobe1": ivf_search(assigned, cents, qs, k=5, nprobe=1),
+        "ivf_nprobe4_default": ivf_search(assigned, cents, qs, k=5,
+                                          nprobe=4),
+        "srp_bits6_default": srp_lsh_topk(emb, qs, k=5, dim=32, bits=6),
+    }
+    rows = []
+    n_q = 25
+    for name, got in tiers.items():
+        hits = got.select("qid", "vec_id").join(
+            gold, (got.qid == gold.qid)
+            & (got.vec_id == gold.gold)).count()
+        rows.append((name, round(hits / (5.0 * n_q), 4)))
+    return spark.createDataFrame(sorted(rows),
+                                 "tier string, recall_at_5 double")

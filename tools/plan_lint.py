@@ -84,6 +84,7 @@ EAGER = {
     "g_label_prop",
     "st_sig_maintenance", "st_funnel_maintenance", "st_graph_deltas",
     "st_graph_stream_update", "d_stream_neardup", "ann_recall_report",
+    "ann_recall_clustered",
 }
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
