@@ -563,3 +563,33 @@ def pca_project(vectors: DataFrame, mean: list, components: list,
             F.zip_with(centered, c, lambda x, w: x * w),
             F.lit(0.0), lambda acc, v: acc + v))
     return vectors.withColumn(out_col, F.array(*outs))
+
+
+def compact_ivf_index(spark, index_dir: str) -> None:
+    """Fold every ingested epoch of a saved IVF index back into epoch 0
+    — the maintenance twin of search/bm25.py:compact_text_index (many
+    small epoch directories slow partition discovery; compaction
+    restores one well-sized file set per centroid).
+
+    Vector rows are immutable (an epoch replay overwrites itself at
+    ingest), so compaction is a straight rewrite clustered by
+    centroid_id; the rewrite stages into a sibling directory and swaps
+    in with renames so a concurrent ivf_search_pruned never sees a
+    partial index.  Centroids are untouched — retraining is a separate
+    (offline) decision."""
+    import os
+    import shutil
+
+    staged = f"{index_dir}/.compact"
+    shutil.rmtree(staged, ignore_errors=True)
+    (spark.read.parquet(f"{index_dir}/vectors")
+     .withColumn("epoch", F.lit(0))
+     .repartition("centroid_id")
+     .write.partitionBy("centroid_id", "epoch").mode("overwrite")
+     .parquet(f"{staged}/vectors"))
+    old = f"{index_dir}/vectors.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(f"{index_dir}/vectors", old)
+    os.rename(f"{staged}/vectors", f"{index_dir}/vectors")
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staged, ignore_errors=True)

@@ -753,3 +753,38 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     out = {r["doc_id"]: r["dsir_weight"]
            for r in dsir_weights(raw, target).collect()}
     assert out[1] > out[2]
+
+
+def test_compact_ivf_index_preserves_search(spark, tmp_path):
+    """Compaction folds every ingested epoch into epoch 0: search
+    results must be byte-identical before and after, and the vectors
+    tree must hold ONLY epoch=0 directories afterwards."""
+    import glob
+
+    from graphraft_spark.ops.similarity import (
+        compact_ivf_index, ivf_centroids, ivf_index_append,
+        ivf_search_pruned, save_ivf_index, ivf_assign)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ivf_centroids(emb, every=50)
+    index_dir = str(tmp_path / "ivf")
+    save_ivf_index(ivf_assign(emb.filter(F.col("vec_id") % 3 == 0),
+                              cents), cents, index_dir)
+    ivf_index_append(emb.filter(F.col("vec_id") % 3 == 1), cents,
+                     index_dir, 1)
+    ivf_index_append(emb.filter(F.col("vec_id") % 3 == 2), cents,
+                     index_dir, 2)
+
+    queries = (emb.filter(F.col("vec_id") % 100 == 1)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("q_emb")))
+    before = {(r.qid, r.vec_id, r.rn) for r in ivf_search_pruned(
+        spark, index_dir, queries, k=5, nprobe=2).collect()}
+    assert len(before) > 0
+    compact_ivf_index(spark, index_dir)
+    after = {(r.qid, r.vec_id, r.rn) for r in ivf_search_pruned(
+        spark, index_dir, queries, k=5, nprobe=2).collect()}
+    assert after == before
+    epochs = {d.rsplit("epoch=", 1)[-1] for d in glob.glob(
+        f"{index_dir}/vectors/centroid_id=*/epoch=*")}
+    assert epochs == {"0"}
