@@ -1078,3 +1078,33 @@ def window_hash_positions_fast(text: Column, k: int) -> Column:
         wh, lambda h, i: F.struct((i + 1).alias("pos"), h.alias("wh")))
     return F.when(n >= k, F.slice(win, 1, F.greatest(n - (k - 1), F.lit(1)))) \
         .otherwise(F.array().cast("array<struct<pos:int,wh:bigint>>"))
+
+
+def lsh_bucket_profile(hashed: DataFrame, num_perm: int,
+                       bands: int) -> DataFrame:
+    """(bucket_size, n_buckets, n_pairs_uncapped): histogram of LSH
+    bucket sizes — the capacity-planning diagnostic behind
+    ``max_bucket_size`` (r7 scale soak, BASELINE.md: 50-sibling dup
+    groups sit UNDER a cap of 100, so within-bucket verification goes
+    quadratic in group size with no guard firing).  Run this before a
+    dedup campaign: pick the cap near the histogram's knee —
+    ``n_pairs_uncapped = n_buckets·C(size,2)`` shows where the
+    verification budget actually goes.
+
+    One banding scan + two tiny aggregates (buckets, then sizes); the
+    profile frame is O(distinct sizes)."""
+    rows = num_perm // bands
+    sig = hashed.select(
+        "id", signature_from_hashes(F.col("hs"), num_perm).alias("sig"))
+    banded = sig.select(
+        "id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    sizes = (banded.groupBy("band", "bucket")
+             .agg(F.count("*").alias("bucket_size")))
+    return (sizes.groupBy("bucket_size")
+            .agg(F.count("*").alias("n_buckets"))
+            .select("bucket_size", "n_buckets",
+                    (F.col("n_buckets") * F.col("bucket_size")
+                     * (F.col("bucket_size") - 1) / 2).cast("bigint")
+                    .alias("n_pairs_uncapped")))

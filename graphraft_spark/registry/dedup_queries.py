@@ -943,3 +943,29 @@ def e_entity_resolution(spark, sf_dir):
                   "comp")
             .join(sizes, "comp")
             .select("id", "comp", "canonical_name", "cluster_size"))
+
+
+@register(
+    "d_bucket_histogram", extra=True,
+    oracle=f"""
+WITH {_DOCS_NEAR_SQL.strip()},
+{_SIG_SQL.strip()},
+sizes AS (
+    SELECT band, bucket, COUNT(*) AS bucket_size
+    FROM banded GROUP BY band, bucket
+)
+SELECT bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(COUNT(*) * bucket_size * (bucket_size - 1) / 2 AS BIGINT)
+           AS n_pairs_uncapped
+FROM sizes GROUP BY bucket_size
+""")
+def d_bucket_histogram(spark, sf_dir):
+    """LSH bucket-size histogram (ops/dedup.py lsh_bucket_profile) —
+    the capacity-planning profile for max_bucket_size: where the
+    uncapped verification budget goes, by bucket size.  Named by the
+    r7 scale soak as the guard against dup-dense corpora."""
+    from graphraft_spark.ops.dedup import _h60, lsh_bucket_profile
+
+    hashed = _near_sh(spark, sf_dir).select(
+        "id", F.transform(F.col("sh"), _h60).alias("hs"))
+    return lsh_bucket_profile(hashed, num_perm=8, bands=4)
