@@ -1056,3 +1056,56 @@ def t_span_corruption(spark, sf_dir):
         F.md5(F.array_join("target_tokens", " ")).alias("target_md5"),
         "n_masked",
         n_sent.alias("n_sentinels"))
+
+
+@register(
+    "t_langid_margin", extra=True,
+    oracle=f"""
+WITH scores AS (
+    SELECT doc_id, lang,
+           list_sort([
+               {{'neg': -ROUND(CAST({_stop_sql('de')} AS DOUBLE)
+                               / len({_WORDS}), 9), 'lang': 'de'}},
+               {{'neg': -ROUND(CAST({_stop_sql('en')} AS DOUBLE)
+                               / len({_WORDS}), 9), 'lang': 'en'}},
+               {{'neg': -ROUND(CAST({_stop_sql('es')} AS DOUBLE)
+                               / len({_WORDS}), 9), 'lang': 'es'}},
+               {{'neg': -ROUND(CAST({_stop_sql('fr')} AS DOUBLE)
+                               / len({_WORDS}), 9), 'lang': 'fr'}}
+           ]) AS s
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN ROUND(-s[1].neg - -s[2].neg, 9) >= 0.02
+            THEN s[1].lang ELSE 'und' END AS predicted_lang,
+       ROUND(-s[1].neg - -s[2].neg, 6) AS margin
+FROM scores
+""")
+def t_langid_margin(spark, sf_dir):
+    """Language-ID with a confidence margin: top1−top2 stopword-ratio
+    gap; below 0.02 the document is labeled 'und' instead of a coin
+    flip — the abstain convention every production langid system
+    carries (fastText's threshold flag).  Same scan as t_langid."""
+    from graphraft_spark.ops.dedup import words as words_col
+    from graphraft_spark.ops.text_analysis import STOPWORDS
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = words_col(F.col("text"))
+    n = F.size(ws)
+    entries = []
+    for lang in sorted(STOPWORDS):
+        lex = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(ws, lambda w: F.array_contains(lex, w)))
+        score = F.round(
+            F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0)), 9)
+        entries.append(F.struct((-score).alias("neg"),
+                                F.lit(lang).alias("lang")))
+    s = F.array_sort(F.array(*entries))
+    top = -F.element_at(s, 1)["neg"]
+    second = -F.element_at(s, 2)["neg"]
+    margin = F.round(top - second, 9)
+    return d.select(
+        "doc_id",
+        F.when(margin >= 0.02, F.element_at(s, 1)["lang"])
+        .otherwise(F.lit("und")).alias("predicted_lang"),
+        F.round(top - second, 6).alias("margin"))
