@@ -502,13 +502,34 @@ def hamming(a: Column, b: Column, bits: int = 32) -> Column:
     )
 
 
+UNBUCKETED_NEARDUP_MAX_ROWS = 100_000
+
+
 def embedding_neardup(df: DataFrame, emb_col: str = "embedding",
                       id_col: str = "vec_id", bucket_col: str | None = None,
                       threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-dup pairs within coarse buckets (supply a
     cluster/label column; at scale, an IVF assignment).  Unit-norm
-    inputs ⇒ cosine = dot."""
+    inputs ⇒ cosine = dot.
+
+    Without ``bucket_col`` the pair join is all-pairs ``a.id < b.id``
+    — a cartesian product.  That path is gated to small frames
+    (≤ ``UNBUCKETED_NEARDUP_MAX_ROWS``); above the gate it raises
+    rather than silently planning an O(n²) join.  At scale pass a
+    cluster assignment (:func:`graphraft_spark.ops.similarity.ivf_assign`)
+    or use :func:`embedding_neardup_srp`, which needs no label column.
+    """
     from graphraft_spark.search.vector import dot_col
+
+    if bucket_col is None:
+        n = df.count()
+        if n > UNBUCKETED_NEARDUP_MAX_ROWS:
+            raise ValueError(
+                f"embedding_neardup without bucket_col is an all-pairs "
+                f"cartesian join; refusing on {n} rows "
+                f"(> {UNBUCKETED_NEARDUP_MAX_ROWS}).  Pass bucket_col "
+                f"(e.g. an ivf_assign centroid_id) or use "
+                f"embedding_neardup_srp for label-free blocking.")
 
     cols = [F.col(id_col).alias("id"), F.col(emb_col).alias("e")]
     if bucket_col:

@@ -488,6 +488,23 @@ def test_stream_neardup_equals_batch_lsh(spark, tmp_path):
     assert any(a < 10000 <= b for a, b in got)
 
 
+def test_embedding_neardup_unbucketed_gate(spark):
+    """bucket_col=None is the small-data escape hatch only: above the
+    row gate the all-pairs cartesian path must raise (r7 verdict —
+    the silent O(n²) footgun), and the error must point at the scale
+    alternatives."""
+    from graphraft_spark.ops import dedup as D
+
+    big = spark.range(D.UNBUCKETED_NEARDUP_MAX_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="bucket_col|srp"):
+        D.embedding_neardup(big)
+    # bucketed path is NOT gated — same frame with a bucket plans fine
+    D.embedding_neardup(big.withColumn("bk", F.col("vec_id") % 64),
+                        bucket_col="bk").explain()
+
+
 def test_embedding_neardup_srp_blocking(spark):
     """SRP-bucketed embedding near-dup: exact-duplicate vectors are
     always recovered (identical signature), verified pairs carry exact
