@@ -84,6 +84,19 @@ PRIORITY = [
     # st_sliding_agg (covered by st_tumbling_agg), e_embedding_join.
     "p_pipeline_bulk", "s_bm25_indexed", "d_semantic_dedup",
     "r_token_budget_exact", "t_bigram_lm_score",
+    # round-8 rotation wave (r7 verdict item 1): the round-7 flagship
+    # extras move under driver grading — PassJoin fuzzy entity match,
+    # its end-to-end ER composition, C4 line cleaning, streaming CMS
+    # maintenance, and deterministic label propagation.  Slots from
+    # d_simhash + d_components (dedup family keeps 5 green rows;
+    # components stays exercised inside d_semantic_dedup and the LSH
+    # repair path), q_rollup_status_priority (OLAP keeps
+    # q_pricing_summary), st_sessionize_batch (streaming keeps
+    # tumbling + graph-deltas + the incoming CMS line), and
+    # ann_srp_lsh_topk (ANN keeps ivf + bruteforce; SRP stays under
+    # pytest recall tests and bench).
+    "s_fuzzy_entity_match", "e_entity_resolution", "t_c4_clean",
+    "st_cms_maintenance", "g_label_prop",
     # remaining graph pattern coverage
     "g_supervised_enum", "g_enum_all_pruned",
     "g_pattern_exec_2hop", "g_ingest_validate", "g_ingest_normalize",
@@ -95,26 +108,21 @@ PRIORITY = [
     "f_sft_llm1", "e_rank_sample", "e_repair_head",
     # metrics
     "m_retrieval_eval",
-    # dedup (d_span_dedup promoted from extra in round 5 — the
-    # exact-substring flagship; slot from e_map_filter_rename)
-    "d_exact_dedup", "d_simhash", "d_embedding_neardup", "d_components",
-    "d_span_dedup",
-    # similarity
-    "ann_bruteforce_topk", "ann_srp_lsh_topk",
+    # dedup (d_span_dedup promoted from extra in round 5; d_simhash and
+    # d_components demoted in round 8's rotation wave)
+    "d_exact_dedup", "d_embedding_neardup", "d_span_dedup",
+    # similarity (ann_srp_lsh_topk demoted round 8)
+    "ann_bruteforce_topk",
     # text analysis
     "t_token_counts", "t_quality_features", "t_langid",
-    # streaming
-    "st_sessionize_batch", "st_graph_deltas",
+    # streaming (st_sessionize_batch demoted round 8)
+    "st_graph_deltas",
     # temporal
     "tm_interval_join",
     # multimodal (real content-checked PNG decode; frame sampling is extra)
     "mm_png_feature",
     # llm surface
     "f_llm1_prompt", "f_node_formatter", "f_generate_answers",
-    # OLAP classics (q_top_revenue demoted to extra r4 — its
-    # join+top-n shape stays covered by q_pricing_summary/s_knn_topk;
-    # slot reused to broaden the streaming family)
-    "q_rollup_status_priority",
 ]
 
 

@@ -235,7 +235,7 @@ def d_minhash_lsh_fast(spark, sf_dir):
 
 
 @register(
-    "d_simhash",
+    "d_simhash", extra=True,
     oracle=f"""
 WITH {_DOCS_DUP_SQL.strip()},
 tok AS (
@@ -344,7 +344,7 @@ def d_minhash_lsh_scaled(spark, sf_dir):
 
 
 @register(
-    "d_components",
+    "d_components", extra=True,
     oracle=f"""
 WITH RECURSIVE {_DOCS_NEAR_SQL.strip().lstrip()},
 sh AS (
@@ -864,7 +864,7 @@ def d_ngram_containment(spark, sf_dir):
 
 
 @register(
-    "e_entity_resolution", extra=True,
+    "e_entity_resolution",
     oracle="""
 WITH RECURSIVE recs AS (
     SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name

@@ -859,7 +859,7 @@ l{r} AS (
 
 
 @register(
-    "g_label_prop", extra=True,
+    "g_label_prop",
     oracle=GRAPH_ORACLE_CTE
     + ", l0 AS (SELECT nodeId, nodeId AS label FROM nodes)"
     + "".join(_lpa_round_sql(r) for r in (1, 2, 3))

@@ -382,7 +382,7 @@ def s_hybrid_rrf(spark, sf_dir):
 
 
 @register(
-    "s_fuzzy_entity_match", extra=True,
+    "s_fuzzy_entity_match",
     oracle="""
 WITH ents AS (
     SELECT CAST(c_custkey AS BIGINT) AS qid,

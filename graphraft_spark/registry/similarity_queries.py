@@ -292,7 +292,7 @@ FROM (
 """
 
 
-@register("ann_srp_lsh_topk", oracle=_srp_oracle())
+@register("ann_srp_lsh_topk", oracle=_srp_oracle(), extra=True)
 def ann_srp_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (signed random projections): data-independent
     scale path beside IVF — corpus hashed into 256 buckets, 1-bit

@@ -112,7 +112,7 @@ def st_stream_tumbling(spark, sf_dir):
 
 
 @register(
-    "st_sessionize_batch",
+    "st_sessionize_batch", extra=True,
     oracle="""
 WITH ordered AS (
     SELECT user_id, event_id, ts, value,
@@ -430,7 +430,7 @@ def st_funnel_maintenance(spark, sf_dir):
 
 
 @register(
-    "st_cms_maintenance", extra=True,
+    "st_cms_maintenance",
     oracle="""
 WITH w AS (
     SELECT event_type AS v FROM events WHERE event_type IS NOT NULL

@@ -786,7 +786,7 @@ def t_ppl_band(spark, sf_dir):
 
 
 @register(
-    "t_c4_clean", extra=True,
+    "t_c4_clean",
     oracle="""
 WITH lined AS (
     SELECT doc_id,

@@ -200,7 +200,7 @@ def q_running_customer_spend(spark, sf_dir):
 
 
 @register(
-    "q_rollup_status_priority",
+    "q_rollup_status_priority", extra=True,
     oracle="""
 SELECT COALESCE(o_orderstatus, '<all>') AS status,
        COALESCE(o_orderpriority, '<all>') AS priority,
