@@ -41,13 +41,18 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     than ``n`` words contribute their whole-text gram (matching the
     shingle semantics), so an exact copy of a short benchmark doc still
     flags."""
+    from graphraft_spark.data.partitioning import fanout_repartition
+
     bench_grams = (
         benchmark
         .select(F.explode(_gram_col(
             F.col(bench_text_col or text_col), n, hashed)).alias("g"))
         .distinct()
     )
-    doc_grams = docs.select(
+    # the gram build is per-row-expensive (k-1 interpreted zip_with
+    # passes); a single-row-group corpus file must not pin it to one
+    # core — no-op on a properly partitioned big scan
+    doc_grams = fanout_repartition(docs).select(
         F.col(id_col),
         F.explode(_gram_col(F.col(text_col), n, hashed)).alias("g"))
     hits = (

@@ -291,17 +291,13 @@ def s_bm25_topk(spark, sf_dir):
     return bm25_topk(d, _BM25_TERMS, k=20)
 
 
-@register("s_bm25_indexed", oracle=_BM25_ORACLE)  # promoted r7: persisted-postings probe
-def s_bm25_indexed(spark, sf_dir):
-    """BM25 through the persisted inverted index: the query reads ONLY
-    the postings partitions its terms hash to (partition pruning —
-    same owned-artifact pattern as the IVF vector index).  Must emit
-    exactly what the direct-scan s_bm25_topk (and its oracle) emit."""
+def _bm25_index_dir(spark, sf_dir) -> str:
+    """Build (or reuse) the persisted inverted index for this sf_dir's
+    documents table; self-invalidates on source size/mtime change."""
     import os
     import shutil
 
-    from graphraft_spark.search.bm25 import (bm25_query_indexed,
-                                             build_text_index)
+    from graphraft_spark.search.bm25 import build_text_index
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -321,7 +317,19 @@ def s_bm25_indexed(spark, sf_dir):
         os.makedirs(index_dir, exist_ok=True)
         with open(marker, "w") as fh:
             fh.write(want + "\n")
-    return bm25_query_indexed(spark, index_dir, _BM25_TERMS, k=20)
+    return index_dir
+
+
+@register("s_bm25_indexed", oracle=_BM25_ORACLE)  # promoted r7: persisted-postings probe
+def s_bm25_indexed(spark, sf_dir):
+    """BM25 through the persisted inverted index: the query reads ONLY
+    the postings partitions its terms hash to (partition pruning —
+    same owned-artifact pattern as the IVF vector index).  Must emit
+    exactly what the direct-scan s_bm25_topk (and its oracle) emit."""
+    from graphraft_spark.search.bm25 import bm25_query_indexed
+
+    return bm25_query_indexed(spark, _bm25_index_dir(spark, sf_dir),
+                              _BM25_TERMS, k=20)
 
 
 _RRF_K = 60
@@ -365,13 +373,17 @@ def s_hybrid_rrf(spark, sf_dir):
     KNN top-20 over embeddings by Reciprocal Rank Fusion (the standard
     uncalibrated fusion).  Each ranker's heavy work is its own bounded
     top-k plan; fusion is a union of two 20-row frames + one tiny
-    aggregate."""
-    from graphraft_spark.search.bm25 import bm25_topk
+    aggregate.  The lexical ranker probes the persisted inverted index
+    (partition-pruned, soaked FLAT at x50) rather than re-scanning the
+    corpus — the serving shape a hybrid stack runs at 100 TB; its
+    output is exactly the direct scan's (same oracle anchors both)."""
+    from graphraft_spark.search.bm25 import bm25_query_indexed
     from graphraft_spark.search.hybrid import rrf_fuse, with_rank
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    lex = with_rank(bm25_topk(d, _BM25_TERMS, k=20),
-                    [F.desc("bm25"), F.asc("doc_id")], "doc_id")
+    lex = with_rank(
+        bm25_query_indexed(spark, _bm25_index_dir(spark, sf_dir),
+                           _BM25_TERMS, k=20),
+        [F.desc("bm25"), F.asc("doc_id")], "doc_id")
     knn = (_scored(spark, sf_dir)
            .orderBy(F.desc("similarity"), F.asc("vec_id"))
            .limit(20)

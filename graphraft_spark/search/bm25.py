@@ -57,7 +57,12 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
         # treat the second parameter as the element index
         return F.size(F.filter(w, lambda x: x == F.lit(term)))
 
-    proj = docs.select(
+    from graphraft_spark.data.partitioning import fanout_repartition
+
+    # per-term `filter(words, ...)` scans are interpreted per element;
+    # spread a single-row-group corpus file across cores first (no-op
+    # on a properly partitioned big scan)
+    proj = fanout_repartition(docs).select(
         F.col(id_col),
         F.size(w).alias("dl"),
         *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(query_terms)],
