@@ -131,7 +131,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 16,
                            bands: int = 4, k: int = 3,
                            hash_fn=None,
-                           max_bucket_size: int | None = None) -> DataFrame:
+                           max_bucket_size: int | str | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b): docs sharing ≥1 LSH band
     bucket.  Explode bands → shuffle by (band, bucket) → within-bucket
     self-join — pairwise cost bounded by bucket sizes, never all-pairs."""
@@ -144,7 +144,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 
 def candidates_from_hashes(hashed: DataFrame, num_perm: int, bands: int,
-                           max_bucket_size: int | None = None,
+                           max_bucket_size: int | str | None = None,
                            return_capped: bool = False,
                            scope: list | None = None):
     """LSH candidate pairs from a pre-hashed-shingle frame (id, hs).
@@ -202,11 +202,80 @@ class LshIndex(NamedTuple):
     frames: tuple              # persisted frames backing the index
 
 
+def lsh_tune(threshold: float, num_perm: int) -> tuple[int, int]:
+    """Pick (bands, rows) for a target Jaccard threshold: among the
+    divisor splits ``bands × rows = num_perm``, choose the one whose
+    S-curve midpoint ``(1/bands)^(1/rows)`` — the similarity at which
+    collision probability ``1-(1-s^rows)^bands`` crosses ~50% — lands
+    closest to ``threshold`` (Leskovec, Rajaraman & Ullman, MMDS ch.3).
+
+    Driver-side pure function; pair with :func:`adaptive_bucket_cap`
+    (work budget) to plan a dedup campaign: ``lsh_tune`` sets the
+    recall/precision knee, the cap bounds the verification bill."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best = None
+    for bands in range(1, num_perm + 1):
+        if num_perm % bands:
+            continue
+        rows = num_perm // bands
+        mid = (1.0 / bands) ** (1.0 / rows)
+        cand = (abs(mid - threshold), bands, rows)
+        if best is None or cand < best:
+            best = cand
+    return best[1], best[2]
+
+
+def adaptive_bucket_cap(hist: dict[int, int], bands: int,
+                        pairs_per_doc: float = 32.0) -> int:
+    """Derive ``max_bucket_size`` from a bucket-size histogram
+    (``{bucket_size: n_buckets}``) — the opt-in policy closing the r7
+    scale-soak finding that dup-group DENSITY is the one quadratic axis
+    the static cap can miss (groups under the cap still verify C(G,2)
+    pairs each).
+
+    Policy: the LARGEST cap whose total candidate work fits the budget
+    ``pairs_per_doc × n_docs``, where a bucket of size s costs C(s,2)
+    pairs if s ≤ cap and (s-1) star edges otherwise, and n_docs is
+    recovered from the histogram (Σ s·n = docs × bands).  Work is
+    monotone in the cap, so this is one cumulative scan over the
+    (tiny, O(distinct sizes)) histogram.  Floor cap 1 = everything
+    starred = linear work, always within reach; when even the full
+    uncapped work fits, the returned cap equals the max observed size
+    and nothing is capped.  Pair with ``repair_capped=True`` to keep
+    verified clusters exact regardless of how aggressive the derived
+    cap is."""
+    if not hist:
+        return 1
+    memberships = sum(s * n for s, n in hist.items())
+    budget = pairs_per_doc * memberships / bands
+    sizes = sorted(hist)
+
+    def work(cap: int) -> float:
+        return sum(n * (s * (s - 1) // 2 if s <= cap else s - 1)
+                   for s, n in hist.items())
+
+    best = 1
+    for cap in sizes:
+        if work(cap) <= budget:
+            best = cap
+        else:
+            break
+    return best
+
+
 def build_lsh_index(hashed: DataFrame, num_perm: int, bands: int,
-                    max_bucket_size: int | None = None) -> LshIndex:
+                    max_bucket_size: int | str | None = None,
+                    pairs_per_doc: float = 32.0) -> LshIndex:
     """Compute signatures + banding for ``hashed`` = (id, hs) and persist
     the result (eagerly).  The caller owns the returned frames: hold the
-    index for reuse, or unpersist ``frames`` when done."""
+    index for reuse, or unpersist ``frames`` when done.
+
+    ``max_bucket_size="auto"`` derives the cap from the corpus itself:
+    one extra aggregate over the banded table builds the bucket-size
+    histogram (the same profile ``lsh_bucket_profile`` reports) and
+    :func:`adaptive_bucket_cap` picks the largest cap whose candidate
+    work fits ``pairs_per_doc × n_docs``."""
     rows = num_perm // bands
     sig = hashed.select(
         "id", signature_from_hashes(F.col("hs"), num_perm).alias("sig"))
@@ -216,6 +285,19 @@ def build_lsh_index(hashed: DataFrame, num_perm: int, bands: int,
         "id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+    auto_frames: tuple = ()
+    if max_bucket_size == "auto":
+        banded = banded.persist()
+        banded.count()  # eager: histogram + tagged window both scan this
+        auto_frames = (banded,)
+        hist = {
+            r["s"]: r["n"]
+            for r in (banded.groupBy("band", "bucket")
+                      .agg(F.count("*").alias("s"))
+                      .groupBy("s").agg(F.count("*").alias("n"))
+                      .collect())
+        }
+        max_bucket_size = adaptive_bucket_cap(hist, bands, pairs_per_doc)
     if max_bucket_size is not None:
         # one window shuffle tags size+root per bucket (no stats join);
         # the persisted tagged frame feeds star edges AND both join sides
@@ -232,7 +314,7 @@ def build_lsh_index(hashed: DataFrame, num_perm: int, bands: int,
                         F.col("id").alias("id_b")))
         kept = tagged.filter(F.col("bsz") <= max_bucket_size) \
             .select("id", "band", "bucket")
-        return LshIndex(kept, capped, star, (tagged,))
+        return LshIndex(kept, capped, star, auto_frames + (tagged,))
     banded = banded.persist()
     banded.count()  # eager: both self-join sides scan this
     capped = banded.limit(0).withColumn("root", F.col("id")) \
@@ -258,7 +340,7 @@ def candidates_from_index(ix: LshIndex) -> DataFrame:
 
 def _lsh_verified_pairs(hashed: DataFrame, arrs: DataFrame, num_perm: int,
                         bands: int, threshold: float,
-                        max_bucket_size: int | None,
+                        max_bucket_size: int | str | None,
                         repair_capped: bool = False,
                         cleanup: list | None = None,
                         index: LshIndex | None = None) -> DataFrame:
@@ -363,7 +445,7 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 16,
                       bands: int = 4, k: int = 3,
                       threshold: float = 0.7, hash_fn=None,
-                      max_bucket_size: int | None = None,
+                      max_bucket_size: int | str | None = None,
                       repair_capped: bool = False,
                       eager_cleanup: bool = False) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
@@ -387,7 +469,7 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
 def minhash_lsh_dedup_shingled(sh: DataFrame, num_perm: int = 16,
                                bands: int = 4, threshold: float = 0.7,
                                hash_fn=None,
-                               max_bucket_size: int | None = None,
+                               max_bucket_size: int | str | None = None,
                                repair_capped: bool = False,
                                eager_cleanup: bool = False,
                                index: LshIndex | None = None,
@@ -434,7 +516,7 @@ def minhash_lsh_dedup_fast(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 16,
                            bands: int = 4, k: int = 3,
                            threshold: float = 0.7,
-                           max_bucket_size: int | None = None,
+                           max_bucket_size: int | str | None = None,
                            repair_capped: bool = False,
                            eager_cleanup: bool = False) -> DataFrame:
     """minhash_lsh_dedup on the all-numeric fast path: hashed_shingles
@@ -451,7 +533,7 @@ def minhash_lsh_dedup_fast(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_dedup_hashed(hs: DataFrame, num_perm: int = 16,
                              bands: int = 4, threshold: float = 0.7,
-                             max_bucket_size: int | None = None,
+                             max_bucket_size: int | str | None = None,
                              repair_capped: bool = False,
                              eager_cleanup: bool = False,
                              index: LshIndex | None = None) -> DataFrame:
@@ -1129,3 +1211,26 @@ def lsh_bucket_profile(hashed: DataFrame, num_perm: int,
                     (F.col("n_buckets") * F.col("bucket_size")
                      * (F.col("bucket_size") - 1) / 2).cast("bigint")
                     .alias("n_pairs_uncapped")))
+
+
+def keep_best_in_components(items: DataFrame, pairs: DataFrame,
+                            score_col: str,
+                            id_col: str = "id") -> DataFrame:
+    """Representative selection over near-dup clusters: given an item
+    frame and its near-dup pair edges (id_a, id_b), cluster by
+    connected components and keep the BEST-scoring member per cluster
+    (ties → min id) — what production dedup actually ships: the
+    highest-quality copy survives, not an arbitrary/min-id one
+    (cf. keep='far_from_centroid' in :func:`semantic_dedup`, the same
+    idea for the semantic family).
+
+    Adds (comp, is_kept); singletons are their own component and always
+    kept.  The pick is one window over components — partition size =
+    cluster size, bounded by the dedup cap upstream."""
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    out = (items.join(comps.select(F.col("id").alias(id_col), "comp"),
+                      id_col, "left")
+           .withColumn("comp", F.coalesce("comp", F.col(id_col))))
+    w = Window.partitionBy("comp").orderBy(F.desc(score_col),
+                                           F.asc(id_col))
+    return out.withColumn("is_kept", F.row_number().over(w) == 1)

@@ -149,6 +149,28 @@ def main() -> None:
 
         timed("minhash_lsh", n, lsh_run)
 
+    # Dup-DENSE minhash (r7 verdict item 4): the suffix-replication
+    # density axis — duplicate-group size grows with n, the case whose
+    # uncapped ×50 run exceeded 10 min and was abandoned in r7.  The
+    # adaptive cap (max_bucket_size="auto") derives the bucket cap from
+    # the corpus's own bucket histogram and star-caps the sibling
+    # groups; repair_capped keeps verified clusters exact (policy test:
+    # tests/test_adaptive_cap.py, components == uncapped run).
+    for n in (FACTORS if want("minhash_dense") else ()):
+        docs = _mat(_docs_times(spark, sf_dir, n),
+                    f"{SCRATCH}/docs_dense_x{n}")
+        docs = spark.read.parquet(docs)
+        hs_d = docs.select(F.col("doc_id").alias("id"),
+                           hashed_shingles(F.col("text"), 3).alias("hs"))
+
+        def dense_run(hs=hs_d):
+            _noop(minhash_lsh_dedup_hashed(
+                hs, num_perm=12, bands=4, threshold=0.5,
+                max_bucket_size="auto", repair_capped=True,
+                eager_cleanup=True))
+
+        timed("minhash_dense_auto", n, dense_run)
+
     # Exact-substring span dedup, rolling hash at Lee et al.'s k=50
     from graphraft_spark.ops.dedup import duplicate_spans
     for n in (FACTORS if want("span_dedup_k50") else ()):
@@ -162,24 +184,47 @@ def main() -> None:
     from graphraft_spark.patterns.enumerate import enumerate_pattern
     from graphraft_spark.registry.graph_queries import ANCHORS
 
-    for n in (FACTORS if want("g_twohop_enum") else ()):
+    def _graph_x(n):
+        """Materialize (once) and load the ×n disjoint-id graph copy."""
         gdir = f"{SCRATCH}/graph_x{n}"
-        idx = spark.range(n).select(F.col("id").alias("copy"))
-        off_n = (F.col("copy") * F.lit(100_000_000_000)).cast("bigint")
-        off_e = (F.col("copy") * F.lit(100_000_000_000_000)).cast("bigint")
-        _mat(base.nodes.crossJoin(idx).select(
-            (F.col("nodeId") + off_n).alias("nodeId"), "label", "name",
-            "detail"), f"{gdir}/nodes")
-        _mat(base.edges.crossJoin(idx).select(
-            (F.col("edgeId") + off_e).alias("edgeId"),
-            (F.col("src") + off_n).alias("src"),
-            (F.col("dst") + off_n).alias("dst"), "relType"),
-            f"{gdir}/edges")
-        g = PropertyGraph(
+        if not os.path.exists(f"{gdir}/edges/_SUCCESS"):
+            idx = spark.range(n).select(F.col("id").alias("copy"))
+            off_n = (F.col("copy") * F.lit(100_000_000_000)).cast("bigint")
+            off_e = (F.col("copy")
+                     * F.lit(100_000_000_000_000)).cast("bigint")
+            _mat(base.nodes.crossJoin(idx).select(
+                (F.col("nodeId") + off_n).alias("nodeId"), "label", "name",
+                "detail"), f"{gdir}/nodes")
+            _mat(base.edges.crossJoin(idx).select(
+                (F.col("edgeId") + off_e).alias("edgeId"),
+                (F.col("src") + off_n).alias("src"),
+                (F.col("dst") + off_n).alias("dst"), "relType"),
+                f"{gdir}/edges")
+        return PropertyGraph(
             nodes=spark.read.parquet(f"{gdir}/nodes"),
             edges=spark.read.parquet(f"{gdir}/edges"))
+
+    for n in (FACTORS if want("g_twohop_enum") else ()):
+        g = _graph_x(n)
         timed("g_twohop_enum", n,
               lambda g=g: _noop(enumerate_pattern(g, "2hop", ANCHORS)))
+
+    # Approx-enumeration twin (r7 verdict item 5): the exact path's
+    # ~10% growth term is the distinct exchange carrying every
+    # (signature, target) pair; approx_rsd swaps it for fixed-size
+    # HLL++ partials merged map-side.  Same graph ×N, same batch API
+    # exact-vs-approx so the delta IS the distinct-exchange term.
+    from graphraft_spark.patterns.enumerate import enumerate_paths_batch
+    for n in (FACTORS if want("g_twohop_batch") else ()):
+        g = _graph_x(n)
+        anchors = spark.createDataFrame(
+            [(i, a) for i, a in enumerate(ANCHORS)], "qid int, name string")
+        timed("g_twohop_batch_exact", n,
+              lambda g=g, a=anchors: _noop(enumerate_paths_batch(
+                  g, a, patterns=("2hop",))))
+        timed("g_twohop_batch_approx", n,
+              lambda g=g, a=anchors: _noop(enumerate_paths_batch(
+                  g, a, patterns=("2hop",), approx_rsd=0.05)))
 
     # ---- pipeline ×N questions over the base graph ----
     from graphraft_spark.llm import EchoGenerator, LexicographicRanker
