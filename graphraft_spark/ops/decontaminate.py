@@ -88,3 +88,50 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     # template can flag a large corpus fraction, and the planner should
     # be free to shuffle the anti-join in that case
     return docs.join(dirty, id_col, "left_anti")
+
+
+def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str | None = None,
+                        hashed: bool = False, num_bits: int = 65_536,
+                        k: int = 4) -> DataFrame:
+    """:func:`contamination_flags` with a Bloom PREFILTER — same exact
+    output (same oracle), different 100 TB constant factor.
+
+    The broadcast in ``contamination_flags`` ships the benchmark's raw
+    distinct gram strings to every executor; at a few million grams
+    that broadcast is hundreds of MB.  Here executors receive a FIXED
+    ``num_bits/64``-word bitmap instead: corpus grams stream through
+    the bloom probe (no false negatives), and only the tiny
+    ``maybe_present`` survivor stream pays the exact semi-join against
+    the real gram set — false positives die there, so the result is
+    exactly ``contamination_flags``'s.
+    """
+    from graphraft_spark.data.partitioning import fanout_repartition
+    from graphraft_spark.ops.sketches import bloom_build, bloom_probe
+
+    gcol = bench_text_col or text_col
+    bench_grams = (benchmark
+                   .select(F.explode(_gram_col(F.col(gcol), n, hashed))
+                           .alias("g"))
+                   .distinct())
+    bloom = bloom_build(bench_grams, "g", num_bits, k)
+    doc_grams = fanout_repartition(docs).select(
+        F.col(id_col),
+        F.explode(_gram_col(F.col(text_col), n, hashed)).alias("g"))
+    maybe = (bloom_probe(bloom, doc_grams.select("g").distinct(), "g",
+                         num_bits, k)
+             .filter(F.col("maybe_present"))
+             .select(F.col("item").alias("g")))
+    # exact verify: survivors (tiny after the bloom) against the real
+    # gram set; false positives are eliminated here
+    survivors = maybe.join(bench_grams, "g", "left_semi")
+    hits = (doc_grams.join(F.broadcast(survivors), "g")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hits")))
+    return (docs.select(id_col)
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                    .alias("contaminated")))

@@ -105,3 +105,70 @@ def cms_probe(cms: DataFrame, items: DataFrame, col: str,
             .groupBy("item")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("est_count")))
+
+
+def _bloom_pos(col: Column, probe: Column, num_bits: int) -> Column:
+    """Engine-portable bit position for hash-probe ``probe``: same
+    md5-prefix arithmetic as :func:`_cms_hash`, so DuckDB replays it as
+    ``('0x' || substr(md5(p || ':' || v), 1, 15))::BIGINT % num_bits``."""
+    return F.conv(F.substring(
+        F.md5(F.concat(probe.cast("string"), F.lit(":"),
+                       col.cast("string"))), 1, 15),
+        16, 10).cast("bigint") % num_bits
+
+
+def bloom_build(df: DataFrame, col: str, num_bits: int = 65_536,
+                k: int = 4) -> DataFrame:
+    """Bloom filter of a column's value set: a (word, bits) table of at
+    most ``num_bits/64`` BIGINT words — fixed size no matter how many
+    values went in, the broadcastable membership summary a 100 TB
+    decontamination pass ships to every executor instead of the raw
+    gram strings.
+
+    Portable like the CMS (md5 bit positions, two's-complement 64-bit
+    words — identical in DuckDB), so build→probe is oracle-checkable.
+    Merge = bitwise-OR on word (:func:`bloom_merge`), which is also the
+    map-side partial Spark applies here: the shuffle carries at most
+    ``num_bits/64`` rows per mapper.  Standard sizing: fp-rate ≈
+    ``(1 - e^{-k·n/m})^k`` — at the defaults, ~1e-4 for n ≈ 4k values.
+    """
+    rows = df.select(
+        F.col(col).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("probe"))
+    pos = _bloom_pos(F.col("_v"), F.col("probe"), num_bits)
+    return (rows
+            .select((pos / 64).cast("bigint").alias("word"),
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("bigint"),
+                        (pos % 64).cast("int")).alias("mask"))
+            .groupBy("word").agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two filters built with the same (num_bits, k)."""
+    return (a.unionByName(b)
+            .groupBy("word").agg(F.bit_or("bits").alias("bits")))
+
+
+def bloom_probe(bloom: DataFrame, items: DataFrame, col: str,
+                num_bits: int = 65_536, k: int = 4) -> DataFrame:
+    """(item, maybe_present): present iff ALL k probe bits are set.
+    NO false negatives ever; false positives at the sizing rate — so a
+    ``maybe_present`` stream must be exact-verified downstream when
+    exactness matters (see :func:`graphraft_spark.ops.decontaminate.
+    bloom_decontaminate`).  The filter side is ≤ num_bits/64 rows —
+    always the broadcast side."""
+    probes = items.select(
+        F.col(col).alias("item"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("probe"))
+    pos = _bloom_pos(F.col("item"), F.col("probe"), num_bits)
+    probes = probes.select(
+        "item", (pos / 64).cast("bigint").alias("word"),
+        F.call_function("shiftleft", F.lit(1).cast("bigint"),
+                        (pos % 64).cast("int")).alias("mask"))
+    return (probes.join(F.broadcast(bloom), "word", "left")
+            .groupBy("item")
+            .agg((F.count(F.when(
+                F.coalesce(F.col("bits"), F.lit(0))
+                .bitwiseAND(F.col("mask")) != 0, 1)) == F.lit(k))
+                .alias("maybe_present")))
