@@ -356,3 +356,198 @@ def label_propagation(nodes: DataFrame, edges: DataFrame,
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3,
+         checkpoint_every: int = 2) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the directed graph
+    (nodes: nodeId; edges: src, dst).  Returns (nodeId, hub, authority),
+    each vector L1-normalized per iteration (sum = 1) so scores are
+    engine-portable fractions — an unrolled-SQL oracle reproduces them
+    exactly at small n_iter.
+
+    Per round: authority ← Σ hub over in-edges, hub ← Σ authority over
+    out-edges — two keyed join+aggregate shuffles over the edge list,
+    the same plan shape as :func:`pagerank` (edges persisted once and
+    reused; normalization totals stay LAZY 1-row broadcast aggregates,
+    never a per-round driver action).  Fixed iteration budget, same
+    rationale as pagerank's."""
+    n_nodes = nodes.select("nodeId").distinct().persist()
+    n_nodes.count()
+    e = edges.select("src", "dst").persist()
+    e.count()
+    scores = n_nodes.select("nodeId", F.lit(1.0).alias("hub"),
+                            F.lit(1.0).alias("authority"))
+    for i in range(n_iter):
+        auth = (e.join(scores.select(F.col("nodeId").alias("src"), "hub"),
+                       "src")
+                .groupBy(F.col("dst").alias("nodeId"))
+                .agg(F.sum("hub").alias("a_raw")))
+        scores = (n_nodes.join(auth, "nodeId", "left")
+                  .select("nodeId",
+                          F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")))
+        a_tot = scores.agg(F.sum("a_raw").alias("t"))
+        scores = (scores.crossJoin(F.broadcast(a_tot))
+                  .select("nodeId",
+                          (F.col("a_raw") / F.col("t")).alias("authority")))
+        hub = (e.join(scores.select(F.col("nodeId").alias("dst"),
+                                    "authority"), "dst")
+               .groupBy(F.col("src").alias("nodeId"))
+               .agg(F.sum("authority").alias("h_raw")))
+        scores = (n_nodes.join(hub, "nodeId", "left")
+                  .join(scores, "nodeId", "left")
+                  .select("nodeId", "authority",
+                          F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")))
+        h_tot = scores.agg(F.sum("h_raw").alias("t"))
+        scores = (scores.crossJoin(F.broadcast(h_tot))
+                  .select("nodeId",
+                          (F.col("h_raw") / F.col("t")).alias("hub"),
+                          "authority"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            # truncate lineage like connected_components: Catalyst
+            # re-analysis otherwise grows per-round on the join tree
+            scores = scores.localCheckpoint(eager=True)
+    return scores.select("nodeId", F.round("hub", 9).alias("hub"),
+                         F.round("authority", 9).alias("authority"))
+
+
+def bipartite_project(edges: DataFrame, left: str = "src",
+                      right: str = "dst", min_count: int = 1,
+                      max_degree: int | None = None) -> DataFrame:
+    """Project a bipartite edge list onto its ``left`` side: weighted
+    co-occurrence pairs (a, b, weight) where weight = number of shared
+    ``right`` neighbors — the market-basket / co-citation / co-view
+    graph builder (items co-ordered, papers co-cited, docs sharing
+    terms).
+
+    Scale shape: dedup membership, then a self-join keyed on the
+    ``right`` node — per-neighbor work is C(deg, 2), so hub neighbors
+    are the quadratic axis (a 'the' term, a mega-order).  ``max_degree``
+    drops right-nodes above the cap BEFORE the join (one aggregate +
+    semi-join), the same star-cap recall trade the LSH bucket cap
+    documents: hubs contribute the least co-occurrence signal per pair
+    and all of the blowup.  Pairs are emitted once (a < b); map-side
+    combine applies to the final count."""
+    m = edges.select(F.col(left).alias("l"),
+                     F.col(right).alias("r")).distinct()
+    if max_degree is not None:
+        ok = (m.groupBy("r").agg(F.count("*").alias("d"))
+              .filter(F.col("d") <= max_degree).select("r"))
+        m = m.join(ok, "r", "left_semi")
+    a, b = m.alias("a"), m.alias("b")
+    return (a.join(b, (F.col("a.r") == F.col("b.r"))
+                   & (F.col("a.l") < F.col("b.l")))
+            .groupBy(F.col("a.l").alias("a"), F.col("b.l").alias("b"))
+            .agg(F.count("*").alias("weight"))
+            .filter(F.col("weight") >= min_count))
+
+
+def strongly_connected_components(nodes: DataFrame, edges: DataFrame,
+                                  max_peel: int = 25,
+                                  max_prop: int = 40) -> DataFrame:
+    """Strongly connected components of a directed graph (nodes: id;
+    edges: src, dst) — the coloring algorithm (Orzan 2004 / FB-Trim):
+
+    per peel round, (1) TRIM nodes with no in- or no out-edge among the
+    remaining graph (singleton SCCs, removed to fixpoint — kills DAG
+    tails without touching the expensive phases), (2) COLOR: propagate
+    min id along FORWARD edges to fixpoint, so color(v) = min id that
+    reaches v and every SCC is monochrome, (3) for every color ROOT
+    (color(v) == v), collect the BACKWARD-reachable set within its own
+    color class — exactly the root's SCC — emit and remove.  All color
+    classes peel in parallel, so rounds ≈ O(#SCCs on the longest
+    inter-SCC chain), not O(#SCCs).
+
+    Every phase is join+aggregate over the edge list (pagerank plan
+    shape); frontier/label frames are localCheckpoint-truncated like
+    :func:`graphraft_spark.ops.dedup.connected_components` and the
+    edge list is re-checkpointed per peel so later rounds scan the
+    SHRUNKEN graph.  Ids need only be orderable (strings work).
+    Returns (id, scc, scc_size) with scc = min member id."""
+    base = nodes.select(F.col("id")).distinct()
+    remaining = base.localCheckpoint(eager=True)
+    e = (edges.select("src", "dst")
+         .filter(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=True))
+    done_parts = []
+
+    def _finish():
+        done = remaining.limit(0).withColumn("scc", F.col("id"))
+        for p in done_parts:
+            done = done.unionByName(p)
+        sizes = done.groupBy("scc").agg(F.count("*").alias("scc_size"))
+        return done.join(sizes, "scc").select("id", "scc", "scc_size")
+
+    for _ in range(max_peel):
+        # --- trim to fixpoint: no in-edge or no out-edge => own SCC
+        while True:
+            srcs = e.select(F.col("src").alias("id")).distinct()
+            dsts = e.select(F.col("dst").alias("id")).distinct()
+            core = srcs.join(dsts, "id", "left_semi") \
+                .localCheckpoint(eager=True)
+            trimmed = remaining.join(core, "id", "left_anti") \
+                .localCheckpoint(eager=True)
+            if trimmed.count() == 0:
+                break
+            done_parts.append(trimmed.withColumn("scc", F.col("id")))
+            remaining = core
+            e = (e.join(remaining.withColumnRenamed("id", "src"), "src",
+                        "left_semi")
+                 .join(remaining.withColumnRenamed("id", "dst"), "dst",
+                       "left_semi")
+                 .select("src", "dst").localCheckpoint(eager=True))
+        if remaining.count() == 0:
+            return _finish()
+        # --- color: min-id forward propagation to fixpoint
+        colors = remaining.withColumn("color", F.col("id")) \
+            .localCheckpoint(eager=True)
+        for _ in range(max_prop):
+            nbr = (e.join(colors.withColumnRenamed("id", "src")
+                          .withColumnRenamed("color", "c_src"), "src")
+                   .groupBy(F.col("dst").alias("id"))
+                   .agg(F.min("c_src").alias("c_in")))
+            new = (colors.withColumnRenamed("color", "old")
+                   .join(nbr, "id", "left")
+                   .select("id", F.least(
+                       "old", F.coalesce("c_in", "old")).alias("color"),
+                       "old").localCheckpoint(eager=False))
+            changed = new.filter(F.col("color") != F.col("old")).count()
+            colors = new.drop("old")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc color propagation did not converge in {max_prop} "
+                "rounds — raise max_prop")
+        # --- backward reach from each color root within its color
+        reached = colors.filter(F.col("color") == F.col("id")) \
+            .localCheckpoint(eager=True)
+        frontier = reached
+        while True:
+            # predecessors of the frontier that share the same color
+            pred = (e.join(frontier.withColumnRenamed("id", "dst"), "dst")
+                    .select(F.col("src").alias("id"), "color")
+                    .distinct())
+            pred = (pred.join(colors.withColumnRenamed("color", "c_own"),
+                              "id")
+                    .filter(F.col("color") == F.col("c_own"))
+                    .select("id", "color"))
+            frontier = pred.join(reached, "id", "left_anti") \
+                .localCheckpoint(eager=True)
+            if frontier.count() == 0:
+                break
+            reached = reached.unionByName(frontier) \
+                .localCheckpoint(eager=True)
+        done_parts.append(reached.select(
+            "id", F.col("color").alias("scc")))
+        remaining = remaining.join(reached, "id", "left_anti") \
+            .localCheckpoint(eager=True)
+        if remaining.count() == 0:
+            return _finish()
+        e = (e.join(remaining.withColumnRenamed("id", "src"), "src",
+                    "left_semi")
+             .join(remaining.withColumnRenamed("id", "dst"), "dst",
+                   "left_semi")
+             .select("src", "dst").localCheckpoint(eager=True))
+    raise RuntimeError(
+        f"scc did not finish in {max_peel} peel rounds — raise max_peel")

@@ -65,6 +65,12 @@ BNLJ_OK = {
     # 1-row max-timestamp anchor crossed onto the user aggregate
     "tm_user_rfm",
     "r_negative_samples",
+    # 1-row L1-normalization totals crossed onto the score frame each
+    # HITS round (lazy scalar aggregates — never a driver action)
+    "g_hits_top",
+    # 1-row corpus doc-count crossed onto the vocabulary-bounded df
+    # aggregate (smooth-idf denominator)
+    "t_tfidf_topterms",
 }
 
 # documented Arrow seams (SURVEY §3): model calls, NFC, kernels,
@@ -81,7 +87,7 @@ EAGER = {
     "g_pagerank_top", "g_ppr_top", "g_kcore", "t_bpe_tokenize",
     "ann_ivf_kmeans_train", "ann_ivf_kmeans_search", "ann_pq_search",
     "d_components", "d_lsh_repair_components", "e_entity_resolution",
-    "g_label_prop",
+    "g_label_prop", "g_scc_event_types",
     "st_sig_maintenance", "st_funnel_maintenance", "st_graph_deltas",
     "st_graph_stream_update", "d_stream_neardup", "ann_recall_report",
     "ann_recall_clustered",
