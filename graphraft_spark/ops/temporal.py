@@ -92,3 +92,102 @@ def interval_join_bucketed(left: DataFrame, intervals: DataFrame,
         .filter((F.col(on) >= F.col(start)) & (F.col(on) <= F.col(end)))
         .drop("_b")
     )
+
+
+def scd2_lookup(facts: DataFrame, dim: DataFrame, key: str,
+                ts_col: str = "ts", from_col: str = "valid_from",
+                to_col: str = "valid_to",
+                payload: tuple[str, ...] | None = None) -> DataFrame:
+    """Point-in-time (SCD Type-2) dimension lookup: for every fact row,
+    attach the dimension version whose validity interval covers the
+    fact's timestamp (``from <= ts < to``); null payload when no
+    version covers it.
+
+    Shape: the :func:`asof_join` union+window formulation on
+    ``valid_from`` (ONE shuffle keyed by ``key``, linear per-partition
+    pass — no interval-join blowup, no per-fact row identity needed),
+    then a validity mask: the carried-forward version is nulled out
+    where ``ts >= valid_to`` (a gap in coverage).  Well-formed SCD2
+    (contiguous, non-overlapping) matches the covering version exactly;
+    overlaps resolve deterministically to the LATEST started version
+    (max ``valid_from`` ≤ ts — the as-of pick)."""
+    pay = list(payload or [c for c in dim.columns
+                           if c not in (key, from_col, to_col)])
+    if to_col in facts.columns:
+        raise ValueError(f"{to_col!r} collides with a fact column")
+    out = asof_join(
+        facts, dim.withColumnRenamed(from_col, ts_col),
+        on=ts_col, by=(key,), value_cols=[*pay, to_col],
+        direction="backward")
+    covered = F.col(to_col) > F.col(ts_col)
+    masked = [F.when(covered, F.col(c)).otherwise(F.lit(None)).alias(c)
+              for c in pay]
+    return out.select(*facts.columns, *masked)
+
+
+def resample_ffill(df: DataFrame, key: str, on: str = "ts_sec",
+                   value: str = "value", step: int = 86_400,
+                   agg: str = "max") -> DataFrame:
+    """Fixed-grid resampling with forward fill: per ``key``, bucket
+    observations onto a ``step``-second grid (bucket aggregate =
+    ``agg`` over the bucket's observations — a commutative built-in,
+    so it map-side combines), emit EVERY grid tick between the key's
+    first and last bucket, and carry the last observed bucket value
+    forward across the gaps.
+
+    Returns (key, bucket_ts, value_ffill, is_observed) — the classic
+    time-series densification feeding rolling features / training
+    windows where raw event streams are irregular.
+
+    Scale shape: the bucket aggregate is one keyed shuffle with
+    map-side combine; the grid materializes ``span/step`` rows per key
+    via ``sequence`` + ``explode`` (pick ``step`` so per-key grids stay
+    bounded — a year of daily ticks is 365 rows); the fill is one
+    per-key ordered window over that bounded grid.  Everything stays
+    in whole-stage codegen; at 100 TB the only shuffle is by ``key``.
+    """
+    if step <= 0:
+        raise ValueError(f"step must be positive, got {step}")
+    bucket = (F.floor(F.col(on) / step) * step).cast("long")
+    bucketed = (df.select(F.col(key), bucket.alias("bucket_ts"),
+                          F.col(value))
+                .groupBy(key, "bucket_ts")
+                .agg(getattr(F, agg)(value).alias("_v")))
+    bounds = bucketed.groupBy(key).agg(F.min("bucket_ts").alias("_lo"),
+                                       F.max("bucket_ts").alias("_hi"))
+    grid = bounds.select(
+        key, F.explode(F.sequence(F.col("_lo"), F.col("_hi"),
+                                  F.lit(step).cast("long")))
+        .alias("bucket_ts"))
+    j = grid.join(bucketed, [key, "bucket_ts"], "left")
+    w = (Window.partitionBy(key).orderBy("bucket_ts")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return j.select(
+        key, "bucket_ts",
+        F.last("_v", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("_v").isNotNull().alias("is_observed"))
+
+
+def rolling_features(df: DataFrame, key: str, on: str = "ts_sec",
+                     value: str = "value",
+                     window_s: int = 3600) -> DataFrame:
+    """Trailing time-RANGE window features per key: for every row,
+    count / sum / mean / min / max of ``value`` over the last
+    ``window_s`` seconds INCLUDING the current row — the standard
+    behavioral-feature block (activity in the last hour/day) joined
+    onto training examples.
+
+    One shuffle by ``key``, then a linear ordered pass per partition
+    (Spark's range-frame window keeps a sliding aggregate buffer —
+    no per-row rescan, no self-join blowup like the naive
+    ``e1.ts BETWEEN e2.ts-W AND e2.ts`` formulation).  Hot keys are
+    the only skew axis, same as any keyed window."""
+    w = (Window.partitionBy(key).orderBy(F.col(on).cast("long"))
+         .rangeBetween(-window_s, 0))
+    return df.select(
+        "*",
+        F.count(value).over(w).alias("w_count"),
+        F.round(F.sum(value).over(w), 6).alias("w_sum"),
+        F.round(F.avg(value).over(w), 6).alias("w_mean"),
+        F.round(F.min(value).over(w), 6).alias("w_min"),
+        F.round(F.max(value).over(w), 6).alias("w_max"))

@@ -691,3 +691,45 @@ def span_corruption(df, budget_denom: int = 1_000_000,
         inputs.alias("input_tokens"),
         targets.alias("target_tokens"),
         n_masked.alias("n_masked"))
+
+
+def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
+                    m: int = 3) -> "DataFrame":
+    """Top-``m`` TF-IDF terms per document: (id, term, tf, score, rank).
+
+    The classic corpus-relative keyword extractor (targeted slicing,
+    topic labeling, DSIR-style feature picks).  Shape at 100 TB: the
+    (doc, term, tf) aggregate shuffles by (doc, term) with map-side
+    combine; document frequencies aggregate over DISTINCT (doc, term)
+    rows already produced by that pass (vocabulary-bounded result,
+    broadcast back); the per-doc top-m is a window over the doc's own
+    terms (partition = one document — bounded by doc length, no skew
+    beyond the longest doc).
+
+    Smooth idf = ln((N+1)/(df+1)) + 1 (sklearn's formulation — never
+    zero, so corpus-universal terms still rank).  Deterministic ties:
+    score DESC, term ASC.  ``score`` is rounded to 6 decimals for
+    engine-portable comparison; rank is dense over the rounded score
+    so oracle ties agree."""
+    from pyspark.sql import Window
+
+    terms = (df.select(F.col(id_col), F.explode(words(F.col(text_col)))
+                       .alias("term"))
+             .filter(F.col("term") != "")
+             .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    dfreq = (terms.groupBy("term")
+             .agg(F.count("*").alias("df_t"))
+             .crossJoin(F.broadcast(n_docs)))
+    # no broadcast hint on dfreq: vocabulary size is corpus-dependent
+    # (web-scale vocab with typos can reach 1e8+ terms); AQE picks
+    # broadcast when the aggregated frame is actually small
+    scored = (terms.join(dfreq, "term")
+              .withColumn("score", F.round(
+                  F.col("tf") * (F.log((F.col("n") + 1)
+                                       / (F.col("df_t") + 1)) + 1), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= m)
+            .select(id_col, "term", "tf", "score",
+                    F.col("rank").cast("int").alias("rank")))
