@@ -969,3 +969,70 @@ def d_bucket_histogram(spark, sf_dir):
     hashed = _near_sh(spark, sf_dir).select(
         "id", F.transform(F.col("sh"), _h60).alias("hs"))
     return lsh_bucket_profile(hashed, num_perm=8, bands=4)
+
+
+@register(
+    "d_keep_best_quality", extra=True,
+    oracle=f"""
+WITH RECURSIVE {_DOCS_NEAR_SQL.strip().lstrip()},
+w AS (
+    SELECT doc_id, {_WORDS} AS words FROM docs
+),
+sh AS (
+    SELECT doc_id, len(words) AS n_words, {_SHINGLES} AS s FROM w
+),
+pairs AS (
+    SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE j >= 0.5
+),
+und AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp0 AS (
+    SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+),
+full_c AS (
+    SELECT sh.doc_id, COALESCE(c.comp, sh.doc_id) AS comp, sh.n_words
+    FROM sh LEFT JOIN comp0 c ON c.id = sh.doc_id
+)
+SELECT doc_id, comp, CAST(n_words AS BIGINT) AS n_words,
+       (ROW_NUMBER() OVER (PARTITION BY comp
+                           ORDER BY n_words DESC, doc_id)) = 1 AS is_kept
+FROM full_c
+""")
+def d_keep_best_quality(spark, sf_dir):
+    """Representative selection end-to-end (ops/dedup.py
+    keep_best_in_components): exact-Jaccard pairs (0.5) over the
+    near-dup slice -> connected components -> keep the LONGEST member
+    per duplicate cluster (ties -> min doc_id) — production dedup
+    ships the best copy, not an arbitrary one.  Singletons are their
+    own cluster and always kept.  Oracle replays the closure
+    recursively plus the same window pick."""
+    from graphraft_spark.ops.dedup import (jaccard, keep_best_in_components,
+                                           shingles, words)
+
+    docs = _docs_near(spark, sf_dir)
+    sh = docs.select(F.col("doc_id").alias("id"),
+                     shingles(F.col("text"), 3).alias("sh"))
+    pairs = (
+        sh.alias("a").join(sh.alias("b"),
+                           F.col("a.id") < F.col("b.id"))
+        .withColumn("j", jaccard(F.col("a.sh"), F.col("b.sh")))
+        .filter(F.col("j") >= 0.5)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    items = docs.select(
+        "doc_id", F.size(words(F.col("text"))).cast("bigint")
+        .alias("n_words"))
+    return keep_best_in_components(items, pairs, "n_words",
+                                   id_col="doc_id")

@@ -873,3 +873,113 @@ def g_label_prop(spark, sf_dir):
 
     g = tpch_graph(spark, sf_dir)
     return label_propagation(g.nodes, g.edges, rounds=3)
+
+
+@register("g_hits_top", extra=True)  # rows-only: iterative float algo
+def g_hits_top(spark, sf_dir):
+    """HITS hubs & authorities top-20 (graph/algos.py:hits, 3 rounds,
+    L1-normalized): link-analysis importance over the directed property
+    graph — the authority score surfaces well-cited targets (Orders/
+    Parts), the hub score their heavy pointers (Customers/Suppliers).
+    Not SQL-expressible in the hash-matched tier (iterative float sums
+    are order-dependent); semantics pinned by
+    tests/test_graph_algos_hits.py exact parity (1e-9) with an
+    independent dense numpy power iteration."""
+    from graphraft_spark.graph.algos import hits
+
+    g = tpch_graph(spark, sf_dir)
+    h = hits(g.nodes.select("nodeId"), g.edges.select("src", "dst"),
+             n_iter=3)
+    return (
+        h.join(g.nodes.select("nodeId", "label", "name"), "nodeId")
+        .select("nodeId", "label", "name", "hub", "authority")
+        .orderBy(F.desc("authority"), F.asc("nodeId"))
+        .limit(20)
+    )
+
+
+@register(
+    "g_copurchase_pairs", extra=True,
+    oracle="""
+WITH m AS (
+    SELECT DISTINCT l_orderkey AS r, l_partkey AS l FROM lineitem
+)
+SELECT a.l AS part_a, b.l AS part_b, CAST(COUNT(*) AS BIGINT) AS weight
+FROM m a JOIN m b ON a.r = b.r AND a.l < b.l
+GROUP BY a.l, b.l
+HAVING COUNT(*) >= 2
+""")
+def g_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence (graph/algos.py bipartite_project):
+    the order—part bipartite graph projected onto parts — pairs of
+    parts appearing in ≥2 common orders, the co-purchase graph that
+    feeds item-item recommenders and graph-embedding corpora.  Work is
+    C(order_size, 2) per order (order sizes are bounded ≤7 in TPC-H;
+    the max_degree cap guards real skew), pairs emitted once (a<b),
+    count map-side-combined."""
+    from graphraft_spark.graph.algos import bipartite_project
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select(F.col("l_orderkey").alias("src"),
+                  F.col("l_partkey").alias("dst")))
+    return (bipartite_project(li, left="dst", right="src", min_count=2)
+            .select(F.col("a").alias("part_a"), F.col("b").alias("part_b"),
+                    "weight"))
+
+
+@register(
+    "g_scc_event_types", extra=True,
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT event_type AS a,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS b
+    FROM events
+),
+edges AS (
+    SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL AND a <> b
+),
+n AS (SELECT DISTINCT event_type AS id FROM events),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+mutual AS (
+    SELECT r1.a AS id, r1.b AS m
+    FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+lab AS (
+    SELECT n.id, LEAST(n.id, COALESCE(MIN(m.m), n.id)) AS scc
+    FROM n LEFT JOIN mutual m ON m.id = n.id
+    GROUP BY n.id
+)
+SELECT id, scc,
+       CAST(COUNT(*) OVER (PARTITION BY scc) AS BIGINT) AS scc_size
+FROM lab
+""")
+def g_scc_event_types(spark, sf_dir):
+    """Strongly connected components of the event-type TRANSITION
+    graph (graph/algos.py strongly_connected_components): nodes are
+    event types, edges the observed consecutive transitions per user —
+    an SCC is a recurrent behavioral state set (types reachable from
+    each other), the structure session-segmentation and Markov-model
+    features hang off.  The engine runs the distributed coloring
+    algorithm (trim / forward min-color / backward reach, all
+    edge-list joins); the oracle replays it with a recursive transitive
+    closure + mutual-reachability grouping — tractable because the
+    type graph is small even when the event stream is 100 TB (node
+    count = |event_type| — the scale carrier is the pre-aggregation,
+    one windowed scan + DISTINCT)."""
+    from graphraft_spark.graph.algos import strongly_connected_components
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("event_type").alias("src"),
+                    F.lead("event_type").over(w).alias("dst"))
+    edges = (seq.filter(F.col("dst").isNotNull()
+                        & (F.col("src") != F.col("dst")))
+             .distinct())
+    nodes = ev.select(F.col("event_type").alias("id")).distinct()
+    return strongly_connected_components(nodes, edges)

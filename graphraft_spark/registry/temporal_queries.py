@@ -274,3 +274,139 @@ def tm_value_outliers(spark, sf_dir):
             .filter(F.abs(z) > 3)
             .select("event_id", "event_type",
                     F.round(z, 6).alias("zscore")))
+
+
+@register(
+    "tm_scd2_lookup", extra=True,
+    oracle="""
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, value
+    FROM events
+),
+b AS (
+    SELECT user_id, MIN(ts_sec) AS t0, MAX(ts_sec) AS t3
+    FROM e GROUP BY user_id
+),
+dim AS (
+    SELECT user_id, t0 AS from_sec,
+           t0 + CAST(floor((t3 - t0) * 2 / 5.0) AS BIGINT) AS to_sec,
+           'basic' AS plan FROM b
+    UNION ALL
+    SELECT user_id, t0 + CAST(floor((t3 - t0) * 3 / 5.0) AS BIGINT),
+           t3 + 1, 'pro' FROM b
+)
+SELECT e.event_id, e.user_id, e.ts_sec, e.value, d.plan
+FROM e LEFT JOIN dim d
+  ON e.user_id = d.user_id
+ AND d.from_sec <= e.ts_sec AND e.ts_sec < d.to_sec
+""")
+def tm_scd2_lookup(spark, sf_dir):
+    """SCD Type-2 point-in-time lookup (ops/temporal.py scd2_lookup):
+    a two-version-per-user plan dimension is derived deterministically
+    from each user's event-time span — 'basic' over the first 40%,
+    'pro' over the last 40%, a COVERAGE GAP in the middle 20% (events
+    there must resolve to null, pinning the validity mask).  The engine
+    runs the union+window as-of formulation (one shuffle by user, no
+    per-fact row identity); the oracle replays it as a plain validity
+    equi-join — well-formed SCD2 makes them equal."""
+    from graphraft_spark.ops.temporal import scd2_lookup
+
+    e = (load_events(spark, sf_dir)
+         .select("event_id", "user_id",
+                 F.col("ts").cast("long").alias("ts_sec"), "value"))
+    b = e.groupBy("user_id").agg(F.min("ts_sec").alias("t0"),
+                                 F.max("ts_sec").alias("t3"))
+    span = F.col("t3") - F.col("t0")
+    v0 = b.select(
+        "user_id", F.col("t0").alias("valid_from"),
+        (F.col("t0") + F.floor(span * 2 / 5).cast("long"))
+        .alias("valid_to"), F.lit("basic").alias("plan"))
+    v1 = b.select(
+        "user_id",
+        (F.col("t0") + F.floor(span * 3 / 5).cast("long"))
+        .alias("valid_from"),
+        (F.col("t3") + 1).alias("valid_to"), F.lit("pro").alias("plan"))
+    return scd2_lookup(e, v0.unionByName(v1), key="user_id",
+                       ts_col="ts_sec", payload=("plan",))
+
+
+@register(
+    "tm_resample_ffill", extra=True,
+    oracle="""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec, value FROM events
+),
+b AS (
+    SELECT user_id, (ts_sec // 86400) * 86400 AS bucket_ts,
+           MAX(value) AS v
+    FROM e GROUP BY user_id, (ts_sec // 86400) * 86400
+),
+bounds AS (
+    SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+    FROM b GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS bucket_ts
+    FROM bounds
+),
+j AS (
+    SELECT g.user_id, g.bucket_ts, b.v
+    FROM grid g LEFT JOIN b USING (user_id, bucket_ts)
+)
+SELECT user_id, bucket_ts,
+       ROUND(last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket_ts
+           ROWS UNBOUNDED PRECEDING), 6) AS value_ffill,
+       v IS NOT NULL AS is_observed
+FROM j
+""")
+def tm_resample_ffill(spark, sf_dir):
+    """Fixed-grid densification (ops/temporal.py resample_ffill): each
+    user's irregular event stream resampled onto a daily grid — bucket
+    aggregate MAX(value), every tick between the user's first and last
+    active day emitted, gaps forward-filled from the last observed
+    bucket.  One keyed shuffle (map-side-combined bucket aggregate),
+    per-key bounded grid explode, one ordered window — the oracle
+    replays it with generate_series + IGNORE NULLS last_value."""
+    from graphraft_spark.ops.temporal import resample_ffill
+
+    e = (load_events(spark, sf_dir)
+         .select("user_id", F.col("ts").cast("long").alias("ts_sec"),
+                 "value"))
+    out = resample_ffill(e, key="user_id", on="ts_sec", value="value",
+                         step=86_400, agg="max")
+    return out.select("user_id", "bucket_ts",
+                      F.round("value_ffill", 6).alias("value_ffill"),
+                      "is_observed")
+
+
+@register(
+    "tm_rolling_features", extra=True,
+    oracle="""
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, value
+    FROM events
+)
+SELECT event_id, user_id, ts_sec, value,
+       CAST(COUNT(value) OVER w AS BIGINT) AS w_count,
+       ROUND(SUM(value) OVER w, 6) AS w_sum,
+       ROUND(AVG(value) OVER w, 6) AS w_mean,
+       ROUND(MIN(value) OVER w, 6) AS w_min,
+       ROUND(MAX(value) OVER w, 6) AS w_max
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""")
+def tm_rolling_features(spark, sf_dir):
+    """Trailing-hour behavioral features (ops/temporal.py
+    rolling_features): per event, count/sum/mean/min/max of the user's
+    values over the previous 3600s inclusive — one user-keyed shuffle
+    + a sliding range-frame pass, never the quadratic self-join.  The
+    oracle is the identical RANGE window in DuckDB."""
+    from graphraft_spark.ops.temporal import rolling_features
+
+    e = (load_events(spark, sf_dir)
+         .select("event_id", "user_id",
+                 F.col("ts").cast("long").alias("ts_sec"), "value"))
+    return rolling_features(e, key="user_id", on="ts_sec",
+                            value="value", window_s=3600)

@@ -230,9 +230,7 @@ def t_pii_scrub(spark, sf_dir):
         .alias("n_chars_removed"))
 
 
-@register(
-    "t_decontaminate", extra=True,
-    oracle=f"""
+_DECON_ORACLE = f"""
 WITH w AS (
     SELECT doc_id, {_WORDS} AS words FROM documents
 ),
@@ -255,7 +253,10 @@ SELECT d.doc_id,
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
        COALESCE(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
-""")
+"""
+
+
+@register("t_decontaminate", extra=True, oracle=_DECON_ORACLE)
 def t_decontaminate(spark, sf_dir):
     """Benchmark decontamination (ops/decontaminate.py): an 'eval set'
     of 8-word spans lifted from every doc_id%7==3 document must flag
@@ -272,6 +273,23 @@ def t_decontaminate(spark, sf_dir):
     # no orderBy: the driver's compare is order-insensitive and a global
     # sort would add a pointless single-range exchange
     return contamination_flags(docs, bench, n=8)
+
+
+@register("t_bloom_decontaminate", extra=True, oracle=_DECON_ORACLE)
+def t_bloom_decontaminate(spark, sf_dir):
+    """t_decontaminate through the Bloom prefilter
+    (ops/decontaminate.py bloom_decontaminate): executors receive a
+    fixed 64 KiB bitmap instead of the raw benchmark gram strings;
+    survivors are exact-verified, so the output — and the oracle — is
+    identical to the direct broadcast path."""
+    from graphraft_spark.ops.dedup import words
+    from graphraft_spark.ops.decontaminate import bloom_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = words(F.col("text"))
+    bench = (docs.filter((F.col("doc_id") % 7 == 3) & (F.size(ws) >= 11))
+             .select(F.concat_ws(" ", F.slice(ws, 4, 8)).alias("text")))
+    return bloom_decontaminate(docs, bench, n=8)
 
 
 @register(
@@ -1109,3 +1127,44 @@ def t_langid_margin(spark, sf_dir):
         F.when(margin >= 0.02, F.element_at(s, 1)["lang"])
         .otherwise(F.lit("und")).alias("predicted_lang"),
         F.round(top - second, 6).alias("margin"))
+
+
+@register(
+    "t_tfidf_topterms", extra=True,
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS} AS words FROM documents
+),
+terms AS (
+    SELECT doc_id, g AS term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(words) AS g FROM w)
+    WHERE g <> '' GROUP BY doc_id, g
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM terms GROUP BY term),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf,
+           ROUND(t.tf * (ln((nd.n + 1.0) / (d.df_t + 1.0)) + 1), 6)
+               AS score
+    FROM terms t JOIN dfreq d USING (term) CROSS JOIN nd
+),
+ranked AS (
+    SELECT doc_id, term, tf, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""")
+def t_tfidf_topterms(spark, sf_dir):
+    """Corpus-relative keyword extraction (ops/text_analysis.py
+    tfidf_top_terms): top-3 TF-IDF terms per document, smooth-idf
+    (sklearn formulation), deterministic tie order.  One (doc, term)
+    aggregate with map-side combine, a vocabulary-bounded df aggregate
+    (no broadcast hint — AQE decides), one per-document window."""
+    from graphraft_spark.ops.text_analysis import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, m=3)
