@@ -511,6 +511,14 @@ def c4_line_filter(text: Column, min_words: int = 3) -> Column:
         & ~F.lower(ln).contains("javascript"))
 
 
+def c4_doc_gate(text: Column) -> Column:
+    """C4's document-level gates as one expression: no placeholder
+    text ('lorem ipsum'), no curly brace (code) — the composable form
+    :func:`c4_clean` and the curation verdict share."""
+    return (~F.lower(text).contains("lorem ipsum")
+            & ~text.contains("{"))
+
+
 def c4_clean(df, text_col: str = "text", id_col: str = "doc_id",
              min_words: int = 3):
     """C4 cleaning end-to-end: line filter plus the document-level
@@ -524,8 +532,7 @@ def c4_clean(df, text_col: str = "text", id_col: str = "doc_id",
     this runs first over a raw 100 TB crawl."""
     t = F.col(text_col)
     kept = c4_line_filter(t, min_words)
-    doc_kept = (~F.lower(t).contains("lorem ipsum")
-                & ~t.contains("{"))
+    doc_kept = c4_doc_gate(t)
     return df.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("clean_text"),
@@ -537,6 +544,45 @@ def c4_clean(df, text_col: str = "text", id_col: str = "doc_id",
 # Gopher quality-gate thresholds (Rae et al. 2021, arXiv:2112.11446
 # Appendix A1.1), exposed for callers that tune them
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(text: Column, min_words: int = 50,
+                 max_words: int = 100_000) -> dict[str, "Column"]:
+    """The Gopher gate rules as named COLUMN EXPRESSIONS (insertion
+    order = output order) — the composable form :func:`gopher_gates`
+    projects and :func:`graphraft_spark.ops.curation.curate_corpus`
+    fuses into its single verdict scan."""
+    ws = words(text)
+    n_words = F.size(ws)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(ws, F.lit(0.0), lambda a, w: a + F.length(w))
+        / n_words).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.size(F.regexp_extract_all(text,
+                                    F.lit(r"#|\.\.\.|…"), 0)))
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    stops = F.array([F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stops = F.size(F.array_intersect(F.array_distinct(ws), stops))
+
+    ok_word_count = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean_word_len = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_symbol_ratio = F.when(
+        n_words > 0,
+        n_symbols.cast("double") / n_words <= 0.1).otherwise(F.lit(False))
+    ok_alpha_words = F.when(
+        n_words > 0,
+        alpha_words.cast("double") / n_words >= 0.8).otherwise(F.lit(False))
+    ok_stopwords = n_stops >= 2
+    return {
+        "ok_word_count": ok_word_count,
+        "ok_mean_word_len": ok_mean_word_len,
+        "ok_symbol_ratio": ok_symbol_ratio,
+        "ok_alpha_words": ok_alpha_words,
+        "ok_stopwords": ok_stopwords,
+        "keep": (ok_word_count & ok_mean_word_len & ok_symbol_ratio
+                 & ok_alpha_words & ok_stopwords),
+    }
 
 
 def gopher_gates(df, text_col: str = "text", id_col: str = "doc_id",
@@ -556,37 +602,9 @@ def gopher_gates(df, text_col: str = "text", id_col: str = "doc_id",
     are plain expressions over one scan; ``keep`` is their conjunction.
     Returning per-rule booleans instead of a filtered frame makes the
     gate auditable — corpus curation wants per-rule kill counts."""
-    ws = words(F.col(text_col))
-    n_words = F.size(ws)
-    mean_len = F.when(
-        n_words > 0,
-        F.aggregate(ws, F.lit(0.0), lambda a, w: a + F.length(w))
-        / n_words).otherwise(F.lit(0.0))
-    n_symbols = (
-        F.size(F.regexp_extract_all(F.col(text_col),
-                                    F.lit(r"#|\.\.\.|…"), 0)))
-    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
-    stops = F.array([F.lit(s) for s in GOPHER_STOPWORDS])
-    n_stops = F.size(F.array_intersect(F.array_distinct(ws), stops))
-
-    ok_word_count = (n_words >= min_words) & (n_words <= max_words)
-    ok_mean_word_len = (mean_len >= 3.0) & (mean_len <= 10.0)
-    ok_symbol_ratio = F.when(
-        n_words > 0,
-        n_symbols.cast("double") / n_words <= 0.1).otherwise(F.lit(False))
-    ok_alpha_words = F.when(
-        n_words > 0,
-        alpha_words.cast("double") / n_words >= 0.8).otherwise(F.lit(False))
-    ok_stopwords = n_stops >= 2
-    return df.select(
-        F.col(id_col),
-        ok_word_count.alias("ok_word_count"),
-        ok_mean_word_len.alias("ok_mean_word_len"),
-        ok_symbol_ratio.alias("ok_symbol_ratio"),
-        ok_alpha_words.alias("ok_alpha_words"),
-        ok_stopwords.alias("ok_stopwords"),
-        (ok_word_count & ok_mean_word_len & ok_symbol_ratio
-         & ok_alpha_words & ok_stopwords).alias("keep"))
+    rules = gopher_rules(F.col(text_col), min_words, max_words)
+    return df.select(F.col(id_col),
+                     *[v.alias(k) for k, v in rules.items()])
 
 
 def pack_sequences(df, budget: int, tokens_col: str = "tokens",

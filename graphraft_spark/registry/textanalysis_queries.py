@@ -1168,3 +1168,107 @@ def t_tfidf_topterms(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return tfidf_top_terms(docs, m=3)
+
+
+_GOPHER_KEEP_SQL = f"""
+       ((len({_WORDS}) >= 50 AND len({_WORDS}) <= 100000)
+        AND (ml >= 3.0 AND ml <= 10.0)
+        AND (CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+             / len({_WORDS}) <= 0.1)
+        AND (CAST(len(list_filter({_WORDS},
+                  w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+             / len({_WORDS}) >= 0.8)
+        AND (len(list_intersect(list_distinct({_WORDS}),
+             ['the','be','to','of','and','that','have','with'])) >= 2))
+"""
+
+
+@register(
+    "p_curate_corpus", extra=True,
+    oracle=f"""
+WITH ml AS (
+    SELECT doc_id, text,
+           list_sum(list_transform({_WORDS}, w -> length(w)))
+               / CAST(len({_WORDS}) AS DOUBLE) AS ml
+    FROM documents
+),
+flags AS (
+    SELECT doc_id,
+           (NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{{')) AS c4_kept,
+           {_GOPHER_KEEP_SQL.strip()} AS gopher_kept,
+           (list_sort([
+               {{'neg': -ROUND(CAST({_stop_sql('de')} AS DOUBLE)
+                               / len({_WORDS}), 9), 'lang': 'de'}},
+               {{'neg': -ROUND(CAST({_stop_sql('en')} AS DOUBLE)
+                               / len({_WORDS}), 9), 'lang': 'en'}},
+               {{'neg': -ROUND(CAST({_stop_sql('es')} AS DOUBLE)
+                               / len({_WORDS}), 9), 'lang': 'es'}},
+               {{'neg': -ROUND(CAST({_stop_sql('fr')} AS DOUBLE)
+                               / len({_WORDS}), 9), 'lang': 'fr'}}
+           ]))[1].lang AS lang_pred
+    FROM ml
+),
+keyed AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY md5({_NORM})
+                              ORDER BY doc_id) = 1 AS is_canonical
+    FROM documents
+),
+w AS (
+    SELECT doc_id, {_WORDS} AS words FROM documents
+),
+bench AS (
+    SELECT DISTINCT array_to_string(words[4:11], ' ') AS g
+    FROM w WHERE doc_id % 7 = 3 AND len(words) >= 11
+),
+grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 7, 1) + 1),
+               i -> array_to_string(words[i:i+7], ' ')))) AS g
+    FROM w
+),
+hits AS (
+    SELECT doc_id, COUNT(*) AS n_hits
+    FROM grams JOIN bench USING (g)
+    GROUP BY doc_id
+)
+SELECT f.doc_id, f.c4_kept, f.gopher_kept, f.lang_pred,
+       f.lang_pred = 'en' AS ok_lang,
+       k.is_canonical,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (f.c4_kept AND f.gopher_kept AND f.lang_pred = 'en'
+        AND k.is_canonical AND COALESCE(h.n_hits, 0) = 0) AS keep_final
+FROM flags f
+JOIN keyed k USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+""")
+def p_curate_corpus(spark, sf_dir):
+    """THE composed curation recipe (ops/curation.py curate_corpus):
+    C4 doc gates + all five Gopher rules + stopword language-ID +
+    exact-dedup canonical pick + 8-gram benchmark decontamination
+    (same synthetic eval set as t_decontaminate), one auditable
+    verdict row per document.  Engine shape: the flag stage is ONE
+    codegen scan (expression-level rule builders), dedup is its one
+    keyed shuffle, decontamination the only second pass.  The oracle
+    replays every stage in a single CTE chain."""
+    from graphraft_spark.ops.curation import curate_corpus
+    from graphraft_spark.ops.dedup import words as words_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = words_col(F.col("text"))
+    bench = (docs.filter((F.col("doc_id") % 7 == 3) & (F.size(ws) >= 11))
+             .select(F.concat_ws(" ", F.slice(ws, 4, 8)).alias("text")))
+    # rounded-score language ranking so oracle tie-order matches
+    n = F.size(ws)
+    entries = []
+    for lang in sorted(STOPWORDS):
+        lex = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(ws, lambda w: F.array_contains(lex, w)))
+        score = F.round(
+            F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0)), 9)
+        entries.append(F.struct((-score).alias("neg"),
+                                F.lit(lang).alias("lang")))
+    lang_expr = F.element_at(F.array_sort(F.array(*entries)), 1)["lang"]
+    return curate_corpus(docs, bench, n=8, lang_expr=lang_expr)
