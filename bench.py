@@ -61,6 +61,13 @@ HEADLINE = [
     "t_c4_clean",
     "q_zorder_key",
     "s_fuzzy_entity_match",
+    # round-8 additions: trailing time-RANGE features (sliding-buffer
+    # window), market-basket bipartite projection, and the composed
+    # curation verdict (C4+Gopher+langid+dedup+decontaminate fused to
+    # two corpus scans) — the second end-to-end flagship
+    "tm_rolling_features",
+    "g_copurchase_pairs",
+    "p_curate_corpus",
     # end-to-end flagship last: the distributed pipeline twin; the
     # driver-loop variant measured 9.6 s vs bulk 7.9 s at sf0.1
     # (BASELINE.md) — one headline line suffices, the oracle covers both
