@@ -432,3 +432,75 @@ def p_pipeline_bulk(spark, sf_dir):
         prop_cols=("detail",), persist_mode="local_checkpoint")
     return out.select("qid", "nodeId", "name", "detail",
                       F.round("similarity", 6).alias("similarity"))
+
+
+_CANDS_SQL = """
+c AS (
+    SELECT doc_id % 50 AS prompt_id, text AS candidate,
+           CAST(length(text) % 97 AS DOUBLE) AS reward
+    FROM documents
+)
+"""
+
+
+@register(
+    "f_best_of_n", extra=True,
+    oracle=f"""
+WITH {_CANDS_SQL.strip()}
+SELECT prompt_id, candidate, reward, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY prompt_id
+                                 ORDER BY reward DESC, candidate) AS rn
+    FROM c WHERE reward >= 5.0
+)
+WHERE rn <= 3
+""")
+def f_best_of_n(spark, sf_dir):
+    """Rejection sampling / best-of-n (ops/preference.py best_of_n):
+    documents grouped into 50 synthetic prompts, reward = a
+    deterministic length-derived score, floor 5.0 applied BEFORE
+    ranking, top-3 per prompt with deterministic ties — one window per
+    prompt group, partition size = candidates per prompt."""
+    from graphraft_spark.ops.preference import best_of_n
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = d.select((F.col("doc_id") % 50).alias("prompt_id"),
+                 F.col("text").alias("candidate"),
+                 (F.length("text") % 97).cast("double").alias("reward"))
+    return best_of_n(c, k=3, min_reward=5.0)
+
+
+@register(
+    "f_dpo_pairs", extra=True,
+    oracle=f"""
+WITH {_CANDS_SQL.strip()},
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY prompt_id
+                                 ORDER BY reward DESC, candidate) AS rk,
+           COUNT(*) OVER (PARTITION BY prompt_id) AS n
+    FROM c
+),
+t AS (SELECT prompt_id, candidate AS chosen, reward AS reward_chosen
+      FROM r WHERE rk = 1),
+b AS (SELECT prompt_id, candidate AS rejected,
+             reward AS reward_rejected
+      FROM r WHERE rk = n AND n > 1)
+SELECT t.prompt_id, t.chosen, b.rejected,
+       t.reward_chosen, b.reward_rejected,
+       t.reward_chosen - b.reward_rejected AS margin
+FROM t JOIN b USING (prompt_id)
+WHERE t.reward_chosen - b.reward_rejected >= 1.0
+""")
+def f_dpo_pairs(spark, sf_dir):
+    """DPO preference pairs (ops/preference.py dpo_pairs): per prompt,
+    chosen = best candidate, rejected = worst, near-tie prompts
+    (margin < 1.0) dropped — the reward-model/DPO training format,
+    built in one ranked window pass + a prompt-keyed join (no
+    candidate self-join)."""
+    from graphraft_spark.ops.preference import dpo_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = d.select((F.col("doc_id") % 50).alias("prompt_id"),
+                 F.col("text").alias("candidate"),
+                 (F.length("text") % 97).cast("double").alias("reward"))
+    return dpo_pairs(c, min_margin=1.0)
