@@ -31,6 +31,7 @@ HEADLINE = [
     "st_sliding_agg",
     "st_graph_deltas",
     "tm_asof_enrich",
+    "tm_rolling_features",
     "m_metrics_per_row",
     "g_onehop_enum",
     "g_twohop_enum",
@@ -61,17 +62,16 @@ HEADLINE = [
     "t_c4_clean",
     "q_zorder_key",
     "s_fuzzy_entity_match",
-    # round-8 additions: trailing time-RANGE features (sliding-buffer
-    # window), market-basket bipartite projection, and the composed
-    # curation verdict (C4+Gopher+langid+dedup+decontaminate fused to
-    # two corpus scans) — the second end-to-end flagship
-    "tm_rolling_features",
+    # round-8 addition: market-basket bipartite projection
     "g_copurchase_pairs",
-    "p_curate_corpus",
-    # end-to-end flagship last: the distributed pipeline twin; the
-    # driver-loop variant measured 9.6 s vs bulk 7.9 s at sf0.1
-    # (BASELINE.md) — one headline line suffices, the oracle covers both
+    # end-to-end flagships last; the curation verdict (its gram
+    # explode is the heaviest allocator here) runs AFTER the pipeline
+    # flagship so it cannot pressure p_pipeline_bulk's heap (the
+    # rolling-features line moved to the light tier for the same
+    # reason — mid-list insertion before the flagship measured a
+    # phantom +1s on p_pipeline_bulk in the first round-8 bench)
     "p_pipeline_bulk",
+    "p_curate_corpus",
 ]
 
 

@@ -171,6 +171,25 @@ def main() -> None:
 
         timed("minhash_dense_auto", n, dense_run)
 
+    # Composed curation verdict (round 8): the two-scan fused recipe —
+    # flags+dedup in one scan/shuffle, decontamination the second pass.
+    # Corpus-size axis: ×N distinct doc families; benchmark side stays
+    # the doc_id%7==3 slice of the SAME corpus, so the broadcast gram
+    # set grows with N too (worst case for the decon stage).
+    from graphraft_spark.ops.curation import curate_corpus
+    from graphraft_spark.ops.dedup import words as _words_col
+    for n in (FACTORS if want("curate_corpus") else ()):
+        docs = _mat(_docs_times(spark, sf_dir, n, distinct_families=True),
+                    f"{SCRATCH}/docs_cur_x{n}")
+        docs = spark.read.parquet(docs)
+        ws = _words_col(F.col("text"))
+        bench = (docs.filter((F.col("doc_id") % 7 == 3)
+                             & (F.size(ws) >= 11))
+                 .select(F.concat_ws(" ", F.slice(ws, 4, 8))
+                         .alias("text")))
+        timed("curate_corpus", n,
+              lambda d=docs, b=bench: _noop(curate_corpus(d, b, n=8)))
+
     # Exact-substring span dedup, rolling hash at Lee et al.'s k=50
     from graphraft_spark.ops.dedup import duplicate_spans
     for n in (FACTORS if want("span_dedup_k50") else ()):
