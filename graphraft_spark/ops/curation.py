@@ -33,7 +33,9 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                   allowed_langs: tuple[str, ...] = ("en",),
                   lang_expr: Column | None = None,
                   n: int = 13, hashed: bool = False,
-                  gopher_min_words: int = 50) -> DataFrame:
+                  gopher_min_words: int = 50,
+                  bloom: bool = False,
+                  bloom_bits: int = 1 << 22) -> DataFrame:
     """Per-document curation verdict: (id, c4_kept, gopher_kept,
     lang_pred, ok_lang, is_canonical, contaminated, n_hits,
     keep_final) where ``keep_final`` is the conjunction — C4 doc gates
@@ -43,9 +45,21 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
 
     ``lang_expr`` overrides the language prediction expression (e.g. a
     rounded-score variant for engine-portable tie order); default is
-    :func:`~graphraft_spark.ops.text_analysis.predicted_lang`."""
+    :func:`~graphraft_spark.ops.text_analysis.predicted_lang`.
+
+    ``bloom=True`` swaps the decontamination stage for the
+    Bloom-prefiltered path (identical output, exact-verified): the
+    direct path force-broadcasts the benchmark's raw gram strings,
+    which is right for a FIXED eval set but balloons when the
+    benchmark grows with the corpus — measured ×50 soak (BASELINE.md
+    round 8): 130.7 s direct vs the bloom path shipping a fixed
+    fixed-size bitmap.  Flip it when the benchmark side exceeds a few
+    hundred thousand grams, and size ``bloom_bits`` ≈ 10× the distinct
+    gram count (the ~1% fp point — a saturated bloom filters nothing
+    and the exact-verify join inherits the full load)."""
     from graphraft_spark.ops.dedup import exact_dedup
-    from graphraft_spark.ops.decontaminate import contamination_flags
+    from graphraft_spark.ops.decontaminate import (bloom_decontaminate,
+                                                   contamination_flags)
     from graphraft_spark.ops.text_analysis import (c4_doc_gate,
                                                    gopher_rules,
                                                    predicted_lang)
@@ -60,8 +74,14 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
         lang.alias("lang_pred"))
     flags = exact_dedup(flags, text_col, id_col) \
         .drop(text_col, "content_key")
-    cont = contamination_flags(docs, benchmark, n=n, text_col=text_col,
-                               id_col=id_col, hashed=hashed)
+    if bloom:
+        cont = bloom_decontaminate(docs, benchmark, n=n,
+                                   text_col=text_col, id_col=id_col,
+                                   hashed=hashed, num_bits=bloom_bits)
+    else:
+        cont = contamination_flags(docs, benchmark, n=n,
+                                   text_col=text_col, id_col=id_col,
+                                   hashed=hashed)
     ok_lang = F.col("lang_pred").isin(*allowed_langs)
     return (flags.join(cont, id_col)
             .select(id_col, "c4_kept", "gopher_kept", "lang_pred",

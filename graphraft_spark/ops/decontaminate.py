@@ -94,7 +94,7 @@ def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                         text_col: str = "text", id_col: str = "doc_id",
                         bench_text_col: str | None = None,
                         hashed: bool = False, num_bits: int = 65_536,
-                        k: int = 4) -> DataFrame:
+                        k: int = 4, hash_fn: str = "xx") -> DataFrame:
     """:func:`contamination_flags` with a Bloom PREFILTER — same exact
     output (same oracle), different 100 TB constant factor.
 
@@ -115,12 +115,12 @@ def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                    .select(F.explode(_gram_col(F.col(gcol), n, hashed))
                            .alias("g"))
                    .distinct())
-    bloom = bloom_build(bench_grams, "g", num_bits, k)
+    bloom = bloom_build(bench_grams, "g", num_bits, k, hash_fn)
     doc_grams = fanout_repartition(docs).select(
         F.col(id_col),
         F.explode(_gram_col(F.col(text_col), n, hashed)).alias("g"))
     maybe = (bloom_probe(bloom, doc_grams.select("g").distinct(), "g",
-                         num_bits, k)
+                         num_bits, k, hash_fn)
              .filter(F.col("maybe_present"))
              .select(F.col("item").alias("g")))
     # exact verify: survivors (tiny after the bloom) against the real

@@ -107,10 +107,22 @@ def cms_probe(cms: DataFrame, items: DataFrame, col: str,
                  .alias("est_count")))
 
 
-def _bloom_pos(col: Column, probe: Column, num_bits: int) -> Column:
-    """Engine-portable bit position for hash-probe ``probe``: same
-    md5-prefix arithmetic as :func:`_cms_hash`, so DuckDB replays it as
-    ``('0x' || substr(md5(p || ':' || v), 1, 15))::BIGINT % num_bits``."""
+def _bloom_pos(col: Column, probe: Column, num_bits: int,
+               hash_fn: str = "md5") -> Column:
+    """Bit position for hash-probe ``probe``.
+
+    ``md5`` (default): engine-portable — same md5-prefix arithmetic as
+    :func:`_cms_hash`, DuckDB replays it as ``('0x' || substr(md5(p ||
+    ':' || v), 1, 15))::BIGINT % num_bits``.
+    ``xx``: xxhash64 seeded by the probe index — ~10× cheaper per row
+    (no string md5), NOT bit-portable.  Correct wherever the bloom is a
+    PREFILTER whose survivors are exact-verified (bloom_decontaminate):
+    fp positions never reach the output, so portability of the bit
+    pattern buys nothing and the probe side pays 4 hashes per corpus
+    gram — measured ×10 soak: md5 probe 65.7 s vs direct join 10.6 s
+    before this path existed."""
+    if hash_fn == "xx":
+        return F.pmod(F.xxhash64(probe, col), F.lit(num_bits))
     return F.conv(F.substring(
         F.md5(F.concat(probe.cast("string"), F.lit(":"),
                        col.cast("string"))), 1, 15),
@@ -118,7 +130,7 @@ def _bloom_pos(col: Column, probe: Column, num_bits: int) -> Column:
 
 
 def bloom_build(df: DataFrame, col: str, num_bits: int = 65_536,
-                k: int = 4) -> DataFrame:
+                k: int = 4, hash_fn: str = "md5") -> DataFrame:
     """Bloom filter of a column's value set: a (word, bits) table of at
     most ``num_bits/64`` BIGINT words — fixed size no matter how many
     values went in, the broadcastable membership summary a 100 TB
@@ -135,7 +147,7 @@ def bloom_build(df: DataFrame, col: str, num_bits: int = 65_536,
     rows = df.select(
         F.col(col).alias("_v"),
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("probe"))
-    pos = _bloom_pos(F.col("_v"), F.col("probe"), num_bits)
+    pos = _bloom_pos(F.col("_v"), F.col("probe"), num_bits, hash_fn)
     return (rows
             .select((pos / 64).cast("bigint").alias("word"),
                     F.call_function(
@@ -151,7 +163,8 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def bloom_probe(bloom: DataFrame, items: DataFrame, col: str,
-                num_bits: int = 65_536, k: int = 4) -> DataFrame:
+                num_bits: int = 65_536, k: int = 4,
+                hash_fn: str = "md5") -> DataFrame:
     """(item, maybe_present): present iff ALL k probe bits are set.
     NO false negatives ever; false positives at the sizing rate — so a
     ``maybe_present`` stream must be exact-verified downstream when
@@ -161,7 +174,7 @@ def bloom_probe(bloom: DataFrame, items: DataFrame, col: str,
     probes = items.select(
         F.col(col).alias("item"),
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("probe"))
-    pos = _bloom_pos(F.col("item"), F.col("probe"), num_bits)
+    pos = _bloom_pos(F.col("item"), F.col("probe"), num_bits, hash_fn)
     probes = probes.select(
         "item", (pos / 64).cast("bigint").alias("word"),
         F.call_function("shiftleft", F.lit(1).cast("bigint"),

@@ -77,3 +77,14 @@ def test_lsh_tune_band_planner():
     assert bands <= 2 and bands * rows == 16
     with pytest.raises(ValueError):
         lsh_tune(1.5, 16)
+
+
+def test_fast_hash_path_no_false_negatives(spark):
+    from graphraft_spark.ops.sketches import bloom_build, bloom_probe
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(500)],
+                                 "x string")
+    bloom = bloom_build(vals, "x", num_bits=1 << 14, hash_fn="xx")
+    got = {r.item: r.maybe_present
+           for r in bloom_probe(bloom, vals, "x", num_bits=1 << 14,
+                                hash_fn="xx").collect()}
+    assert all(got[f"v{i}"] for i in range(500))

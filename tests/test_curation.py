@@ -47,3 +47,16 @@ def test_allowed_langs_gate(spark):
     out = curate_corpus(docs, bench, allowed_langs=("fr",)).collect()[0]
     assert out.lang_pred == "en" and out.ok_lang is False
     assert not out.keep_final
+
+
+def test_bloom_variant_identical(spark):
+    rows = [(i, GOOD + f" tail variant {i} " + "filler words here " * i)
+            for i in range(1, 8)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [("tail variant 3 filler words here filler words",)],
+        "text string")
+    direct = curate_corpus(docs, bench, n=8, hashed=True)
+    bloomed = curate_corpus(docs, bench, n=8, hashed=True, bloom=True)
+    assert sorted(map(tuple, direct.collect())) \
+        == sorted(map(tuple, bloomed.collect()))

@@ -189,6 +189,16 @@ def main() -> None:
                          .alias("text")))
         timed("curate_corpus", n,
               lambda d=docs, b=bench: _noop(curate_corpus(d, b, n=8)))
+        # hashed grams shrink the direct broadcast ~7x (bigints, not
+        # 50-char strings); the bloom path ships a fixed bitmap and
+        # exact-verifies survivors — all three outputs identical
+        timed("curate_hashed", n,
+              lambda d=docs, b=bench: _noop(curate_corpus(
+                  d, b, n=8, hashed=True)))
+        timed("curate_bloom", n,
+              lambda d=docs, b=bench: _noop(curate_corpus(
+                  d, b, n=8, hashed=True, bloom=True,
+                  bloom_bits=1 << 25)))
 
     # Exact-substring span dedup, rolling hash at Lee et al.'s k=50
     from graphraft_spark.ops.dedup import duplicate_spans
