@@ -97,15 +97,28 @@ PRIORITY = [
     # pytest recall tests and bench).
     "s_fuzzy_entity_match", "e_entity_resolution", "t_c4_clean",
     "st_cms_maintenance", "g_label_prop",
+    # round-8 second wave: this round's flagships earn driver grading
+    # the round they land — the composed curation verdict, DPO
+    # preference pairs, trailing-window features, SCD2 point-in-time
+    # lookup, and the market-basket projection.  Slots from
+    # s_knn_excluding (search keeps 5 green rows; exclusion semantics
+    # stay inside every r_retrieve_data run), e_repair_head (dataset
+    # family keeps 3), f_node_formatter (llm keeps 4; the formatter is
+    # exercised inside f_generate_answers), g_ingest_normalize
+    # (normalization pinned by g_ingest_validate + pytest), and
+    # tm_interval_join (temporal grows to 3 rows incl. two new ops;
+    # the bucketed-grid join keeps its extra-tier oracle + plan test).
+    "p_curate_corpus", "f_dpo_pairs", "tm_rolling_features",
+    "tm_scd2_lookup", "g_copurchase_pairs",
     # remaining graph pattern coverage
     "g_supervised_enum", "g_enum_all_pruned",
-    "g_pattern_exec_2hop", "g_ingest_validate", "g_ingest_normalize",
+    "g_pattern_exec_2hop", "g_ingest_validate",
     # search
-    "s_fulltext_match", "s_knn_topk", "s_knn_excluding",
+    "s_fulltext_match", "s_knn_topk",
     # retrieval
     "r_budget_accumulate",
     # dataset ops
-    "f_sft_llm1", "e_rank_sample", "e_repair_head",
+    "f_sft_llm1", "e_rank_sample",
     # metrics
     "m_retrieval_eval",
     # dedup (d_span_dedup promoted from extra in round 5; d_simhash and
@@ -117,12 +130,10 @@ PRIORITY = [
     "t_token_counts", "t_quality_features", "t_langid",
     # streaming (st_sessionize_batch demoted round 8)
     "st_graph_deltas",
-    # temporal
-    "tm_interval_join",
     # multimodal (real content-checked PNG decode; frame sampling is extra)
     "mm_png_feature",
     # llm surface
-    "f_llm1_prompt", "f_node_formatter", "f_generate_answers",
+    "f_llm1_prompt", "f_generate_answers",
 ]
 
 

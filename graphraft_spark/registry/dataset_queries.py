@@ -146,7 +146,7 @@ def e_rank_sample(spark, sf_dir):
 
 
 @register(
-    "e_repair_head",
+    "e_repair_head", extra=True,
     oracle="""
 WITH qa AS (
     SELECT CAST(o_custkey AS BIGINT) AS id,

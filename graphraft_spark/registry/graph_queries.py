@@ -319,7 +319,7 @@ def g_ingest_validate(spark, sf_dir):
 
 
 @register(
-    "g_ingest_normalize",
+    "g_ingest_normalize", extra=True,
     oracle="""
 WITH raw AS (
     SELECT DISTINCT lower(p_type) || '_of/' || lower(l_returnflag)
@@ -899,7 +899,7 @@ def g_hits_top(spark, sf_dir):
 
 
 @register(
-    "g_copurchase_pairs", extra=True,
+    "g_copurchase_pairs",
     oracle="""
 WITH m AS (
     SELECT DISTINCT l_orderkey AS r, l_partkey AS l FROM lineitem

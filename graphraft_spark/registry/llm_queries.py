@@ -83,7 +83,7 @@ def f_llm1_prompt(spark, sf_dir):
 
 
 @register(
-    "f_node_formatter",
+    "f_node_formatter", extra=True,
     oracle="""
 WITH data AS (
     SELECT CAST(o_custkey AS BIGINT) AS id,
@@ -471,7 +471,7 @@ def f_best_of_n(spark, sf_dir):
 
 
 @register(
-    "f_dpo_pairs", extra=True,
+    "f_dpo_pairs",
     oracle=f"""
 WITH {_CANDS_SQL.strip()},
 r AS (

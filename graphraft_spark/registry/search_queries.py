@@ -71,7 +71,7 @@ def s_knn_topk(spark, sf_dir):
 
 
 @register(
-    "s_knn_excluding",
+    "s_knn_excluding", extra=True,
     oracle=f"""
 WITH topk AS (
     SELECT vec_id,

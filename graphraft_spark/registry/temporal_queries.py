@@ -50,7 +50,7 @@ def tm_asof_enrich(spark, sf_dir):
 
 
 @register(
-    "tm_interval_join",
+    "tm_interval_join", extra=True,
     oracle="""
 WITH incidents AS (
     SELECT event_id AS incident_id, ts AS start_ts,
@@ -277,7 +277,7 @@ def tm_value_outliers(spark, sf_dir):
 
 
 @register(
-    "tm_scd2_lookup", extra=True,
+    "tm_scd2_lookup",
     oracle="""
 WITH e AS (
     SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, value
@@ -381,7 +381,7 @@ def tm_resample_ffill(spark, sf_dir):
 
 
 @register(
-    "tm_rolling_features", extra=True,
+    "tm_rolling_features",
     oracle="""
 WITH e AS (
     SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, value

@@ -1184,7 +1184,7 @@ _GOPHER_KEEP_SQL = f"""
 
 
 @register(
-    "p_curate_corpus", extra=True,
+    "p_curate_corpus",
     oracle=f"""
 WITH ml AS (
     SELECT doc_id, text,
