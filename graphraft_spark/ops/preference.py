@@ -48,7 +48,11 @@ def dpo_pairs(df: DataFrame, prompt_col: str = "prompt_id",
     no self-join of the candidate set."""
     w_desc = (Window.partitionBy(prompt_col)
               .orderBy(F.desc(reward_col), F.asc(cand_col)))
+    # ordered + explicit full frame (same result as an unordered
+    # partition count; the ordered form also prints an unambiguous
+    # partitioned Window node for the plan linter)
     w_all = (Window.partitionBy(prompt_col)
+             .orderBy(F.desc(reward_col), F.asc(cand_col))
              .rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing))
     ranked = df.select(
