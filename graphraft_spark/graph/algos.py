@@ -551,3 +551,101 @@ def strongly_connected_components(nodes: DataFrame, edges: DataFrame,
              .select("src", "dst").localCheckpoint(eager=True))
     raise RuntimeError(
         f"scc did not finish in {max_peel} peel rounds — raise max_peel")
+
+
+def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
+                        sources: list | None = None,
+                        n_sources: int = 8,
+                        max_depth: int = 20) -> DataFrame:
+    """Betweenness centrality (Brandes 2001), exact over a SOURCE
+    SAMPLE: run the forward BFS/σ-counting and backward dependency
+    accumulation for ``sources`` (default: the ``n_sources`` smallest
+    node ids — deterministic; pass a random sample for the Riondato-
+    Kornaropoulos estimator) and sum δ over sources.  With sources =
+    all nodes this IS exact directed betweenness; sampling scales the
+    same plans to big graphs at bounded cost.
+
+    All phases are frames keyed (source, node), so every sampled
+    source advances in the SAME join — per level: frontier ⨝ edges →
+    sum σ by (source, dst) (forward), and level-(d+1) deltas ⨝
+    reversed edges ⨝ σ (backward).  Rounds = 2 × eccentricity bound;
+    frames localCheckpoint-truncated per level like the other
+    iterative algorithms here.  Returns (nodeId, betweenness) over all
+    nodes (zeros included), deltas summed over the sample — divide by
+    len(sources)/|V| externally to estimate the full sum."""
+    ids = nodes.select(F.col("nodeId")).distinct()
+    e = (edges.select("src", "dst")
+         .filter(F.col("src") != F.col("dst")).distinct()
+         .persist())
+    e.count()
+    if sources is None:
+        sources = [r.nodeId for r in
+                   ids.orderBy("nodeId").limit(n_sources).collect()]
+    spark = nodes.sparkSession
+    id_type = ids.schema["nodeId"].dataType.simpleString()
+    src_df = spark.createDataFrame([(s,) for s in sources],
+                                   f"s {id_type}")
+    # settled(source, node, dist, sigma); frontier = the current level
+    frontier = src_df.select(F.col("s").alias("source"),
+                             F.col("s").alias("node"),
+                             F.lit(0).alias("dist"),
+                             F.lit(1.0).alias("sigma")) \
+        .localCheckpoint(eager=True)
+    settled = frontier
+    levels = [frontier]
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(e, frontier.node == e.src)
+               .groupBy("source", F.col("dst").alias("node"))
+               .agg(F.sum("sigma").alias("sigma")))
+        nxt = (nxt.join(settled.select("source",
+                                       F.col("node").alias("_sn"))
+                        .withColumnRenamed("_sn", "node"),
+                        ["source", "node"], "left_anti")
+               .withColumn("dist", F.lit(d))
+               .select("source", "node", "dist", "sigma")
+               .localCheckpoint(eager=True))
+        if nxt.count() == 0:
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        levels.append(nxt)
+    else:
+        raise RuntimeError(
+            f"betweenness BFS exceeded max_depth={max_depth}")
+    # backward: delta starts 0; process levels deepest→1, accumulating
+    # delta(v) += sigma_v/sigma_w * (1 + delta_w) over edges v->w one
+    # level down
+    delta = settled.select("source", "node",
+                           F.lit(0.0).alias("delta")) \
+        .localCheckpoint(eager=True)
+    for d in range(len(levels) - 1, 0, -1):
+        down = (levels[d].select("source",
+                                F.col("node").alias("w"),
+                                F.col("sigma").alias("sigma_w"))
+                .join(delta.select("source", F.col("node").alias("w"),
+                                   F.col("delta").alias("delta_w")),
+                      ["source", "w"]))
+        contrib = (down.join(e, down.w == e.dst)
+                   .select("source", F.col("src").alias("node"),
+                           "sigma_w", "delta_w"))
+        contrib = (contrib.join(
+            levels[d - 1].select("source", "node", "sigma"),
+            ["source", "node"])
+            .groupBy("source", "node")
+            .agg(F.sum(F.col("sigma") / F.col("sigma_w")
+                       * (F.lit(1.0) + F.col("delta_w")))
+                 .alias("add")))
+        delta = (delta.join(contrib, ["source", "node"], "left")
+                 .select("source", "node",
+                         (F.col("delta") + F.coalesce("add", F.lit(0.0)))
+                         .alias("delta"))
+                 .localCheckpoint(eager=True))
+    acc = (delta.filter(F.col("node") != F.col("source"))
+           .groupBy(F.col("node").alias("nodeId"))
+           .agg(F.sum("delta").alias("betweenness")))
+    out = (ids.join(acc, "nodeId", "left")
+           .select("nodeId",
+                   F.round(F.coalesce("betweenness", F.lit(0.0)), 9)
+                   .alias("betweenness")))
+    e.unpersist()
+    return out

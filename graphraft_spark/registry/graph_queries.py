@@ -983,3 +983,23 @@ def g_scc_event_types(spark, sf_dir):
              .distinct())
     nodes = ev.select(F.col("event_type").alias("id")).distinct()
     return strongly_connected_components(nodes, edges)
+
+
+@register("g_betweenness_top", extra=True)  # rows-only: iterative float
+def g_betweenness_top(spark, sf_dir):
+    """Sampled Brandes betweenness (graph/algos.py betweenness_sampled,
+    8 deterministic sources): which nodes sit on the most shortest
+    paths — the broker-detection centrality completing the quartet
+    next to PageRank/HITS/k-core.  Not SQL-expressible in the
+    hash-matched tier (level-synchronous float accumulation); semantics
+    pinned by tests/test_graph_betweenness.py exact parity (1e-6) with
+    an independent pure-Python Brandes."""
+    from graphraft_spark.graph.algos import betweenness_sampled
+
+    g = tpch_graph(spark, sf_dir)
+    b = betweenness_sampled(g.nodes.select("nodeId"),
+                            g.edges.select("src", "dst"), n_sources=8)
+    return (b.join(g.nodes.select("nodeId", "label", "name"), "nodeId")
+            .filter(F.col("betweenness") > 0)
+            .orderBy(F.desc("betweenness"), F.asc("nodeId"))
+            .limit(20))
