@@ -87,6 +87,25 @@ def predicted_lang(text: Column) -> Column:
     return F.element_at(langid_scores(text), 1)["lang"]
 
 
+def predicted_lang_rounded(text: Column, digits: int = 9) -> Column:
+    """predicted_lang with per-language scores ROUNDED before the
+    argmax — identical prediction except at sub-1e-9 near-ties, where
+    the rounding makes the tie order engine-portable (the form every
+    oracle-compared query uses)."""
+    ws = words(text)
+    n = F.size(ws)
+    entries = []
+    for lang in sorted(STOPWORDS):
+        lex = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(ws, lambda w: F.array_contains(lex, w)))
+        score = F.round(
+            F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0)),
+            digits)
+        entries.append(F.struct((-score).alias("neg"),
+                                F.lit(lang).alias("lang")))
+    return F.element_at(F.array_sort(F.array(*entries)), 1)["lang"]
+
+
 def doc_fingerprint(text: Column, k: int = 3, num: int = 4) -> Column:
     """Rolling-hash document fingerprint: the ``num`` smallest shingle
     hashes (winnowing-style sketch) as ARRAY<BIGINT> — stable under

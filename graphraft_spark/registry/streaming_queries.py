@@ -74,22 +74,23 @@ def st_json_props(spark, sf_dir):
         F.count("*").alias("n"))
 
 
-def _stage_events(sf_dir: str, kind: str) -> str:
-    """Stage the (read-only) testdata events file into a repo-local
-    scratch dir for the file-source stream.  Re-copies when the source
-    was REGENERATED (size/mtime mismatch) — the driver rewrites
-    testdata between rounds, and a stale staged copy would silently
-    desync the streaming extras from the batch oracle."""
+def _stage_table(sf_dir: str, kind: str, table: str) -> str:
+    """Stage a (read-only) testdata parquet FILE into a repo-local
+    scratch DIRECTORY for the file-source stream (the source requires a
+    directory).  Re-copies when the source was REGENERATED (size/mtime
+    mismatch) — the driver rewrites testdata between rounds, and a
+    stale staged copy would silently desync the streaming extras from
+    the batch oracle."""
     import os
     import shutil
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     tag = os.path.basename(sf_dir.rstrip("/"))
-    stage = f"{repo}/.scratch/events_{kind}_{tag}"
+    stage = f"{repo}/.scratch/{table}_{kind}_{tag}"
     os.makedirs(stage, exist_ok=True)
-    src = f"{sf_dir}/events.parquet"
-    dst = f"{stage}/events.parquet"
+    src = f"{sf_dir}/{table}.parquet"
+    dst = f"{stage}/{table}.parquet"
     st = os.stat(src)
     fresh = (os.path.exists(dst)
              and os.stat(dst).st_size == st.st_size
@@ -97,6 +98,10 @@ def _stage_events(sf_dir: str, kind: str) -> str:
     if not fresh:
         shutil.copy2(src, dst)  # copy2 preserves mtime for the check
     return stage
+
+
+def _stage_events(sf_dir: str, kind: str) -> str:
+    return _stage_table(sf_dir, kind, "events")
 
 
 @register("st_stream_tumbling", extra=True)  # rows-only: true incremental execution
@@ -476,3 +481,79 @@ def st_cms_maintenance(spark, sf_dir):
     types = ev.select("v").distinct()
     return cms_probe(merged, types, "v", depth=4, width=256) \
         .select("item", "est_count")
+
+
+@register(
+    "st_curation_flags", extra=True,
+    oracle="""
+WITH ml AS (
+    SELECT doc_id, text,
+           list_sum(list_transform(
+               string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' '), w -> length(w)))
+               / CAST(len(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS DOUBLE) AS ml
+    FROM documents
+)
+SELECT doc_id,
+       (NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS c4_kept,
+       """ + __import__("graphraft_spark.registry.textanalysis_queries",
+                        fromlist=["_GOPHER_KEEP_SQL"])
+                        ._GOPHER_KEEP_SQL.strip() + """ AS gopher_kept,
+       (list_sort([
+           {'neg': -ROUND(CAST(""" + __import__(
+                "graphraft_spark.registry.textanalysis_queries",
+                fromlist=["_stop_sql"])._stop_sql("de") + """ AS DOUBLE)
+                           / len(""" + __import__(
+                "graphraft_spark.registry.textanalysis_queries",
+                fromlist=["_WORDS"])._WORDS + """), 9), 'lang': 'de'},
+           {'neg': -ROUND(CAST(""" + __import__(
+                "graphraft_spark.registry.textanalysis_queries",
+                fromlist=["_stop_sql"])._stop_sql("en") + """ AS DOUBLE)
+                           / len(""" + __import__(
+                "graphraft_spark.registry.textanalysis_queries",
+                fromlist=["_WORDS"])._WORDS + """), 9), 'lang': 'en'},
+           {'neg': -ROUND(CAST(""" + __import__(
+                "graphraft_spark.registry.textanalysis_queries",
+                fromlist=["_stop_sql"])._stop_sql("es") + """ AS DOUBLE)
+                           / len(""" + __import__(
+                "graphraft_spark.registry.textanalysis_queries",
+                fromlist=["_WORDS"])._WORDS + """), 9), 'lang': 'es'},
+           {'neg': -ROUND(CAST(""" + __import__(
+                "graphraft_spark.registry.textanalysis_queries",
+                fromlist=["_stop_sql"])._stop_sql("fr") + """ AS DOUBLE)
+                           / len(""" + __import__(
+                "graphraft_spark.registry.textanalysis_queries",
+                fromlist=["_WORDS"])._WORDS + """), 9), 'lang': 'fr'}
+       ]))[1].lang AS lang_pred
+FROM ml
+""")
+def st_curation_flags(spark, sf_dir):
+    """The curation verdict's stage-1 flags running as a REAL
+    Structured Streaming job (availableNow file stream -> append-mode
+    memory sink): C4 doc gates, Gopher keep, rounded language-ID are
+    stateless column expressions, so the stream emits rows incrementally
+    with ZERO state store — the shape a live crawl-intake topic runs.
+    Deterministic per-row output means this streaming execution is
+    fully ORACLE-CHECKED (same flags CTE as p_curate_corpus); the
+    stateful stages (dedup, decontamination) have their own streaming
+    twins (dedup_events_stream, d_stream_neardup)."""
+    from graphraft_spark.ops.text_analysis import (c4_doc_gate,
+                                                   gopher_rules,
+                                                   predicted_lang_rounded)
+    from graphraft_spark.streaming.events import run_stream_to_memory
+
+    stage = _stage_table(sf_dir, "stream", "documents")
+    schema = spark.read.parquet(stage).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(stage))
+    t = F.col("text")
+    flags = stream.select(
+        F.col("doc_id"),
+        c4_doc_gate(t).alias("c4_kept"),
+        gopher_rules(t)["keep"].alias("gopher_kept"),
+        predicted_lang_rounded(t).alias("lang_pred"))
+    return run_stream_to_memory(flags, "st_curation_flags_sink",
+                                output_mode="append")

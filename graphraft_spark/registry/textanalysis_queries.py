@@ -1256,19 +1256,12 @@ def p_curate_corpus(spark, sf_dir):
     from graphraft_spark.ops.curation import curate_corpus
     from graphraft_spark.ops.dedup import words as words_col
 
+    from graphraft_spark.ops.text_analysis import predicted_lang_rounded
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ws = words_col(F.col("text"))
     bench = (docs.filter((F.col("doc_id") % 7 == 3) & (F.size(ws) >= 11))
              .select(F.concat_ws(" ", F.slice(ws, 4, 8)).alias("text")))
     # rounded-score language ranking so oracle tie-order matches
-    n = F.size(ws)
-    entries = []
-    for lang in sorted(STOPWORDS):
-        lex = F.array([F.lit(w) for w in STOPWORDS[lang]])
-        hits = F.size(F.filter(ws, lambda w: F.array_contains(lex, w)))
-        score = F.round(
-            F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0)), 9)
-        entries.append(F.struct((-score).alias("neg"),
-                                F.lit(lang).alias("lang")))
-    lang_expr = F.element_at(F.array_sort(F.array(*entries)), 1)["lang"]
-    return curate_corpus(docs, bench, n=8, lang_expr=lang_expr)
+    return curate_corpus(docs, bench, n=8,
+                         lang_expr=predicted_lang_rounded(F.col("text")))
