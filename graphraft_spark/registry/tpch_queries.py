@@ -374,29 +374,3 @@ def q_unpivot_quality(spark, sf_dir):
                          "feature", "value")
             .select("doc_id", "feature", F.round("value", 6).alias("value")))
 
-
-@register(
-    "q_cube_status_priority", extra=True,
-    oracle="""
-SELECT COALESCE(o_orderstatus, '<all>') AS status,
-       COALESCE(o_orderpriority, '<all>') AS priority,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""")
-def q_cube_status_priority(spark, sf_dir):
-    """Grouping-sets coverage, CUBE variant: all four grouping
-    combinations (status×priority, status, priority, grand total) in
-    one pass — Spark expands to a grouping-set union with map-side
-    partials, same shape as the ROLLUP twin."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"),
-             F.sum(_dec("o_totalprice")).cast("double").alias("total"))
-        .select(
-            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
-            "n", "total")
-    )

@@ -591,3 +591,40 @@ def q_zorder_key(spark, sf_dir):
     return (with_zorder_key(o, ["a", "b"])
             .orderBy("zkey", "o_orderkey")
             .select("o_orderkey", "zkey").limit(500))
+
+
+@register(
+    "q_disjunctive_revenue", extra=True,
+    oracle="""
+SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+""")
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, OR-of-AND predicate
+    blocks): the disjunction mixes part-side and lineitem-side
+    conditions, so Catalyst must split it — the part-only disjunct
+    (brand IN ...) pushes into the dimension scan, the mixed residual
+    evaluates post-join.  Decimal-exact aggregate; the join stays a
+    broadcast hash join on partkey."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    blk = lambda brand, s0, s1, q0, q1: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s0, s1)
+        & F.col("l_quantity").between(q0, q1))
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") \
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    return (j.filter(blk("Brand#1", 1, 15, 1, 20)
+                     | blk("Brand#2", 10, 30, 10, 35)
+                     | blk("Brand#3", 20, 50, 20, 50))
+            .agg(F.round(F.sum(disc), 4).alias("revenue"),
+                 F.count("*").alias("n_lines")))
