@@ -649,3 +649,45 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
                    .alias("betweenness")))
     e.unpersist()
     return out
+
+
+def bfs_distances(nodes: DataFrame, edges: DataFrame,
+                  sources: DataFrame,
+                  max_depth: int = 20) -> DataFrame:
+    """Multi-source BFS shortest-path distances on the directed graph:
+    for every (source, node) pair with node reachable from source,
+    the hop distance — the building block under :func:`betweenness_
+    sampled`'s forward phase, exposed because reachability-with-depth
+    is its own workhorse (k-hop neighborhoods, influence radii,
+    dependency closure depth).
+
+    ``sources`` is a 1-column frame (``s``); ALL sources advance in
+    the same level-synchronous join, so the round count is the max
+    eccentricity, not sources × depth.  Frames localCheckpoint per
+    level like the other iterative algorithms.  Returns (source,
+    node, dist) including (s, s, 0); unreachable pairs are absent."""
+    e = (edges.select("src", "dst")
+         .filter(F.col("src") != F.col("dst")).distinct()
+         .persist())
+    e.count()
+    frontier = sources.select(F.col("s").alias("source"),
+                              F.col("s").alias("node"),
+                              F.lit(0).alias("dist")) \
+        .localCheckpoint(eager=True)
+    settled = frontier
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(e, frontier.node == e.src)
+               .select("source", F.col("dst").alias("node"))
+               .distinct()
+               .join(settled.select("source", "node"),
+                     ["source", "node"], "left_anti")
+               .withColumn("dist", F.lit(d))
+               .localCheckpoint(eager=True))
+        if nxt.count() == 0:
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(f"bfs exceeded max_depth={max_depth}")
+    e.unpersist()
+    return settled

@@ -1003,3 +1003,53 @@ def g_betweenness_top(spark, sf_dir):
             .filter(F.col("betweenness") > 0)
             .orderBy(F.desc("betweenness"), F.asc("nodeId"))
             .limit(20))
+
+
+@register(
+    "g_bfs_distances", extra=True,
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT event_type AS a,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS b
+    FROM events
+),
+edges AS (
+    SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL AND a <> b
+),
+n AS (SELECT DISTINCT event_type AS id FROM events),
+walk(source, node, dist) AS (
+    SELECT id, id, 0 FROM n
+    UNION
+    SELECT w.source, e.b, w.dist + 1
+    FROM walk w JOIN edges e ON e.a = w.node
+    WHERE w.dist < 10
+),
+best AS (
+    SELECT source, node, CAST(MIN(dist) AS INT) AS dist
+    FROM walk GROUP BY source, node
+)
+SELECT source, node, dist FROM best
+""")
+def g_bfs_distances(spark, sf_dir):
+    """Multi-source BFS distances (graph/algos.py bfs_distances) over
+    the event-type transition graph, every type a source — hop
+    distances between behavioral states.  Level-synchronous frontier
+    joins (all sources advance together); the oracle replays it as a
+    recursive walk + MIN(dist) per pair (tractable on the small type
+    graph; at corpus scale the carrier is the windowed pre-aggregation,
+    as in g_scc_event_types)."""
+    from graphraft_spark.graph.algos import bfs_distances
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("event_type").alias("src"),
+                    F.lead("event_type").over(w).alias("dst"))
+    edges = (seq.filter(F.col("dst").isNotNull()
+                        & (F.col("src") != F.col("dst")))
+             .distinct())
+    nodes = ev.select(F.col("event_type").alias("id")).distinct()
+    out = bfs_distances(nodes, edges, nodes.select(F.col("id").alias("s")))
+    return out.select("source", "node", F.col("dist").cast("int")
+                      .alias("dist"))

@@ -1,0 +1,35 @@
+"""bfs_distances (graph/algos.py): multi-source hop distances vs a
+pure-Python BFS."""
+
+from collections import deque
+
+from graphraft_spark.graph.algos import bfs_distances
+
+
+def test_multi_source_distances_match(spark):
+    n = list(range(8))
+    e = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 3), (3, 0), (5, 6)]
+    nodes = spark.createDataFrame([(v,) for v in n], "id bigint")
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    srcs = spark.createDataFrame([(0,), (5,), (7,)], "s bigint")
+    got = {(r.source, r.node): r.dist
+           for r in bfs_distances(nodes, edges, srcs).collect()}
+
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, []).append(b)
+    want = {}
+    for s in (0, 5, 7):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, []):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        for v, d in dist.items():
+            want[(s, v)] = d
+    assert got == want
+    assert (7, 7) in got and got[(7, 7)] == 0   # isolated source
+    assert (5, 0) not in got                    # unreachable absent

@@ -88,6 +88,7 @@ EAGER = {
     "ann_ivf_kmeans_train", "ann_ivf_kmeans_search", "ann_pq_search",
     "d_components", "d_lsh_repair_components", "e_entity_resolution",
     "g_label_prop", "g_scc_event_types", "g_betweenness_top",
+    "g_bfs_distances",
     "st_sig_maintenance", "st_funnel_maintenance", "st_graph_deltas",
     "st_graph_stream_update", "d_stream_neardup", "ann_recall_report",
     "ann_recall_clustered",
