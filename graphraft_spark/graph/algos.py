@@ -407,8 +407,15 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3,
             # truncate lineage like connected_components: Catalyst
             # re-analysis otherwise grows per-round on the join tree
             scores = scores.localCheckpoint(eager=True)
-    return scores.select("nodeId", F.round("hub", 9).alias("hub"),
-                         F.round("authority", 9).alias("authority"))
+    out = scores.select("nodeId", F.round("hub", 9).alias("hub"),
+                        F.round("authority", 9).alias("authority")) \
+        .localCheckpoint(eager=True)
+    # same hygiene as pagerank: materialize the result, then release
+    # the persisted per-round inputs (a long session would otherwise
+    # accumulate one cached edge frame per hits() call)
+    n_nodes.unpersist()
+    e.unpersist()
+    return out
 
 
 def bipartite_project(edges: DataFrame, left: str = "src",
