@@ -387,9 +387,13 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3,
                   .select("nodeId",
                           F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")))
         a_tot = scores.agg(F.sum("a_raw").alias("t"))
+        # zero-guard: an edgeless graph (or all-zero round) has t=0;
+        # dividing would yield NULL and poison every later round
         scores = (scores.crossJoin(F.broadcast(a_tot))
                   .select("nodeId",
-                          (F.col("a_raw") / F.col("t")).alias("authority")))
+                          F.when(F.col("t") != 0,
+                                 F.col("a_raw") / F.col("t"))
+                          .otherwise(F.lit(0.0)).alias("authority")))
         hub = (e.join(scores.select(F.col("nodeId").alias("dst"),
                                     "authority"), "dst")
                .groupBy(F.col("src").alias("nodeId"))
@@ -401,7 +405,9 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3,
         h_tot = scores.agg(F.sum("h_raw").alias("t"))
         scores = (scores.crossJoin(F.broadcast(h_tot))
                   .select("nodeId",
-                          (F.col("h_raw") / F.col("t")).alias("hub"),
+                          F.when(F.col("t") != 0,
+                                 F.col("h_raw") / F.col("t"))
+                          .otherwise(F.lit(0.0)).alias("hub"),
                           "authority"))
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             # truncate lineage like connected_components: Catalyst

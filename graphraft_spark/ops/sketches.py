@@ -142,7 +142,9 @@ def bloom_build(df: DataFrame, col: str, num_bits: int = 65_536,
     Merge = bitwise-OR on word (:func:`bloom_merge`), which is also the
     map-side partial Spark applies here: the shuffle carries at most
     ``num_bits/64`` rows per mapper.  Standard sizing: fp-rate ≈
-    ``(1 - e^{-k·n/m})^k`` — at the defaults, ~1e-4 for n ≈ 4k values.
+    ``(1 - e^{-k·n/m})^k`` — at the defaults (m=65536, k=4) that is
+    ~2.4e-3 for n ≈ 4k values; to reach ~1e-4 keep n ≲ 1.7k or grow
+    ``num_bits`` (the 10×-bits rule in ops/curation.py sizes this).
     """
     rows = df.select(
         F.col(col).alias("_v"),

@@ -105,22 +105,31 @@ def scd2_lookup(facts: DataFrame, dim: DataFrame, key: str,
 
     Shape: the :func:`asof_join` union+window formulation on
     ``valid_from`` (ONE shuffle keyed by ``key``, linear per-partition
-    pass — no interval-join blowup, no per-fact row identity needed),
-    then a validity mask: the carried-forward version is nulled out
-    where ``ts >= valid_to`` (a gap in coverage).  Well-formed SCD2
-    (contiguous, non-overlapping) matches the covering version exactly;
-    overlaps resolve deterministically to the LATEST started version
-    (max ``valid_from`` ≤ ts — the as-of pick)."""
+    pass — no interval-join blowup, no per-fact row identity needed).
+    The whole dimension version travels as ONE struct so the as-of
+    pick is atomic: a NULL ``valid_to`` (the common open/current-row
+    SCD2 convention) or a NULL payload field in the latest version can
+    never tear in a stale value from an older version — per-column
+    ``last(ignorenulls)`` would.  The carried version is then masked
+    out where ``ts >= valid_to`` (a gap in coverage); NULL ``valid_to``
+    means the version is open and covers every later timestamp.
+    Well-formed SCD2 (contiguous, non-overlapping) matches the covering
+    version exactly; overlaps resolve deterministically to the LATEST
+    started version (max ``valid_from`` ≤ ts — the as-of pick)."""
     pay = list(payload or [c for c in dim.columns
                            if c not in (key, from_col, to_col)])
-    if to_col in facts.columns:
-        raise ValueError(f"{to_col!r} collides with a fact column")
-    out = asof_join(
-        facts, dim.withColumnRenamed(from_col, ts_col),
-        on=ts_col, by=(key,), value_cols=[*pay, to_col],
-        direction="backward")
-    covered = F.col(to_col) > F.col(ts_col)
-    masked = [F.when(covered, F.col(c)).otherwise(F.lit(None)).alias(c)
+    if "_scd2_to" in pay:
+        raise ValueError("payload column name '_scd2_to' is reserved")
+    dim2 = dim.select(
+        F.col(key), F.col(from_col).alias(ts_col),
+        F.struct(*[F.col(c) for c in pay],
+                 F.col(to_col).alias("_scd2_to")).alias("_scd2_v"))
+    out = asof_join(facts, dim2, on=ts_col, by=(key,),
+                    value_cols=["_scd2_v"], direction="backward")
+    v = F.col("_scd2_v")
+    covered = v.isNotNull() & (v["_scd2_to"].isNull()
+                               | (v["_scd2_to"] > F.col(ts_col)))
+    masked = [F.when(covered, v[c]).otherwise(F.lit(None)).alias(c)
               for c in pay]
     return out.select(*facts.columns, *masked)
 

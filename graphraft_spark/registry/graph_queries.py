@@ -1023,7 +1023,7 @@ walk(source, node, dist) AS (
     UNION
     SELECT w.source, e.b, w.dist + 1
     FROM walk w JOIN edges e ON e.a = w.node
-    WHERE w.dist < 10
+    WHERE w.dist < 20
 ),
 best AS (
     SELECT source, node, CAST(MIN(dist) AS INT) AS dist

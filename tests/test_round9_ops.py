@@ -1,0 +1,59 @@
+"""Round-9 edge cases from the round-8 advice pass: SCD2 open-version
+(NULL valid_to) semantics, payload-tearing on NULL fields, and the
+HITS zero-total normalization guard."""
+
+from pyspark.sql import functions as F
+
+from graphraft_spark.graph.algos import hits
+from graphraft_spark.ops.temporal import scd2_lookup
+
+
+def test_scd2_null_valid_to_is_open_version(spark):
+    # Common SCD2 convention: the current version has valid_to = NULL.
+    # A per-column last(ignorenulls) carry would skip the NULL and mask
+    # against a STALE older boundary; the struct carry must not.
+    facts = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 15), (3, 10, 500)],
+        "fid int, k int, ts_sec bigint")
+    dim = spark.createDataFrame(
+        [(10, 0, 10, "v1"), (10, 10, None, "cur")],
+        "k int, valid_from bigint, valid_to bigint, ver string")
+    got = {r.fid: r.ver for r in scd2_lookup(
+        facts, dim, key="k", ts_col="ts_sec", payload=("ver",)).collect()}
+    assert got == {1: "v1", 2: "cur", 3: "cur"}
+
+
+def test_scd2_null_payload_field_does_not_tear(spark):
+    # The latest version's NULL payload field must stay NULL — not
+    # inherit the previous version's value.
+    facts = spark.createDataFrame([(1, 10, 15)],
+                                  "fid int, k int, ts_sec bigint")
+    dim = spark.createDataFrame(
+        [(10, 0, 10, "v1", 100), (10, 10, 20, "v2", None)],
+        "k int, valid_from bigint, valid_to bigint, ver string, score int")
+    [row] = scd2_lookup(facts, dim, key="k", ts_col="ts_sec",
+                        payload=("ver", "score")).collect()
+    assert row.ver == "v2" and row.score is None
+
+
+def test_scd2_fact_column_named_valid_to_ok(spark):
+    # valid_to now travels inside the version struct, so a fact column
+    # with the same name no longer collides.
+    facts = spark.createDataFrame([(1, 10, 5, 999)],
+                                  "fid int, k int, ts_sec bigint, "
+                                  "valid_to bigint")
+    dim = spark.createDataFrame(
+        [(10, 0, 10, "v1")],
+        "k int, valid_from bigint, valid_to bigint, ver string")
+    [row] = scd2_lookup(facts, dim, key="k", ts_col="ts_sec",
+                        payload=("ver",)).collect()
+    assert row.ver == "v1" and row.valid_to == 999
+
+
+def test_hits_edgeless_graph_zero_not_null(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], "nodeId bigint")
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    rows = hits(nodes, edges, n_iter=2).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.hub == 0.0 and r.authority == 0.0
