@@ -875,16 +875,61 @@ def g_label_prop(spark, sf_dir):
     return label_propagation(g.nodes, g.edges, rounds=3)
 
 
-@register("g_hits_top", extra=True)  # rows-only: iterative float algo
+def _hits_unrolled_sql(n_iter: int = 3) -> str:
+    """Replay hits() as SQL: each iteration is two aggregate joins +
+    a window-total normalization, unrolled ``n_iter`` times (fixed
+    iteration count is what makes the algorithm oracle-expressible —
+    same recipe as g_bfs_distances' bounded recursive walk).  Float
+    tolerance: both engines sum the same doubles in different orders;
+    the drift is ~n·eps ≈ 1e-12 relative, four orders below the
+    round-to-9dp grid the comparison happens on."""
+    parts = [
+        "\n, n AS (SELECT nodeId FROM nodes)",
+        ", h0 AS (SELECT nodeId, CAST(1.0 AS DOUBLE) AS hub FROM n)",
+    ]
+    prev = "h0"
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+, a{i}r AS (
+    SELECT n.nodeId, COALESCE(x.v, CAST(0 AS DOUBLE)) AS a_raw
+    FROM n LEFT JOIN (
+        SELECT e.dst AS nodeId, SUM(s.hub) AS v
+        FROM edges e JOIN {prev} s ON s.nodeId = e.src
+        GROUP BY e.dst) x USING (nodeId))
+, a{i} AS (SELECT nodeId, a_raw / SUM(a_raw) OVER () AS authority
+           FROM a{i}r)
+, h{i}r AS (
+    SELECT n.nodeId, COALESCE(x.v, CAST(0 AS DOUBLE)) AS h_raw
+    FROM n LEFT JOIN (
+        SELECT e.src AS nodeId, SUM(a.authority) AS v
+        FROM edges e JOIN a{i} a ON a.nodeId = e.dst
+        GROUP BY e.src) x USING (nodeId))
+, h{i} AS (SELECT nodeId, h_raw / SUM(h_raw) OVER () AS hub
+           FROM h{i}r)""")
+        prev = f"h{i}"
+    parts.append(f"""
+SELECT h.nodeId, nd.label, nd.name,
+       ROUND(h.hub, 9) AS hub, ROUND(a.authority, 9) AS authority
+FROM h{n_iter} h
+JOIN a{n_iter} a USING (nodeId)
+JOIN nodes nd USING (nodeId)
+ORDER BY ROUND(a.authority, 9) DESC, h.nodeId ASC
+LIMIT 20""")
+    return GRAPH_ORACLE_CTE + "".join(parts)
+
+
+@register("g_hits_top", extra=True, oracle=_hits_unrolled_sql(3))
 def g_hits_top(spark, sf_dir):
     """HITS hubs & authorities top-20 (graph/algos.py:hits, 3 rounds,
     L1-normalized): link-analysis importance over the directed property
     graph — the authority score surfaces well-cited targets (Orders/
     Parts), the hub score their heavy pointers (Customers/Suppliers).
-    Not SQL-expressible in the hash-matched tier (iterative float sums
-    are order-dependent); semantics pinned by
-    tests/test_graph_algos_hits.py exact parity (1e-9) with an
-    independent dense numpy power iteration."""
+    Value-checked (round-9): the fixed 3-iteration schedule unrolls to
+    plain SQL (two aggregate joins + a window-total per round), scores
+    rounded to 9dp on both sides, the top-20 cut ordered by the ROUNDED
+    authority so the boundary is float-drift-proof.  Exact float
+    semantics additionally pinned by tests/test_graph_algos_hits.py
+    parity (1e-9) with an independent dense numpy power iteration."""
     from graphraft_spark.graph.algos import hits
 
     g = tpch_graph(spark, sf_dir)
@@ -1003,6 +1048,91 @@ def g_betweenness_top(spark, sf_dir):
             .filter(F.col("betweenness") > 0)
             .orderBy(F.desc("betweenness"), F.asc("nodeId"))
             .limit(20))
+
+
+_TYPE_GRAPH_SQL = """seq AS (
+    SELECT event_type AS a,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS b
+    FROM events
+),
+edges AS (
+    SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL AND a <> b
+),
+n AS (SELECT DISTINCT event_type AS id FROM events)"""
+
+
+def _betweenness_types_sql(max_d: int = 8) -> str:
+    """Replay exact all-sources Brandes as SQL on the (small,
+    fixed-vocabulary) event-type graph: unrolled walk-count matrix
+    powers give per-pair (dist, sigma) — at the minimal length every
+    walk IS a shortest path, so the count is exactly sigma — then the
+    Brandes pair-dependency identity
+    ``b(v) = SUM sigma(s,v)*sigma(v,t)/sigma(s,t)`` over pairs with
+    ``d(s,v)+d(v,t)=d(s,t)``, endpoints excluded.  Tractable because
+    the type vocabulary keeps the pair tables at |V|^2 ≈ hundreds of
+    rows regardless of corpus sf (same carrier argument as
+    g_scc_event_types)."""
+    parts = [f"WITH {_TYPE_GRAPH_SQL},\n"
+             "p0 AS (SELECT id AS s, id AS t, CAST(1 AS DOUBLE) AS c "
+             "FROM n)"]
+    for d in range(1, max_d + 1):
+        parts.append(
+            f",\np{d} AS (SELECT p.s, e.b AS t, SUM(p.c) AS c\n"
+            f"     FROM p{d - 1} p JOIN edges e ON e.a = p.t\n"
+            f"     GROUP BY p.s, e.b)")
+    walks = "\n    UNION ALL ".join(
+        f"SELECT s, t, {d} AS d, c FROM p{d}" for d in range(max_d + 1))
+    parts.append(f""",
+walks AS (
+    {walks}
+),
+pairs AS (
+    SELECT s, t, d AS dist, c AS sigma
+    FROM (SELECT s, t, d, c,
+                 ROW_NUMBER() OVER (PARTITION BY s, t ORDER BY d) AS rn
+          FROM walks)
+    WHERE rn = 1
+),
+dep AS (
+    SELECT sv.t AS node, SUM(sv.sigma * vt.sigma / st.sigma) AS b
+    FROM pairs sv
+    JOIN pairs vt ON vt.s = sv.t
+    JOIN pairs st ON st.s = sv.s AND st.t = vt.t
+    WHERE sv.s <> sv.t AND vt.s <> vt.t
+      AND sv.dist + vt.dist = st.dist
+    GROUP BY sv.t
+)
+SELECT n.id AS node, ROUND(COALESCE(dep.b, 0), 9) AS betweenness
+FROM n LEFT JOIN dep ON dep.node = n.id""")
+    return "".join(parts)
+
+
+@register("g_betweenness_types", extra=True,
+          oracle=_betweenness_types_sql(8))
+def g_betweenness_types(spark, sf_dir):
+    """EXACT directed betweenness (all sources) on the event-type
+    transition graph — the value-checked twin of g_betweenness_top
+    (round-9, per the r8 verdict): the fixed type vocabulary keeps the
+    graph small at every sf, so the engine's level-synchronous Brandes
+    (graph/algos.py betweenness_sampled with sources = every node) is
+    hash-comparable to the unrolled pair-dependency SQL above, both
+    rounded to 9dp.  The big-graph sampled run stays rows-only in
+    g_betweenness_top; its float semantics are pinned here plus the
+    numpy-parity suite."""
+    from graphraft_spark.graph.algos import betweenness_sampled
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("event_type").alias("src"),
+                    F.lead("event_type").over(w).alias("dst"))
+    edges = (seq.filter(F.col("dst").isNotNull()
+                        & (F.col("src") != F.col("dst")))
+             .distinct())
+    nodes = ev.select(F.col("event_type").alias("nodeId")).distinct()
+    b = betweenness_sampled(nodes, edges, n_sources=100_000, max_depth=8)
+    return b.select(F.col("nodeId").alias("node"), "betweenness")
 
 
 @register(
