@@ -35,7 +35,8 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                   n: int = 13, hashed: bool = False,
                   gopher_min_words: int = 50,
                   bloom: bool = False,
-                  bloom_bits: int = 1 << 22) -> DataFrame:
+                  bloom_bits: int = 1 << 22,
+                  decontaminate: str | None = None) -> DataFrame:
     """Per-document curation verdict: (id, c4_kept, gopher_kept,
     lang_pred, ok_lang, is_canonical, contaminated, n_hits,
     keep_final) where ``keep_final`` is the conjunction — C4 doc gates
@@ -47,18 +48,20 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
     rounded-score variant for engine-portable tie order); default is
     :func:`~graphraft_spark.ops.text_analysis.predicted_lang`.
 
-    ``bloom=True`` swaps the decontamination stage for the
-    Bloom-prefiltered path (identical output, exact-verified): the
-    direct path force-broadcasts the benchmark's raw gram strings,
-    which is right for a FIXED eval set but balloons when the
-    benchmark grows with the corpus — measured ×50 soak (BASELINE.md
-    round 8): 130.7 s direct vs the bloom path shipping a fixed
-    fixed-size bitmap.  Flip it when the benchmark side exceeds a few
-    hundred thousand grams, and size ``bloom_bits`` ≈ 10× the distinct
-    gram count (the ~1% fp point — a saturated bloom filters nothing
-    and the exact-verify join inherits the full load)."""
+    ``decontaminate`` picks the decontamination stage: ``"direct"``
+    (broadcast the benchmark gram set — the measured scale default),
+    ``"bloom"`` (fixed-bitmap prefilter + exact verify, identical
+    output), or ``"auto"`` — derive the path from the benchmark's own
+    size via :func:`~graphraft_spark.ops.decontaminate.
+    choose_decontamination` (one approx_count_distinct over the SMALL
+    side + the measured ≳1e8-gram crossover + the 10×-bits fp-sizing
+    rule), the same self-tuning shape as dedup's
+    ``adaptive_bucket_cap``.  ``None`` defers to the legacy ``bloom``
+    flag; an explicit ``bloom_bits`` is honored on the bloom path
+    unless auto derived one."""
     from graphraft_spark.ops.dedup import exact_dedup
     from graphraft_spark.ops.decontaminate import (bloom_decontaminate,
+                                                   choose_decontamination,
                                                    contamination_flags)
     from graphraft_spark.ops.text_analysis import (c4_doc_gate,
                                                    gopher_rules,
@@ -74,7 +77,16 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
         lang.alias("lang_pred"))
     flags = exact_dedup(flags, text_col, id_col) \
         .drop(text_col, "content_key")
-    if bloom:
+    mode = decontaminate if decontaminate is not None \
+        else ("bloom" if bloom else "direct")
+    if mode == "auto":
+        mode, auto_bits = choose_decontamination(
+            benchmark, n=n, text_col=text_col, hashed=hashed)
+        if mode == "bloom":
+            bloom_bits = auto_bits
+    if mode not in ("direct", "bloom"):
+        raise ValueError(f"unknown decontaminate mode {mode!r}")
+    if mode == "bloom":
         cont = bloom_decontaminate(docs, benchmark, n=n,
                                    text_col=text_col, id_col=id_col,
                                    hashed=hashed, num_bits=bloom_bits)

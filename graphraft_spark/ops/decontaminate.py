@@ -30,6 +30,42 @@ def _gram_col(text: Column, n: int, hashed: bool) -> Column:
     return hashed_shingles(text, n) if hashed else shingles(text, n)
 
 
+# Measured crossover (BASELINE.md round-8 ×50 soak): direct broadcast
+# of hashed grams stays ~linear and beats the bloom prefilter until the
+# benchmark gram set is too large to broadcast at all — ≳1e8 grams
+# (~800 MB of xxhash64 values).  Below that, bloom's k=4 probe hashes
+# per corpus gram are pure overhead.
+AUTO_BLOOM_MIN_GRAMS = 100_000_000
+
+
+def choose_decontamination(benchmark: DataFrame, n: int = 13,
+                           text_col: str = "text",
+                           bench_text_col: str | None = None,
+                           hashed: bool = False,
+                           min_grams_for_bloom: int = AUTO_BLOOM_MIN_GRAMS,
+                           ) -> tuple[str, int]:
+    """Derive the decontamination path from the benchmark's OWN size —
+    the same shape as dedup's ``adaptive_bucket_cap``: one cheap
+    ``approx_count_distinct`` over the benchmark grams (the small side;
+    the corpus is never touched), then the measured crossover rule.
+
+    Returns ``("direct", 0)`` when the gram set broadcasts comfortably,
+    else ``("bloom", num_bits)`` with ``num_bits`` sized by the
+    documented 10×-bits rule (next power of two ≥ 10 × grams — the
+    ~1% fp point; a saturated filter prefilters nothing and the
+    exact-verify join inherits the full load)."""
+    gcol = bench_text_col or text_col
+    est = (benchmark
+           .select(F.explode(_gram_col(F.col(gcol), n, hashed))
+                   .alias("g"))
+           .agg(F.approx_count_distinct("g").alias("c"))
+           .collect()[0].c)
+    if est >= min_grams_for_bloom:
+        num_bits = 1 << max(16, int(10 * est - 1).bit_length())
+        return "bloom", num_bits
+    return "direct", 0
+
+
 def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                         text_col: str = "text", id_col: str = "doc_id",
                         bench_text_col: str | None = None,

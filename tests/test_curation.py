@@ -60,3 +60,45 @@ def test_bloom_variant_identical(spark):
     bloomed = curate_corpus(docs, bench, n=8, hashed=True, bloom=True)
     assert sorted(map(tuple, direct.collect())) \
         == sorted(map(tuple, bloomed.collect()))
+
+
+def test_auto_policy_picks_direct_below_crossover(spark):
+    from graphraft_spark.ops.decontaminate import choose_decontamination
+    bench = spark.createDataFrame(
+        [("one two three four five six seven eight",)], "text string")
+    mode, bits = choose_decontamination(bench, n=8)
+    assert mode == "direct" and bits == 0
+
+
+def test_auto_policy_picks_bloom_above_crossover_with_sized_bits(spark):
+    from graphraft_spark.ops.decontaminate import choose_decontamination
+    bench = spark.createDataFrame(
+        [(f"word{i} alpha beta gamma delta epsilon zeta eta theta",)
+         for i in range(40)], "text string")
+    # forced-low threshold exercises the bloom branch + the 10x-bits rule
+    mode, bits = choose_decontamination(bench, n=8,
+                                        min_grams_for_bloom=10)
+    assert mode == "bloom"
+    # next power of two >= 10x the distinct gram estimate, never tiny
+    assert bits >= 10 * 40 and bits & (bits - 1) == 0 and bits >= 1 << 16
+
+
+def test_curate_auto_matches_direct(spark):
+    rows = [(i, GOOD + f" tail variant {i} " + "filler words here " * i)
+            for i in range(1, 8)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [("tail variant 3 filler words here filler words",)],
+        "text string")
+    auto = curate_corpus(docs, bench, n=8, decontaminate="auto")
+    direct = curate_corpus(docs, bench, n=8, decontaminate="direct")
+    assert sorted(map(tuple, auto.collect())) \
+        == sorted(map(tuple, direct.collect()))
+
+
+def test_curate_rejects_unknown_mode(spark):
+    import pytest
+    docs = spark.createDataFrame([(1, GOOD)], "doc_id bigint, text string")
+    bench = spark.createDataFrame([("zzz " * 8,)], "text string")
+    with pytest.raises(ValueError, match="unknown decontaminate"):
+        curate_corpus(docs, bench, decontaminate="typo").collect()
