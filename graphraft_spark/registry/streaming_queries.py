@@ -9,6 +9,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from graphraft_spark.registry import register
+from graphraft_spark.registry._sql_fragments import (
+    _GOPHER_KEEP_SQL,
+    _WORDS,
+    _stop_sql,
+)
 from graphraft_spark.streaming import (
     read_events_stream,
     run_stream_to_memory,
@@ -485,7 +490,7 @@ def st_cms_maintenance(spark, sf_dir):
 
 @register(
     "st_curation_flags", extra=True,
-    oracle="""
+    oracle=f"""
 WITH ml AS (
     SELECT doc_id, text,
            list_sum(list_transform(
@@ -497,35 +502,17 @@ WITH ml AS (
 )
 SELECT doc_id,
        (NOT contains(lower(text), 'lorem ipsum')
-        AND NOT contains(text, '{')) AS c4_kept,
-       """ + __import__("graphraft_spark.registry.textanalysis_queries",
-                        fromlist=["_GOPHER_KEEP_SQL"])
-                        ._GOPHER_KEEP_SQL.strip() + """ AS gopher_kept,
+        AND NOT contains(text, '{{')) AS c4_kept,
+       {_GOPHER_KEEP_SQL.strip()} AS gopher_kept,
        (list_sort([
-           {'neg': -ROUND(CAST(""" + __import__(
-                "graphraft_spark.registry.textanalysis_queries",
-                fromlist=["_stop_sql"])._stop_sql("de") + """ AS DOUBLE)
-                           / len(""" + __import__(
-                "graphraft_spark.registry.textanalysis_queries",
-                fromlist=["_WORDS"])._WORDS + """), 9), 'lang': 'de'},
-           {'neg': -ROUND(CAST(""" + __import__(
-                "graphraft_spark.registry.textanalysis_queries",
-                fromlist=["_stop_sql"])._stop_sql("en") + """ AS DOUBLE)
-                           / len(""" + __import__(
-                "graphraft_spark.registry.textanalysis_queries",
-                fromlist=["_WORDS"])._WORDS + """), 9), 'lang': 'en'},
-           {'neg': -ROUND(CAST(""" + __import__(
-                "graphraft_spark.registry.textanalysis_queries",
-                fromlist=["_stop_sql"])._stop_sql("es") + """ AS DOUBLE)
-                           / len(""" + __import__(
-                "graphraft_spark.registry.textanalysis_queries",
-                fromlist=["_WORDS"])._WORDS + """), 9), 'lang': 'es'},
-           {'neg': -ROUND(CAST(""" + __import__(
-                "graphraft_spark.registry.textanalysis_queries",
-                fromlist=["_stop_sql"])._stop_sql("fr") + """ AS DOUBLE)
-                           / len(""" + __import__(
-                "graphraft_spark.registry.textanalysis_queries",
-                fromlist=["_WORDS"])._WORDS + """), 9), 'lang': 'fr'}
+           {{'neg': -ROUND(CAST({_stop_sql("de")} AS DOUBLE)
+                           / len({_WORDS}), 9), 'lang': 'de'}},
+           {{'neg': -ROUND(CAST({_stop_sql("en")} AS DOUBLE)
+                           / len({_WORDS}), 9), 'lang': 'en'}},
+           {{'neg': -ROUND(CAST({_stop_sql("es")} AS DOUBLE)
+                           / len({_WORDS}), 9), 'lang': 'es'}},
+           {{'neg': -ROUND(CAST({_stop_sql("fr")} AS DOUBLE)
+                           / len({_WORDS}), 9), 'lang': 'fr'}}
        ]))[1].lang AS lang_pred
 FROM ml
 """)

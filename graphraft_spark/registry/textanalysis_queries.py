@@ -13,15 +13,14 @@ from graphraft_spark.ops.text_analysis import (
     token_count_ws,
 )
 from graphraft_spark.registry import register
+from graphraft_spark.registry._sql_fragments import (  # noqa: F401
+    _GOPHER_KEEP_SQL,
+    _NORM,
+    _WORDS,
+    _stop_sql,
+)
 
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_WORDS = f"string_split({_NORM}, ' ')"
 _H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT % 1000000007)"
-
-
-def _stop_sql(lang: str) -> str:
-    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return (f"len(list_filter({_WORDS}, w -> list_contains([{lst}], w)))")
 
 
 @register(
@@ -1168,19 +1167,6 @@ def t_tfidf_topterms(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return tfidf_top_terms(docs, m=3)
-
-
-_GOPHER_KEEP_SQL = f"""
-       ((len({_WORDS}) >= 50 AND len({_WORDS}) <= 100000)
-        AND (ml >= 3.0 AND ml <= 10.0)
-        AND (CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
-             / len({_WORDS}) <= 0.1)
-        AND (CAST(len(list_filter({_WORDS},
-                  w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
-             / len({_WORDS}) >= 0.8)
-        AND (len(list_intersect(list_distinct({_WORDS}),
-             ['the','be','to','of','and','that','have','with'])) >= 2))
-"""
 
 
 @register(
