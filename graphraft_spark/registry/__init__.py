@@ -152,6 +152,7 @@ def load_all() -> None:
         streaming_queries,
         temporal_queries,
         multimodal_queries,
+        io_queries,
         llm_queries,
         tpch_queries,
         tpch_queries2,
