@@ -72,6 +72,11 @@ HEADLINE = [
     # phantom +1s on p_pipeline_bulk in the first round-8 bench)
     "p_pipeline_bulk",
     "p_curate_corpus",
+    # round-9 addition: iterative graph analytics get a headline line so
+    # a plan regression is visible between soaks; AFTER the flagships
+    # per the ordering rule (r8: mid-list insertions before
+    # p_pipeline_bulk measured a phantom +1.2 s on it)
+    "g_hits_top",
 ]
 
 

@@ -29,7 +29,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     ties prefer the right row) within the same ``by`` key; null when no
     prior right row exists.  'forward' attaches the earliest right row
     with ``right.on >= left.on``.
+
+    The matched right row travels as ONE struct through the window
+    carry, so the join is ROW-ATOMIC — a NULL payload field in the
+    matched row stays NULL instead of tearing in an older row's value
+    (the semantics of pandas ``merge_asof`` and DuckDB ``ASOF JOIN``,
+    which is also this operator's oracle; per-column
+    ``last(ignorenulls)`` silently diverges on sparse payloads).
     """
+    from pyspark.sql import types as T
+
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
     vcols = list(value_cols if value_cols is not None else
@@ -39,30 +48,33 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     for c in vcols:
         if c in lcols:
             raise ValueError(f"value column {c!r} collides with left")
+    if "_asof_v" in (*lcols, *vcols):
+        raise ValueError("column name '_asof_v' is reserved")
 
+    v_type = T.StructType([right.schema[c] for c in vcols])
     l_tagged = left.select("*", F.lit(1).alias("_side"),
-                           *[F.lit(None).cast(right.schema[c].dataType)
-                             .alias(c) for c in vcols])
-    r_tagged = right.select(*by, F.col(on), F.lit(0).alias("_side"), *vcols)
+                           F.lit(None).cast(v_type).alias("_asof_v"))
+    r_tagged = right.select(
+        *by, F.col(on), F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in vcols]).alias("_asof_v"))
     r_tagged = r_tagged.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c not in (*by, on) else F.col(c) for c in lcols],
-        "_side", *vcols)
+        "_side", "_asof_v")
     u = l_tagged.unionByName(r_tagged)
 
     if direction == "backward":
         # right rows sort before left at equal ts ⇒ inclusive match
         w = (Window.partitionBy(*by).orderBy(F.asc(on), F.asc("_side"))
              .rowsBetween(Window.unboundedPreceding, 0))
-        picked = [F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-                  for c in vcols]
     else:
         w = (Window.partitionBy(*by).orderBy(F.desc(on), F.asc("_side"))
              .rowsBetween(Window.unboundedPreceding, 0))
-        picked = [F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-                  for c in vcols]
-    out = u.select(*lcols, "_side", *picked)
-    return out.filter(F.col("_side") == 1).drop("_side")
+    picked = F.last(F.col("_asof_v"), ignorenulls=True).over(w)
+    out = u.select(*lcols, "_side", picked.alias("_asof_v"))
+    return (out.filter(F.col("_side") == 1)
+            .select(*lcols, *[F.col("_asof_v")[c].alias(c)
+                              for c in vcols]))
 
 
 def interval_join_bucketed(left: DataFrame, intervals: DataFrame,

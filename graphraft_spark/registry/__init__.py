@@ -72,7 +72,7 @@ PRIORITY = [
     # flagships, one per family
     "g_twohop_enum", "s_entity_match_fallback", "r_retrieve_data",
     "e_parallel_sort", "m_metrics_per_row", "d_minhash_lsh",
-    "ann_ivf_search", "t_fingerprint", "st_tumbling_agg",
+    "ann_ivf_search", "t_quality_features", "st_cms_maintenance",
     "tm_asof_enrich", "mm_media_metadata", "f_rank_trie",
     "p_full_pipeline", "q_pricing_summary",
     # round-7 flagship promotions (r6 verdict item 2): the engine's best
@@ -96,7 +96,7 @@ PRIORITY = [
     # ann_srp_lsh_topk (ANN keeps ivf + bruteforce; SRP stays under
     # pytest recall tests and bench).
     "s_fuzzy_entity_match", "e_entity_resolution", "t_c4_clean",
-    "st_cms_maintenance", "g_label_prop",
+    "g_label_prop",
     # round-8 second wave: this round's flagships earn driver grading
     # the round they land — the composed curation verdict, DPO
     # preference pairs, trailing-window features, SCD2 point-in-time
@@ -110,6 +110,22 @@ PRIORITY = [
     # the bucketed-grid join keeps its extra-tier oracle + plan test).
     "p_curate_corpus", "f_dpo_pairs", "tm_rolling_features",
     "tm_scd2_lookup", "g_copurchase_pairs",
+    # round-9 third rotation wave (r8 verdict item 1): round-8's
+    # flagship extras earn driver grading — distributed SCC, the
+    # TRUE-streaming curation flags, best-of-N rejection sampling,
+    # bloom-prefiltered decontamination, grid resample+ffill, and
+    # keep-best-in-dup-components.  Slots from t_fingerprint +
+    # t_token_counts (text keeps quality/langid/c4/bigram + the
+    # incoming bloom line), st_tumbling_agg (streaming keeps
+    # graph-deltas + CMS + the incoming true-stream line; tumbling
+    # semantics stay in the selfcheck drift probes and pytest
+    # batch-parity), m_retrieval_eval (metrics keeps the per-row G1-G8
+    # line; the macro-average is a thin aggregate over it),
+    # f_llm1_prompt (F5 formatting exercised inside f_sft_llm1's
+    # byte-exact tables), and d_exact_dedup (exact dedup is a graded
+    # stage inside p_curate_corpus).
+    "g_scc_event_types", "st_curation_flags", "f_best_of_n",
+    "t_bloom_decontaminate", "tm_resample_ffill", "d_keep_best_quality",
     # remaining graph pattern coverage
     "g_supervised_enum", "g_enum_all_pruned",
     "g_pattern_exec_2hop", "g_ingest_validate",
@@ -119,21 +135,21 @@ PRIORITY = [
     "r_budget_accumulate",
     # dataset ops
     "f_sft_llm1", "e_rank_sample",
-    # metrics
-    "m_retrieval_eval",
     # dedup (d_span_dedup promoted from extra in round 5; d_simhash and
-    # d_components demoted in round 8's rotation wave)
-    "d_exact_dedup", "d_embedding_neardup", "d_span_dedup",
+    # d_components demoted round 8; d_exact_dedup demoted round 9 —
+    # exact dedup is graded inside p_curate_corpus)
+    "d_embedding_neardup", "d_span_dedup",
     # similarity (ann_srp_lsh_topk demoted round 8)
     "ann_bruteforce_topk",
-    # text analysis
-    "t_token_counts", "t_quality_features", "t_langid",
-    # streaming (st_sessionize_batch demoted round 8)
+    # text analysis (t_token_counts/t_fingerprint demoted round 9)
+    "t_langid",
+    # streaming (st_sessionize_batch demoted round 8; st_tumbling_agg
+    # demoted round 9 — stays a selfcheck drift probe)
     "st_graph_deltas",
     # multimodal (real content-checked PNG decode; frame sampling is extra)
     "mm_png_feature",
-    # llm surface
-    "f_llm1_prompt", "f_generate_answers",
+    # llm surface (f_llm1_prompt demoted round 9)
+    "f_generate_answers",
 ]
 
 

@@ -101,7 +101,7 @@ def _near_capped_index(spark, sf_dir):
 
 
 @register(
-    "d_exact_dedup",
+    "d_exact_dedup", extra=True,
     oracle=f"""
 WITH {_DOCS_DUP_SQL.strip()},
 keyed AS (
@@ -972,7 +972,7 @@ def d_bucket_histogram(spark, sf_dir):
 
 
 @register(
-    "d_keep_best_quality", extra=True,
+    "d_keep_best_quality",
     oracle=f"""
 WITH RECURSIVE {_DOCS_NEAR_SQL.strip().lstrip()},
 w AS (

@@ -973,7 +973,7 @@ def g_copurchase_pairs(spark, sf_dir):
 
 
 @register(
-    "g_scc_event_types", extra=True,
+    "g_scc_event_types",
     oracle="""
 WITH RECURSIVE seq AS (
     SELECT event_type AS a,

@@ -59,7 +59,7 @@ def _qa(spark, sf_dir):
 
 
 @register(
-    "f_llm1_prompt",
+    "f_llm1_prompt", extra=True,
     oracle=f"""
 WITH {_QA_SQL.strip()}
 SELECT id,
@@ -444,7 +444,7 @@ c AS (
 
 
 @register(
-    "f_best_of_n", extra=True,
+    "f_best_of_n",
     oracle=f"""
 WITH {_CANDS_SQL.strip()}
 SELECT prompt_id, candidate, reward, CAST(rn AS INT) AS rank

@@ -24,7 +24,7 @@ from graphraft_spark.streaming.events import load_events
 
 
 @register(
-    "st_tumbling_agg",
+    "st_tumbling_agg", extra=True,
     oracle="""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n_events,
@@ -489,7 +489,7 @@ def st_cms_maintenance(spark, sf_dir):
 
 
 @register(
-    "st_curation_flags", extra=True,
+    "st_curation_flags",
     oracle=f"""
 WITH ml AS (
     SELECT doc_id, text,

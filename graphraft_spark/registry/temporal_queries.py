@@ -331,7 +331,7 @@ def tm_scd2_lookup(spark, sf_dir):
 
 
 @register(
-    "tm_resample_ffill", extra=True,
+    "tm_resample_ffill",
     oracle="""
 WITH e AS (
     SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec, value FROM events

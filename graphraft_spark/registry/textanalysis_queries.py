@@ -24,7 +24,7 @@ _H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT % 1000000007)"
 
 
 @register(
-    "t_token_counts",
+    "t_token_counts", extra=True,
     oracle=f"""
 SELECT doc_id,
        CAST(len({_WORDS}) AS INT) AS n_ws_tokens,
@@ -120,7 +120,7 @@ def t_langid(spark, sf_dir):
 
 
 @register(
-    "t_fingerprint",
+    "t_fingerprint", extra=True,
     oracle=f"""
 WITH w AS (SELECT doc_id, {_WORDS} AS words, md5({_NORM}) AS content_sig
            FROM documents),
@@ -274,7 +274,7 @@ def t_decontaminate(spark, sf_dir):
     return contamination_flags(docs, bench, n=8)
 
 
-@register("t_bloom_decontaminate", extra=True, oracle=_DECON_ORACLE)
+@register("t_bloom_decontaminate", oracle=_DECON_ORACLE)
 def t_bloom_decontaminate(spark, sf_dir):
     """t_decontaminate through the Bloom prefilter
     (ops/decontaminate.py bloom_decontaminate): executors receive a

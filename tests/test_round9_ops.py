@@ -57,3 +57,28 @@ def test_hits_edgeless_graph_zero_not_null(spark):
     assert len(rows) == 2
     for r in rows:
         assert r.hub == 0.0 and r.authority == 0.0
+
+
+def test_asof_join_row_atomic_null_payload(spark):
+    # merge_asof / DuckDB ASOF semantics: the MATCHED row's NULL field
+    # stays NULL — never torn in from an earlier right row.
+    from graphraft_spark.ops.temporal import asof_join
+    left = spark.createDataFrame([(1, 10, 25)],
+                                 "eid int, k int, ts bigint")
+    right = spark.createDataFrame(
+        [(10, 10, "a", 1), (10, 20, None, 2)],
+        "k int, ts bigint, tag string, v int")
+    [row] = asof_join(left, right, on="ts", by=("k",)).collect()
+    assert row.v == 2 and row.tag is None
+
+
+def test_asof_join_forward_row_atomic(spark):
+    from graphraft_spark.ops.temporal import asof_join
+    left = spark.createDataFrame([(1, 10, 5)],
+                                 "eid int, k int, ts bigint")
+    right = spark.createDataFrame(
+        [(10, 10, None, 1), (10, 20, "b", 2)],
+        "k int, ts bigint, tag string, v int")
+    [row] = asof_join(left, right, on="ts", by=("k",),
+                      direction="forward").collect()
+    assert row.v == 1 and row.tag is None

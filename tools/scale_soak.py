@@ -238,6 +238,21 @@ def main() -> None:
         timed("g_twohop_enum", n,
               lambda g=g: _noop(enumerate_pattern(g, "2hop", ANCHORS)))
 
+    # Multi-source BFS distances (r8 verdict item 5): graph ×N with the
+    # per-copy anchor nodes as sources, so BOTH the graph and the source
+    # set scale ×N (disjoint copies — total settled state is ×N, the
+    # honest linear axis).  Rounds stay = eccentricity regardless of N
+    # (all sources advance in the same level-synchronous join).
+    from graphraft_spark.graph.algos import bfs_distances
+    for n in (FACTORS if want("bfs") else ()):
+        g = _graph_x(n)
+        srcs = (g.nodes.filter(F.col("name").isin(ANCHORS))
+                .select(F.col("nodeId").alias("s")))
+        timed("bfs_distances", n,
+              lambda g=g, s=srcs: _noop(bfs_distances(
+                  g.nodes.select("nodeId"), g.edges.select("src", "dst"),
+                  s)))
+
     # Approx-enumeration twin (r7 verdict item 5): the exact path's
     # ~10% growth term is the distinct exchange carrying every
     # (signature, target) pair; approx_rsd swaps it for fixed-size

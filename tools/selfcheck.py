@@ -70,7 +70,7 @@ def main() -> None:
         sys.exit(1)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"),
-         sf_dir, *PROBE_QUERIES],
+         sf_dir, *PROBE_QUERIES, "--all"],
         cwd=REPO)
     if r.returncode != 0:
         print("\nSELFCHECK: oracle probes failed — semantic drift; "
