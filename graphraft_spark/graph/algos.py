@@ -603,22 +603,24 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
                              F.lit(0).alias("dist"),
                              F.lit(1.0).alias("sigma")) \
         .localCheckpoint(eager=True)
-    settled = frontier
     levels = [frontier]
+    from functools import reduce
+
     for d in range(1, max_depth + 1):
+        # settled is a LAZY union of the checkpointed levels (same
+        # rationale as bfs_distances: per-level settled rewrites cost
+        # O(levels x |settled|) materialization traffic)
+        settled_v = reduce(lambda a, b: a.unionByName(b),
+                           [lv.select("source", "node") for lv in levels])
         nxt = (frontier.join(e, frontier.node == e.src)
                .groupBy("source", F.col("dst").alias("node"))
                .agg(F.sum("sigma").alias("sigma")))
-        nxt = (nxt.join(settled.select("source",
-                                       F.col("node").alias("_sn"))
-                        .withColumnRenamed("_sn", "node"),
-                        ["source", "node"], "left_anti")
+        nxt = (nxt.join(settled_v, ["source", "node"], "left_anti")
                .withColumn("dist", F.lit(d))
                .select("source", "node", "dist", "sigma")
                .localCheckpoint(eager=True))
         if nxt.count() == 0:
             break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
         levels.append(nxt)
     else:
@@ -627,8 +629,9 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
     # backward: delta starts 0; process levels deepest→1, accumulating
     # delta(v) += sigma_v/sigma_w * (1 + delta_w) over edges v->w one
     # level down
-    delta = settled.select("source", "node",
-                           F.lit(0.0).alias("delta")) \
+    delta = reduce(lambda a, b: a.unionByName(b),
+                   [lv.select("source", "node") for lv in levels]) \
+        .select("source", "node", F.lit(0.0).alias("delta")) \
         .localCheckpoint(eager=True)
     for d in range(len(levels) - 1, 0, -1):
         down = (levels[d].select("source",
@@ -678,6 +681,8 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
     eccentricity, not sources × depth.  Frames localCheckpoint per
     level like the other iterative algorithms.  Returns (source,
     node, dist) including (s, s, 0); unreachable pairs are absent."""
+    from functools import reduce
+
     e = (edges.select("src", "dst")
          .filter(F.col("src") != F.col("dst")).distinct()
          .persist())
@@ -686,20 +691,26 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
                               F.col("s").alias("node"),
                               F.lit(0).alias("dist")) \
         .localCheckpoint(eager=True)
-    settled = frontier
+    # settled stays a LAZY union of the per-level checkpointed frames —
+    # re-materializing the whole settled set every level costs
+    # O(levels x |settled|) rewrite traffic for nothing (measured
+    # super-linear on the x50 graph soak); the anti-join reads the
+    # union directly, and lineage stays flat (each input is truncated)
+    levels = [frontier]
     for d in range(1, max_depth + 1):
+        settled_v = reduce(lambda a, b: a.unionByName(b),
+                           [lv.select("source", "node") for lv in levels])
         nxt = (frontier.join(e, frontier.node == e.src)
                .select("source", F.col("dst").alias("node"))
                .distinct()
-               .join(settled.select("source", "node"),
-                     ["source", "node"], "left_anti")
+               .join(settled_v, ["source", "node"], "left_anti")
                .withColumn("dist", F.lit(d))
                .localCheckpoint(eager=True))
         if nxt.count() == 0:
             break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
         frontier = nxt
     else:
         raise RuntimeError(f"bfs exceeded max_depth={max_depth}")
     e.unpersist()
-    return settled
+    return reduce(lambda a, b: a.unionByName(b), levels)
