@@ -90,18 +90,30 @@ def sliding_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+_MEMORY_SINK_SEQ = 0
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str,
                          output_mode: str = "complete") -> DataFrame:
     """Execute a streaming plan with availableNow (process everything,
     then stop) into an in-memory sink; returns the result table.
     This is a real Structured Streaming execution — state store,
-    incremental triggers — not a batch rewrite."""
+    incremental triggers — not a batch rewrite.
+
+    The sink table name gets a per-process sequence suffix: Spark's
+    memory sink APPENDS into an existing table of the same name, so a
+    second invocation in one session would silently double the rows —
+    a correctness trap for driver-graded queries that may run more
+    than once per session."""
+    global _MEMORY_SINK_SEQ
+    _MEMORY_SINK_SEQ += 1
+    sink = f"{name}_{_MEMORY_SINK_SEQ}"
     q = (
-        stream_df.writeStream.format("memory").queryName(name)
+        stream_df.writeStream.format("memory").queryName(sink)
         .outputMode(output_mode).trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    return stream_df.sparkSession.table(sink)
 
 
 def dedup_events_stream(stream: DataFrame, keys=("event_id",),
