@@ -628,3 +628,176 @@ def q_disjunctive_revenue(spark, sf_dir):
                      | blk("Brand#3", 20, 50, 20, 50))
             .agg(F.round(F.sum(disc), 4).alias("revenue"),
                  F.count("*").alias("n_lines")))
+
+
+@register(
+    "q_min_price_supplier", extra=True,
+    oracle="""
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+       ROUND(CAST(l.l_extendedprice AS DECIMAL(18,4)), 4) AS min_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_type = 'PROMO'
+  AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = p.p_partkey)
+""")
+def q_min_price_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (correlated scalar-MIN subquery): for every PROMO
+    part, the supplier(s) shipping it at the part's minimum observed
+    price.  The oracle keeps the textbook correlated subquery; the
+    engine DE-CORRELATES it the scalable way — one per-part MIN
+    aggregate (map-side combined) joined back on the part key, so the
+    'subquery' is a broadcastable aggregate instead of a per-row probe.
+    MIN over doubles is order-independent ⇒ equality survives the
+    engine swap; price output is decimal-rounded."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .filter(F.col("p_type") == "PROMO")
+    mins = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("_minp"))
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(mins, "l_partkey")
+            .filter(F.col("l_extendedprice") == F.col("_minp"))
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                    F.round(F.col("l_extendedprice").cast("decimal(18,4)"),
+                            4).alias("min_price"))
+            .distinct())
+
+
+@register(
+    "q_nation_profit", extra=True,
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                 - CAST(l.l_quantity AS DECIMAL(18,4))), 4) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+""")
+def q_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-profit snowflake: lineitem at the center
+    of a 4-dimension join, LIKE filter on the part name, group by
+    nation x order-year).  The p_name LIKE pushes into the part scan;
+    part/supplier/nation broadcast; the orders join is the only big-big
+    edge and AQE picks its side.  Profit uses quantity as the unit cost
+    stand-in (no partsupp table in this corpus) — decimal-exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .filter(F.col("p_name").like("%red%"))
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    profit = (F.col("l_extendedprice").cast("decimal(18,4)")
+              * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+              - F.col("l_quantity").cast("decimal(18,4)"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(n, s.s_nationkey == n.n_nationkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.round(F.sum(profit), 4).alias("profit")))
+
+
+@register(
+    "q_top_supplier", extra=True,
+    oracle="""
+WITH rev AS (
+    SELECT l_suppkey,
+           ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)
+               AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-07-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s
+JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+""")
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier via a revenue 'view' + scalar-MAX
+    subquery, ties kept).  The engine reuses ONE aggregated frame for
+    both the max and the filter (no second scan of lineitem); the max
+    is a 1-row broadcast.  Decimal-exact revenue makes the equality
+    comparison engine-portable — the textbook formulation's float
+    revenue would be a hash-stability bug."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz")))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))), 4)
+            .alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("_mx"))
+            .join(s, rev.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name", "total_rev"))
+
+
+@register(
+    "q_lonely_late_supplier", extra=True,
+    oracle="""
+WITH li AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_orderkey, l.l_suppkey
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM li l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.late = 1
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late = 1)
+GROUP BY s.s_name
+""")
+def q_lonely_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (the sole-blame supplier: late in a
+    multi-supplier order where EVERY other supplier shipped on time —
+    EXISTS + NOT EXISTS double correlation; 'late' adapted to
+    l_shipdate > o_orderdate + 60 days, this corpus has no
+    commit/receipt dates).  The engine replaces both correlated
+    existentials with ONE per-order aggregate — n_suppliers >= 2 and
+    n_late == 1 are exactly EXISTS(other) and NOT EXISTS(other late) —
+    turning two per-row probes into a single keyed shuffle, the
+    standard decorrelation a 100 TB plan needs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    per_supp = (li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max(
+                    (F.col("l_shipdate")
+                     > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+                    .cast("int")).alias("late")))
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late"))
+    return (per_supp.join(per_order, "l_orderkey")
+            .filter((F.col("late") == 1) & (F.col("n_supp") >= 2)
+                    & (F.col("n_late") == 1))
+            .join(s, F.col("l_suppkey") == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait")))
