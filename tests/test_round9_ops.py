@@ -82,3 +82,39 @@ def test_asof_join_forward_row_atomic(spark):
     [row] = asof_join(left, right, on="ts", by=("k",),
                       direction="forward").collect()
     assert row.v == 1 and row.tag is None
+
+
+def test_asof_join_parity_with_pandas_merge_asof(spark):
+    # Independent-reference parity: random frames with NULL payload
+    # fields, unique (key, ts) on the right (merge_asof tie order among
+    # exact right duplicates is positional, which no shuffle engine
+    # reproduces), both directions.
+    import pandas as pd
+    import random
+
+    from graphraft_spark.ops.temporal import asof_join
+
+    rng = random.Random(7)
+    for direction in ("backward", "forward"):
+        left = [(i, rng.randrange(3), rng.randrange(100))
+                for i in range(60)]
+        right_keys = {(rng.randrange(3), rng.randrange(100))
+                      for _ in range(40)}
+        right = [(k, ts, None if rng.random() < 0.3 else f"t{ts}",
+                  rng.randrange(1000))
+                 for (k, ts) in sorted(right_keys)]
+        ldf = spark.createDataFrame(left, "eid int, k int, ts bigint")
+        rdf = spark.createDataFrame(
+            right, "k int, ts bigint, tag string, v int")
+        got = {r.eid: (r.tag, r.v)
+               for r in asof_join(ldf, rdf, on="ts", by=("k",),
+                                  direction=direction).collect()}
+        lp = pd.DataFrame(left, columns=["eid", "k", "ts"]) \
+            .sort_values("ts").reset_index(drop=True)
+        rp = pd.DataFrame(right, columns=["k", "ts", "tag", "v"]) \
+            .sort_values("ts").reset_index(drop=True)
+        mp = pd.merge_asof(lp, rp, on="ts", by="k", direction=direction)
+        for row in mp.itertuples():
+            tag = None if pd.isna(row.tag) else row.tag
+            v = None if pd.isna(row.v) else int(row.v)
+            assert got[row.eid] == (tag, v), (direction, row.eid)

@@ -117,7 +117,7 @@ def main() -> None:
         "walk_id bigint, node bigint"), length=3)
     skipgram_pairs(walks).orderBy(F.desc("cnt")).show(5)
 
-    print("\ndemo complete — see CATALOG.md for all 158 checked queries,"
+    print("\ndemo complete — see CATALOG.md for the full query catalog,"
           "\nMIGRATION.md for the reference-user mapping.")
 
 
