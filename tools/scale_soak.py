@@ -253,6 +253,17 @@ def main() -> None:
                   g.nodes.select("nodeId"), g.edges.select("src", "dst"),
                   s)))
 
+    # HITS on the graph ×N (r9: the new bench line's scale axis) —
+    # per-iteration work is two join+aggregates over the edge list, so
+    # the honest expectation is ~linear in E with a fixed round count.
+    from graphraft_spark.graph.algos import hits
+    for n in (FACTORS if want("hits") else ()):
+        g = _graph_x(n)
+        timed("hits", n,
+              lambda g=g: _noop(hits(g.nodes.select("nodeId"),
+                                     g.edges.select("src", "dst"),
+                                     n_iter=3)))
+
     # Approx-enumeration twin (r7 verdict item 5): the exact path's
     # ~10% growth term is the distinct exchange carrying every
     # (signature, target) pair; approx_rsd swaps it for fixed-size
