@@ -376,9 +376,23 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
     total), and un-truncated double-branching re-executes the whole
     prefix, doubling work per half-step (measured 4x on the bench
     line).  The totals remain executor-side 1-row broadcast aggregates
-    over the truncated frame, never a driver collect."""
+    over the truncated frame, never a driver collect.
+
+    Edges are semi-joined against ``nodes`` on BOTH endpoints up front:
+    the sparse frames would otherwise carry mass for phantom endpoints
+    (edges referencing ids absent from ``nodes``) through every
+    normalization total and only drop them at the final join — a silent
+    numeric divergence from the dense formulation, which re-anchored on
+    node membership each half-step."""
+    if n_iter < 1:
+        raise ValueError(f"hits() requires n_iter >= 1, got {n_iter}")
     n_nodes = nodes.select("nodeId").distinct()
-    e = edges.select("src", "dst").persist()
+    e = (edges.select("src", "dst")
+         .join(n_nodes.select(F.col("nodeId").alias("src")),
+               "src", "left_semi")
+         .join(n_nodes.select(F.col("nodeId").alias("dst")),
+               "dst", "left_semi")
+         .select("src", "dst").persist())
     e.count()
 
     def _normalize(raw: DataFrame, raw_col: str, out_col: str) -> DataFrame:

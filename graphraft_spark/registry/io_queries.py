@@ -23,10 +23,13 @@ _DOCS_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
 
 def _scratch(sf_dir: str, fmt: str) -> str:
+    # The path carries the PID so two harness processes running the
+    # same query on the same sf concurrently write disjoint directories
+    # instead of racing (one overwriting while the other reads back).
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     tag = os.path.basename(sf_dir.rstrip("/"))
-    return f"{repo}/.scratch/io_{fmt}_{tag}"
+    return f"{repo}/.scratch/io_{fmt}_{tag}_{os.getpid()}"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -56,7 +59,9 @@ def io_jsonl_roundtrip(spark, sf_dir):
 def io_csv_roundtrip(spark, sf_dir):
     """documents → headered CSV (sources/formats.py write_csv) →
     explicit-schema DROPMALFORMED read (read_csv) — the inference-free
-    one-scan contract, hash-matched against the parquet oracle."""
+    one-scan contract, hash-matched against the parquet oracle.
+    read_csv's multiLine default keeps the round-trip lossless even if
+    a future corpus embeds newlines inside quoted text fields."""
     from graphraft_spark.sources.formats import read_csv, write_csv
 
     df, ddl = _docs(spark, sf_dir)

@@ -20,12 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 def read_csv(spark: SparkSession, path: str, schema: str,
              header: bool = True, sep: str = ",",
-             strict: bool = False) -> DataFrame:
+             strict: bool = False, multi_line: bool = True) -> DataFrame:
     """Read CSV with an EXPLICIT schema; malformed lines dropped
-    (or FAILFAST under ``strict``)."""
+    (or FAILFAST under ``strict``).
+
+    ``multi_line=True`` (default) parses quoted fields containing
+    embedded newlines correctly — without it, a text column whose value
+    spans lines is split mid-record and silently DROPMALFORMED'd on
+    read-back (data loss that surfaces only as a row-count drift).  The
+    cost: multiLine files are not line-splittable, so each FILE becomes
+    one read task — acceptable because the write side emits one file
+    per partition anyway (parallelism = file count).  For newline-free
+    corpora where per-file splitting matters, pass ``multi_line=False``.
+    Quote/escape stay at Spark's defaults, which match the writer's."""
     return (spark.read
             .option("header", header)
             .option("sep", sep)
+            .option("multiLine", multi_line)
             .option("mode", "FAILFAST" if strict else "DROPMALFORMED")
             .schema(schema)
             .csv(path))

@@ -12,6 +12,8 @@ stateful agg with RocksDB state store on a real cluster.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
@@ -90,13 +92,13 @@ def sliding_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
-_MEMORY_SINK_SEQ = 0
+_MEMORY_SINK_SEQ = itertools.count(1)
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str,
                          output_mode: str = "complete") -> DataFrame:
     """Execute a streaming plan with availableNow (process everything,
-    then stop) into an in-memory sink; returns the result table.
+    then stop) into an in-memory sink; returns the result, materialized.
     This is a real Structured Streaming execution — state store,
     incremental triggers — not a batch rewrite.
 
@@ -104,16 +106,21 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     memory sink APPENDS into an existing table of the same name, so a
     second invocation in one session would silently double the rows —
     a correctness trap for driver-graded queries that may run more
-    than once per session."""
-    global _MEMORY_SINK_SEQ
-    _MEMORY_SINK_SEQ += 1
-    sink = f"{name}_{_MEMORY_SINK_SEQ}"
+    than once per session.  The suffix comes from ``itertools.count``
+    (atomic under the GIL, safe for concurrent streaming queries), and
+    the sink table is materialized into a local checkpoint then DROPPED
+    before returning — a long-lived session running the catalog
+    repeatedly no longer accumulates unbounded in-memory sink tables."""
+    sink = f"{name}_{next(_MEMORY_SINK_SEQ)}"
     q = (
         stream_df.writeStream.format("memory").queryName(sink)
         .outputMode(output_mode).trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(sink)
+    spark = stream_df.sparkSession
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
 
 
 def dedup_events_stream(stream: DataFrame, keys=("event_id",),

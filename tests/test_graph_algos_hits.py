@@ -60,3 +60,24 @@ def test_hits_bipartite_roles(spark):
     got = {r["nodeId"]: r for r in hits(nodes, edges).collect()}
     assert got[0]["authority"] == 0.0 and got[2]["hub"] == 0.0
     assert got[0]["hub"] > 0.4 and got[2]["authority"] > 0.4
+
+
+def test_hits_phantom_endpoints_dropped(spark):
+    """Edges referencing ids absent from `nodes` are semi-joined away up
+    front (ADVICE r9): nodes={1,2}, edges={(1,2),(3,2)} — node 3 is a
+    phantom; node 1 must be the ONLY hub (hub=1.0), not split 0.5/0.5
+    with phantom mass that only drops at the final join."""
+    nodes = spark.createDataFrame([(1,), (2,)], "nodeId bigint")
+    edges = spark.createDataFrame([(1, 2), (3, 2)],
+                                  "src bigint, dst bigint")
+    got = {r["nodeId"]: r for r in hits(nodes, edges, n_iter=3).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["hub"] == pytest.approx(1.0, abs=1e-9)
+    assert got[2]["authority"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_rejects_nonpositive_iterations(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], "nodeId bigint")
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(nodes, edges, n_iter=0)

@@ -805,3 +805,26 @@ def test_compact_ivf_index_preserves_search(spark, tmp_path):
     epochs = {d.rsplit("epoch=", 1)[-1] for d in glob.glob(
         f"{index_dir}/vectors/centroid_id=*/epoch=*")}
     assert epochs == {"0"}
+
+
+def test_stream_memory_sink_dropped_after_run(spark, tmp_path):
+    """run_stream_to_memory materializes the result and DROPS the sink
+    temp view (ADVICE r9: a long-lived session running the catalog
+    repeatedly must not accumulate unbounded in-memory sink tables) —
+    and the returned frame stays usable after the drop."""
+    import shutil as _sh
+
+    from graphraft_spark.streaming import (
+        read_events_stream, run_stream_to_memory, tumbling_counts)
+
+    stage = tmp_path / "events_sink_drop"
+    stage.mkdir()
+    _sh.copy(f"{SF}/events.parquet", stage / "events.parquet")
+
+    before = {t.name for t in spark.catalog.listTables()}
+    stream = read_events_stream(spark, str(stage), max_files_per_trigger=1)
+    got = run_stream_to_memory(tumbling_counts(stream, "1 hour"),
+                               "test_sink_drop")
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {t for t in after - before if t.startswith("test_sink_drop")}
+    assert got.count() > 0  # usable post-drop (materialized)
