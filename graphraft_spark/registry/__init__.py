@@ -109,7 +109,7 @@ PRIORITY = [
     # tm_interval_join (temporal grows to 3 rows incl. two new ops;
     # the bucketed-grid join keeps its extra-tier oracle + plan test).
     "p_curate_corpus", "f_dpo_pairs", "tm_rolling_features",
-    "tm_scd2_lookup", "g_copurchase_pairs",
+    "g_copurchase_pairs",
     # round-9 third rotation wave (r8 verdict item 1): round-8's
     # flagship extras earn driver grading — distributed SCC, the
     # TRUE-streaming curation flags, best-of-N rejection sampling,
@@ -126,11 +126,28 @@ PRIORITY = [
     # stage inside p_curate_corpus).
     "g_scc_event_types", "st_curation_flags", "f_best_of_n",
     "t_bloom_decontaminate", "tm_resample_ffill", "d_keep_best_quality",
-    # remaining graph pattern coverage
-    "g_supervised_enum", "g_enum_all_pruned",
-    "g_pattern_exec_2hop", "g_ingest_validate",
-    # search
-    "s_fulltext_match", "s_knn_topk",
+    # round-10 fourth rotation wave (r9 verdict item 1): the strongest
+    # judge-verified extras earn driver grading — value-checked HITS
+    # (hash-matched unrolled-SQL oracle at 3 sfs), exact all-sources
+    # Brandes betweenness, the A5 JSONL sink/source round-trip, the
+    # Q9-shape profit rollup, TF-IDF top terms, and the full SCD2
+    # version table.  Slots from g_pattern_exec_2hop (B12 execution is
+    # graded inside p_full_pipeline and r_retrieve_data), s_knn_topk
+    # (C5 kNN is graded inside r_retrieve_data's vector top-up; search
+    # keeps 4 rows), ann_bruteforce_topk (ANN keeps ivf; the exact-topk
+    # contract stays pinned by pytest recall tests + bench),
+    # t_langid (text keeps quality/c4/bigram/bloom + incoming tfidf),
+    # st_graph_deltas (streaming keeps CMS + true-stream curation
+    # flags; the delta merge stays in the multibatch pytest parity),
+    # and tm_scd2_lookup (the lookup is a point-in-time join OVER the
+    # version table the incoming tm_scd2_versions grades end-to-end).
+    "g_hits_top", "g_betweenness_types", "io_jsonl_roundtrip",
+    "q_nation_profit", "t_tfidf_topterms", "tm_scd2_versions",
+    # remaining graph pattern coverage (g_pattern_exec_2hop demoted
+    # round 10)
+    "g_supervised_enum", "g_enum_all_pruned", "g_ingest_validate",
+    # search (s_knn_topk demoted round 10)
+    "s_fulltext_match",
     # retrieval
     "r_budget_accumulate",
     # dataset ops
@@ -139,13 +156,6 @@ PRIORITY = [
     # d_components demoted round 8; d_exact_dedup demoted round 9 —
     # exact dedup is graded inside p_curate_corpus)
     "d_embedding_neardup", "d_span_dedup",
-    # similarity (ann_srp_lsh_topk demoted round 8)
-    "ann_bruteforce_topk",
-    # text analysis (t_token_counts/t_fingerprint demoted round 9)
-    "t_langid",
-    # streaming (st_sessionize_batch demoted round 8; st_tumbling_agg
-    # demoted round 9 — stays a selfcheck drift probe)
-    "st_graph_deltas",
     # multimodal (real content-checked PNG decode; frame sampling is extra)
     "mm_png_feature",
     # llm surface (f_llm1_prompt demoted round 9)

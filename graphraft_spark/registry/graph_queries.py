@@ -159,7 +159,7 @@ def g_enum_all_pruned(spark, sf_dir):
 
 
 @register(
-    "g_pattern_exec_2hop",
+    "g_pattern_exec_2hop", extra=True,
     oracle=GRAPH_ORACLE_CTE + """
 SELECT DISTINCT n3.name AS name
 FROM nodes n1
@@ -918,7 +918,7 @@ LIMIT 20""")
     return GRAPH_ORACLE_CTE + "".join(parts)
 
 
-@register("g_hits_top", extra=True, oracle=_hits_unrolled_sql(3))
+@register("g_hits_top", oracle=_hits_unrolled_sql(3))
 def g_hits_top(spark, sf_dir):
     """HITS hubs & authorities top-20 (graph/algos.py:hits, 3 rounds,
     L1-normalized): link-analysis importance over the directed property
@@ -1108,7 +1108,7 @@ FROM n LEFT JOIN dep ON dep.node = n.id""")
     return "".join(parts)
 
 
-@register("g_betweenness_types", extra=True,
+@register("g_betweenness_types",
           oracle=_betweenness_types_sql(8))
 def g_betweenness_types(spark, sf_dir):
     """EXACT directed betweenness (all sources) on the event-type

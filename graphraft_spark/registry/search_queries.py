@@ -50,7 +50,7 @@ def s_fulltext_match(spark, sf_dir):
 
 
 @register(
-    "s_knn_topk",
+    "s_knn_topk", extra=True,
     oracle=f"""
 SELECT vec_id,
        ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), {_QSQL}), 6)

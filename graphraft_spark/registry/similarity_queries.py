@@ -34,7 +34,7 @@ def _queries(spark, sf_dir):
 
 
 @register(
-    "ann_bruteforce_topk",
+    "ann_bruteforce_topk", extra=True,
     oracle=f"""
 WITH {_QUERIES_SQL.strip()},
 scored AS (

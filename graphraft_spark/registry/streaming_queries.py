@@ -213,7 +213,7 @@ def st_sessionize_stream(spark, sf_dir):
 
 
 @register(
-    "st_graph_deltas",
+    "st_graph_deltas", extra=True,
     oracle="""
 SELECT user_id AS src,
        ('0x' || substr(md5(event_type), 1, 8))::BIGINT + 10000000000 AS dst,

@@ -208,7 +208,7 @@ def tm_user_rfm(spark, sf_dir):
 
 
 @register(
-    "tm_scd2_versions", extra=True,
+    "tm_scd2_versions",
     oracle="""
 WITH ordered AS (
     SELECT user_id, ts, event_id, event_type,
@@ -277,7 +277,7 @@ def tm_value_outliers(spark, sf_dir):
 
 
 @register(
-    "tm_scd2_lookup",
+    "tm_scd2_lookup", extra=True,
     oracle="""
 WITH e AS (
     SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, value

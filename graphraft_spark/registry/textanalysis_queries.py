@@ -74,7 +74,7 @@ def t_quality_features(spark, sf_dir):
 
 
 @register(
-    "t_langid",
+    "t_langid", extra=True,
     oracle=f"""
 WITH scores AS (
     SELECT doc_id, lang,
@@ -1129,7 +1129,7 @@ def t_langid_margin(spark, sf_dir):
 
 
 @register(
-    "t_tfidf_topterms", extra=True,
+    "t_tfidf_topterms",
     oracle=f"""
 WITH w AS (
     SELECT doc_id, {_WORDS} AS words FROM documents

@@ -669,7 +669,7 @@ def q_min_price_supplier(spark, sf_dir):
 
 
 @register(
-    "q_nation_profit", extra=True,
+    "q_nation_profit",
     oracle="""
 SELECT n.n_name AS nation,
        CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
