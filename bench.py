@@ -200,6 +200,24 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — isolation is best-effort
             pass
 
+    # AMBIENT-DRIFT CONTROL (r9 verdict item 2): the r9 driver bench
+    # read 1.21x on UNCHANGED plans and adjudicating it required an
+    # out-of-band control run plus a judge reproduction.  The artifact
+    # now carries its own control: re-run the FIRST headline line at
+    # the END of the session (min-of-3, same protocol) and report the
+    # closing/opening ratio — a ratio > 1.25 means the machine got
+    # slower underneath the session (GC pressure, host contention,
+    # thermal), so absolute times elsewhere in THIS artifact are
+    # ambient-inflated rather than plan regressions.
+    ambient_drift = None
+    control = next((n for n in names if n in times), None)
+    if control is not None and times[control] > 0:
+        try:
+            closing = min(run(control) for _ in range(3))
+            ambient_drift = round(closing / times[control], 3)
+        except Exception:  # noqa: BLE001 — the control must not zero
+            pass           # an otherwise-complete artifact
+
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # full detail (spread/median/outliers) goes to a local file — the r6
@@ -216,6 +234,9 @@ def main() -> None:
         "sf": sf_val,
         "outliers": outliers,
         "errors": errors,
+        "ambient_control": control,
+        "ambient_drift": ambient_drift,
+        "ambient_inflated": bool(ambient_drift and ambient_drift > 1.25),
     }
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
@@ -228,6 +249,10 @@ def main() -> None:
         "queries": times,
         "sf": sf_val,
     }
+    if ambient_drift is not None:
+        out["ambient_drift"] = ambient_drift
+        if ambient_drift > 1.25:
+            out["ambient_inflated"] = True
     if errors:
         out["errors"] = {k: v[:80] for k, v in errors.items()}
     print(json.dumps(out))
