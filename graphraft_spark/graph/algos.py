@@ -682,7 +682,10 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
 
 def bfs_distances(nodes: DataFrame, edges: DataFrame,
                   sources: DataFrame,
-                  max_depth: int = 20) -> DataFrame:
+                  max_depth: int = 20,
+                  settled_filter: str = "exact",
+                  bloom_bits: int = 1 << 22,
+                  bloom_k: int = 4) -> DataFrame:
     """Multi-source BFS shortest-path distances on the directed graph:
     for every (source, node) pair with node reachable from source,
     the hop distance — the building block under :func:`betweenness_
@@ -694,9 +697,33 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
     the same level-synchronous join, so the round count is the max
     eccentricity, not sources × depth.  Frames localCheckpoint per
     level like the other iterative algorithms.  Returns (source,
-    node, dist) including (s, s, 0); unreachable pairs are absent."""
+    node, dist) including (s, s, 0); unreachable pairs are absent.
+
+    ``settled_filter`` picks how each level removes already-settled
+    pairs — the ×50 soak named this step's exact anti-join as the one
+    super-linear term (per level, the whole settled union is the
+    anti-join's build side: an O(levels × settled) exchange+sort):
+
+    * ``"exact"`` (default): candidates LEFT ANTI settled — simple,
+      always correct, fine while settled fits a per-level shuffle.
+    * ``"bloom"``: maintain a fixed-size bloom filter (``bloom_bits``
+      bits, ``bloom_k`` probes, xxhash — fp survivors are exact-
+      verified so bit portability buys nothing) over settled pairs.
+      Candidates whose probe misses are DEFINITELY new (blooms have no
+      false negatives) and skip the settled pass entirely; only the
+      maybe-seen remainder (true revisits + fp) is exact-checked, via
+      a broadcast semi-join that SCANS settled map-side instead of
+      shuffling and sorting it.  Exact same output — the bloom only
+      routes rows, never decides membership.  Assumes the per-level
+      maybe-seen remainder fits a broadcast (true in expansion-heavy
+      graphs where most candidates are new); size ``bloom_bits`` ≥
+      ~10× the expected settled-pair count for ~1% fp (the 10×-bits
+      rule, ops/curation.py)."""
     from functools import reduce
 
+    if settled_filter not in ("exact", "bloom"):
+        raise ValueError(f"settled_filter must be 'exact' or 'bloom', "
+                         f"got {settled_filter!r}")
     e = (edges.select("src", "dst")
          .filter(F.col("src") != F.col("dst")).distinct()
          .persist())
@@ -711,19 +738,76 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
     # super-linear on the x50 graph soak); the anti-join reads the
     # union directly, and lineage stays flat (each input is truncated)
     levels = [frontier]
+    bloom = None
+    if settled_filter == "bloom":
+        from graphraft_spark.ops.sketches import bloom_build, bloom_merge
+
+        def _pair_key(df: DataFrame) -> DataFrame:
+            return df.select(F.concat_ws(":", F.col("source"),
+                                         F.col("node")).alias("_k"))
+
+        def _probe_pairs(cand: DataFrame) -> DataFrame:
+            """(source, node, maybe) — inline bloom_probe keeping the
+            pair columns (the shared helper keys by a single item)."""
+            from graphraft_spark.ops.sketches import _bloom_pos
+
+            pr = cand.select(
+                "source", "node",
+                F.concat_ws(":", F.col("source"),
+                            F.col("node")).alias("_k"),
+                F.explode(F.sequence(F.lit(0),
+                                     F.lit(bloom_k - 1))).alias("probe"))
+            pos = _bloom_pos(F.col("_k"), F.col("probe"), bloom_bits, "xx")
+            pr = pr.select(
+                "source", "node",
+                (pos / 64).cast("bigint").alias("word"),
+                F.call_function("shiftleft", F.lit(1).cast("bigint"),
+                                (pos % 64).cast("int")).alias("mask"))
+            return (pr.join(F.broadcast(bloom), "word", "left")
+                    .groupBy("source", "node")
+                    .agg((F.count(F.when(
+                        F.coalesce(F.col("bits"), F.lit(0))
+                        .bitwiseAND(F.col("mask")) != 0, 1))
+                        == F.lit(bloom_k)).alias("maybe")))
+
+        bloom = bloom_build(_pair_key(frontier), "_k", bloom_bits,
+                            bloom_k, "xx").localCheckpoint(eager=True)
     for d in range(1, max_depth + 1):
         settled_v = reduce(lambda a, b: a.unionByName(b),
                            [lv.select("source", "node") for lv in levels])
-        nxt = (frontier.join(e, frontier.node == e.src)
-               .select("source", F.col("dst").alias("node"))
-               .distinct()
-               .join(settled_v, ["source", "node"], "left_anti")
+        cand = (frontier.join(e, frontier.node == e.src)
+                .select("source", F.col("dst").alias("node"))
+                .distinct())
+        if settled_filter == "bloom":
+            probed = _probe_pairs(cand)
+            # maybe-seen remainder: true revisits + bloom fp — small,
+            # checkpointed once, then used twice (semi-join probe +
+            # final anti), both broadcast-side
+            maybe = (probed.filter(F.col("maybe"))
+                     .select("source", "node")
+                     .localCheckpoint(eager=True))
+            seen = settled_v.join(F.broadcast(maybe),
+                                  ["source", "node"], "left_semi")
+            new_rows = (probed.filter(~F.col("maybe"))
+                        .select("source", "node")
+                        .unionByName(maybe.join(F.broadcast(seen),
+                                                ["source", "node"],
+                                                "left_anti")))
+        else:
+            new_rows = cand.join(settled_v, ["source", "node"],
+                                 "left_anti")
+        nxt = (new_rows
                .withColumn("dist", F.lit(d))
                .localCheckpoint(eager=True))
         if nxt.count() == 0:
             break
         levels.append(nxt)
         frontier = nxt
+        if settled_filter == "bloom":
+            bloom = bloom_merge(
+                bloom, bloom_build(_pair_key(nxt), "_k", bloom_bits,
+                                   bloom_k, "xx")) \
+                .localCheckpoint(eager=True)
     else:
         raise RuntimeError(f"bfs exceeded max_depth={max_depth}")
     e.unpersist()

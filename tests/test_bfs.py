@@ -33,3 +33,35 @@ def test_multi_source_distances_match(spark):
     assert got == want
     assert (7, 7) in got and got[(7, 7)] == 0   # isolated source
     assert (5, 0) not in got                    # unreachable absent
+
+
+def test_bloom_settled_filter_equals_exact(spark):
+    """settled_filter="bloom" must return the exact same (source, node,
+    dist) set as the default exact anti-join — the bloom only routes
+    rows to the cheap definitely-new path, never decides membership.
+    Graph includes back-edges and a cycle so revisited (maybe-seen)
+    pairs actually exercise the exact-verify remainder; a tiny filter
+    (high fp rate) forces many candidates through it too."""
+    n = list(range(10))
+    e = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (4, 3), (4, 5),
+         (5, 6), (6, 4), (7, 8), (2, 1)]
+    nodes = spark.createDataFrame([(v,) for v in n], "id bigint")
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    srcs = spark.createDataFrame([(0,), (7,), (9,)], "s bigint")
+    exact = {(r.source, r.node, r.dist)
+             for r in bfs_distances(nodes, edges, srcs).collect()}
+    bloom = {(r.source, r.node, r.dist)
+             for r in bfs_distances(nodes, edges, srcs,
+                                    settled_filter="bloom",
+                                    bloom_bits=256).collect()}
+    assert bloom == exact and len(exact) >= 10
+
+
+def test_bfs_rejects_unknown_settled_filter(spark):
+    import pytest as _pt
+
+    nodes = spark.createDataFrame([(1,)], "id bigint")
+    edges = spark.createDataFrame([(1, 1)], "src bigint, dst bigint")
+    srcs = spark.createDataFrame([(1,)], "s bigint")
+    with _pt.raises(ValueError, match="settled_filter"):
+        bfs_distances(nodes, edges, srcs, settled_filter="nope")

@@ -252,6 +252,15 @@ def main() -> None:
               lambda g=g, s=srcs: _noop(bfs_distances(
                   g.nodes.select("nodeId"), g.edges.select("src", "dst"),
                   s)))
+        # bloom settled-filter twin (r9 verdict item 4): same run with
+        # the per-level settled exchange+sort replaced by a broadcast
+        # bloom prefilter + map-side semi-join on the remainder —
+        # the slope delta vs the exact line IS the anti-join term.
+        # Bits sized by the 10x rule for the x50 settled pair count.
+        timed("bfs_distances_bloom", n,
+              lambda g=g, s=srcs: _noop(bfs_distances(
+                  g.nodes.select("nodeId"), g.edges.select("src", "dst"),
+                  s, settled_filter="bloom", bloom_bits=1 << 24)))
 
     # HITS on the graph ×N (r9: the new bench line's scale axis) —
     # per-iteration work is two join+aggregates over the edge list, so
