@@ -89,7 +89,13 @@ def main() -> None:
     from graphraft_spark.graph.model import PropertyGraph
     from graphraft_spark.session import get_spark
 
-    spark = get_spark("scale-soak")
+    # SOAK_TMPFS=1: RAM-backed shuffle dirs (same conf bench.py uses) —
+    # the control for separating shuffle-I/O environment terms from
+    # plan terms (r9 verdict item 5: the hits ×50 knee was attributed
+    # to disk-backed shuffle throughput; this knob tests that claim).
+    extra = ({"spark.local.dir": "/dev/shm/spark-local-soak"}
+             if os.environ.get("SOAK_TMPFS") == "1" else {})
+    spark = get_spark("scale-soak", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
 
