@@ -423,11 +423,12 @@ def g_degree_top(spark, sf_dir):
 @register("g_pagerank_top", extra=True)  # rows-only: iterative float algo
 def g_pagerank_top(spark, sf_dir):
     """PageRank top-20 (graph/algos.py:pagerank, 10 rounds): node
-    importance over the directed property graph.  Not SQL-expressible
-    (iterative); semantics are pinned instead by
-    tests/test_graph_algos.py's exact parity (1e-12) with an
-    independent dense numpy power iteration, including dangling-mass
-    redistribution."""
+    importance over the directed property graph.  Rows-only (top-20
+    float rank); the same engine op is HASH-MATCHED in
+    g_pagerank_types (unrolled 5-round SQL on the type graph), and
+    semantics are additionally pinned by tests/test_graph_algos.py's
+    exact parity (1e-12) with an independent dense numpy power
+    iteration, including dangling-mass redistribution."""
     from graphraft_spark.graph.algos import pagerank
 
     g = tpch_graph(spark, sf_dir)
@@ -1212,6 +1213,64 @@ def g_betweenness_types(spark, sf_dir):
     nodes = ev.select(F.col("event_type").alias("nodeId")).distinct()
     b = betweenness_sampled(nodes, edges, n_sources=100_000, max_depth=8)
     return b.select(F.col("nodeId").alias("node"), "betweenness")
+
+
+def _pagerank_types_sql(n_iter: int = 5, alpha: float = 0.85) -> str:
+    """Unrolled PageRank on the event-type graph — the same
+    fixed-iteration recipe as _hits_unrolled_sql: one CTE pair per
+    round (dangling-mass scalar + in-mass aggregate), teleport and
+    damping written as the SAME literal expressions the engine
+    evaluates so the doubles agree to 9dp.  Tractable because the type
+    vocabulary bounds |V| at every sf (carrier = the windowed
+    pre-aggregation, as in g_scc_event_types)."""
+    parts = [f"WITH {_TYPE_GRAPH_SQL},\n"
+             "deg AS (SELECT a AS id, COUNT(*) AS d FROM edges "
+             "GROUP BY a),\n"
+             "base AS (SELECT n.id, COALESCE(deg.d, 0) AS d\n"
+             "         FROM n LEFT JOIN deg ON deg.id = n.id),\n"
+             "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM n),\n"
+             "r0 AS (SELECT id, d, 1.0 / (SELECT cnt FROM nn) AS rank "
+             "FROM base)"]
+    for i in range(n_iter):
+        parts.append(f""",
+dm{i} AS (SELECT COALESCE(SUM(rank), 0) AS dmass FROM r{i} WHERE d = 0),
+c{i} AS (SELECT e.b AS id, SUM(r.rank / r.d) AS in_mass
+     FROM r{i} r JOIN edges e ON e.a = r.id WHERE r.d > 0
+     GROUP BY e.b),
+r{i + 1} AS (SELECT b.id, b.d,
+     (1.0 - {alpha}) / (SELECT cnt FROM nn)
+       + {alpha} * (COALESCE(c.in_mass, 0)
+                    + (SELECT dmass FROM dm{i}) / (SELECT cnt FROM nn))
+       AS rank
+     FROM base b LEFT JOIN c{i} c ON c.id = b.id)""")
+    parts.append(f"""
+SELECT id AS node, ROUND(rank, 9) AS rank FROM r{n_iter}""")
+    return "".join(parts)
+
+
+@register("g_pagerank_types", extra=True,
+          oracle=_pagerank_types_sql(5))
+def g_pagerank_types(spark, sf_dir):
+    """Value-checked PageRank (graph/algos.py pagerank, 5 rounds,
+    damping 0.85, uniform dangling redistribution) on the event-type
+    transition graph — completes the iterative-float value-oracle set
+    next to g_hits_top and g_betweenness_types; the big-graph
+    g_pagerank_top stays rows-only (top-20 float rank) with its
+    semantics pinned here plus the 1e-12 numpy-parity suite."""
+    from graphraft_spark.graph.algos import pagerank
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("event_type").alias("src"),
+                    F.lead("event_type").over(w).alias("dst"))
+    edges = (seq.filter(F.col("dst").isNotNull()
+                        & (F.col("src") != F.col("dst")))
+             .distinct())
+    nodes = ev.select(F.col("event_type").alias("nodeId")).distinct()
+    pr = pagerank(nodes, edges, alpha=0.85, n_iter=5)
+    return pr.select(F.col("nodeId").alias("node"),
+                     F.round("rank", 9).alias("rank"))
 
 
 @register(
