@@ -504,9 +504,10 @@ def g_ppr_top(spark, sf_dir):
     """Personalized PageRank from the standard anchor entities
     (graph/algos.py:personalized_pagerank, 10 rounds) — the graph-
     proximity retrieval score: candidates rank by closeness to the
-    question's anchors rather than global importance.  Iterative → no
-    SQL oracle; 1e-12 numpy parity pinned in tests/test_graph_algos.py
-    (teleport-to-seeds, dangling-to-seeds)."""
+    question's anchors rather than global importance.  Rows-only
+    (top-k float rank); the same engine op is HASH-MATCHED in
+    g_ppr_types, and 1e-12 numpy parity is pinned in
+    tests/test_graph_algos.py (teleport-to-seeds, dangling-to-seeds)."""
     from graphraft_spark.graph.algos import personalized_pagerank
 
     g = tpch_graph(spark, sf_dir)
@@ -827,9 +828,9 @@ def g_walk_skipgrams(spark, sf_dir):
 def g_kcore(spark, sf_dir):
     """3-core of the property graph (graph/algos.py:k_core) — the
     dense backbone after iteratively peeling degree<3 nodes.
-    Iterative (eager per-round checkpoints), so rows-only at the
-    driver; exactness is pinned by the pure-Python peeling parity
-    test."""
+    Rows-only on the big graph; the same engine op is HASH-MATCHED
+    (integer-exact) in g_kcore_types, and exactness is additionally
+    pinned by the pure-Python peeling parity test."""
     from graphraft_spark.graph.algos import k_core
 
     g = tpch_graph(spark, sf_dir)
@@ -1246,6 +1247,117 @@ r{i + 1} AS (SELECT b.id, b.d,
     parts.append(f"""
 SELECT id AS node, ROUND(rank, 9) AS rank FROM r{n_iter}""")
     return "".join(parts)
+
+
+def _ppr_types_sql(n_iter: int = 5, alpha: float = 0.85,
+                   n_seeds: int = 2) -> str:
+    """Unrolled personalized PageRank on the type graph: teleport AND
+    dangling mass restart at the seed set (the ``n_seeds`` smallest
+    type ids — deterministic); per-round expressions written in the
+    engine's exact evaluation order so doubles agree to 9dp."""
+    parts = [f"WITH {_TYPE_GRAPH_SQL},\n"
+             f"seeds AS (SELECT id FROM n ORDER BY id LIMIT {n_seeds}),\n"
+             "sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM seeds),\n"
+             "deg AS (SELECT a AS id, COUNT(*) AS d FROM edges "
+             "GROUP BY a),\n"
+             "base AS (SELECT n.id, COALESCE(deg.d, 0) AS d,\n"
+             "               n.id IN (SELECT id FROM seeds) AS is_seed\n"
+             "         FROM n LEFT JOIN deg ON deg.id = n.id),\n"
+             "r0 AS (SELECT id, d, is_seed,\n"
+             "              CASE WHEN is_seed THEN 1.0 / (SELECT c FROM "
+             "sc) ELSE 0.0 END AS rank\n"
+             "       FROM base)"]
+    for i in range(n_iter):
+        parts.append(f""",
+dm{i} AS (SELECT COALESCE(SUM(rank), 0) AS dmass FROM r{i} WHERE d = 0),
+c{i} AS (SELECT e.b AS id, SUM(r.rank / r.d) AS in_mass
+     FROM r{i} r JOIN edges e ON e.a = r.id WHERE r.d > 0
+     GROUP BY e.b),
+r{i + 1} AS (SELECT b.id, b.d, b.is_seed,
+     CASE WHEN b.is_seed
+          THEN (1.0 - {alpha}) / (SELECT c FROM sc)
+               + {alpha} * (SELECT dmass FROM dm{i}) / (SELECT c FROM sc)
+          ELSE 0.0 END
+       + {alpha} * COALESCE(c.in_mass, 0) AS rank
+     FROM base b LEFT JOIN c{i} c ON c.id = b.id)""")
+    parts.append(f"""
+SELECT id AS node, ROUND(rank, 9) AS rank FROM r{n_iter}""")
+    return "".join(parts)
+
+
+@register("g_ppr_types", extra=True, oracle=_ppr_types_sql(5))
+def g_ppr_types(spark, sf_dir):
+    """Value-checked personalized PageRank (graph/algos.py
+    personalized_pagerank, 5 rounds, seeds = the 2 smallest type ids)
+    on the event-type graph — anchors g_ppr_top's rows-only semantics
+    the same way g_pagerank_types anchors g_pagerank_top."""
+    from graphraft_spark.graph.algos import personalized_pagerank
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("event_type").alias("src"),
+                    F.lead("event_type").over(w).alias("dst"))
+    edges = (seq.filter(F.col("dst").isNotNull()
+                        & (F.col("src") != F.col("dst")))
+             .distinct())
+    nodes = ev.select(F.col("event_type").alias("nodeId")).distinct()
+    seeds = nodes.orderBy("nodeId").limit(2)
+    pr = personalized_pagerank(nodes, edges, seeds, alpha=0.85, n_iter=5)
+    return pr.select(F.col("nodeId").alias("node"),
+                     F.round("rank", 9).alias("rank"))
+
+
+def _kcore_types_sql(k: int = 2, rounds: int = 10) -> str:
+    """Unrolled k-core peeling on the UNDIRECTED simple type graph:
+    each round keeps edges whose BOTH endpoints have degree ≥ k in the
+    previous round's frame.  Peeling removes ≥1 node per non-converged
+    round, so ``rounds`` ≥ |type vocabulary| guarantees the unroll has
+    converged — and converged rounds are idempotent, so overshooting is
+    harmless.  Output is integer-exact (node, in-core degree)."""
+    # Every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs at
+    # each reference, and ue{i+1} references ue{i} three times (edge
+    # frame + both endpoint filters) — un-materialized, the unroll
+    # re-expands the whole prefix 3^rounds times (observed as a
+    # too-many-open-files explosion on the base parquet view).
+    parts = [f"WITH {_TYPE_GRAPH_SQL},\n"
+             "ue0 AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS a, "
+             "GREATEST(a, b) AS b FROM edges WHERE a <> b)"]
+    for i in range(rounds):
+        parts.append(f""",
+kp{i} AS MATERIALIZED (SELECT nn FROM (
+        SELECT nn, COUNT(*) AS deg FROM (
+            SELECT a AS nn FROM ue{i} UNION ALL
+            SELECT b AS nn FROM ue{i})
+        GROUP BY nn) WHERE deg >= {k}),
+ue{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM ue{i} e
+     JOIN kp{i} ka ON ka.nn = e.a
+     JOIN kp{i} kb ON kb.nn = e.b)""")
+    parts.append(f"""
+SELECT nn AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS nn FROM ue{rounds} UNION ALL
+    SELECT b AS nn FROM ue{rounds})
+GROUP BY nn""")
+    return "".join(parts)
+
+
+@register("g_kcore_types", extra=True, oracle=_kcore_types_sql(2))
+def g_kcore_types(spark, sf_dir):
+    """Value-checked 2-core (graph/algos.py k_core) of the undirected
+    event-type graph — integer-exact (node, in-core degree), anchoring
+    g_kcore's rows-only big-graph run with a hash-matched twin."""
+    from graphraft_spark.graph.algos import k_core
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("event_type").alias("src"),
+                    F.lead("event_type").over(w).alias("dst"))
+    edges = (seq.filter(F.col("dst").isNotNull()
+                        & (F.col("src") != F.col("dst")))
+             .distinct())
+    out = k_core(edges, k=2)
+    return out.select(F.col("n"), F.col("deg").cast("bigint").alias("deg"))
 
 
 @register("g_pagerank_types", extra=True,
