@@ -685,7 +685,8 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
                   max_depth: int = 20,
                   settled_filter: str = "exact",
                   bloom_bits: int = 1 << 22,
-                  bloom_k: int = 4) -> DataFrame:
+                  bloom_k: int = 4,
+                  auto_switch_at: int = 10_000_000) -> DataFrame:
     """Multi-source BFS shortest-path distances on the directed graph:
     for every (source, node) pair with node reachable from source,
     the hop distance — the building block under :func:`betweenness_
@@ -718,12 +719,22 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
       maybe-seen remainder fits a broadcast (true in expansion-heavy
       graphs where most candidates are new); size ``bloom_bits`` ≥
       ~10× the expected settled-pair count for ~1% fp (the 10×-bits
-      rule, ops/curation.py)."""
+      rule, ops/curation.py).
+    * ``"auto"``: start exact, switch to bloom once the cumulative
+      settled-pair count (known EXACTLY for free — every level is
+      already counted for the termination check) crosses
+      ``auto_switch_at`` — the same measured-crossover policy shape as
+      ``curate_corpus(decontaminate="auto")``.  At the switch the
+      filter is built once over all settled levels; output is
+      identical on every path."""
     from functools import reduce
 
-    if settled_filter not in ("exact", "bloom"):
-        raise ValueError(f"settled_filter must be 'exact' or 'bloom', "
-                         f"got {settled_filter!r}")
+    if settled_filter not in ("exact", "bloom", "auto"):
+        raise ValueError(f"settled_filter must be 'exact', 'bloom' or "
+                         f"'auto', got {settled_filter!r}")
+    from graphraft_spark.ops.sketches import (_bloom_pos, bloom_build,
+                                              bloom_merge)
+
     e = (edges.select("src", "dst")
          .filter(F.col("src") != F.col("dst")).distinct()
          .persist())
@@ -739,53 +750,64 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
     # union directly, and lineage stays flat (each input is truncated)
     levels = [frontier]
     bloom = None
-    if settled_filter == "bloom":
-        from graphraft_spark.ops.sketches import bloom_build, bloom_merge
+    use_bloom = settled_filter == "bloom"
+    settled_n = frontier.count() if settled_filter == "auto" else 0
 
-        def _pair_key(df: DataFrame) -> DataFrame:
-            return df.select(F.concat_ws(":", F.col("source"),
-                                         F.col("node")).alias("_k"))
+    def _pair_key(df: DataFrame) -> DataFrame:
+        return df.select(F.concat_ws(":", F.col("source"),
+                                     F.col("node")).alias("_k"))
 
-        def _probe_pairs(cand: DataFrame) -> DataFrame:
-            """(source, node, maybe) — k MAP-SIDE broadcast joins, one
-            per probe, instead of the shared helper's explode+groupBy
-            (which re-shuffles 4×|cand| rows per level — measured
-            SLOWER than the exact anti-join it was replacing on the
-            ×50 soak).  Each join is a broadcast hash lookup against
-            the ≤ bloom_bits/64-word filter; the candidate frame is
-            never exchanged."""
-            from graphraft_spark.ops.sketches import _bloom_pos
+    def _probe_pairs(cand: DataFrame) -> DataFrame:
+        """(source, node, maybe) — k MAP-SIDE broadcast joins, one
+        per probe, instead of the shared helper's explode+groupBy
+        (which re-shuffles 4×|cand| rows per level — measured
+        SLOWER than the exact anti-join it was replacing on the
+        ×50 soak).  Each join is a broadcast hash lookup against
+        the ≤ bloom_bits/64-word filter; the candidate frame is
+        never exchanged."""
+        key = F.concat_ws(":", F.col("source"), F.col("node"))
+        out = cand
+        tests = []
+        for i in range(bloom_k):
+            pos = _bloom_pos(key, F.lit(i), bloom_bits, "xx")
+            out = (out.withColumn(f"_w{i}",
+                                  (pos / 64).cast("bigint"))
+                   .withColumn(f"_m{i}", F.call_function(
+                       "shiftleft", F.lit(1).cast("bigint"),
+                       (pos % 64).cast("int")))
+                   .join(F.broadcast(
+                       bloom.select(F.col("word").alias(f"_w{i}"),
+                                    F.col("bits").alias(f"_b{i}"))),
+                       f"_w{i}", "left"))
+            tests.append(F.coalesce(F.col(f"_b{i}"), F.lit(0))
+                         .bitwiseAND(F.col(f"_m{i}")) != 0)
+        maybe_col = tests[0]
+        for t in tests[1:]:
+            maybe_col = maybe_col & t
+        return out.select("source", "node", maybe_col.alias("maybe"))
 
-            key = F.concat_ws(":", F.col("source"), F.col("node"))
-            out = cand
-            tests = []
-            for i in range(bloom_k):
-                pos = _bloom_pos(key, F.lit(i), bloom_bits, "xx")
-                out = (out.withColumn(f"_w{i}",
-                                      (pos / 64).cast("bigint"))
-                       .withColumn(f"_m{i}", F.call_function(
-                           "shiftleft", F.lit(1).cast("bigint"),
-                           (pos % 64).cast("int")))
-                       .join(F.broadcast(
-                           bloom.select(F.col("word").alias(f"_w{i}"),
-                                        F.col("bits").alias(f"_b{i}"))),
-                           f"_w{i}", "left"))
-                tests.append(F.coalesce(F.col(f"_b{i}"), F.lit(0))
-                             .bitwiseAND(F.col(f"_m{i}")) != 0)
-            maybe_col = tests[0]
-            for t in tests[1:]:
-                maybe_col = maybe_col & t
-            return out.select("source", "node", maybe_col.alias("maybe"))
+    def _build_over(frames) -> DataFrame:
+        keys = reduce(lambda a, b: a.unionByName(b),
+                      [_pair_key(f) for f in frames])
+        return bloom_build(keys, "_k", bloom_bits, bloom_k, "xx") \
+            .localCheckpoint(eager=True)
 
-        bloom = bloom_build(_pair_key(frontier), "_k", bloom_bits,
-                            bloom_k, "xx").localCheckpoint(eager=True)
+    if use_bloom:
+        bloom = _build_over([frontier])
     for d in range(1, max_depth + 1):
+        if (settled_filter == "auto" and not use_bloom
+                and settled_n > auto_switch_at):
+            # one-time switch: build the filter over everything settled
+            # so far (a single pass — from here on maintenance is
+            # incremental per level)
+            use_bloom = True
+            bloom = _build_over(levels)
         settled_v = reduce(lambda a, b: a.unionByName(b),
                            [lv.select("source", "node") for lv in levels])
         cand = (frontier.join(e, frontier.node == e.src)
                 .select("source", F.col("dst").alias("node"))
                 .distinct())
-        if settled_filter == "bloom":
+        if use_bloom:
             probed = _probe_pairs(cand)
             # maybe-seen remainder: true revisits + bloom fp — small,
             # checkpointed once, then used twice (semi-join probe +
@@ -806,11 +828,13 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
         nxt = (new_rows
                .withColumn("dist", F.lit(d))
                .localCheckpoint(eager=True))
-        if nxt.count() == 0:
+        n_new = nxt.count()
+        if n_new == 0:
             break
+        settled_n += n_new
         levels.append(nxt)
         frontier = nxt
-        if settled_filter == "bloom":
+        if use_bloom:
             bloom = bloom_merge(
                 bloom, bloom_build(_pair_key(nxt), "_k", bloom_bits,
                                    bloom_k, "xx")) \

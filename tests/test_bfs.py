@@ -65,3 +65,27 @@ def test_bfs_rejects_unknown_settled_filter(spark):
     srcs = spark.createDataFrame([(1,)], "s bigint")
     with _pt.raises(ValueError, match="settled_filter"):
         bfs_distances(nodes, edges, srcs, settled_filter="nope")
+
+
+def test_auto_settled_filter_switches_and_matches(spark):
+    """settled_filter="auto" with a tiny switch threshold must force
+    the mid-run exact→bloom switch (filter built over all prior
+    levels) and still return the exact result; with the default
+    threshold it stays on the exact path — same result either way."""
+    n = list(range(10))
+    e = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (4, 3), (4, 5),
+         (5, 6), (6, 4), (7, 8), (2, 1)]
+    nodes = spark.createDataFrame([(v,) for v in n], "id bigint")
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    srcs = spark.createDataFrame([(0,), (7,), (9,)], "s bigint")
+    exact = {(r.source, r.node, r.dist)
+             for r in bfs_distances(nodes, edges, srcs).collect()}
+    forced = {(r.source, r.node, r.dist)
+              for r in bfs_distances(nodes, edges, srcs,
+                                     settled_filter="auto",
+                                     auto_switch_at=2,
+                                     bloom_bits=256).collect()}
+    default = {(r.source, r.node, r.dist)
+               for r in bfs_distances(nodes, edges, srcs,
+                                      settled_filter="auto").collect()}
+    assert forced == exact and default == exact
