@@ -72,7 +72,7 @@ PRIORITY = [
     # flagships, one per family
     "g_twohop_enum", "s_entity_match_fallback", "r_retrieve_data",
     "e_parallel_sort", "m_metrics_per_row", "d_minhash_lsh",
-    "ann_ivf_search", "t_quality_features", "st_cms_maintenance",
+    "ann_ivf_search", "t_quality_features", "st_curation_flags",
     "tm_asof_enrich", "mm_media_metadata", "f_rank_trie",
     "p_full_pipeline", "q_pricing_summary",
     # round-7 flagship promotions (r6 verdict item 2): the engine's best
@@ -82,8 +82,8 @@ PRIORITY = [
     # Slots from g_twopath_enum (template covered by p_full_pipeline),
     # q_orders_without_lineitems, r_token_budget (superseded by exact),
     # st_sliding_agg (covered by st_tumbling_agg), e_embedding_join.
-    "p_pipeline_bulk", "s_bm25_indexed", "d_semantic_dedup",
-    "r_token_budget_exact", "t_bigram_lm_score",
+    "p_pipeline_bulk", "d_semantic_dedup",
+    "r_token_budget_exact",
     # round-8 rotation wave (r7 verdict item 1): the round-7 flagship
     # extras move under driver grading — PassJoin fuzzy entity match,
     # its end-to-end ER composition, C4 line cleaning, streaming CMS
@@ -95,8 +95,7 @@ PRIORITY = [
     # tumbling + graph-deltas + the incoming CMS line), and
     # ann_srp_lsh_topk (ANN keeps ivf + bruteforce; SRP stays under
     # pytest recall tests and bench).
-    "s_fuzzy_entity_match", "e_entity_resolution", "t_c4_clean",
-    "g_label_prop",
+    "s_fuzzy_entity_match", "t_c4_clean",
     # round-8 second wave: this round's flagships earn driver grading
     # the round they land — the composed curation verdict, DPO
     # preference pairs, trailing-window features, SCD2 point-in-time
@@ -108,8 +107,7 @@ PRIORITY = [
     # (normalization pinned by g_ingest_validate + pytest), and
     # tm_interval_join (temporal grows to 3 rows incl. two new ops;
     # the bucketed-grid join keeps its extra-tier oracle + plan test).
-    "p_curate_corpus", "f_dpo_pairs", "tm_rolling_features",
-    "g_copurchase_pairs",
+    "p_curate_corpus", "f_dpo_pairs",
     # round-9 third rotation wave (r8 verdict item 1): round-8's
     # flagship extras earn driver grading — distributed SCC, the
     # TRUE-streaming curation flags, best-of-N rejection sampling,
@@ -124,7 +122,7 @@ PRIORITY = [
     # f_llm1_prompt (F5 formatting exercised inside f_sft_llm1's
     # byte-exact tables), and d_exact_dedup (exact dedup is a graded
     # stage inside p_curate_corpus).
-    "g_scc_event_types", "st_curation_flags", "f_best_of_n",
+    "f_best_of_n",
     "t_bloom_decontaminate", "tm_resample_ffill", "d_keep_best_quality",
     # round-10 fourth rotation wave (r9 verdict item 1): the strongest
     # judge-verified extras earn driver grading — value-checked HITS
@@ -143,6 +141,24 @@ PRIORITY = [
     # version table the incoming tm_scd2_versions grades end-to-end).
     "g_hits_top", "g_betweenness_types", "io_jsonl_roundtrip",
     "q_nation_profit", "t_tfidf_topterms", "tm_scd2_versions",
+    # round-10 fifth rotation wave (r9 handoff item 2, pulled forward a
+    # round): every iterative graph algorithm's hash-matched value line
+    # earns driver grading (PageRank / personalized PageRank / k-core on
+    # the type graph; fixed-source Brandes on the FULL graph), the two
+    # remaining A5 interchange round-trips (CSV with multiLine, ORC),
+    # the Q15-shape decorrelated top-supplier view, and the CUBE
+    # rollup.  Slots from s_bm25_indexed + t_bigram_lm_score (driver-
+    # green r7-r9), st_cms_maintenance (driver-green r7-r9; streaming
+    # flagship slot passes to the true-streaming st_curation_flags),
+    # g_label_prop / g_scc_event_types / g_copurchase_pairs (graph
+    # keeps 13 primary rows incl. the four incoming value-checked
+    # lines), tm_rolling_features (temporal keeps asof + resample +
+    # scd2-versions), and e_entity_resolution (ER keeps
+    # s_fuzzy_entity_match; the component/canonical composition stays
+    # oracle-backed in the extra tier).
+    "g_pagerank_types", "g_ppr_types", "g_kcore_types",
+    "g_betweenness_fixed", "io_csv_roundtrip", "io_orc_roundtrip",
+    "q_top_supplier", "q_cube_status_priority",
     # remaining graph pattern coverage (g_pattern_exec_2hop demoted
     # round 10)
     "g_supervised_enum", "g_enum_all_pruned", "g_ingest_validate",

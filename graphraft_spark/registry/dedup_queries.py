@@ -864,7 +864,7 @@ def d_ngram_containment(spark, sf_dir):
 
 
 @register(
-    "e_entity_resolution",
+    "e_entity_resolution", extra=True,  # demoted r10 (driver-green r8-r9; ER keeps s_fuzzy_entity_match)
     oracle="""
 WITH RECURSIVE recs AS (
     SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name

@@ -861,7 +861,7 @@ l{r} AS (
 
 
 @register(
-    "g_label_prop",
+    "g_label_prop", extra=True,  # demoted r10 (driver-green r8-r9; graph keeps 13 primary rows)
     oracle=GRAPH_ORACLE_CTE
     + ", l0 AS (SELECT nodeId, nodeId AS label FROM nodes)"
     + "".join(_lpa_round_sql(r) for r in (1, 2, 3))
@@ -946,7 +946,7 @@ def g_hits_top(spark, sf_dir):
 
 
 @register(
-    "g_copurchase_pairs",
+    "g_copurchase_pairs", extra=True,  # demoted r10 (driver-green r9)
     oracle="""
 WITH m AS (
     SELECT DISTINCT l_orderkey AS r, l_partkey AS l FROM lineitem
@@ -975,7 +975,7 @@ def g_copurchase_pairs(spark, sf_dir):
 
 
 @register(
-    "g_scc_event_types",
+    "g_scc_event_types", extra=True,  # demoted r10 (driver-green r9)
     oracle="""
 WITH RECURSIVE seq AS (
     SELECT event_type AS a,
@@ -1113,7 +1113,7 @@ WHERE ROUND(b, 9) > 0""")
     return "".join(parts)
 
 
-@register("g_betweenness_fixed", extra=True,
+@register("g_betweenness_fixed",  # promoted r10 (fifth wave)
           oracle=_betweenness_fixed_sql(6))
 def g_betweenness_fixed(spark, sf_dir):
     """The value-checked twin of g_betweenness_top on the SAME big
@@ -1285,7 +1285,7 @@ SELECT id AS node, ROUND(rank, 9) AS rank FROM r{n_iter}""")
     return "".join(parts)
 
 
-@register("g_ppr_types", extra=True, oracle=_ppr_types_sql(5))
+@register("g_ppr_types", oracle=_ppr_types_sql(5))  # promoted r10
 def g_ppr_types(spark, sf_dir):
     """Value-checked personalized PageRank (graph/algos.py
     personalized_pagerank, 5 rounds, seeds = the 2 smallest type ids)
@@ -1341,7 +1341,7 @@ GROUP BY nn""")
     return "".join(parts)
 
 
-@register("g_kcore_types", extra=True, oracle=_kcore_types_sql(2))
+@register("g_kcore_types", oracle=_kcore_types_sql(2))  # promoted r10
 def g_kcore_types(spark, sf_dir):
     """Value-checked 2-core (graph/algos.py k_core) of the undirected
     event-type graph — integer-exact (node, in-core degree), anchoring
@@ -1360,7 +1360,7 @@ def g_kcore_types(spark, sf_dir):
     return out.select(F.col("n"), F.col("deg").cast("bigint").alias("deg"))
 
 
-@register("g_pagerank_types", extra=True,
+@register("g_pagerank_types",  # promoted r10 (fifth wave)
           oracle=_pagerank_types_sql(5))
 def g_pagerank_types(spark, sf_dir):
     """Value-checked PageRank (graph/algos.py pagerank, 5 rounds,

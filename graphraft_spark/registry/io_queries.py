@@ -55,7 +55,7 @@ def io_jsonl_roundtrip(spark, sf_dir):
     return read_jsonl(spark, path, ddl).select(*_DOCS_COLS)
 
 
-@register("io_csv_roundtrip", extra=True, oracle=_DOCS_ORACLE)
+@register("io_csv_roundtrip", oracle=_DOCS_ORACLE)  # promoted r10
 def io_csv_roundtrip(spark, sf_dir):
     """documents → headered CSV (sources/formats.py write_csv) →
     explicit-schema DROPMALFORMED read (read_csv) — the inference-free
@@ -70,7 +70,7 @@ def io_csv_roundtrip(spark, sf_dir):
     return read_csv(spark, path, ddl).select(*_DOCS_COLS)
 
 
-@register("io_orc_roundtrip", extra=True, oracle=_DOCS_ORACLE)
+@register("io_orc_roundtrip", oracle=_DOCS_ORACLE)  # promoted r10
 def io_orc_roundtrip(spark, sf_dir):
     """documents → ORC (sources/formats.py write_orc) → ORC scan
     (read_orc; schema travels with the file) — hash-matched against

@@ -320,7 +320,7 @@ def _bm25_index_dir(spark, sf_dir) -> str:
     return index_dir
 
 
-@register("s_bm25_indexed", oracle=_BM25_ORACLE)  # promoted r7: persisted-postings probe
+@register("s_bm25_indexed", extra=True, oracle=_BM25_ORACLE)  # promoted r7; demoted r10 (driver-green r7-r9; search keeps fulltext/fallback/fuzzy)
 def s_bm25_indexed(spark, sf_dir):
     """BM25 through the persisted inverted index: the query reads ONLY
     the postings partitions its terms hash to (partition pruning —

@@ -440,7 +440,7 @@ def st_funnel_maintenance(spark, sf_dir):
 
 
 @register(
-    "st_cms_maintenance",
+    "st_cms_maintenance", extra=True,  # demoted r10 (driver-green r7-r9; streaming keeps st_curation_flags)
     oracle="""
 WITH w AS (
     SELECT event_type AS v FROM events WHERE event_type IS NOT NULL

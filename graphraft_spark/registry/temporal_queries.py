@@ -381,7 +381,7 @@ def tm_resample_ffill(spark, sf_dir):
 
 
 @register(
-    "tm_rolling_features",
+    "tm_rolling_features", extra=True,  # demoted r10 (driver-green r8-r9; temporal keeps asof/resample/scd2)
     oracle="""
 WITH e AS (
     SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, value

@@ -600,7 +600,7 @@ def t_dsir_weights(spark, sf_dir):
 
 
 @register(
-    "t_bigram_lm_score",  # promoted r7: in-engine-trained LM scoring
+    "t_bigram_lm_score", extra=True,  # promoted r7; demoted r10 (driver-green r7-r9; text keeps quality/c4/bloom/tfidf)
     oracle=f"""
 WITH docs AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents

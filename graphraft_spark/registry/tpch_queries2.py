@@ -710,7 +710,7 @@ def q_nation_profit(spark, sf_dir):
 
 
 @register(
-    "q_top_supplier", extra=True,
+    "q_top_supplier",  # promoted r10 (fifth wave)
     oracle="""
 WITH rev AS (
     SELECT l_suppkey,
