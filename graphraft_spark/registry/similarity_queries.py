@@ -327,13 +327,87 @@ def ann_pq_search(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
-@register("ann_mmr_rerank", extra=True)  # rows-only: iterative greedy
+def _mmr_sql(k: int = 5, ef: int = 20, lam: str = "0.7") -> str:
+    """Replay the MMR greedy loop (ops/similarity.py:mmr_rerank) as
+    unrolled SQL: per selection step, one argmax CTE (ROW_NUMBER over
+    ``lam*rel - (1-lam)*pen``, ties broken exactly like the kernel's
+    first-index-in-(rel DESC, id ASC) argmax) and one remainder CTE
+    carrying the running max-similarity penalty via GREATEST.  The
+    penalty normalizes both vectors exactly as the kernel does
+    (components divided by the L2 norm BEFORE the dot), so the two
+    sides agree to float ulps and round identically at 6dp.  ``(1 -
+    {lam})`` is written literally so DuckDB's double arithmetic
+    reproduces numpy's ``1.0 - lam``."""
+    parts = [f"""WITH {_QUERIES_SQL.strip()},
+scored AS (
+    SELECT q.qid, e.vec_id,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS rel,
+           CAST(e.embedding AS DOUBLE[]) AS emb,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                         q.q_emb) DESC, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN queries q
+),
+cands AS (
+    SELECT qid, vec_id, rel,
+           list_transform(emb,
+               x -> x / sqrt(list_dot_product(emb, emb))) AS nemb
+    FROM scored WHERE rn <= {ef}
+),
+s1 AS (
+    SELECT qid, vec_id, rel, nemb, {lam} * rel AS mmr
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY rel DESC, vec_id) AS rn FROM cands)
+    WHERE rn = 1
+),
+r1 AS (
+    SELECT c.qid, c.vec_id, c.rel, c.nemb,
+           list_dot_product(c.nemb, s.nemb) AS pen
+    FROM cands c JOIN s1 s ON s.qid = c.qid AND c.vec_id <> s.vec_id
+)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+s{i} AS (
+    SELECT qid, vec_id, rel, nemb, pen,
+           {lam} * rel - (1 - {lam}) * pen AS mmr
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY {lam} * rel - (1 - {lam}) * pen DESC,
+                       rel DESC, vec_id) AS rn FROM r{i - 1})
+    WHERE rn = 1
+)""")
+        if i < k:
+            parts.append(f""",
+r{i} AS (
+    SELECT r.qid, r.vec_id, r.rel, r.nemb,
+           GREATEST(r.pen, list_dot_product(r.nemb, s.nemb)) AS pen
+    FROM r{i - 1} r JOIN s{i} s
+      ON s.qid = r.qid AND r.vec_id <> s.vec_id
+)""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT qid, vec_id, rel, mmr, {i} AS mmr_rank FROM s{i}"
+        for i in range(1, k + 1))
+    parts.append(f""",
+sel AS (
+    {union}
+)
+SELECT qid, vec_id, ROUND(rel, 6) AS score,
+       ROUND(mmr, 6) AS mmr_score, CAST(mmr_rank AS INT) AS mmr_rank
+FROM sel""")
+    return "".join(parts)
+
+
+@register("ann_mmr_rerank", extra=True, oracle=_mmr_sql(5, 20, "0.7"))
 def ann_mmr_rerank(spark, sf_dir):
     """Diversity-aware retrieval: brute-force top-20 first stage, then
     MMR greedy re-rank to 5 per query (ops/similarity.py:mmr_rerank,
-    lam=0.7).  The greedy loop is per-query-sequential so it rides the
-    rows-only tier; exact semantics are pinned by tests/test_mmr.py
-    parity with an independent reference implementation, including the
+    lam=0.7).  ORACLE-CHECKED since r10: the greedy loop is
+    per-query-sequential but its step count is fixed (k=5), so the
+    oracle unrolls one argmax + one running-penalty CTE per step —
+    the selection set, scores, and ranks all hash-match DuckDB
+    replaying the identical normalize-then-dot arithmetic.  Exact
+    semantics also pinned by tests/test_mmr.py parity with an
+    independent reference implementation, including the
     near-duplicate-displacement property."""
     from graphraft_spark.ops.similarity import brute_force_topk, mmr_rerank
 
