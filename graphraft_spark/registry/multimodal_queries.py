@@ -57,15 +57,47 @@ def mm_frame_sample(spark, sf_dir):
         "media_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
 
 
-@register("mm_feature_extract", extra=True)  # rows-only: Python decode stage
+@register(
+    "mm_feature_extract", extra=True,
+    oracle="""
+WITH RECURSIVE roll AS (
+    SELECT doc_id, text,
+           CAST(0 AS BIGINT) AS j,
+           CAST((length(text) + 7) // 8 AS BIGINT) AS m,
+           CAST(0 AS BIGINT) AS acc
+    FROM documents
+  UNION ALL
+    SELECT doc_id, text, j + 1, m,
+           (acc * 31 + ascii(substr(text, CAST(j * 8 + 1 AS INT), 1)))
+               % 104729
+    FROM roll WHERE j < m
+)
+SELECT r.doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(r.doc_id % 3 AS INT) + 1] AS kind,
+       CAST(length(r.text) AS BIGINT) AS n_bytes,
+       ROUND(CAST(CAST(r.acc / 104729.0 AS REAL) AS DOUBLE), 6) AS f0
+FROM roll r WHERE r.j = r.m
+""")
 def mm_feature_extract(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
-    (deterministic fake decoder standing in for PIL/ffmpeg)."""
+    (deterministic fake decoder standing in for PIL/ffmpeg).
+    ORACLE-CHECKED since r10: feature[0] is the rolling hash
+    ``acc = (acc*31 + byte) % 104729`` over payload bytes at positions
+    ≡ 0 (mod 8) (ops/multimodal.py:deterministic_fake_decode), which a
+    recursive CTE replays byte-exactly — ≤ ceil(max_len/8) ≈ 70
+    iterations, all documents advancing together.  Precondition: the
+    synthetic corpus is ASCII (payload bytes == characters; true of
+    every driver-generated sf, checked octet_length == length), so
+    ``ascii(substr(...))`` reads the exact utf-8 byte."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     m = synth_media_from_documents(d)
     out = extract_features(m)
+    # feature is ARRAY<FLOAT>: quantize-then-round must match the oracle,
+    # so cast the float32 element up to double BEFORE rounding (the
+    # oracle replays the same float32 quantization via CAST AS REAL).
     return out.select("media_id", "kind", "n_bytes",
-                      F.round(F.element_at("feature", 1), 6).alias("f0"))
+                      F.round(F.element_at("feature", 1).cast("double"),
+                              6).alias("f0"))
 
 
 @register(
