@@ -77,6 +77,12 @@ HEADLINE = [
     # per the ordering rule (r8: mid-list insertions before
     # p_pipeline_bulk measured a phantom +1.2 s on it)
     "g_hits_top",
+    # round-10 additions (appended, same ordering rule): the two
+    # heaviest fifth-wave promotions — fixed-source Brandes on the full
+    # graph (per-level backward deltas land this round) and the
+    # value-checked PageRank — so their plans stay perf-visible
+    "g_betweenness_fixed",
+    "g_pagerank_types",
 ]
 
 

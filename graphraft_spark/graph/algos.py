@@ -640,19 +640,26 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
     else:
         raise RuntimeError(
             f"betweenness BFS exceeded max_depth={max_depth}")
-    # backward: delta starts 0; process levels deepest→1, accumulating
-    # delta(v) += sigma_v/sigma_w * (1 + delta_w) over edges v->w one
-    # level down
-    delta = reduce(lambda a, b: a.unionByName(b),
-                   [lv.select("source", "node") for lv in levels]) \
-        .select("source", "node", F.lit(0.0).alias("delta")) \
-        .localCheckpoint(eager=True)
+    # backward: per-LEVEL delta frames, deepest→1.  In the unweighted
+    # shortest-path DAG every edge crosses exactly one level, so a
+    # node's delta is FINAL as soon as the level below it is processed
+    # — delta(v) = Σ sigma_v/sigma_w · (1 + delta_w) over DAG edges
+    # v→w with w one level down.  Carrying one frame per level keeps
+    # each round's join + checkpoint at that level's size; a global
+    # (source × settled) delta frame rewritten per round would cost
+    # O(levels × settled) materialization traffic — the super-linear
+    # term measured in the BFS settled-rewrite soak (BASELINE.md r9).
+    deltas: list[DataFrame] = [None] * len(levels)
+    deltas[-1] = (levels[-1].select("source", "node",
+                                    F.lit(0.0).alias("delta"))
+                  .localCheckpoint(eager=True))
     for d in range(len(levels) - 1, 0, -1):
         down = (levels[d].select("source",
                                 F.col("node").alias("w"),
                                 F.col("sigma").alias("sigma_w"))
-                .join(delta.select("source", F.col("node").alias("w"),
-                                   F.col("delta").alias("delta_w")),
+                .join(deltas[d].select("source",
+                                       F.col("node").alias("w"),
+                                       F.col("delta").alias("delta_w")),
                       ["source", "w"]))
         contrib = (down.join(e, down.w == e.dst)
                    .select("source", F.col("src").alias("node"),
@@ -664,11 +671,13 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
             .agg(F.sum(F.col("sigma") / F.col("sigma_w")
                        * (F.lit(1.0) + F.col("delta_w")))
                  .alias("add")))
-        delta = (delta.join(contrib, ["source", "node"], "left")
-                 .select("source", "node",
-                         (F.col("delta") + F.coalesce("add", F.lit(0.0)))
-                         .alias("delta"))
-                 .localCheckpoint(eager=True))
+        deltas[d - 1] = (levels[d - 1].select("source", "node")
+                         .join(contrib, ["source", "node"], "left")
+                         .select("source", "node",
+                                 F.coalesce("add", F.lit(0.0))
+                                 .alias("delta"))
+                         .localCheckpoint(eager=True))
+    delta = reduce(lambda a, b: a.unionByName(b), deltas)
     acc = (delta.filter(F.col("node") != F.col("source"))
            .groupBy(F.col("node").alias("nodeId"))
            .agg(F.sum("delta").alias("betweenness")))
