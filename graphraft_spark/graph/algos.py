@@ -582,7 +582,11 @@ def strongly_connected_components(nodes: DataFrame, edges: DataFrame,
 def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
                         sources: list | None = None,
                         n_sources: int = 8,
-                        max_depth: int = 20) -> DataFrame:
+                        max_depth: int = 20,
+                        settled_filter: str = "exact",
+                        bloom_bits: int = 1 << 22,
+                        bloom_k: int = 4,
+                        auto_switch_at: int = 10_000_000) -> DataFrame:
     """Betweenness centrality (Brandes 2001), exact over a SOURCE
     SAMPLE: run the forward BFS/σ-counting and backward dependency
     accumulation for ``sources`` (default: the ``n_sources`` smallest
@@ -598,7 +602,13 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
     frames localCheckpoint-truncated per level like the other
     iterative algorithms here.  Returns (nodeId, betweenness) over all
     nodes (zeros included), deltas summed over the sample — divide by
-    len(sources)/|V| externally to estimate the full sum."""
+    len(sources)/|V| externally to estimate the full sum.
+
+    ``settled_filter`` routes the forward phase's already-settled
+    check exactly as in :func:`bfs_distances` (exact anti-join /
+    bloom map-side probe / auto switch at ``auto_switch_at`` settled
+    pairs) — σ rides through the router untouched, so every path is
+    value-identical; the flag-equality test pins it."""
     ids = nodes.select(F.col("nodeId")).distinct()
     e = (edges.select("src", "dst")
          .filter(F.col("src") != F.col("dst")).distinct()
@@ -620,21 +630,26 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
     levels = [frontier]
     from functools import reduce
 
+    router = _SettledRouter(settled_filter, bloom_bits, bloom_k,
+                            auto_switch_at, frontier)
     for d in range(1, max_depth + 1):
+        router.maybe_switch(levels)
         # settled is a LAZY union of the checkpointed levels (same
         # rationale as bfs_distances: per-level settled rewrites cost
         # O(levels x |settled|) materialization traffic)
         settled_v = reduce(lambda a, b: a.unionByName(b),
                            [lv.select("source", "node") for lv in levels])
-        nxt = (frontier.join(e, frontier.node == e.src)
-               .groupBy("source", F.col("dst").alias("node"))
-               .agg(F.sum("sigma").alias("sigma")))
-        nxt = (nxt.join(settled_v, ["source", "node"], "left_anti")
+        cand = (frontier.join(e, frontier.node == e.src)
+                .groupBy("source", F.col("dst").alias("node"))
+                .agg(F.sum("sigma").alias("sigma")))
+        nxt = (router.filter_new(cand, settled_v)
                .withColumn("dist", F.lit(d))
                .select("source", "node", "dist", "sigma")
                .localCheckpoint(eager=True))
-        if nxt.count() == 0:
+        n_new = nxt.count()
+        if n_new == 0:
             break
+        router.observe(nxt, n_new)
         frontier = nxt
         levels.append(nxt)
     else:
@@ -689,6 +704,125 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
     return out
 
 
+class _SettledRouter:
+    """Settled-pair filtering shared by the level-synchronous
+    traversals (:func:`bfs_distances`, :func:`betweenness_sampled`'s
+    forward phase): per level, route candidate (source, node) pairs
+    into definitely-new vs maybe-seen.
+
+    * ``exact``: candidates LEFT ANTI the settled union — always
+      correct, but the whole settled set is the anti-join's build side
+      every level (the O(levels × settled) exchange+sort the ×50 soak
+      named).
+    * ``bloom``: maintain a fixed-size bloom over settled pairs; probe
+      misses are DEFINITELY new (no false negatives) and skip the
+      settled pass, only the maybe-seen remainder is exact-verified via
+      broadcast joins that SCAN settled map-side.  The bloom only
+      routes rows, never decides membership — output identical.
+    * ``auto``: start exact, switch to bloom once the cumulative
+      settled count (known exactly from the per-level termination
+      counts) crosses ``auto_switch_at``.
+
+    Extra candidate columns (e.g. σ in the Brandes forward phase) ride
+    through every path unchanged."""
+
+    def __init__(self, mode: str, bloom_bits: int, bloom_k: int,
+                 auto_switch_at: int, first_level: DataFrame):
+        if mode not in ("exact", "bloom", "auto"):
+            raise ValueError(f"settled_filter must be 'exact', 'bloom' "
+                             f"or 'auto', got {mode!r}")
+        self.mode = mode
+        self.bits, self.k = bloom_bits, bloom_k
+        self.auto_at = auto_switch_at
+        self.use_bloom = mode == "bloom"
+        self.settled_n = first_level.count() if mode == "auto" else 0
+        self.bloom = (self._build_over([first_level])
+                      if self.use_bloom else None)
+
+    @staticmethod
+    def _pair_key(df: DataFrame) -> DataFrame:
+        return df.select(F.concat_ws(":", F.col("source"),
+                                     F.col("node")).alias("_k"))
+
+    def _build_over(self, frames) -> DataFrame:
+        from functools import reduce
+
+        from graphraft_spark.ops.sketches import bloom_build
+
+        keys = reduce(lambda a, b: a.unionByName(b),
+                      [self._pair_key(f) for f in frames])
+        return bloom_build(keys, "_k", self.bits, self.k, "xx") \
+            .localCheckpoint(eager=True)
+
+    def _probe(self, cand: DataFrame) -> DataFrame:
+        """cand.* + ``maybe`` — k MAP-SIDE broadcast joins, one per
+        probe, instead of an explode+groupBy (which re-shuffles
+        k×|cand| rows per level — measured SLOWER than the exact
+        anti-join it was replacing on the ×50 soak).  Each join is a
+        broadcast hash lookup against the ≤ bits/64-word filter; the
+        candidate frame is never exchanged."""
+        from graphraft_spark.ops.sketches import _bloom_pos
+
+        key = F.concat_ws(":", F.col("source"), F.col("node"))
+        out = cand
+        tests = []
+        for i in range(self.k):
+            pos = _bloom_pos(key, F.lit(i), self.bits, "xx")
+            out = (out.withColumn(f"_w{i}",
+                                  (pos / 64).cast("bigint"))
+                   .withColumn(f"_m{i}", F.call_function(
+                       "shiftleft", F.lit(1).cast("bigint"),
+                       (pos % 64).cast("int")))
+                   .join(F.broadcast(
+                       self.bloom.select(F.col("word").alias(f"_w{i}"),
+                                         F.col("bits").alias(f"_b{i}"))),
+                       f"_w{i}", "left"))
+            tests.append(F.coalesce(F.col(f"_b{i}"), F.lit(0))
+                         .bitwiseAND(F.col(f"_m{i}")) != 0)
+        maybe_col = tests[0]
+        for t in tests[1:]:
+            maybe_col = maybe_col & t
+        return out.select(*cand.columns, maybe_col.alias("maybe"))
+
+    def maybe_switch(self, levels) -> None:
+        """One-time auto→bloom switch: build the filter over everything
+        settled so far (a single pass — maintenance is incremental per
+        level from here on)."""
+        if (self.mode == "auto" and not self.use_bloom
+                and self.settled_n > self.auto_at):
+            self.use_bloom = True
+            self.bloom = self._build_over(levels)
+
+    def filter_new(self, cand: DataFrame, settled_v: DataFrame) -> DataFrame:
+        """Rows of ``cand`` whose (source, node) is NOT in settled_v,
+        all other cand columns preserved."""
+        if not self.use_bloom:
+            return cand.join(settled_v, ["source", "node"], "left_anti")
+        probed = self._probe(cand)
+        # maybe-seen remainder: true revisits + bloom fp — small,
+        # checkpointed once, then used twice (semi-join probe + final
+        # anti), both broadcast-side
+        maybe = (probed.filter(F.col("maybe")).drop("maybe")
+                 .localCheckpoint(eager=True))
+        seen = settled_v.join(
+            F.broadcast(maybe.select("source", "node")),
+            ["source", "node"], "left_semi")
+        return (probed.filter(~F.col("maybe")).drop("maybe")
+                .unionByName(maybe.join(F.broadcast(seen),
+                                        ["source", "node"],
+                                        "left_anti")))
+
+    def observe(self, nxt: DataFrame, n_new: int) -> None:
+        """Fold a newly settled level into the running state."""
+        from graphraft_spark.ops.sketches import bloom_merge
+
+        self.settled_n += n_new
+        if self.use_bloom:
+            self.bloom = bloom_merge(
+                self.bloom, self._build_over([nxt])) \
+                .localCheckpoint(eager=True)
+
+
 def bfs_distances(nodes: DataFrame, edges: DataFrame,
                   sources: DataFrame,
                   max_depth: int = 20,
@@ -738,12 +872,6 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
       identical on every path."""
     from functools import reduce
 
-    if settled_filter not in ("exact", "bloom", "auto"):
-        raise ValueError(f"settled_filter must be 'exact', 'bloom' or "
-                         f"'auto', got {settled_filter!r}")
-    from graphraft_spark.ops.sketches import (_bloom_pos, bloom_build,
-                                              bloom_merge)
-
     e = (edges.select("src", "dst")
          .filter(F.col("src") != F.col("dst")).distinct()
          .persist())
@@ -758,96 +886,24 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
     # super-linear on the x50 graph soak); the anti-join reads the
     # union directly, and lineage stays flat (each input is truncated)
     levels = [frontier]
-    bloom = None
-    use_bloom = settled_filter == "bloom"
-    settled_n = frontier.count() if settled_filter == "auto" else 0
-
-    def _pair_key(df: DataFrame) -> DataFrame:
-        return df.select(F.concat_ws(":", F.col("source"),
-                                     F.col("node")).alias("_k"))
-
-    def _probe_pairs(cand: DataFrame) -> DataFrame:
-        """(source, node, maybe) — k MAP-SIDE broadcast joins, one
-        per probe, instead of the shared helper's explode+groupBy
-        (which re-shuffles 4×|cand| rows per level — measured
-        SLOWER than the exact anti-join it was replacing on the
-        ×50 soak).  Each join is a broadcast hash lookup against
-        the ≤ bloom_bits/64-word filter; the candidate frame is
-        never exchanged."""
-        key = F.concat_ws(":", F.col("source"), F.col("node"))
-        out = cand
-        tests = []
-        for i in range(bloom_k):
-            pos = _bloom_pos(key, F.lit(i), bloom_bits, "xx")
-            out = (out.withColumn(f"_w{i}",
-                                  (pos / 64).cast("bigint"))
-                   .withColumn(f"_m{i}", F.call_function(
-                       "shiftleft", F.lit(1).cast("bigint"),
-                       (pos % 64).cast("int")))
-                   .join(F.broadcast(
-                       bloom.select(F.col("word").alias(f"_w{i}"),
-                                    F.col("bits").alias(f"_b{i}"))),
-                       f"_w{i}", "left"))
-            tests.append(F.coalesce(F.col(f"_b{i}"), F.lit(0))
-                         .bitwiseAND(F.col(f"_m{i}")) != 0)
-        maybe_col = tests[0]
-        for t in tests[1:]:
-            maybe_col = maybe_col & t
-        return out.select("source", "node", maybe_col.alias("maybe"))
-
-    def _build_over(frames) -> DataFrame:
-        keys = reduce(lambda a, b: a.unionByName(b),
-                      [_pair_key(f) for f in frames])
-        return bloom_build(keys, "_k", bloom_bits, bloom_k, "xx") \
-            .localCheckpoint(eager=True)
-
-    if use_bloom:
-        bloom = _build_over([frontier])
+    router = _SettledRouter(settled_filter, bloom_bits, bloom_k,
+                            auto_switch_at, frontier)
     for d in range(1, max_depth + 1):
-        if (settled_filter == "auto" and not use_bloom
-                and settled_n > auto_switch_at):
-            # one-time switch: build the filter over everything settled
-            # so far (a single pass — from here on maintenance is
-            # incremental per level)
-            use_bloom = True
-            bloom = _build_over(levels)
+        router.maybe_switch(levels)
         settled_v = reduce(lambda a, b: a.unionByName(b),
                            [lv.select("source", "node") for lv in levels])
         cand = (frontier.join(e, frontier.node == e.src)
                 .select("source", F.col("dst").alias("node"))
                 .distinct())
-        if use_bloom:
-            probed = _probe_pairs(cand)
-            # maybe-seen remainder: true revisits + bloom fp — small,
-            # checkpointed once, then used twice (semi-join probe +
-            # final anti), both broadcast-side
-            maybe = (probed.filter(F.col("maybe"))
-                     .select("source", "node")
-                     .localCheckpoint(eager=True))
-            seen = settled_v.join(F.broadcast(maybe),
-                                  ["source", "node"], "left_semi")
-            new_rows = (probed.filter(~F.col("maybe"))
-                        .select("source", "node")
-                        .unionByName(maybe.join(F.broadcast(seen),
-                                                ["source", "node"],
-                                                "left_anti")))
-        else:
-            new_rows = cand.join(settled_v, ["source", "node"],
-                                 "left_anti")
-        nxt = (new_rows
+        nxt = (router.filter_new(cand, settled_v)
                .withColumn("dist", F.lit(d))
                .localCheckpoint(eager=True))
         n_new = nxt.count()
         if n_new == 0:
             break
-        settled_n += n_new
+        router.observe(nxt, n_new)
         levels.append(nxt)
         frontier = nxt
-        if use_bloom:
-            bloom = bloom_merge(
-                bloom, bloom_build(_pair_key(nxt), "_k", bloom_bits,
-                                   bloom_k, "xx")) \
-                .localCheckpoint(eager=True)
     else:
         raise RuntimeError(f"bfs exceeded max_depth={max_depth}")
     e.unpersist()

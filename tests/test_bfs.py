@@ -89,3 +89,32 @@ def test_auto_settled_filter_switches_and_matches(spark):
                for r in bfs_distances(nodes, edges, srcs,
                                       settled_filter="auto").collect()}
     assert forced == exact and default == exact
+
+
+def test_betweenness_settled_filter_paths_match(spark):
+    """betweenness_sampled's forward phase routes its settled check
+    through the same _SettledRouter as bfs_distances — σ must ride the
+    bloom path untouched, so exact / bloom / forced-auto all return
+    identical centrality values.  Cyclic graph with cross-edges so
+    multiple shortest paths (σ > 1) cross the maybe-seen remainder."""
+    from graphraft_spark.graph.algos import betweenness_sampled
+
+    n = list(range(10))
+    e = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (4, 3), (4, 5),
+         (5, 6), (6, 4), (7, 8), (2, 1), (1, 3), (0, 2)]
+    nodes = spark.createDataFrame([(v,) for v in n], "nodeId bigint")
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    kw = dict(sources=[0, 4, 7, 9])
+    exact = {(r.nodeId, r.betweenness)
+             for r in betweenness_sampled(nodes, edges, **kw).collect()}
+    bloom = {(r.nodeId, r.betweenness)
+             for r in betweenness_sampled(nodes, edges, **kw,
+                                          settled_filter="bloom",
+                                          bloom_bits=256).collect()}
+    auto = {(r.nodeId, r.betweenness)
+            for r in betweenness_sampled(nodes, edges, **kw,
+                                         settled_filter="auto",
+                                         auto_switch_at=2,
+                                         bloom_bits=256).collect()}
+    assert bloom == exact and auto == exact
+    assert any(b > 0 for _, b in exact)
