@@ -744,15 +744,15 @@ class _SettledRouter:
         return df.select(F.concat_ws(":", F.col("source"),
                                      F.col("node")).alias("_k"))
 
-    def _build_over(self, frames) -> DataFrame:
+    def _build_over(self, frames, checkpoint: bool = True) -> DataFrame:
         from functools import reduce
 
         from graphraft_spark.ops.sketches import bloom_build
 
         keys = reduce(lambda a, b: a.unionByName(b),
                       [self._pair_key(f) for f in frames])
-        return bloom_build(keys, "_k", self.bits, self.k, "xx") \
-            .localCheckpoint(eager=True)
+        built = bloom_build(keys, "_k", self.bits, self.k, "xx")
+        return built.localCheckpoint(eager=True) if checkpoint else built
 
     def _probe(self, cand: DataFrame) -> DataFrame:
         """cand.* + ``maybe`` — k MAP-SIDE broadcast joins, one per
@@ -818,8 +818,10 @@ class _SettledRouter:
 
         self.settled_n += n_new
         if self.use_bloom:
+            # the per-level build stays lazy — only the MERGED filter
+            # is checkpointed (one eager pass per level, not two)
             self.bloom = bloom_merge(
-                self.bloom, self._build_over([nxt])) \
+                self.bloom, self._build_over([nxt], checkpoint=False)) \
                 .localCheckpoint(eager=True)
 
 
