@@ -268,6 +268,28 @@ def main() -> None:
                   g.nodes.select("nodeId"), g.edges.select("src", "dst"),
                   s, settled_filter="bloom", bloom_bits=1 << 24)))
 
+    # Sampled Brandes betweenness ×N (late r10: the forward phase now
+    # routes its settled check through the shared _SettledRouter, and
+    # the backward pass carries per-LEVEL delta frames) — same ×N
+    # graph + ×N per-copy sources as the bfs task, exact vs bloom, so
+    # the slope delta isolates the forward anti-join term on top of
+    # the (unchanged-shape) backward accumulation.
+    from graphraft_spark.graph.algos import betweenness_sampled
+    for n in (FACTORS if want("betweenness") else ()):
+        g = _graph_x(n)
+        srcs = [r.nodeId for r in
+                (g.nodes.filter(F.col("name").isin(ANCHORS))
+                 .select("nodeId").collect())]
+        timed("betweenness_exact", n,
+              lambda g=g, s=srcs: _noop(betweenness_sampled(
+                  g.nodes.select("nodeId"), g.edges.select("src", "dst"),
+                  sources=s)))
+        timed("betweenness_bloom", n,
+              lambda g=g, s=srcs: _noop(betweenness_sampled(
+                  g.nodes.select("nodeId"), g.edges.select("src", "dst"),
+                  sources=s, settled_filter="bloom",
+                  bloom_bits=1 << 24)))
+
     # HITS on the graph ×N (r9: the new bench line's scale axis) —
     # per-iteration work is two join+aggregates over the edge list, so
     # the honest expectation is ~linear in E with a fixed round count.
