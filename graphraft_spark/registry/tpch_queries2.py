@@ -729,11 +729,15 @@ WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
 """)
 def q_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape (top supplier via a revenue 'view' + scalar-MAX
-    subquery, ties kept).  The engine reuses ONE aggregated frame for
-    both the max and the filter (no second scan of lineitem); the max
-    is a 1-row broadcast.  Decimal-exact revenue makes the equality
-    comparison engine-portable — the textbook formulation's float
-    revenue would be a hash-stability bug."""
+    subquery, ties kept).  The revenue aggregate is LAZILY
+    localCheckpoint'd: Catalyst plans the max branch and the filter
+    branch over the same RDD, so lineitem is scanned ONCE (verified in
+    the executed plan — the naive two-branch formulation duplicates
+    the whole pushed-down scan+aggregate; AQE does NOT collapse it
+    because the max side carries an extra aggregate above the
+    exchange).  The max is a 1-row broadcast.  Decimal-exact revenue
+    makes the equality comparison engine-portable — the textbook
+    formulation's float revenue would be a hash-stability bug."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     rev = (li.filter(
@@ -743,7 +747,8 @@ def q_top_supplier(spark, sf_dir):
         .agg(F.round(F.sum(
             F.col("l_extendedprice").cast("decimal(18,4)")
             * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))), 4)
-            .alias("total_rev")))
+            .alias("total_rev"))
+        .localCheckpoint(eager=False))
     mx = rev.agg(F.max("total_rev").alias("_mx"))
     return (rev.crossJoin(F.broadcast(mx))
             .filter(F.col("total_rev") == F.col("_mx"))

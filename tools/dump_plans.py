@@ -44,6 +44,17 @@ FLAGSHIPS = [
      "table broadcasts into ONE join tree per template) + "
      "applyInPandas ranking — plan size independent of spec count, "
      "zero driver collects."),
+    ("q_top_supplier",
+     "Q15 shape (promoted r10): the revenue aggregate is lazily "
+     "localCheckpoint'd so the max branch and the filter branch share "
+     "ONE lineitem scan (both sides read Scan ExistingRDD below; the "
+     "naive two-branch plan duplicated the whole pushed-down "
+     "scan+aggregate); the max is a 1-row broadcast; revenue stays "
+     "decimal-exact."),
+    ("q_cube_status_priority",
+     "CUBE grouping sets (promoted r10): one scan feeding Expand (4 "
+     "grouping-set replicas) into a single partial+final aggregate — "
+     "no per-grouping re-scan; filter pushed to the parquet scan."),
 ]
 
 
