@@ -651,16 +651,24 @@ def q_min_price_supplier(spark, sf_dir):
     aggregate (map-side combined) joined back on the part key, so the
     'subquery' is a broadcastable aggregate instead of a per-row probe.
     MIN over doubles is order-independent ⇒ equality survives the
-    engine swap; price output is decimal-rounded."""
+    engine swap; price output is decimal-rounded.
+
+    The de-correlated aggregate is a WINDOW MIN over the part key, not
+    a groupBy-then-join-back: the join-back formulation plans the
+    lineitem scan TWICE (once raw, once under the aggregate — Catalyst
+    does not share the subtree), while the window computes the min
+    inside the single partkey shuffle every 100 TB plan pays anyway."""
+    from pyspark.sql import Window
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     p = spark.read.parquet(f"{sf_dir}/part.parquet") \
         .filter(F.col("p_type") == "PROMO")
-    mins = li.groupBy("l_partkey").agg(
-        F.min("l_extendedprice").alias("_minp"))
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    return (li.join(p, li.l_partkey == p.p_partkey)
-            .join(mins, "l_partkey")
-            .filter(F.col("l_extendedprice") == F.col("_minp"))
+    li = li.withColumn(
+        "_minp",
+        F.min("l_extendedprice").over(Window.partitionBy("l_partkey")))
+    return (li.filter(F.col("l_extendedprice") == F.col("_minp"))
+            .join(p, li.l_partkey == p.p_partkey)
             .join(s, li.l_suppkey == s.s_suppkey)
             .select("p_partkey", "p_name", "s_suppkey", "s_name",
                     F.round(F.col("l_extendedprice").cast("decimal(18,4)"),
@@ -788,7 +796,15 @@ def q_lonely_late_supplier(spark, sf_dir):
     existentials with ONE per-order aggregate — n_suppliers >= 2 and
     n_late == 1 are exactly EXISTS(other) and NOT EXISTS(other late) —
     turning two per-row probes into a single keyed shuffle, the
-    standard decorrelation a 100 TB plan needs."""
+    standard decorrelation a 100 TB plan needs.
+
+    The per-order totals are WINDOW aggregates over the per-supplier
+    frame, not a groupBy-then-join-back: the join-back formulation
+    plans the whole lineitem⋈orders+aggregate subtree TWICE (Catalyst
+    does not share it), while the window computes both counts inside
+    one orderkey shuffle of the already-aggregated rows."""
+    from pyspark.sql import Window
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
@@ -798,9 +814,10 @@ def q_lonely_late_supplier(spark, sf_dir):
                     (F.col("l_shipdate")
                      > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
                     .cast("int")).alias("late")))
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("late").alias("n_late"))
-    return (per_supp.join(per_order, "l_orderkey")
+    w = Window.partitionBy("l_orderkey")
+    return (per_supp
+            .withColumn("n_supp", F.count("*").over(w))
+            .withColumn("n_late", F.sum("late").over(w))
             .filter((F.col("late") == 1) & (F.col("n_supp") >= 2)
                     & (F.col("n_late") == 1))
             .join(s, F.col("l_suppkey") == s.s_suppkey)
