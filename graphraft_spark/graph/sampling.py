@@ -74,8 +74,16 @@ def random_walks(edges: DataFrame, starts: DataFrame, length: int = 4,
     minimal portable hash of (seed, walk_id, step, current, neighbor).
     A node with no out-edges ends its walk early.  Returns
     (walk_id, step, node) with step 0 = the start — explode-free
-    DeepWalk corpus generation, one bounded join per step."""
-    e = edges.select(src_col, dst_col).distinct()
+    DeepWalk corpus generation, one bounded join per step.
+
+    The edge set and each step's frontier are lazily localCheckpoint'd:
+    step k is consumed both by the output union and by step k+1's
+    lineage, and without the truncation every union branch re-plans its
+    whole prefix — step k executed (length−k+1) times, the quadratic
+    re-execution pattern hits() hit at round 9 (deterministic hashing
+    keeps that CORRECT, just wasteful)."""
+    e = edges.select(src_col, dst_col).distinct() \
+        .localCheckpoint(eager=False)
     walks = starts.select("walk_id", F.col(starts.columns[1])
                           .alias("node")) \
         .withColumn("step", F.lit(0))
@@ -93,7 +101,8 @@ def random_walks(edges: DataFrame, starts: DataFrame, length: int = 4,
         nxt = (cand.withColumn("rn", F.row_number().over(w))
                .filter("rn = 1")
                .select("walk_id", F.col("nxt").alias("node"))
-               .withColumn("step", F.lit(step)))
+               .withColumn("step", F.lit(step))
+               .localCheckpoint(eager=False))
         out = out.unionByName(nxt)
         cur = nxt
     return out

@@ -49,6 +49,11 @@ def funnel(events: DataFrame, steps: list[str],
            .groupBy(F.col(user_col).alias("user"))
            .agg(F.min(_us(ts_col)).alias("t1")))
     for k, step in enumerate(steps[1:], start=2):
+        # cur feeds TWO branches per step (the binding join and the
+        # carry-forward left join); without truncation each embedding
+        # doubles, so step k re-plans step 1's scan 2^(k-1) times —
+        # the lazy checkpoint computes each step's frame exactly once
+        cur = cur.localCheckpoint(eager=False)
         nxt = (events.filter(F.col(type_col) == step)
                .select(F.col(user_col).alias("u"),
                        _us(ts_col).alias("ts_us")))
