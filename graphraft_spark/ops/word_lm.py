@@ -63,14 +63,22 @@ def train_bigram_lm(train_docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id"):
     """Train on a trusted corpus → (bigram_counts, unigram_counts):
     (prev, cur, c_bi) and (tok, c_uni).  Both are plain count
-    aggregates — persist them as parquet and they ARE the model."""
+    aggregates — persist them as parquet and they ARE the model.
+
+    Both frames are lazily localCheckpoint'd: the scorer consumes the
+    unigram table THREE times (total/vocab scalar, c_prev, c_cur) and
+    Catalyst plans duplicated subtrees independently, so without the
+    truncation the corpus-sized explode+count re-executes per
+    consumer."""
     trans = _transitions(train_docs, text_col, id_col)
     bigrams = (trans.groupBy("prev", "cur")
-               .agg(F.count("*").alias("c_bi")))
+               .agg(F.count("*").alias("c_bi"))
+               .localCheckpoint(eager=False))
     w = _words(F.col(text_col))
     unigrams = (train_docs
                 .select(F.explode(w).alias("tok"))
-                .groupBy("tok").agg(F.count("*").alias("c_uni")))
+                .groupBy("tok").agg(F.count("*").alias("c_uni"))
+                .localCheckpoint(eager=False))
     return bigrams, unigrams
 
 
