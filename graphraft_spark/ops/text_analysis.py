@@ -197,8 +197,12 @@ def dsir_weights(df, target_df, text_col: str = "text",
             .alias("bucket"))
             .groupBy("bucket").agg(F.count("*").alias(name)))
 
-    tgt = bucket_counts(target_df, "t_cnt")
-    raw = bucket_counts(df, "r_cnt")
+    # each count table feeds two branches (its total + the ratio join);
+    # lazy checkpoints keep the corpus-sized explode+aggregate from
+    # re-executing per consumer (Catalyst plans duplicated subtrees
+    # independently)
+    tgt = bucket_counts(target_df, "t_cnt").localCheckpoint(eager=False)
+    raw = bucket_counts(df, "r_cnt").localCheckpoint(eager=False)
     # corpus totals as 1-row frames (no driver collect — the whole
     # weight table stays one lazy plan)
     t_tot = tgt.agg(F.sum("t_cnt").alias("t_tot"))
