@@ -1,0 +1,136 @@
+"""Duplicated-subtree audit over every registered query's optimized plan.
+
+Catalyst plans duplicated DataFrame subtrees independently — a frame
+consumed by two branches is COMPUTED twice unless the caller shares it
+(lazy localCheckpoint / persist) or rewrites the second consumer as a
+window over the first.  At 100 TB a silently re-executed scan or
+aggregate is a 2× (or 2^k — see ops/funnel.py) cost hiding behind a
+green correctness row, so this audit runs the same check that caught
+Q15/Q2/Q21, triangles, random_walks, funnel, the word-LM model tables
+and the DSIR counts in round 10: count base-relation references per
+optimized plan and flag queries whose count exceeds the recorded
+expectation.
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit 1 if any query exceeds its allowance (new duplication regressed
+in), or if an allowlisted query now references FEWER relations than
+allowed (tighten the entry — ratchet, don't rot).
+
+The allowlist records the REVIEWED shape, not a pardon: every entry is
+either semantically necessary (self-joins: dedup pair generation,
+multi-hop expansions, set ops), a benign pruned-column re-read of a
+base table (cheaper than materializing), or a tiny-fixture artifact.
+When a fix lands (e.g. the r10 window rewrites), the entry comes OUT.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import Counter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# query -> max total duplicated references (sum over tables of count-1).
+# Reviewed round 10; comments say why the duplication is by design.
+ALLOWED: dict[str, int] = {
+    # ANN family: the query set is a filtered slice of the same
+    # embeddings table (fixture); production queries are a separate
+    # small table.  1-3 pruned re-reads of the base scan.
+    "ann_bruteforce_topk": 1, "ann_hard_negatives": 1,
+    "ann_ivf_assign": 1, "ann_ivf_kmeans_search": 1,
+    "ann_ivf_search": 3, "ann_mmr_rerank": 2, "ann_srp_lsh_topk": 1,
+    "s_cosine_pair": 1, "s_knn_excluding": 1, "s_knn_per_group": 1,
+    "s_knn_topk": 1, "s_hybrid_rrf": 2, "d_embedding_neardup": 1,
+    "d_semantic_dedup": 3,
+    # dedup pair generation is a self-join by definition; join-backs
+    # re-read pruned columns of the base table.
+    "d_exact_dedup": 1, "d_keep_best_quality": 1,
+    "d_ngram_containment": 3, "d_ngram_jaccard": 3,
+    "d_paragraph_dedup": 1, "d_simhash": 1, "d_span_scrub": 1,
+    "e_corpus_diff": 1, "f_dpo_pairs": 1,
+    # graph: anchors/targets/edges joined per hop — the pattern IS a
+    # multi-reference; edges come from the pruned .graph_cache parquet.
+    "g_betweenness_top": 1, "g_degree_top": 1,
+    "g_enum_all_pruned": 6, "g_khop_sample": 2, "g_onehop_enum": 1,
+    "g_pattern_exec_1hop_multibind": 1, "g_pattern_exec_2hop": 3,
+    "g_sql_onehop": 1, "g_supervised_enum": 1, "g_twohop_enum": 3,
+    "g_twopath_enum": 3, "g_copurchase_pairs": 1,
+    "q_copurchase_pairs": 1, "g_ingest_validate": 3,
+    "s_entity_match_fallback": 2,
+    # walks/triangles/adamic: duplication fixed round 10 via lazy
+    # checkpoints — 0 duplicated refs expected (ratchet).
+    # retrieval/pipeline: qid frames and prop dims are tiny broadcast
+    # tables consumed by several budget stages.
+    "m_retrieval_eval": 6, "p_full_pipeline": 2, "p_curate_corpus": 3,
+    "r_budget_accumulate": 5, "r_negative_samples": 1,
+    "r_retrieve_data": 9, "r_token_budget": 1,
+    "r_token_budget_exact": 9, "e_entity_resolution": 5,
+    # OLAP shapes where the second reference IS the semantics
+    # (set ops, nation pairs both directions, semi+main).
+    "q_dormant_rich_customers": 1, "q_large_volume_customers": 1,
+    "q_market_share": 1, "q_nation_pair_volume": 1,
+    "q_setops_customers": 3, "q_small_qty_revenue": 1,
+    # fixtures deriving two inputs (benchmark/trusted half, epochs,
+    # left/right temporal sides) from one table.
+    "ev_retention": 1, "st_cms_maintenance": 3,
+    "st_sig_maintenance": 1,
+    "t_bloom_decontaminate": 4, "t_cms_wordfreq": 2,
+    "t_decontaminate": 2, "t_ppl_band": 1,
+    "t_source_kl": 3, "t_tfidf_topterms": 2, "s_bm25_indexed": 1,
+    "s_bm25_topk": 1, "s_fuzzy_entity_match": 1,
+    "tm_asof_enrich": 1, "tm_interval_join": 1, "tm_resample_ffill": 1,
+    "tm_scd2_lookup": 2, "tm_user_rfm": 1, "tm_value_outliers": 1,
+}
+
+_REL = re.compile(r"Relation \[([a-zA-Z_0-9#,L ]+)")
+
+
+def dup_count(plan: str) -> int:
+    rels = [r.split(",")[0].split("#")[0]
+            for r in _REL.findall(plan)]
+    return sum(v - 1 for v in Counter(rels).values() if v > 1)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from graphraft_spark import registry
+    from graphraft_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    allq = dict(registry.EXTRA_QUERIES)
+    allq.update(registry.QUERIES)
+    over, under, errs = [], [], []
+    for name, fn in sorted(allq.items()):
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution() \
+                .optimizedPlan().toString()
+        except Exception as ex:  # noqa: BLE001 — audit must not abort
+            errs.append((name, str(ex).splitlines()[0][:80]))
+            continue
+        d = dup_count(plan)
+        allowed = ALLOWED.get(name, 0)
+        if d > allowed:
+            over.append((name, d, allowed))
+        elif d < allowed:
+            under.append((name, d, allowed))
+    for name, d, a in over:
+        print(f"OVER  {name}: {d} duplicated refs (allowed {a})")
+    for name, d, a in under:
+        print(f"UNDER {name}: {d} duplicated refs (allowance {a} — "
+              f"tighten ALLOWED)")
+    for name, e in errs:
+        print(f"ERR   {name}: {e}")
+    print(f"plan-audit: {len(over)} over, {len(under)} stale allowances, "
+          f"{len(errs)} errors over {len(allq)} queries")
+    if over or under or errs:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
