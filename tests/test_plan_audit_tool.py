@@ -1,0 +1,36 @@
+"""tools/plan_audit.py: the duplicated-reference counter itself (no
+Spark — the full-catalog sweep runs as a round gate, not in pytest)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from plan_audit import dup_count  # noqa: E402
+
+
+def test_no_duplicates_counts_zero():
+    plan = ("Join\n:- Relation [a#1L,b#2] parquet\n"
+            "+- Relation [c#3L] parquet\n")
+    assert dup_count(plan) == 0
+
+
+def test_duplicated_relation_counted_per_extra_reference():
+    plan = ("Union\n:- Relation [doc_id#1L,text#2] parquet\n"
+            ":- Relation [doc_id#7L,text#8] parquet\n"
+            "+- Relation [doc_id#9L] parquet\n")
+    # three references to the doc_id relation -> 2 duplicated
+    assert dup_count(plan) == 2
+
+
+def test_distinct_first_columns_not_conflated():
+    plan = ("Join\n:- Relation [doc_id#1L] parquet\n"
+            "+- Relation [vec_id#2L] parquet\n")
+    assert dup_count(plan) == 0
+
+
+def test_exprid_suffix_stripped():
+    # same base column, different expression ids -> same relation
+    plan = ("Join\n:- Relation [l_orderkey#12L,l_suppkey#13L] parquet\n"
+            "+- Relation [l_orderkey#99L,l_suppkey#100L] parquet\n")
+    assert dup_count(plan) == 1
