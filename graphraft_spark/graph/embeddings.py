@@ -1,0 +1,188 @@
+"""Distributed skip-gram-negative-sampling (SGNS) embedding trainer —
+the missing last stage of the DeepWalk/node2vec recipe already in the
+engine (graph/sampling.py: random_walks → skipgram_pairs); its output
+feeds the ANN tiers (ops/similarity.py) and SemDeDup directly.
+
+Reference scope note: the reference consumes PRE-TRAINED text
+embeddings (stark_neo4j_loading.py:75-80 loads them; it never trains).
+This module is a north-star extension in the same class as the logreg
+quality-classifier trainer (ops/classifier.py) and the word-bigram LM
+trainer (ops/word_lm.py): the in-engine trainer for a model the
+pipeline otherwise imports.
+
+Design — FULL-BATCH deterministic SGNS (Mikolov et al. 2013 semantics,
+Levy & Goldberg 2014 for why pair-weighted full-batch is sound):
+
+* the embedding table is a DataFrame (node, emb ARRAY<DOUBLE>) — never
+  driver- or executor-resident, so |V| is unbounded;
+* every epoch is: join pairs to both endpoint embeddings → sigmoid
+  dot → per-example gradient scalar → posexplode to (node, pos, val)
+  partial sums → one keyed shuffle → rebuild arrays → update join.
+  All column expressions (zip_with / aggregate / transform) — zero
+  Python in the hot path;
+* negatives are HASH-DRAWN (portable md5 arithmetic, data/ops.py
+  `_portable_hash60`), not RNG-drawn: the same (center, context,
+  epoch, slot) always draws the same negative, so the whole training
+  run is reproducible across runs, partitionings, and engines;
+* init is hash-derived per (node, dimension) — no RNG state anywhere.
+
+Float caveat (stated per repo policy): per-node gradient sums are
+floating-point groupBy aggregates, so cross-engine replay agrees to
+~1e-12 per epoch, not bitwise — the registry line is rows-only with a
+numpy parity test as its anchor (tests/test_embeddings.py replays the
+exact algorithm, hashes included, and matches to 1e-6), same evidence
+class as the k-means IVF trainer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphraft_spark.data.ops import _portable_hash60
+
+
+def _sigmoid(x):
+    # dot clipped to ±20 (word2vec's MAX_EXP idiom): keeps exp() finite
+    # when full-batch steps overshoot, and saturated examples contribute
+    # ~0 gradient exactly as in the reference implementations
+    clipped = F.greatest(F.lit(-20.0), F.least(F.lit(20.0), x))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-clipped))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def init_embeddings(nodes: DataFrame, dim: int, seed: str = "emb0",
+                    node_col: str = "node",
+                    out_col: str = "emb") -> DataFrame:
+    """(node, emb): deterministic small init in [-0.5/dim, 0.5/dim] —
+    emb[j] = ((h60(seed·node·j) mod 2001) − 1000)/1000 · 0.5/dim, the
+    standard word2vec init range with portable-hash randomness."""
+    scale = 0.5 / dim
+    node = F.col(node_col)
+
+    def cell(j):
+        h = _portable_hash60(
+            F.concat(node.cast("string"), F.lit("#"), j.cast("string")),
+            seed)
+        return ((h % 2001 - 1000) / F.lit(1000.0)) * F.lit(scale)
+
+    return nodes.select(
+        node.alias("node"),
+        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), cell)
+        .alias(out_col))
+
+
+def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
+               lr: float = 0.05, negatives: int = 2,
+               seed: str = "emb0",
+               center_col: str = "center", context_col: str = "context",
+               weight_col: str = "cnt") -> DataFrame:
+    """Train SGNS embeddings over a (center, context, cnt) pair table
+    (e.g. :func:`~graphraft_spark.graph.sampling.skipgram_pairs`) →
+    (node, emb ARRAY<DOUBLE>).
+
+    Loss per positive pair: −log σ(c·x); per hash-drawn negative:
+    −log σ(−c·n); gradients are summed over the FULL pair table each
+    epoch (pair multiplicity = ``cnt`` weights the example), then one
+    update — deterministic, no hogwild races, no RNG.  Scale shape per
+    epoch: two embedding joins (keyed by node), one posexplode partial
+    sum (dim × examples rows, map-side combined), one update join —
+    every shuffle keyed, nothing driver-side except the vocab count."""
+    ex = pairs.select(F.col(center_col).alias("c"),
+                      F.col(context_col).alias("x"),
+                      F.col(weight_col).cast("double").alias("w"))
+    vocab = (ex.select(F.col("c").alias("node"))
+             .unionByName(ex.select(F.col("x").alias("node")))
+             .distinct())
+    # ranked vocab for negative indexing: |V|-sized global sort, once
+    from pyspark.sql import Window
+
+    ranked = vocab.select(
+        "node", (F.row_number().over(Window.orderBy("node")) - 1)
+        .alias("idx")).localCheckpoint(eager=False)
+    n_vocab = ranked.count()
+
+    emb = init_embeddings(vocab, dim, seed=seed) \
+        .localCheckpoint(eager=False)
+
+    for epoch in range(epochs):
+        # one example row per positive + per negative slot
+        pos = ex.select("c", "x", "w", F.lit(1.0).alias("label"))
+        negs = []
+        for slot in range(negatives):
+            h = _portable_hash60(
+                F.concat(F.col("c").cast("string"), F.lit("|"),
+                         F.col("x").cast("string"),
+                         F.lit(f"|{epoch}|{slot}")),
+                seed)
+            negs.append(
+                ex.select("c", (h % n_vocab).alias("idx"), "w")
+                .join(F.broadcast(ranked), "idx")
+                .select("c", F.col("node").alias("x"), "w",
+                        F.lit(0.0).alias("label")))
+        batch = pos
+        for n in negs:
+            batch = batch.unionByName(n)
+        ec = emb.select(F.col("node").alias("c"),
+                        F.col("emb").alias("c_emb"))
+        ex_emb = emb.select(F.col("node").alias("x"),
+                            F.col("emb").alias("x_emb"))
+        scored = (batch.join(ec, "c").join(ex_emb, "x")
+                  .withColumn(
+                      "g",
+                      (_sigmoid(_dot(F.col("c_emb"), F.col("x_emb")))
+                       - F.col("label")) * F.col("w") * F.lit(lr)))
+        # gradient contributions: d/dc = g·x_emb, d/dx = g·c_emb
+        contrib = (
+            scored.select(F.col("c").alias("node"),
+                          F.zip_with("x_emb",
+                                     F.array_repeat("g", dim),
+                                     lambda v, g: v * g).alias("vec"))
+            .unionByName(
+                scored.select(F.col("x").alias("node"),
+                              F.zip_with("c_emb",
+                                         F.array_repeat("g", dim),
+                                         lambda v, g: v * g)
+                              .alias("vec"))))
+        grads = (contrib
+                 .select("node", F.posexplode("vec").alias("pos", "v"))
+                 .groupBy("node", "pos").agg(F.sum("v").alias("gv"))
+                 .groupBy("node")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "gv")))
+                      .alias("parts"))
+                 .select("node",
+                         F.transform("parts", lambda p: p["gv"])
+                         .alias("grad")))
+        emb = (emb.join(grads, "node", "left")
+               .select("node",
+                       F.when(F.col("grad").isNull(), F.col("emb"))
+                       .otherwise(F.zip_with("emb", "grad",
+                                             lambda e, g: e - g))
+                       .alias("emb"))
+               .localCheckpoint(eager=False))
+    return emb
+
+
+def node2vec_embeddings(edges: DataFrame, dim: int = 16,
+                        walk_length: int = 4, window: int = 2,
+                        epochs: int = 3, lr: float = 0.05,
+                        negatives: int = 2, seed: str = "emb0",
+                        src_col: str = "src",
+                        dst_col: str = "dst") -> DataFrame:
+    """DeepWalk end-to-end: one deterministic walk per node →
+    skip-gram pairs → SGNS → (node, emb).  Nodes with no out-edges
+    still embed (they appear as contexts or get init-only vectors)."""
+    from graphraft_spark.graph.sampling import random_walks, skipgram_pairs
+
+    starts = (edges.select(F.col(src_col).alias("n"))
+              .unionByName(edges.select(F.col(dst_col).alias("n")))
+              .distinct()
+              .select(F.col("n").alias("walk_id"), F.col("n")))
+    walks = random_walks(edges, starts, length=walk_length,
+                         seed=seed, src_col=src_col, dst_col=dst_col)
+    pairs = skipgram_pairs(walks, window=window)
+    return train_sgns(pairs, dim=dim, epochs=epochs, lr=lr,
+                      negatives=negatives, seed=seed)

@@ -1,0 +1,138 @@
+"""graph/embeddings.py: full-batch deterministic SGNS — numpy parity
+(the anchor for the rows-only registry line), determinism, and the
+semantic property that training actually pulls co-occurring nodes
+together."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from graphraft_spark.graph.embeddings import (
+    init_embeddings,
+    node2vec_embeddings,
+    train_sgns,
+)
+
+
+def h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def np_init(nodes, dim, seed="emb0"):
+    scale = 0.5 / dim
+    return {
+        n: np.array([(h60(f"{seed}{n}#{j}") % 2001 - 1000) / 1000.0 * scale
+                     for j in range(dim)])
+        for n in nodes
+    }
+
+
+def np_sgns(pairs, dim, epochs, lr, negatives, seed="emb0"):
+    """Exact replay of train_sgns: same init, same hash-drawn
+    negatives, same full-batch updates."""
+    nodes = sorted({c for c, _, _ in pairs} | {x for _, x, _ in pairs})
+    ranked = {i: n for i, n in enumerate(nodes)}  # row_number order
+    nv = len(nodes)
+    emb = np_init(nodes, dim, seed)
+    for epoch in range(epochs):
+        batch = [(c, x, w, 1.0) for c, x, w in pairs]
+        for slot in range(negatives):
+            for c, x, w in pairs:
+                idx = h60(f"{seed}{c}|{x}|{epoch}|{slot}") % nv
+                batch.append((c, ranked[idx], w, 0.0))
+        grads = {n: np.zeros(dim) for n in nodes}
+        for c, x, w, label in batch:
+            dot = max(-20.0, min(20.0, float(emb[c] @ emb[x])))
+            g = (1.0 / (1.0 + math.exp(-dot)) - label) * w * lr
+            grads[c] = grads[c] + g * emb[x]
+            grads[x] = grads[x] + g * emb[c]
+        for n in nodes:
+            emb[n] = emb[n] - grads[n]
+    return emb
+
+
+PAIRS = [(1, 2, 3.0), (2, 1, 3.0), (1, 3, 1.0), (3, 4, 2.0),
+         (4, 3, 2.0), (2, 4, 1.0)]
+
+
+def test_sgns_matches_numpy_replay(spark):
+    df = spark.createDataFrame(PAIRS, "center bigint, context bigint, cnt double")
+    got = {r.node: np.array(r.emb)
+           for r in train_sgns(df, dim=4, epochs=2, lr=0.1,
+                               negatives=2).collect()}
+    want = np_sgns(PAIRS, dim=4, epochs=2, lr=0.1, negatives=2)
+    assert set(got) == set(want)
+    for n in want:
+        np.testing.assert_allclose(got[n], want[n], atol=1e-9)
+
+
+def test_init_is_deterministic_and_bounded(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(50)], "node bigint")
+    a = {r.node: tuple(r.emb)
+         for r in init_embeddings(nodes, 8).collect()}
+    b = {r.node: tuple(r.emb)
+         for r in init_embeddings(nodes, 8).collect()}
+    assert a == b
+    flat = [v for e in a.values() for v in e]
+    assert all(abs(v) <= 0.5 / 8 + 1e-12 for v in flat)
+    assert len(set(flat)) > 10  # actually spread, not constant
+
+
+def test_sgns_run_to_run_deterministic(spark):
+    df = spark.createDataFrame(PAIRS, "center bigint, context bigint, cnt double")
+    a = {r.node: tuple(round(v, 9) for v in r.emb)
+         for r in train_sgns(df, dim=4, epochs=2, lr=0.1).collect()}
+    b = {r.node: tuple(round(v, 9) for v in r.emb)
+         for r in train_sgns(df, dim=4, epochs=2, lr=0.1).collect()}
+    assert a == b
+
+
+def test_training_pulls_cooccurring_nodes_together(spark):
+    """Two disjoint 3-cliques of co-occurrence: after training, mean
+    within-clique cosine must exceed mean cross-clique cosine."""
+    cliq1, cliq2 = [1, 2, 3], [11, 12, 13]
+    pairs = [(a, b, 5.0) for a in cliq1 for b in cliq1 if a != b] + \
+            [(a, b, 5.0) for a in cliq2 for b in cliq2 if a != b]
+    df = spark.createDataFrame(pairs, "center bigint, context bigint, cnt double")
+    emb = {r.node: np.array(r.emb)
+           for r in train_sgns(df, dim=8, epochs=10, lr=0.05,
+                               negatives=2).collect()}
+
+    def cos(a, b):
+        return float(emb[a] @ emb[b]
+                     / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b])))
+
+    within = [cos(a, b) for grp in (cliq1, cliq2)
+              for a in grp for b in grp if a < b]
+    across = [cos(a, b) for a in cliq1 for b in cliq2]
+    assert np.mean(within) > np.mean(across) + 0.1
+
+
+def test_node2vec_end_to_end_shape(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5)], "src bigint, dst bigint")
+    out = node2vec_embeddings(edges, dim=4, walk_length=3,
+                              epochs=1).collect()
+    nodes = {r.node for r in out}
+    assert nodes == {1, 2, 3, 4, 5}
+    assert all(len(r.emb) == 4 for r in out)
+
+
+def test_empty_weight_column_name_respected(spark):
+    df = spark.createDataFrame([(1, 2, 7.0)], "a bigint, b bigint, n double")
+    out = train_sgns(df, dim=2, epochs=1, center_col="a",
+                     context_col="b", weight_col="n").collect()
+    assert {r.node for r in out} == {1, 2}
+
+
+@pytest.mark.parametrize("negatives", [0, 1])
+def test_negative_slot_count(spark, negatives):
+    df = spark.createDataFrame(PAIRS, "center bigint, context bigint, cnt double")
+    got = {r.node: np.array(r.emb)
+           for r in train_sgns(df, dim=3, epochs=1, lr=0.1,
+                               negatives=negatives).collect()}
+    want = np_sgns(PAIRS, dim=3, epochs=1, lr=0.1, negatives=negatives)
+    for n in want:
+        np.testing.assert_allclose(got[n], want[n], atol=1e-9)
