@@ -135,14 +135,18 @@ def lint_plan(name: str, plan: str) -> list[tuple[str, str]]:
             and not name.startswith(PYTHON_OK_PREFIXES)):
         node = next(p for p in PY_NODES if p in plan)
         findings.append(("ERROR", f"{node} outside the documented seams"))
-    # global Window (no partitionBy): the physical node prints
-    # `Window [exprs], [ord]` when unpartitioned vs
-    # `Window [exprs], [part], [ord]` when partitioned — count the
-    # top-level bracket separators
+    # global Window (no partitionBy): bracket-counting the node header
+    # can't tell `[exprs], [ord]` (global) from `[exprs], [part]`
+    # (partitioned, no ordering — e.g. a per-key MIN), so detect the
+    # thing that actually hurts: the SinglePartition exchange a global
+    # window forces directly beneath it.
     if name not in GLOBAL_WINDOW_OK:
-        for line in plan.splitlines():
+        plines = plan.splitlines()
+        for i, line in enumerate(plines):
             ls = line.strip().lstrip("+-: *").strip()
-            if ls.startswith("Window ") and ls.count("], [") == 1:
+            if ls.startswith("Window ") and any(
+                    "Exchange SinglePartition" in b
+                    for b in plines[i + 1:i + 4]):
                 findings.append(
                     ("ERROR", "global Window (no partitionBy) outside "
                               "the bounded-input whitelist"))
