@@ -229,3 +229,25 @@ def test_plan_lint_clean_across_both_tiers(spark):
         if errs:
             errors[name] = errs
     assert not errors, errors
+
+
+def test_global_window_rule_fires_on_single_partition_exchange():
+    """The rule detects the SinglePartition exchange a global window
+    forces — and stays silent for keyed windows even when they carry
+    no ordering (bracket-count lookalikes of the global header)."""
+    import sys as _sys
+    _sys.path.insert(0, "tools")
+    from plan_lint import lint_plan
+
+    globalw = ("AdaptiveSparkPlan\n"
+               "+- Window [row_number() windowspecdefinition(x ASC)], [x ASC]\n"
+               "   +- Sort [x ASC], false, 0\n"
+               "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+               "         +- Scan parquet")
+    assert any("global Window" in m for _, m in lint_plan("q", globalw))
+    keyed_no_order = ("AdaptiveSparkPlan\n"
+                      "+- Window [min(p) windowspecdefinition(k)], [k]\n"
+                      "   +- Sort [k ASC], false, 0\n"
+                      "      +- Exchange hashpartitioning(k, 32)\n"
+                      "         +- Scan parquet")
+    assert not lint_plan("q", keyed_no_order)
