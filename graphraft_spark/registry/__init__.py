@@ -82,7 +82,7 @@ PRIORITY = [
     # Slots from g_twopath_enum (template covered by p_full_pipeline),
     # q_orders_without_lineitems, r_token_budget (superseded by exact),
     # st_sliding_agg (covered by st_tumbling_agg), e_embedding_join.
-    "p_pipeline_bulk", "d_semantic_dedup",
+    "p_pipeline_bulk",
     "r_token_budget_exact",
     # round-8 rotation wave (r7 verdict item 1): the round-7 flagship
     # extras move under driver grading — PassJoin fuzzy entity match,
@@ -159,6 +159,14 @@ PRIORITY = [
     "g_pagerank_types", "g_ppr_types", "g_kcore_types",
     "g_betweenness_fixed", "io_csv_roundtrip", "io_orc_roundtrip",
     "q_top_supplier", "q_cube_status_priority",
+    # late round-10: the new in-engine SGNS embedding trainer lands
+    # driver-graded the round it ships (hash-matched at 3 sfs via the
+    # unrolled-SQL replay — the same evidence tier as the other
+    # iterative value lines).  Slot from d_semantic_dedup
+    # (driver-green r7-r9; dedup keeps minhash/embedding_neardup/
+    # span/keep_best primary rows and SemDeDup stays oracle-backed
+    # extra).
+    "g_type_embeddings",
     # remaining graph pattern coverage (g_pattern_exec_2hop demoted
     # round 10)
     "g_supervised_enum", "g_enum_all_pruned", "g_ingest_validate",

@@ -747,7 +747,7 @@ def d_intradoc_line_dedup(spark, sf_dir):
 
 
 @register(
-    "d_semantic_dedup",  # promoted r7: SemDeDup flagship
+    "d_semantic_dedup", extra=True,  # promoted r7; demoted late r10 (driver-green r7-r9; dedup keeps 5 primary rows; slot passes to the value-checked SGNS trainer)
     oracle="""
 WITH RECURSIVE base AS (
     SELECT CAST(vec_id AS BIGINT) AS id,

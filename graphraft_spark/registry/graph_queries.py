@@ -1474,7 +1474,7 @@ FROM emb{epochs} e, generate_series(1, {dim}) AS t(j)""")
     return "".join(parts)
 
 
-@register("g_type_embeddings", extra=True,
+@register("g_type_embeddings",  # promoted late r10: lands driver-graded
           oracle=_sgns_types_sql(4, 2, 0.05, 2))
 def g_type_embeddings(spark, sf_dir):
     """Value-checked distributed SGNS (graph/embeddings.py train_sgns,
