@@ -1503,6 +1503,61 @@ def g_type_embeddings(spark, sf_dir):
                     F.round("val", 6).alias("val")))
 
 
+_EMBED_KNN_SQL = _sgns_types_sql(4, 2, 0.05, 2).rsplit(
+    "\nSELECT e.node", 1)[0] + """,
+sims AS (
+    SELECT a.node AS src, b.node AS dst,
+           ROUND(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 9) AS cos
+    FROM emb2 a JOIN emb2 b ON a.node <> b.node
+)
+SELECT src, dst, ROUND(cos, 6) AS cos, CAST(rn AS INT) AS rn
+FROM (SELECT src, dst, cos,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst) AS rn
+      FROM sims)
+WHERE rn <= 3"""
+
+
+@register("g_embed_knn", extra=True, oracle=_EMBED_KNN_SQL)
+def g_embed_knn(spark, sf_dir):
+    """Train → search, end-to-end and oracle-backed: the SGNS
+    embeddings from g_type_embeddings feed a cosine top-3
+    similar-types search (the composition a user runs after training —
+    embeddings into the ANN surface).  Ranking is on cos ROUNDED to
+    9dp on BOTH sides, so sub-ulp float drift between engines cannot
+    flip a rank; the trained vectors are not unit-norm, hence the full
+    cosine, not the dot shortcut."""
+    from pyspark.sql import Window
+
+    from graphraft_spark.graph.embeddings import _dot, train_sgns
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("nxt", F.lead("event_type").over(w))
+             .filter(F.col("nxt").isNotNull()
+                     & (F.col("nxt") != F.col("event_type")))
+             .groupBy(F.col("event_type").alias("center"),
+                      F.col("nxt").alias("context"))
+             .agg(F.count("*").alias("cnt")))
+    emb = train_sgns(pairs, dim=4, epochs=2, lr=0.05, negatives=2)
+    a = emb.select(F.col("node").alias("src"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("node").alias("dst"), F.col("emb").alias("eb"))
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(_dot(F.col("ea"), F.col("ea")))
+           * F.sqrt(_dot(F.col("eb"), F.col("eb")))), 9)
+    rank_w = Window.partitionBy("src").orderBy(F.desc("cos"),
+                                               F.asc("dst"))
+    return (a.join(b, F.col("src") != F.col("dst"))
+            .select("src", "dst", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") <= 3)
+            .select("src", "dst", F.round("cos", 6).alias("cos"),
+                    F.col("rn").cast("int").alias("rn")))
+
+
 @register(
     "g_bfs_distances", extra=True,
     oracle="""
