@@ -1550,7 +1550,10 @@ def g_embed_knn(spark, sf_dir):
            * F.sqrt(_dot(F.col("eb"), F.col("eb")))), 9)
     rank_w = Window.partitionBy("src").orderBy(F.desc("cos"),
                                                F.asc("dst"))
-    return (a.join(b, F.col("src") != F.col("dst"))
+    # broadcast cross-score (the brute-force KNN shape, BNLJ-allowlisted)
+    # — the embedding table is vocab-sized, never corpus-sized
+    return (a.crossJoin(F.broadcast(b))
+            .filter(F.col("src") != F.col("dst"))
             .select("src", "dst", cos.alias("cos"))
             .withColumn("rn", F.row_number().over(rank_w))
             .filter(F.col("rn") <= 3)

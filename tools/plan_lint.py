@@ -53,6 +53,9 @@ BNLJ_OK = {
     # broadcast anchor set cross-scores the corpus (KNN shape with a
     # label anti-filter)
     "ann_hard_negatives",
+    # trained type-embedding table cross-scores itself (vocab-sized
+    # broadcast side — the exhaustive-cosine KNN shape)
+    "g_embed_knn",
     # 1-row corpus-total frames crossed onto the bucket ratio table
     "t_dsir_weights",
     # 1-row corpus-stats frames (N/avgdl/df; total/vocab) crossed onto
