@@ -118,9 +118,12 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                          F.col("x").cast("string"),
                          F.lit(f"|{epoch}|{slot}")),
                 seed)
+            # plain equi-join on idx — no forced broadcast: the vocab
+            # table is |V|-sized (6M+ rows on a graph-node vocabulary),
+            # and AQE already broadcasts it when it is actually small
             negs.append(
                 ex.select("c", (h % n_vocab).alias("idx"), "w")
-                .join(F.broadcast(ranked), "idx")
+                .join(ranked, "idx")
                 .select("c", F.col("node").alias("x"), "w",
                         F.lit(0.0).alias("label")))
         batch = pos

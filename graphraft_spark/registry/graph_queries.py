@@ -1385,93 +1385,26 @@ def g_pagerank_types(spark, sf_dir):
                      F.round("rank", 9).alias("rank"))
 
 
-def _sgns_types_sql(dim: int = 4, epochs: int = 2, lr: float = 0.05,
-                    negatives: int = 2, seed: str = "emb0") -> str:
-    """Replay the full-batch SGNS trainer (graph/embeddings.py
-    train_sgns) as unrolled SQL on the event-type transition pair
-    table: per epoch, one batch CTE (positives + hash-drawn negative
-    slots — the same md5 arithmetic as the engine, so the DRAWS are
-    bit-identical and float drift cannot cascade into different
-    examples), one scored CTE with the identical clipped-sigmoid
-    gradient scalar, per-(node, position) gradient sums, and the
-    update.  exp() may differ by an ulp between libm and the JVM and
-    groupBy float sums reorder, so outputs are compared ROUNDed (6dp;
-    per-epoch drift is ~1e-15 relative).  Same evidence recipe as the
-    unrolled PageRank/PPR oracles."""
-    h60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
-    scale = repr(0.5 / dim)
-    init_cell = (
-        "((" + h60.format(
-            s=f"'{seed}' || node || '#' || j::VARCHAR")
-        + f" % 2001 - 1000) / 1000.0) * {scale}")
-    parts = [f"""WITH pairs AS (
-    SELECT a AS c, b AS x, CAST(COUNT(*) AS DOUBLE) AS w
+_TYPE_PAIRS_CTE = """    SELECT a AS c, b AS x, CAST(COUNT(*) AS DOUBLE) AS w
     FROM (SELECT event_type AS a,
                  lead(event_type) OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id) AS b
           FROM events) s
     WHERE b IS NOT NULL AND a <> b
-    GROUP BY a, b
-),
-vocab AS (
-    SELECT c AS node FROM pairs UNION SELECT x FROM pairs
-),
-ranked AS (
-    SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS idx FROM vocab
-),
-nv AS (SELECT COUNT(*) AS n FROM vocab),
-emb0 AS (
-    SELECT node,
-           list_transform(generate_series(0, {dim - 1}),
-                          j -> {init_cell}) AS emb
-    FROM vocab
-)"""]
-    for e in range(epochs):
-        neg_sql = "".join(f"""
-    UNION ALL
-    SELECT p.c, r.node AS x, p.w, 0.0 AS label
-    FROM pairs p JOIN ranked r
-      ON r.idx = {h60.format(
-          s=f"'{seed}' || p.c || '|' || p.x || '|{e}|{s}'")}
-               % (SELECT n FROM nv)""" for s in range(negatives))
-        parts.append(f""",
-batch{e} AS (
-    SELECT c, x, w, 1.0 AS label FROM pairs{neg_sql}
-),
-scored{e} AS (
-    SELECT b.c, b.x, ec.emb AS cemb, ex.emb AS xemb,
-           ((1.0 / (1.0 + exp(-GREATEST(-20.0, LEAST(20.0,
-                list_dot_product(ec.emb, ex.emb))))) - b.label)
-            * b.w) * {lr!r} AS g
-    FROM batch{e} b
-    JOIN emb{e} ec ON ec.node = b.c
-    JOIN emb{e} ex ON ex.node = b.x
-),
-contrib{e} AS (
-    SELECT c AS node, list_transform(xemb, v -> v * g) AS vec
-    FROM scored{e}
-    UNION ALL
-    SELECT x AS node, list_transform(cemb, v -> v * g) AS vec
-    FROM scored{e}
-),
-grads{e} AS (
-    SELECT node, list(gv ORDER BY j) AS grad
-    FROM (SELECT node, j, SUM(vec[j]) AS gv
-          FROM contrib{e}, generate_series(1, {dim}) AS t(j)
-          GROUP BY node, j)
-    GROUP BY node
-),
-emb{e + 1} AS (
-    SELECT v.node,
-           list_transform(generate_series(1, {dim}),
-                          j -> v.emb[j] - COALESCE(g2.grad[j], 0.0))
-               AS emb
-    FROM emb{e} v LEFT JOIN grads{e} g2 ON g2.node = v.node
-)""")
-    parts.append(f"""
-SELECT e.node, CAST(j - 1 AS INT) AS pos, ROUND(e.emb[j], 6) AS val
-FROM emb{epochs} e, generate_series(1, {dim}) AS t(j)""")
-    return "".join(parts)
+    GROUP BY a, b"""
+
+
+def _sgns_types_sql(dim: int = 4, epochs: int = 2, lr: float = 0.05,
+                    negatives: int = 2, seed: str = "emb0") -> str:
+    """SGNS replay over the event-type transition pairs — the shared
+    generator (registry/_sql_fragments.py sgns_replay_sql, see its
+    docstring for the evidence argument) instantiated with the type
+    pair CTE.  The generated string is byte-identical to the inline
+    generator this delegates from (checked at the refactor)."""
+    from graphraft_spark.registry._sql_fragments import sgns_replay_sql
+
+    return sgns_replay_sql(_TYPE_PAIRS_CTE, dim, epochs, lr, negatives,
+                           seed)
 
 
 @register("g_type_embeddings",  # promoted late r10: lands driver-graded

@@ -1251,3 +1251,43 @@ def p_curate_corpus(spark, sf_dir):
     # rounded-score language ranking so oracle tie-order matches
     return curate_corpus(docs, bench, n=8,
                          lang_expr=predicted_lang_rounded(F.col("text")))
+
+
+_WORD_PAIRS_CTE = f"""    SELECT prev AS c, cur AS x, CAST(COUNT(*) AS DOUBLE) AS w
+    FROM (
+        SELECT w[i] AS prev, w[i + 1] AS cur
+        FROM (SELECT string_split({_NORM}, ' ') AS w FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+        WHERE len(w) >= 2
+    ) GROUP BY prev, cur"""
+
+
+from graphraft_spark.registry._sql_fragments import (  # noqa: E402
+    sgns_replay_sql as _sgns_replay_sql,
+)
+
+
+@register("t_word_embeddings", extra=True,
+          oracle=_sgns_replay_sql(_WORD_PAIRS_CTE, 4, 2, 0.05, 2))
+def t_word_embeddings(spark, sf_dir):
+    """The SGNS trainer on the TEXT modality: word embeddings from the
+    corpus's adjacent-word transition counts (ops/word_lm.py
+    _transitions — the same tokenization as the bigram LM), dim=4,
+    2 epochs, 2 hash-drawn negative slots.  Vocabulary = every corpus
+    word; the embedding table is a DataFrame throughout, so a 100 TB
+    corpus vocabulary never concentrates anywhere.  Hash-matched via
+    the shared unrolled-SQL SGNS replay (registry/_sql_fragments.py
+    sgns_replay_sql) instantiated with the word-pair CTE."""
+    from graphraft_spark.graph.embeddings import train_sgns
+    from graphraft_spark.ops.word_lm import _transitions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = (_transitions(docs, "text", "doc_id")
+             .groupBy(F.col("prev").alias("center"),
+                      F.col("cur").alias("context"))
+             .agg(F.count("*").alias("cnt")))
+    emb = train_sgns(pairs, dim=4, epochs=2, lr=0.05, negatives=2)
+    return (emb.select("node", F.posexplode("emb").alias("pos", "val"))
+            .select("node", F.col("pos").cast("int").alias("pos"),
+                    F.round("val", 6).alias("val")))
+

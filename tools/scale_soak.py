@@ -290,6 +290,20 @@ def main() -> None:
                   sources=s, settled_filter="bloom",
                   bloom_bits=1 << 24)))
 
+    # SGNS embedding trainer ×N (late r10): pair table AND vocab scale
+    # ×N (disjoint graph copies), so per-epoch work — two keyed joins,
+    # one posexplode partial-sum shuffle, one update join — should
+    # scale ~linearly with a fixed epoch count.
+    from graphraft_spark.graph.embeddings import train_sgns
+    for n in (FACTORS if want("sgns") else ()):
+        g = _graph_x(n)
+        prs = (g.edges.groupBy(F.col("src").alias("center"),
+                               F.col("dst").alias("context"))
+               .agg(F.count("*").alias("cnt")))
+        timed("sgns_train", n,
+              lambda p=prs: _noop(train_sgns(p, dim=8, epochs=2,
+                                             negatives=2)))
+
     # HITS on the graph ×N (r9: the new bench line's scale axis) —
     # per-iteration work is two join+aggregates over the edge list, so
     # the honest expectation is ~linear in E with a fixed round count.
