@@ -150,15 +150,18 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                                          F.array_repeat("g", dim),
                                          lambda v, g: v * g)
                               .alias("vec"))))
-        grads = (contrib
-                 .select("node", F.posexplode("vec").alias("pos", "v"))
-                 .groupBy("node", "pos").agg(F.sum("v").alias("gv"))
-                 .groupBy("node")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "gv")))
-                      .alias("parts"))
+        # per-component sums as dim aggregate COLUMNS over unexploded
+        # rows — ONE node-keyed shuffle whose map-side combine carries
+        # (nodes-per-partition) rows of dim doubles; the posexplode
+        # formulation multiplied rows ×dim before the exchange and
+        # needed a second shuffle to rebuild the array (the ×50 soak
+        # overflowed local disk on exactly that traffic)
+        grads = (contrib.groupBy("node")
+                 .agg(*[F.sum(F.col("vec")[i]).alias(f"_g{i}")
+                        for i in range(dim)])
                  .select("node",
-                         F.transform("parts", lambda p: p["gv"])
-                         .alias("grad")))
+                         F.array(*[F.col(f"_g{i}")
+                                   for i in range(dim)]).alias("grad")))
         emb = (emb.join(grads, "node", "left")
                .select("node",
                        F.when(F.col("grad").isNull(), F.col("emb"))
