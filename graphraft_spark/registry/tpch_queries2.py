@@ -596,8 +596,9 @@ def q_zorder_key(spark, sf_dir):
 @register(
     "q_disjunctive_revenue", extra=True,
     oracle="""
-SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-             * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)
+            AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -626,7 +627,7 @@ def q_disjunctive_revenue(spark, sf_dir):
     return (j.filter(blk("Brand#1", 1, 15, 1, 20)
                      | blk("Brand#2", 10, 30, 10, 35)
                      | blk("Brand#3", 20, 50, 20, 50))
-            .agg(F.round(F.sum(disc), 4).alias("revenue"),
+            .agg(F.round(F.sum(disc), 4).cast("double").alias("revenue"),
                  F.count("*").alias("n_lines")))
 
 
@@ -634,7 +635,8 @@ def q_disjunctive_revenue(spark, sf_dir):
     "q_min_price_supplier", extra=True,
     oracle="""
 SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
-       ROUND(CAST(l.l_extendedprice AS DECIMAL(18,4)), 4) AS min_price
+       CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,4)), 4)
+            AS DOUBLE) AS min_price
 FROM part p
 JOIN lineitem l ON l.l_partkey = p.p_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -672,7 +674,7 @@ def q_min_price_supplier(spark, sf_dir):
             .join(s, li.l_suppkey == s.s_suppkey)
             .select("p_partkey", "p_name", "s_suppkey", "s_name",
                     F.round(F.col("l_extendedprice").cast("decimal(18,4)"),
-                            4).alias("min_price"))
+                            4).cast("double").alias("min_price"))
             .distinct())
 
 
@@ -681,9 +683,10 @@ def q_min_price_supplier(spark, sf_dir):
     oracle="""
 SELECT n.n_name AS nation,
        CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-       ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                  * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
-                 - CAST(l.l_quantity AS DECIMAL(18,4))), 4) AS profit
+                 - CAST(l.l_quantity AS DECIMAL(18,4))), 4)
+            AS DOUBLE) AS profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -714,7 +717,8 @@ def q_nation_profit(spark, sf_dir):
             .join(o, li.l_orderkey == o.o_orderkey)
             .groupBy(F.col("n_name").alias("nation"),
                      F.year("o_orderdate").cast("int").alias("o_year"))
-            .agg(F.round(F.sum(profit), 4).alias("profit")))
+            .agg(F.round(F.sum(profit), 4).cast("double")
+                 .alias("profit")))
 
 
 @register(
@@ -730,7 +734,8 @@ WITH rev AS (
       AND l_shipdate <  TIMESTAMP '1996-07-01'
     GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, r.total_rev
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_rev AS DOUBLE) AS total_rev
 FROM supplier s
 JOIN rev r ON s.s_suppkey = r.l_suppkey
 WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
@@ -745,7 +750,10 @@ def q_top_supplier(spark, sf_dir):
     because the max side carries an extra aggregate above the
     exchange).  The max is a 1-row broadcast.  Decimal-exact revenue
     makes the equality comparison engine-portable — the textbook
-    formulation's float revenue would be a hash-stability bug."""
+    formulation's float revenue would be a hash-stability bug.  The
+    OUTPUT column is cast to double (r10 verdict: decimal pandas
+    objects stringify with trailing zeros and hash-diverge from the
+    oracle's float64 even when numerically identical)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     rev = (li.filter(
@@ -761,7 +769,8 @@ def q_top_supplier(spark, sf_dir):
     return (rev.crossJoin(F.broadcast(mx))
             .filter(F.col("total_rev") == F.col("_mx"))
             .join(s, rev.l_suppkey == s.s_suppkey)
-            .select("s_suppkey", "s_name", "total_rev"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev").cast("double").alias("total_rev")))
 
 
 @register(

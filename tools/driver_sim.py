@@ -42,10 +42,35 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _dtype_class(col: pd.Series) -> str:
+    """Coarse class tag the driver's value-hash is sensitive to: a
+    Decimal object column stringifies with trailing zeros
+    ('1709139.2670') while float64 does not ('1709139.267'), so the
+    same numeric value hashes differently (r10 q_nation_profit)."""
+    import decimal
+    if col.dtype.kind == "f":
+        return "float"
+    if col.dtype == object:
+        for v in col:
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            if isinstance(v, float):
+                return "float"
+            if v is not None and not (isinstance(v, float)
+                                      and math.isnan(v)):
+                return "object"
+    return col.dtype.kind
+
+
 def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
     if list(a.columns) != list(b.columns) or len(a) != len(b):
         return False
     for c in a.columns:
+        ca, cb = _dtype_class(a[c]), _dtype_class(b[c])
+        if {ca, cb} == {"decimal", "float"}:
+            # numeric values may match but the driver hashes the
+            # string forms, which differ → hard fail
+            return False
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
             if not np.allclose(av.astype("float64"), bv.astype("float64"),
