@@ -75,6 +75,40 @@ def init_embeddings(nodes: DataFrame, dim: int, seed: str = "emb0",
         .alias(out_col))
 
 
+def _rank_vocab(vocab: DataFrame) -> DataFrame:
+    """(node) → (node, idx): dense 0-based rank of ``node`` in global
+    sort order, computed DISTRIBUTED — the naive
+    ``row_number() OVER (ORDER BY node)`` is a SinglePartition exchange
+    that funnels the whole |V|-row vocabulary through one task (r10
+    advice; |V| is 6M+ on graph-node vocabularies).  Standard two-pass
+    distributed row_number instead: range-partition by node (partition
+    i holds strictly smaller nodes than partition i+1 — the
+    RangePartitioning contract), rank within each partition in
+    parallel, then add per-partition count offsets via a broadcast of
+    the ≤nparts-row offset table.  The produced idx equals the global
+    rank regardless of where the sampled range boundaries fall, so
+    determinism is unaffected."""
+    from pyspark.sql import Window
+
+    spark = vocab.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions",
+                                    "200")), 1)
+    local = (vocab.repartitionByRange(nparts, "node")
+             .withColumn("pid", F.spark_partition_id())
+             .withColumn("lidx", F.row_number().over(
+                 Window.partitionBy("pid").orderBy("node")) - 1))
+    # ≤nparts rows: the only global window, bounded by configuration
+    offs = (local.groupBy("pid").agg(F.count("*").alias("cnt"))
+            .withColumn("off", F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0))))
+    return (local.join(F.broadcast(offs.select("pid", "off")), "pid")
+            .select("node",
+                    (F.col("lidx") + F.col("off")).alias("idx")))
+
+
 def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                lr: float = 0.05, negatives: int = 2,
                seed: str = "emb0",
@@ -97,32 +131,46 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
     vocab = (ex.select(F.col("c").alias("node"))
              .unionByName(ex.select(F.col("x").alias("node")))
              .distinct())
-    # ranked vocab for negative indexing: |V|-sized global sort, once
-    from pyspark.sql import Window
-
-    ranked = vocab.select(
-        "node", (F.row_number().over(Window.orderBy("node")) - 1)
-        .alias("idx")).localCheckpoint(eager=False)
+    ranked = _rank_vocab(vocab).localCheckpoint(eager=False)
     n_vocab = ranked.count()
+    if n_vocab == 0:
+        raise ValueError(
+            "train_sgns: empty pair table — no vocabulary to train "
+            "(the hash negative draw would divide by zero)")
 
     emb = init_embeddings(vocab, dim, seed=seed) \
         .localCheckpoint(eager=False)
+
+    # context rank joined ONCE (node-keyed): the negative draw below is
+    # offset from x's rank so a negative can never equal the pair's
+    # positive context — otherwise the same (c, x) trains with label 1
+    # and label 0 in one batch, frequent on small vocabularies (r10
+    # advice).  A 1-node vocabulary has no valid negative: slots are
+    # skipped (positives-only), documented rather than colliding.
+    exi = (ex.join(ranked.select(F.col("node").alias("x"),
+                                 F.col("idx").alias("x_idx")), "x")
+           .localCheckpoint(eager=False)) if negatives and n_vocab > 1 \
+        else ex
 
     for epoch in range(epochs):
         # one example row per positive + per negative slot
         pos = ex.select("c", "x", "w", F.lit(1.0).alias("label"))
         negs = []
-        for slot in range(negatives):
+        for slot in range(negatives if n_vocab > 1 else 0):
             h = _portable_hash60(
                 F.concat(F.col("c").cast("string"), F.lit("|"),
                          F.col("x").cast("string"),
                          F.lit(f"|{epoch}|{slot}")),
                 seed)
-            # plain equi-join on idx — no forced broadcast: the vocab
-            # table is |V|-sized (6M+ rows on a graph-node vocabulary),
-            # and AQE already broadcasts it when it is actually small
+            # uniform over the n_vocab-1 non-context ranks: rotate the
+            # draw around x_idx (mirrored in sgns_replay_sql and the
+            # numpy replay test).  Plain equi-join on idx — no forced
+            # broadcast: the vocab table is |V|-sized (6M+ rows on a
+            # graph-node vocabulary), and AQE already broadcasts it
+            # when it is actually small
+            draw = (F.col("x_idx") + 1 + (h % (n_vocab - 1))) % n_vocab
             negs.append(
-                ex.select("c", (h % n_vocab).alias("idx"), "w")
+                exi.select("c", draw.alias("idx"), "w")
                 .join(ranked, "idx")
                 .select("c", F.col("node").alias("x"), "w",
                         F.lit(0.0).alias("label")))

@@ -82,13 +82,20 @@ emb0 AS (
     FROM vocab
 )"""]
     for e in range(epochs):
+        # negative draw is rotated around the CONTEXT's rank so it can
+        # never equal the pair's positive context — mirrors
+        # graph/embeddings.py train_sgns exactly (r10 advice: collision
+        # trained the same (c,x) with label 1 and 0 in one batch)
         neg_sql = "".join(f"""
     UNION ALL
     SELECT p.c, r.node AS x, p.w, 0.0 AS label
-    FROM pairs p JOIN ranked r
-      ON r.idx = {h60.format(
+    FROM pairs p
+    JOIN ranked rx ON rx.node = p.x
+    JOIN ranked r
+      ON r.idx = (rx.idx + 1 + {h60.format(
           s=f"'{seed}' || p.c || '|' || p.x || '|{e}|{s}'")}
-               % (SELECT n FROM nv)""" for s in range(negatives))
+               % ((SELECT n FROM nv) - 1)) % (SELECT n FROM nv)"""
+                          for s in range(negatives))
         parts.append(f""",
 batch{e} AS (
     SELECT c, x, w, 1.0 AS label FROM pairs{neg_sql}

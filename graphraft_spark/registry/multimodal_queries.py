@@ -61,7 +61,16 @@ def mm_frame_sample(spark, sf_dir):
     "mm_feature_extract", extra=True,
     oracle="""
 WITH RECURSIVE roll AS (
-    SELECT doc_id, text,
+    -- ascii(substr(...)) below reads CHARACTERS while the engine
+    -- hashes utf-8 BYTES: enforce the ASCII precondition loudly (a
+    -- non-ASCII document errors the oracle run instead of silently
+    -- diverging — r10 advice)
+    SELECT doc_id,
+           CASE WHEN octet_length(encode(text)) <> length(text)
+                THEN CAST(error('mm_feature_extract oracle requires '
+                                || 'ASCII text, got multibyte doc_id='
+                                || doc_id) AS VARCHAR)
+                ELSE text END AS text,
            CAST(0 AS BIGINT) AS j,
            CAST((length(text) + 7) // 8 AS BIGINT) AS m,
            CAST(0 AS BIGINT) AS acc

@@ -350,9 +350,16 @@ scored AS (
     FROM embeddings e CROSS JOIN queries q
 ),
 cands AS (
+    -- GREATEST(norm, tiny)→1.0 for all-zero vectors mirrors the
+    -- kernel's norms[norms == 0.0] = 1.0 (ops/similarity.py) — a
+    -- zero embedding must not NULL/inf-poison the penalty (r10
+    -- advice)
     SELECT qid, vec_id, rel,
            list_transform(emb,
-               x -> x / sqrt(list_dot_product(emb, emb))) AS nemb
+               x -> x / (CASE WHEN list_dot_product(emb, emb) = 0
+                         THEN 1.0
+                         ELSE sqrt(list_dot_product(emb, emb)) END))
+               AS nemb
     FROM scored WHERE rn <= {ef}
 ),
 s1 AS (

@@ -34,13 +34,16 @@ def np_sgns(pairs, dim, epochs, lr, negatives, seed="emb0"):
     negatives, same full-batch updates."""
     nodes = sorted({c for c, _, _ in pairs} | {x for _, x, _ in pairs})
     ranked = {i: n for i, n in enumerate(nodes)}  # row_number order
+    rank_of = {n: i for i, n in enumerate(nodes)}
     nv = len(nodes)
     emb = np_init(nodes, dim, seed)
     for epoch in range(epochs):
         batch = [(c, x, w, 1.0) for c, x, w in pairs]
-        for slot in range(negatives):
+        for slot in range(negatives if nv > 1 else 0):
             for c, x, w in pairs:
-                idx = h60(f"{seed}{c}|{x}|{epoch}|{slot}") % nv
+                # rotated around the context's rank: never equals x
+                h = h60(f"{seed}{c}|{x}|{epoch}|{slot}")
+                idx = (rank_of[x] + 1 + h % (nv - 1)) % nv
                 batch.append((c, ranked[idx], w, 0.0))
         grads = {n: np.zeros(dim) for n in nodes}
         for c, x, w, label in batch:
@@ -136,3 +139,52 @@ def test_negative_slot_count(spark, negatives):
     want = np_sgns(PAIRS, dim=3, epochs=1, lr=0.1, negatives=negatives)
     for n in want:
         np.testing.assert_allclose(got[n], want[n], atol=1e-9)
+
+
+def test_negatives_never_equal_positive_context(spark):
+    """The hash draw is rotated around the context's rank (r10 advice:
+    a colliding negative trains the same (c, x) with label 1 AND 0 in
+    one batch).  Replay every draw over a small vocab where plain
+    h % nv collides often and assert no (c, x, epoch, slot) draw
+    equals x."""
+    pairs = [(a, b, 1.0) for a in range(1, 5) for b in range(1, 5)
+             if a != b]
+    nodes = sorted({p[0] for p in pairs} | {p[1] for p in pairs})
+    rank_of = {n: i for i, n in enumerate(nodes)}
+    nv = len(nodes)
+    for epoch in range(3):
+        for slot in range(4):
+            for c, x, _ in pairs:
+                h = h60(f"emb0{c}|{x}|{epoch}|{slot}")
+                idx = (rank_of[x] + 1 + h % (nv - 1)) % nv
+                assert nodes[idx] != x
+
+
+def test_empty_pair_table_raises(spark):
+    df = spark.createDataFrame([], "center bigint, context bigint, cnt double")
+    with pytest.raises(ValueError, match="empty pair table"):
+        train_sgns(df, dim=2, epochs=1)
+
+
+def test_single_node_vocab_skips_negatives(spark):
+    """nv == 1 has no non-context node to draw: negatives are skipped
+    (positives-only) instead of dividing by zero or self-colliding."""
+    df = spark.createDataFrame([(7, 7, 2.0)],
+                               "center bigint, context bigint, cnt double")
+    got = {r.node: np.array(r.emb)
+           for r in train_sgns(df, dim=3, epochs=2, lr=0.1,
+                               negatives=3).collect()}
+    want = np_sgns([(7, 7, 2.0)], dim=3, epochs=2, lr=0.1, negatives=3)
+    np.testing.assert_allclose(got[7], want[7], atol=1e-9)
+
+
+def test_rank_vocab_is_global_sort_rank(spark):
+    """_rank_vocab (two-pass distributed row_number) must equal the
+    rank in a global sort — including when the vocab spans many range
+    partitions."""
+    from graphraft_spark.graph.embeddings import _rank_vocab
+
+    vals = [((i * 37) % 101,) for i in range(101)]  # permuted 0..100
+    vocab = spark.createDataFrame(vals, "node bigint").repartition(7)
+    got = {r.node: r.idx for r in _rank_vocab(vocab).collect()}
+    assert got == {n: n for n in range(101)}

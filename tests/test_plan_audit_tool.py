@@ -18,8 +18,8 @@ def test_no_duplicates_counts_zero():
 def test_duplicated_relation_counted_per_extra_reference():
     plan = ("Union\n:- Relation [doc_id#1L,text#2] parquet\n"
             ":- Relation [doc_id#7L,text#8] parquet\n"
-            "+- Relation [doc_id#9L] parquet\n")
-    # three references to the doc_id relation -> 2 duplicated
+            ":- Relation [doc_id#9L,text#10] parquet\n")
+    # three references to the same column set -> 2 duplicated
     assert dup_count(plan) == 2
 
 
@@ -27,6 +27,22 @@ def test_distinct_first_columns_not_conflated():
     plan = ("Join\n:- Relation [doc_id#1L] parquet\n"
             "+- Relation [vec_id#2L] parquet\n")
     assert dup_count(plan) == 0
+
+
+def test_same_first_column_different_tables_not_conflated():
+    """r10 advice false-positive class: two DISTINCT relations whose
+    FIRST column shares a name are not duplicates — keying is by the
+    full sorted column-name set."""
+    plan = ("Join\n:- Relation [id#1L,text#2] parquet\n"
+            "+- Relation [id#3L,embedding#4] parquet\n")
+    assert dup_count(plan) == 0
+
+
+def test_column_order_does_not_split_the_key():
+    # the key is the SORTED set: projection order must not matter
+    plan = ("Join\n:- Relation [b#1,a#2L] parquet\n"
+            "+- Relation [a#3L,b#4] parquet\n")
+    assert dup_count(plan) == 1
 
 
 def test_exprid_suffix_stripped():

@@ -66,7 +66,7 @@ ALLOWED: dict[str, int] = {
     # tables consumed by several budget stages.
     "m_retrieval_eval": 6, "p_full_pipeline": 2, "p_curate_corpus": 3,
     "r_budget_accumulate": 5, "r_negative_samples": 1,
-    "r_retrieve_data": 9, "r_token_budget": 1,
+    "r_retrieve_data": 8, "r_token_budget": 1,
     "r_token_budget_exact": 9, "e_entity_resolution": 5,
     # OLAP shapes where the second reference IS the semantics
     # (set ops, nation pairs both directions, semi+main).
@@ -89,7 +89,13 @@ _REL = re.compile(r"Relation \[([a-zA-Z_0-9#,L ]+)")
 
 
 def dup_count(plan: str) -> int:
-    rels = [r.split(",")[0].split("#")[0]
+    """Count re-scanned relations, keying each Relation by its FULL
+    sorted column-name set (exprIds stripped) — first-column keying
+    (r10) both false-positived on distinct tables sharing a leading
+    column name and false-negatived on pruned re-reads that dropped
+    the first column (r10 advice)."""
+    rels = [",".join(sorted(c.split("#")[0].strip()
+                            for c in r.split(",") if c.strip()))
             for r in _REL.findall(plan)]
     return sum(v - 1 for v in Counter(rels).values() if v > 1)
 
