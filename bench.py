@@ -83,6 +83,12 @@ HEADLINE = [
     # value-checked PageRank — so their plans stay perf-visible
     "g_betweenness_fixed",
     "g_pagerank_types",
+    # round-11 additions (appended, same ordering rule): the sixth-wave
+    # decorrelated Q2/Q21 promotions — a per-partkey window min over
+    # the lineitem shuffle and the multi-exists late-supplier shape —
+    # so their plans stay perf-visible under driver grading
+    "q_min_price_supplier",
+    "q_lonely_late_supplier",
 ]
 
 

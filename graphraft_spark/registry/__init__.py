@@ -82,7 +82,6 @@ PRIORITY = [
     # Slots from g_twopath_enum (template covered by p_full_pipeline),
     # q_orders_without_lineitems, r_token_budget (superseded by exact),
     # st_sliding_agg (covered by st_tumbling_agg), e_embedding_join.
-    "p_pipeline_bulk",
     "r_token_budget_exact",
     # round-8 rotation wave (r7 verdict item 1): the round-7 flagship
     # extras move under driver grading — PassJoin fuzzy entity match,
@@ -95,7 +94,6 @@ PRIORITY = [
     # tumbling + graph-deltas + the incoming CMS line), and
     # ann_srp_lsh_topk (ANN keeps ivf + bruteforce; SRP stays under
     # pytest recall tests and bench).
-    "s_fuzzy_entity_match", "t_c4_clean",
     # round-8 second wave: this round's flagships earn driver grading
     # the round they land — the composed curation verdict, DPO
     # preference pairs, trailing-window features, SCD2 point-in-time
@@ -107,7 +105,7 @@ PRIORITY = [
     # (normalization pinned by g_ingest_validate + pytest), and
     # tm_interval_join (temporal grows to 3 rows incl. two new ops;
     # the bucketed-grid join keeps its extra-tier oracle + plan test).
-    "p_curate_corpus", "f_dpo_pairs",
+    "p_curate_corpus",
     # round-9 third rotation wave (r8 verdict item 1): round-8's
     # flagship extras earn driver grading — distributed SCC, the
     # TRUE-streaming curation flags, best-of-N rejection sampling,
@@ -167,6 +165,20 @@ PRIORITY = [
     # span/keep_best primary rows and SemDeDup stays oracle-backed
     # extra).
     "g_type_embeddings",
+    # round-11 sixth rotation wave (r10 verdict item 3): the remaining
+    # decorrelated Q2/Q21 shapes, the deterministic-sampling family's
+    # first driver rows (hash split + temperature-weighted source mix),
+    # paragraph-level dedup, and the metrics macro-average
+    # re-promotion.  Slots from p_pipeline_bulk (driver-green r7-r10;
+    # p_full_pipeline + p_curate_corpus keep the family),
+    # s_fuzzy_entity_match (green r8-r10; ER stays oracle-backed
+    # extra), t_c4_clean (green r8-r10; text keeps quality/tfidf +
+    # incoming temperature mix), f_dpo_pairs (green r8-r10; preference
+    # keeps f_best_of_n), d_embedding_neardup (green r7-r10) and
+    # d_span_dedup (green r5-r10; dedup keeps minhash/keep_best +
+    # incoming paragraph line).
+    "q_min_price_supplier", "q_lonely_late_supplier", "e_hash_split",
+    "t_temperature_mix", "d_paragraph_dedup", "m_retrieval_eval",
     # remaining graph pattern coverage (g_pattern_exec_2hop demoted
     # round 10)
     "g_supervised_enum", "g_enum_all_pruned", "g_ingest_validate",
@@ -179,7 +191,6 @@ PRIORITY = [
     # dedup (d_span_dedup promoted from extra in round 5; d_simhash and
     # d_components demoted round 8; d_exact_dedup demoted round 9 —
     # exact dedup is graded inside p_curate_corpus)
-    "d_embedding_neardup", "d_span_dedup",
     # multimodal (real content-checked PNG decode; frame sampling is extra)
     "mm_png_feature",
     # llm surface (f_llm1_prompt demoted round 9)

@@ -250,7 +250,7 @@ _H60_SQL = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
 
 
 @register(
-    "e_hash_split", extra=True,
+    "e_hash_split",  # promoted r11 (sixth wave)
     oracle=f"""
 SELECT o_orderkey,
        CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'valid'

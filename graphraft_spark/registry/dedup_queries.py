@@ -258,7 +258,7 @@ def d_simhash(spark, sf_dir):
 
 
 @register(
-    "d_embedding_neardup",
+    "d_embedding_neardup", extra=True,  # demoted r11 (driver-green r7-r10)
     oracle="""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
@@ -503,7 +503,7 @@ def d_stream_neardup(spark, sf_dir):
 
 
 @register(
-    "d_paragraph_dedup", extra=True,
+    "d_paragraph_dedup",  # promoted r11 (sixth wave)
     oracle="""
 WITH p AS (
     SELECT doc_id,
@@ -579,7 +579,7 @@ spans AS (
 
 
 @register(
-    "d_span_dedup",
+    "d_span_dedup", extra=True,  # demoted r11 (driver-green r5-r10)
     oracle=f"""
 WITH {_SPAN_WINS}
 SELECT doc_id, span_start, span_end, n_windows FROM spans

@@ -400,7 +400,7 @@ def p_full_pipeline(spark, sf_dir):
                       F.round("similarity", 6).alias("similarity"))
 
 
-@register("p_pipeline_bulk", oracle=P_FULL_ORACLE)  # promoted r7: zero-collect flagship twin
+@register("p_pipeline_bulk", oracle=P_FULL_ORACLE, extra=True)  # demoted r11 (driver-green r7-r10); promoted r7: zero-collect flagship twin
 def p_pipeline_bulk(spark, sf_dir):
     """Fully-distributed pipeline twin (run_pipeline_bulk): identical
     inputs and oracle as p_full_pipeline, but stage 3 ranks via
@@ -471,7 +471,7 @@ def f_best_of_n(spark, sf_dir):
 
 
 @register(
-    "f_dpo_pairs",
+    "f_dpo_pairs", extra=True,  # demoted r11 (driver-green r8-r10)
     oracle=f"""
 WITH {_CANDS_SQL.strip()},
 r AS (

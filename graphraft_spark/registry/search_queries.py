@@ -394,7 +394,7 @@ def s_hybrid_rrf(spark, sf_dir):
 
 
 @register(
-    "s_fuzzy_entity_match",
+    "s_fuzzy_entity_match", extra=True,  # demoted r11 (driver-green r8-r10)
     oracle="""
 WITH ents AS (
     SELECT CAST(c_custkey AS BIGINT) AS qid,

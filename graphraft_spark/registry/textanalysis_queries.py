@@ -377,7 +377,7 @@ def t_quality_gate(spark, sf_dir):
 
 
 @register(
-    "t_temperature_mix", extra=True,
+    "t_temperature_mix",  # promoted r11 (sixth wave)
     oracle="""
 SELECT doc_id, source
 FROM (
@@ -803,7 +803,7 @@ def t_ppl_band(spark, sf_dir):
 
 
 @register(
-    "t_c4_clean",
+    "t_c4_clean", extra=True,  # demoted r11 (driver-green r8-r10)
     oracle="""
 WITH lined AS (
     SELECT doc_id,
