@@ -91,3 +91,45 @@ def test_default_source_sample_deterministic(spark):
          for r in betweenness_sampled(nodes, edges,
                                       n_sources=4).collect()}
     assert a == b == {v: brandes(n, e, [0, 1, 2, 3])[v] for v in n}
+
+
+def test_betweenness_top_value_matched_at_sf0001(spark):
+    """r10 verdict item 5: the top-20 registry line stays rows-only
+    under driver grading (a float-rank LIMIT can tie at larger sf),
+    but at sf0.001 the boundary is provably un-tied, so the full
+    ordered result — ids, labels, names, scores — is value-checked
+    here against the same closure-restricted walk oracle that
+    hash-matches g_betweenness_fixed."""
+    import duckdb
+
+    from graphraft_spark.graph import GRAPH_ORACLE_CTE
+    from graphraft_spark.registry.graph_queries import (
+        _betweenness_fixed_sql,
+        g_betweenness_top,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders "
+              "lineitem").split():
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{sf_dir}/{t}.parquet'")
+    scores = {int(r[0]): float(r[1]) for r in con.execute(
+        f"SELECT * FROM ({_betweenness_fixed_sql(6)}) x").fetchall()}
+    names = {int(r[0]): (r[1], r[2]) for r in con.execute(
+        GRAPH_ORACLE_CTE + "SELECT nodeId, label, name FROM nodes"
+    ).fetchall()}
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    # the boundary must be un-tied beyond the 9dp oracle rounding,
+    # otherwise this sf is not value-checkable and the test is wrong
+    if len(ranked) > 20:
+        assert ranked[19][1] - ranked[20][1] > 2e-9
+    want = [(nid, names[nid][0], names[nid][1], b)
+            for nid, b in ranked[:20]]
+
+    got = [(r.nodeId, r.label, r.name, r.betweenness)
+           for r in g_betweenness_top(spark, sf_dir).collect()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert abs(g[3] - w[3]) < 1e-6, (g, w)
