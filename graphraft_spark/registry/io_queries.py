@@ -81,3 +81,52 @@ def io_orc_roundtrip(spark, sf_dir):
     path = _scratch(sf_dir, "orc")
     write_orc(df, path)
     return read_orc(spark, path).select(*_DOCS_COLS)
+
+
+_BUCKETED_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("io_bucketed_join", oracle=_BUCKETED_ORACLE, extra=True)
+def io_bucketed_join(spark, sf_dir):
+    """Co-located join through bucketed tables (sources/bucketed.py):
+    orders and lineitem are written bucketed+sorted on the order key
+    (same bucket count both sides), read back through the catalog, and
+    merge-joined — the join inputs carry NO Exchange (asserted by
+    tests/test_bucketed.py over this exact plan); the only shuffle
+    left is the post-join re-key onto o_orderpriority.  At 100 TB this
+    is the difference between shuffling the fact table once at WRITE
+    time and re-shuffling it on every downstream join.  The merge hint
+    keeps the demonstration honest at test sf where AQE would broadcast
+    the small side (broadcast needs no co-location to skip exchanges)."""
+    from pyspark.sql import functions as F
+
+    from graphraft_spark.sources.bucketed import (
+        read_bucketed_table,
+        write_bucketed_table,
+    )
+
+    base = _scratch(sf_dir, "bucketed")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    names = {}
+    for src, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"io_bucketed_{src}_{tag}_{os.getpid()}"
+        df = spark.read.parquet(f"{sf_dir}/{src}.parquet")
+        write_bucketed_table(df, name, f"{base}/{src}", key, n_buckets=8)
+        names[src] = name
+    o = read_bucketed_table(spark, names["orders"])
+    li = read_bucketed_table(spark, names["lineitem"])
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") \
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    return (li.hint("merge")
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum(disc).cast("double").alias("revenue"),
+                 F.count("*").alias("n_lines")))

@@ -1,0 +1,48 @@
+"""Bucketed-table sink/source: the co-located-join mechanism.
+
+At 100 TB the dominant repeated cost is re-shuffling the same fact
+tables on the same join keys query after query.  Spark's answer is the
+bucketed table: ``write.bucketBy(n, key).sortBy(key).saveAsTable`` — a
+hash-partitioned on-disk layout the catalog remembers, so every later
+equi-join or aggregation on the bucket key reads co-located buckets
+and skips the exchange entirely (the SortMergeJoin's inputs carry NO
+Exchange; only post-join re-keyed operators shuffle).  The reference
+has no storage-layout operator at all — its engine (Neo4j) owns the
+layout — so this is engine-side infrastructure in the same class as
+the IVF/BM25 persisted indexes.
+
+Caveats encoded here rather than left to the caller:
+
+* bucket metadata lives in the CATALOG, not the files — a plain
+  ``spark.read.parquet(path)`` of the same directory loses bucketing;
+  readers must go through ``spark.table``;
+* one FILE per bucket: the writer repartitions by the bucket key into
+  ``n_buckets`` partitions first, otherwise each task writes its own
+  file per bucket and the scan cannot trust per-bucket sortedness;
+* tables are EXTERNAL (explicit ``path``), so the warehouse dir of
+  whatever session the driver hands us is irrelevant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_bucketed_table(df: DataFrame, name: str, path: str,
+                         key: str, n_buckets: int = 8,
+                         mode: str = "overwrite") -> None:
+    """Write ``df`` as an external bucketed+sorted table ``name`` at
+    ``path``, hashed on ``key`` into ``n_buckets`` buckets (one file
+    per bucket)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (df.repartition(n_buckets, F.col(key))
+     .write.mode(mode)
+     .bucketBy(n_buckets, key).sortBy(key)
+     .option("path", path)
+     .saveAsTable(name))
+
+
+def read_bucketed_table(spark: SparkSession, name: str) -> DataFrame:
+    """Catalog read — the only way the bucketing metadata survives."""
+    return spark.table(name)
