@@ -659,13 +659,21 @@ def q_min_price_supplier(spark, sf_dir):
     a groupBy-then-join-back: the join-back formulation plans the
     lineitem scan TWICE (once raw, once under the aggregate — Catalyst
     does not share the subtree), while the window computes the min
-    inside the single partkey shuffle every 100 TB plan pays anyway."""
+    inside the single partkey shuffle every 100 TB plan pays anyway.
+    The PROMO restriction semi-joins lineitem BEFORE the window (r11):
+    partkey determines the part, so dropping whole non-PROMO
+    partitions under a partkey-partitioned MIN cannot change any
+    surviving partition's min — and the window shuffle now carries
+    only PROMO-part rows instead of the full fact table."""
     from pyspark.sql import Window
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     p = spark.read.parquet(f"{sf_dir}/part.parquet") \
         .filter(F.col("p_type") == "PROMO")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = (li.select("l_partkey", "l_suppkey", "l_extendedprice")
+          .join(F.broadcast(p.select(F.col("p_partkey").alias("_pk"))),
+                F.col("l_partkey") == F.col("_pk"), "left_semi"))
     li = li.withColumn(
         "_minp",
         F.min("l_extendedprice").over(Window.partitionBy("l_partkey")))
