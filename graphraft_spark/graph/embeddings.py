@@ -109,11 +109,44 @@ def _rank_vocab(vocab: DataFrame) -> DataFrame:
                     (F.col("lidx") + F.col("off")).alias("idx")))
 
 
+def _weighted_cdf(weights: DataFrame) -> DataFrame:
+    """(node, wv BIGINT) → (node, wv, lo, hi): each node owns the
+    half-open integer interval [lo, hi) of length wv on the cumulative
+    axis, in global node-sort order — the inverse-CDF table for exact
+    weighted draws.  Same two-pass distributed pattern as
+    :func:`_rank_vocab` (range-partition, local running sum, broadcast
+    per-partition offsets); all-integer arithmetic so the intervals
+    are exact and order-independent."""
+    from pyspark.sql import Window
+
+    spark = weights.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions",
+                                    "200")), 1)
+    local = (weights.repartitionByRange(nparts, "node")
+             .withColumn("pid", F.spark_partition_id())
+             .withColumn("lhi", F.sum("wv").over(
+                 Window.partitionBy("pid").orderBy("node")
+                 .rowsBetween(Window.unboundedPreceding, 0))))
+    # ≤nparts rows: bounded by configuration, like _rank_vocab's
+    offs = (local.groupBy("pid").agg(F.sum("wv").alias("cnt"))
+            .withColumn("off", F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0))))
+    return (local.join(F.broadcast(offs.select("pid", "off")), "pid")
+            .select("node", "wv",
+                    (F.col("lhi") + F.col("off") - F.col("wv"))
+                    .alias("lo"),
+                    (F.col("lhi") + F.col("off")).alias("hi")))
+
+
 def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                lr: float = 0.05, negatives: int = 2,
                seed: str = "emb0",
                center_col: str = "center", context_col: str = "context",
-               weight_col: str = "cnt") -> DataFrame:
+               weight_col: str = "cnt",
+               neg_distribution: str = "uniform") -> DataFrame:
     """Train SGNS embeddings over a (center, context, cnt) pair table
     (e.g. :func:`~graphraft_spark.graph.sampling.skipgram_pairs`) →
     (node, emb ARRAY<DOUBLE>).
@@ -124,7 +157,22 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
     update — deterministic, no hogwild races, no RNG.  Scale shape per
     epoch: two embedding joins (keyed by node), one posexplode partial
     sum (dim × examples rows, map-side combined), one update join —
-    every shuffle keyed, nothing driver-side except the vocab count."""
+    every shuffle keyed, nothing driver-side except the vocab count.
+
+    ``neg_distribution``: "uniform" draws negatives uniformly over the
+    non-context vocabulary; "unigram75" draws from the word2vec noise
+    distribution P(n) ∝ freq(n)^{3/4} (Mikolov et al. 2013; freq =
+    the node's total pair weight), implemented EXACTLY and distributed:
+    integer weights wv = max(floor((freq³·10⁴)^{1/4}), 1) (IEEE mul +
+    correctly-rounded sqrt twice — no libm pow, so both engines agree
+    bitwise), a two-pass cumulative interval table [lo, hi), and a
+    bucket-table EQUI-join resolving u → node (≈2|V| bucket rows, no
+    range join).  The context's interval is excised by shifting draws
+    past it — u ~ [0, W − wv_x), +wv_x when u ≥ lo_x — so a negative
+    can never equal the positive context, same guarantee as the
+    uniform path's rotation."""
+    if neg_distribution not in ("uniform", "unigram75"):
+        raise ValueError(f"unknown neg_distribution {neg_distribution!r}")
     ex = pairs.select(F.col(center_col).alias("c"),
                       F.col(context_col).alias("x"),
                       F.col(weight_col).cast("double").alias("w"))
@@ -141,16 +189,71 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
     emb = init_embeddings(vocab, dim, seed=seed) \
         .localCheckpoint(eager=False)
 
-    # context rank joined ONCE (node-keyed): the negative draw below is
-    # offset from x's rank so a negative can never equal the pair's
+    # context rank/interval joined ONCE (node-keyed): the negative
+    # draw below is offset past x's rank (uniform) or x's cumulative
+    # interval (unigram75) so a negative can never equal the pair's
     # positive context — otherwise the same (c, x) trains with label 1
     # and label 0 in one batch, frequent on small vocabularies (r10
     # advice).  A 1-node vocabulary has no valid negative: slots are
     # skipped (positives-only), documented rather than colliding.
-    exi = (ex.join(ranked.select(F.col("node").alias("x"),
-                                 F.col("idx").alias("x_idx")), "x")
-           .localCheckpoint(eager=False)) if negatives and n_vocab > 1 \
-        else ex
+    draw_negs = None
+    if negatives and n_vocab > 1 and neg_distribution == "uniform":
+        exi = (ex.join(ranked.select(F.col("node").alias("x"),
+                                     F.col("idx").alias("x_idx")), "x")
+               .localCheckpoint(eager=False))
+
+        def draw_negs(h):
+            # uniform over the n_vocab-1 non-context ranks: rotate the
+            # draw around x_idx (mirrored in sgns_replay_sql and the
+            # numpy replay test).  Plain equi-join on idx — no forced
+            # broadcast: the vocab table is |V|-sized (6M+ rows on a
+            # graph-node vocabulary), and AQE already broadcasts it
+            # when it is actually small
+            draw = (F.col("x_idx") + 1 + (h % (n_vocab - 1))) % n_vocab
+            return (exi.select("c", draw.alias("idx"), "w")
+                    .join(ranked, "idx")
+                    .select("c", F.col("node").alias("x"), "w",
+                            F.lit(0.0).alias("label")))
+    elif negatives and n_vocab > 1:  # unigram75
+        freq = (ex.select(F.col("c").alias("node"), "w")
+                .unionByName(ex.select(F.col("x").alias("node"), "w"))
+                .groupBy("node").agg(F.sum("w").alias("freq")))
+        # (freq³·10⁴)^{1/4} via two correctly-rounded sqrts — IEEE
+        # bitwise-portable where pow() is not; floor+max(1) keeps every
+        # node drawable with an exact integer weight
+        wv = F.greatest(
+            F.floor(F.sqrt(F.sqrt(F.col("freq") * F.col("freq")
+                                  * F.col("freq") * F.lit(1e4)))),
+            F.lit(1)).cast("bigint")
+        cdf = _weighted_cdf(freq.select("node", wv.alias("wv"))) \
+            .localCheckpoint(eager=False)
+        w_total = cdf.agg(F.max("hi")).first()[0]  # driver scalar
+        width = max(1, w_total // n_vocab)
+        # bucket table: one row per (node, covered bucket) — ≈2|V|
+        # rows total (W/width + |V|), turning the interval lookup into
+        # a plain equi-join on the bucket id
+        buckets = (cdf.select(
+            "node", "lo", "hi",
+            F.explode(F.sequence(
+                F.expr(f"lo DIV {width}"),
+                F.expr(f"(hi - 1) DIV {width}"))).alias("bkt"))
+            .localCheckpoint(eager=False))
+        exi = (ex.join(cdf.select(F.col("node").alias("x"),
+                                  F.col("lo").alias("x_lo"),
+                                  F.col("wv").alias("x_wv")), "x")
+               .localCheckpoint(eager=False))
+
+        def draw_negs(h):
+            u0 = h % (F.lit(w_total) - F.col("x_wv"))
+            u = u0 + F.when(u0 >= F.col("x_lo"),
+                            F.col("x_wv")).otherwise(F.lit(0))
+            return (exi.select("c", "w", u.alias("u"))
+                    .withColumn("bkt", F.expr(f"u DIV {width}"))
+                    .join(buckets, "bkt")
+                    .filter((F.col("u") >= F.col("lo"))
+                            & (F.col("u") < F.col("hi")))
+                    .select("c", F.col("node").alias("x"), "w",
+                            F.lit(0.0).alias("label")))
 
     for epoch in range(epochs):
         # one example row per positive + per negative slot
@@ -162,18 +265,7 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                          F.col("x").cast("string"),
                          F.lit(f"|{epoch}|{slot}")),
                 seed)
-            # uniform over the n_vocab-1 non-context ranks: rotate the
-            # draw around x_idx (mirrored in sgns_replay_sql and the
-            # numpy replay test).  Plain equi-join on idx — no forced
-            # broadcast: the vocab table is |V|-sized (6M+ rows on a
-            # graph-node vocabulary), and AQE already broadcasts it
-            # when it is actually small
-            draw = (F.col("x_idx") + 1 + (h % (n_vocab - 1))) % n_vocab
-            negs.append(
-                exi.select("c", draw.alias("idx"), "w")
-                .join(ranked, "idx")
-                .select("c", F.col("node").alias("x"), "w",
-                        F.lit(0.0).alias("label")))
+            negs.append(draw_negs(h))
         batch = pos
         for n in negs:
             batch = batch.unionByName(n)

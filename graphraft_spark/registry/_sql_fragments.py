@@ -46,7 +46,8 @@ _GOPHER_KEEP_SQL = f"""
 
 def sgns_replay_sql(pairs_cte: str, dim: int = 4, epochs: int = 2,
                     lr: float = 0.05, negatives: int = 2,
-                    seed: str = "emb0") -> str:
+                    seed: str = "emb0",
+                    neg_distribution: str = "uniform") -> str:
     """Unrolled-SQL replay of the full-batch SGNS trainer
     (graph/embeddings.py train_sgns) over an arbitrary pair table.
     ``pairs_cte`` is the body of a CTE producing (c, x, w DOUBLE) —
@@ -65,6 +66,29 @@ def sgns_replay_sql(pairs_cte: str, dim: int = 4, epochs: int = 2,
         "((" + h60.format(
             s=f"'{seed}' || node || '#' || j::VARCHAR")
         + f" % 2001 - 1000) / 1000.0) * {scale}")
+    wcdf = """,
+freqs AS (
+    SELECT node, SUM(w) AS freq FROM (
+        SELECT c AS node, w FROM pairs
+        UNION ALL SELECT x AS node, w FROM pairs
+    ) GROUP BY node
+),
+cdf AS (
+    -- unigram^0.75 noise weights, all-integer intervals: two
+    -- correctly-rounded sqrts (never libm pow), floor, min 1 —
+    -- mirrors graph/embeddings.py train_sgns exactly
+    SELECT node, wv,
+           SUM(wv) OVER (ORDER BY node ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) - wv AS lo,
+           SUM(wv) OVER (ORDER BY node ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS hi
+    FROM (SELECT node,
+                 CAST(GREATEST(FLOOR(SQRT(SQRT(
+                      freq * freq * freq * 1e4))), 1) AS BIGINT) AS wv
+          FROM freqs)
+),
+wt AS (SELECT SUM(wv) AS tw FROM cdf)""" \
+        if neg_distribution == "unigram75" else ""
     parts = [f"""WITH pairs AS (
 {pairs_cte}
 ),
@@ -74,7 +98,7 @@ vocab AS (
 ranked AS (
     SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS idx FROM vocab
 ),
-nv AS (SELECT COUNT(*) AS n FROM vocab),
+nv AS (SELECT COUNT(*) AS n FROM vocab){wcdf},
 emb0 AS (
     SELECT node,
            list_transform(generate_series(0, {dim - 1}),
@@ -82,11 +106,14 @@ emb0 AS (
     FROM vocab
 )"""]
     for e in range(epochs):
-        # negative draw is rotated around the CONTEXT's rank so it can
-        # never equal the pair's positive context — mirrors
-        # graph/embeddings.py train_sgns exactly (r10 advice: collision
-        # trained the same (c,x) with label 1 and 0 in one batch)
-        neg_sql = "".join(f"""
+        # negative draw is rotated around the CONTEXT's rank (uniform)
+        # or shifted past the context's cumulative interval
+        # (unigram75) so it can never equal the pair's positive
+        # context — mirrors graph/embeddings.py train_sgns exactly
+        # (r10 advice: collision trained the same (c,x) with label 1
+        # and 0 in one batch)
+        if neg_distribution == "uniform":
+            neg_sql = "".join(f"""
     UNION ALL
     SELECT p.c, r.node AS x, p.w, 0.0 AS label
     FROM pairs p
@@ -95,7 +122,20 @@ emb0 AS (
       ON r.idx = (rx.idx + 1 + {h60.format(
           s=f"'{seed}' || p.c || '|' || p.x || '|{e}|{s}'")}
                % ((SELECT n FROM nv) - 1)) % (SELECT n FROM nv)"""
-                          for s in range(negatives))
+                              for s in range(negatives))
+        else:
+            neg_sql = "".join(f"""
+    UNION ALL
+    SELECT d.c, r.node AS x, d.w, 0.0 AS label
+    FROM (SELECT p.c, p.w,
+                 u0 + CASE WHEN u0 >= cx.lo THEN cx.wv ELSE 0 END AS u
+          FROM pairs p
+          JOIN cdf cx ON cx.node = p.x,
+          LATERAL (SELECT {h60.format(
+              s=f"'{seed}' || p.c || '|' || p.x || '|{e}|{s}'")}
+                   % ((SELECT tw FROM wt) - cx.wv) AS u0)) d
+    JOIN cdf r ON d.u >= r.lo AND d.u < r.hi"""
+                              for s in range(negatives))
         parts.append(f""",
 batch{e} AS (
     SELECT c, x, w, 1.0 AS label FROM pairs{neg_sql}

@@ -1291,3 +1291,30 @@ def t_word_embeddings(spark, sf_dir):
             .select("node", F.col("pos").cast("int").alias("pos"),
                     F.round("val", 6).alias("val")))
 
+
+@register("t_word_embeddings_u75", extra=True,
+          oracle=_sgns_replay_sql(_WORD_PAIRS_CTE, 4, 2, 0.05, 2,
+                                  neg_distribution="unigram75"))
+def t_word_embeddings_u75(spark, sf_dir):
+    """t_word_embeddings with the word2vec NOISE DISTRIBUTION:
+    negatives drawn ∝ freq^{3/4} (Mikolov et al. 2013 §2.2) instead of
+    uniformly — the reference-faithful variant for natural-language
+    vocabularies, where uniform negatives oversample the rare tail.
+    The draw is exact and distributed (graph/embeddings.py: integer
+    inverse-CDF intervals + bucket-table equi-join, context interval
+    excised); the oracle replays the identical arithmetic, so the line
+    is hash-matched like the uniform twin."""
+    from graphraft_spark.graph.embeddings import train_sgns
+    from graphraft_spark.ops.word_lm import _transitions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = (_transitions(docs, "text", "doc_id")
+             .groupBy(F.col("prev").alias("center"),
+                      F.col("cur").alias("context"))
+             .agg(F.count("*").alias("cnt")))
+    emb = train_sgns(pairs, dim=4, epochs=2, lr=0.05, negatives=2,
+                     neg_distribution="unigram75")
+    return (emb.select("node", F.posexplode("emb").alias("pos", "val"))
+            .select("node", F.col("pos").cast("int").alias("pos"),
+                    F.round("val", 6).alias("val")))
+

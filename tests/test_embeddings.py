@@ -188,3 +188,91 @@ def test_rank_vocab_is_global_sort_rank(spark):
     vocab = spark.createDataFrame(vals, "node bigint").repartition(7)
     got = {r.node: r.idx for r in _rank_vocab(vocab).collect()}
     assert got == {n: n for n in range(101)}
+
+
+def np_sgns_u75(pairs, dim, epochs, lr, negatives, seed="emb0"):
+    """Exact replay of train_sgns(neg_distribution='unigram75'):
+    integer inverse-CDF intervals over wv = max(floor((freq^3*1e4)
+    ^(1/4)), 1), draws shifted past the context's interval."""
+    nodes = sorted({c for c, _, _ in pairs} | {x for _, x, _ in pairs})
+    freq = {n: 0.0 for n in nodes}
+    for c, x, w in pairs:
+        freq[c] += w
+        freq[x] += w
+    wv = {n: max(int(math.floor(math.sqrt(math.sqrt(
+        freq[n] * freq[n] * freq[n] * 1e4)))), 1) for n in nodes}
+    lo, acc = {}, 0
+    for n in nodes:
+        lo[n] = acc
+        acc += wv[n]
+    total = acc
+    emb = np_init(nodes, dim, seed)
+    for epoch in range(epochs):
+        batch = [(c, x, w, 1.0) for c, x, w in pairs]
+        for slot in range(negatives if len(nodes) > 1 else 0):
+            for c, x, w in pairs:
+                h = h60(f"{seed}{c}|{x}|{epoch}|{slot}")
+                u = h % (total - wv[x])
+                if u >= lo[x]:
+                    u += wv[x]
+                n = next(nn for nn in nodes
+                         if lo[nn] <= u < lo[nn] + wv[nn])
+                assert n != x
+                batch.append((c, n, w, 0.0))
+        grads = {n: np.zeros(dim) for n in nodes}
+        for c, x, w, label in batch:
+            dot = max(-20.0, min(20.0, float(emb[c] @ emb[x])))
+            g = (1.0 / (1.0 + math.exp(-dot)) - label) * w * lr
+            grads[c] = grads[c] + g * emb[x]
+            grads[x] = grads[x] + g * emb[c]
+        for n in nodes:
+            emb[n] = emb[n] - grads[n]
+    return emb
+
+
+def test_sgns_unigram75_matches_numpy_replay(spark):
+    df = spark.createDataFrame(PAIRS, "center bigint, context bigint, cnt double")
+    got = {r.node: np.array(r.emb)
+           for r in train_sgns(df, dim=4, epochs=2, lr=0.1, negatives=2,
+                               neg_distribution="unigram75").collect()}
+    want = np_sgns_u75(PAIRS, dim=4, epochs=2, lr=0.1, negatives=2)
+    assert set(got) == set(want)
+    for n in want:
+        np.testing.assert_allclose(got[n], want[n], atol=1e-9)
+
+
+def test_unigram75_draws_follow_the_weights():
+    """The inverse-CDF mapping itself: over many (c, x, epoch, slot)
+    draws, each node's draw share must approach wv/W (and the context
+    is never drawn).  Replayed in pure Python — the mapping is the
+    contract the engine and oracle both implement."""
+    freq = {1: 1000.0, 2: 100.0, 3: 10.0, 4: 1.0}
+    nodes = sorted(freq)
+    wv = {n: max(int(math.floor(math.sqrt(math.sqrt(
+        freq[n] ** 3 * 1e4)))), 1) for n in nodes}
+    lo, acc = {}, 0
+    for n in nodes:
+        lo[n] = acc
+        acc += wv[n]
+    total = acc
+    counts = {n: 0 for n in nodes}
+    x = 4  # fixed context: its interval is excised
+    for i in range(20000):
+        h = h60(f"emb0{i}|{x}|0|0")
+        u = h % (total - wv[x])
+        if u >= lo[x]:
+            u += wv[x]
+        n = next(nn for nn in nodes if lo[nn] <= u < lo[nn] + wv[nn])
+        assert n != x
+        counts[n] += 1
+    denom = total - wv[x]
+    for n in (1, 2, 3):
+        share = counts[n] / 20000
+        expect = wv[n] / denom
+        assert abs(share - expect) < 0.02, (n, share, expect)
+
+
+def test_unknown_neg_distribution_raises(spark):
+    df = spark.createDataFrame(PAIRS, "center bigint, context bigint, cnt double")
+    with pytest.raises(ValueError, match="neg_distribution"):
+        train_sgns(df, dim=2, epochs=1, neg_distribution="zipf")

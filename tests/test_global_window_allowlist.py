@@ -14,9 +14,10 @@ PKG = os.path.join(os.path.dirname(__file__), "..", "graphraft_spark")
 
 # file -> set of bounds; one entry per allowed Window.orderBy( site.
 ALLOWED = {
-    # two-pass distributed row_number offset tables: <= shuffle-
-    # partition-count rows by construction
-    "graph/embeddings.py": 1,
+    # two-pass distributed row_number / cumulative-weight offset
+    # tables: <= shuffle-partition-count rows by construction
+    # (_rank_vocab + _weighted_cdf)
+    "graph/embeddings.py": 2,
     "graph/neo4j_csv.py": 1,
     # top-N rank fusion / head-N repair: bounded frames per contract
     "search/hybrid.py": 1,
