@@ -660,11 +660,12 @@ def q_min_price_supplier(spark, sf_dir):
     lineitem scan TWICE (once raw, once under the aggregate — Catalyst
     does not share the subtree), while the window computes the min
     inside the single partkey shuffle every 100 TB plan pays anyway.
-    The PROMO restriction semi-joins lineitem BEFORE the window (r11):
-    partkey determines the part, so dropping whole non-PROMO
-    partitions under a partkey-partitioned MIN cannot change any
-    surviving partition's min — and the window shuffle now carries
-    only PROMO-part rows instead of the full fact table."""
+    The PROMO restriction joins lineitem to the (broadcast) dimension
+    BEFORE the window (r11): partkey determines the part, so dropping
+    whole non-PROMO partitions under a partkey-partitioned MIN cannot
+    change any surviving partition's min — and the window shuffle now
+    carries only PROMO-part rows instead of the full fact table.  One
+    inner join (not semi-then-rejoin) so PART is scanned once."""
     from pyspark.sql import Window
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -672,13 +673,12 @@ def q_min_price_supplier(spark, sf_dir):
         .filter(F.col("p_type") == "PROMO")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     li = (li.select("l_partkey", "l_suppkey", "l_extendedprice")
-          .join(F.broadcast(p.select(F.col("p_partkey").alias("_pk"))),
-                F.col("l_partkey") == F.col("_pk"), "left_semi"))
+          .join(F.broadcast(p.select("p_partkey", "p_name")),
+                F.col("l_partkey") == F.col("p_partkey")))
     li = li.withColumn(
         "_minp",
         F.min("l_extendedprice").over(Window.partitionBy("l_partkey")))
     return (li.filter(F.col("l_extendedprice") == F.col("_minp"))
-            .join(p, li.l_partkey == p.p_partkey)
             .join(s, li.l_suppkey == s.s_suppkey)
             .select("p_partkey", "p_name", "s_suppkey", "s_name",
                     F.round(F.col("l_extendedprice").cast("decimal(18,4)"),
