@@ -93,10 +93,16 @@ def _rank_vocab(vocab: DataFrame) -> DataFrame:
     spark = vocab.sparkSession
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions",
                                     "200")), 1)
+    # lazily checkpointed: ``local`` feeds BOTH the offset aggregate
+    # and the final join — uncached, the range shuffle + window (and
+    # everything upstream, e.g. a 2|pairs|-row distinct) would execute
+    # twice (r11 ×10 A/B: the uncached form cost ~2× the whole
+    # trainer)
     local = (vocab.repartitionByRange(nparts, "node")
              .withColumn("pid", F.spark_partition_id())
              .withColumn("lidx", F.row_number().over(
-                 Window.partitionBy("pid").orderBy("node")) - 1))
+                 Window.partitionBy("pid").orderBy("node")) - 1)
+             .localCheckpoint(eager=False))
     # ≤nparts rows: the only global window, bounded by configuration
     offs = (local.groupBy("pid").agg(F.count("*").alias("cnt"))
             .withColumn("off", F.coalesce(
@@ -122,11 +128,14 @@ def _weighted_cdf(weights: DataFrame) -> DataFrame:
     spark = weights.sparkSession
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions",
                                     "200")), 1)
+    # lazily checkpointed for the same two-consumer reason as
+    # _rank_vocab's local frame
     local = (weights.repartitionByRange(nparts, "node")
              .withColumn("pid", F.spark_partition_id())
              .withColumn("lhi", F.sum("wv").over(
                  Window.partitionBy("pid").orderBy("node")
-                 .rowsBetween(Window.unboundedPreceding, 0))))
+                 .rowsBetween(Window.unboundedPreceding, 0)))
+             .localCheckpoint(eager=False))
     # ≤nparts rows: bounded by configuration, like _rank_vocab's
     offs = (local.groupBy("pid").agg(F.sum("wv").alias("cnt"))
             .withColumn("off", F.coalesce(
@@ -160,25 +169,33 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
     every shuffle keyed, nothing driver-side except the vocab count.
 
     ``neg_distribution``: "uniform" draws negatives uniformly over the
-    non-context vocabulary; "unigram75" draws from the word2vec noise
-    distribution P(n) ∝ freq(n)^{3/4} (Mikolov et al. 2013; freq =
-    the node's total pair weight), implemented EXACTLY and distributed:
-    integer weights wv = max(floor((freq³·10⁴)^{1/4}), 1) (IEEE mul +
-    correctly-rounded sqrt twice — no libm pow, so both engines agree
-    bitwise), a two-pass cumulative interval table [lo, hi), and a
-    bucket-table EQUI-join resolving u → node (≈2|V| bucket rows, no
-    range join).  The context's interval is excised by shifting draws
-    past it — u ~ [0, W − wv_x), +wv_x when u ≥ lo_x — so a negative
-    can never equal the positive context, same guarantee as the
-    uniform path's rotation."""
+    vocabulary; "unigram75" draws from the word2vec noise distribution
+    P(n) ∝ freq(n)^{3/4} (Mikolov et al. 2013; freq = the node's total
+    pair weight), implemented EXACTLY and distributed: integer weights
+    wv = max(floor((freq³·10⁴)^{1/4}), 1) (IEEE mul + correctly-
+    rounded sqrt twice — no libm pow, so both engines agree bitwise),
+    a two-pass cumulative interval table [lo, hi), and a bucket-table
+    EQUI-join resolving u → node (≈2|V| bucket rows, no range join).
+
+    A draw that collides with the pair's positive context is DROPPED
+    (filter after the resolve join), never trained — word2vec.c's own
+    ``if (target == word) continue`` semantics.  This keeps the label-1
+    /label-0 conflict out of the batch (r10 advice) WITHOUT joining the
+    context's rank/interval onto every example row: the r11 ×10 soak
+    measured that join + its checkpoint at 1.9× the whole trainer's
+    wall (280.9 s vs 147.3 s) — the filter costs nothing and is the
+    reference behavior anyway."""
     if neg_distribution not in ("uniform", "unigram75"):
         raise ValueError(f"unknown neg_distribution {neg_distribution!r}")
     ex = pairs.select(F.col(center_col).alias("c"),
                       F.col(context_col).alias("x"),
                       F.col(weight_col).cast("double").alias("w"))
+    # lazily checkpointed: the 2|pairs|-row distinct feeds the rank
+    # table (twice — range sampling + ranking), init_embeddings, and
+    # the unigram75 CDF; one materialization serves all of them
     vocab = (ex.select(F.col("c").alias("node"))
              .unionByName(ex.select(F.col("x").alias("node")))
-             .distinct())
+             .distinct().localCheckpoint(eager=False))
     ranked = _rank_vocab(vocab).localCheckpoint(eager=False)
     n_vocab = ranked.count()
     if n_vocab == 0:
@@ -189,32 +206,21 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
     emb = init_embeddings(vocab, dim, seed=seed) \
         .localCheckpoint(eager=False)
 
-    # context rank/interval joined ONCE (node-keyed): the negative
-    # draw below is offset past x's rank (uniform) or x's cumulative
-    # interval (unigram75) so a negative can never equal the pair's
-    # positive context — otherwise the same (c, x) trains with label 1
-    # and label 0 in one batch, frequent on small vocabularies (r10
-    # advice).  A 1-node vocabulary has no valid negative: slots are
-    # skipped (positives-only), documented rather than colliding.
-    draw_negs = None
-    if negatives and n_vocab > 1 and neg_distribution == "uniform":
-        exi = (ex.join(ranked.select(F.col("node").alias("x"),
-                                     F.col("idx").alias("x_idx")), "x")
-               .localCheckpoint(eager=False))
-
+    if neg_distribution == "uniform":
         def draw_negs(h):
-            # uniform over the n_vocab-1 non-context ranks: rotate the
-            # draw around x_idx (mirrored in sgns_replay_sql and the
-            # numpy replay test).  Plain equi-join on idx — no forced
-            # broadcast: the vocab table is |V|-sized (6M+ rows on a
-            # graph-node vocabulary), and AQE already broadcasts it
-            # when it is actually small
-            draw = (F.col("x_idx") + 1 + (h % (n_vocab - 1))) % n_vocab
-            return (exi.select("c", draw.alias("idx"), "w")
+            # plain equi-join on idx — no forced broadcast: the vocab
+            # table is |V|-sized (6M+ rows on a graph-node
+            # vocabulary), and AQE already broadcasts it when it is
+            # actually small.  Collisions with the positive context
+            # are dropped post-join (word2vec's skip semantics); a
+            # 1-node vocabulary therefore trains positives-only.
+            return (ex.select("c", F.col("x").alias("_px"),
+                              (h % n_vocab).alias("idx"), "w")
                     .join(ranked, "idx")
+                    .filter(F.col("node") != F.col("_px"))
                     .select("c", F.col("node").alias("x"), "w",
                             F.lit(0.0).alias("label")))
-    elif negatives and n_vocab > 1:  # unigram75
+    else:  # unigram75
         freq = (ex.select(F.col("c").alias("node"), "w")
                 .unionByName(ex.select(F.col("x").alias("node"), "w"))
                 .groupBy("node").agg(F.sum("w").alias("freq")))
@@ -238,20 +244,15 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                 F.expr(f"lo DIV {width}"),
                 F.expr(f"(hi - 1) DIV {width}"))).alias("bkt"))
             .localCheckpoint(eager=False))
-        exi = (ex.join(cdf.select(F.col("node").alias("x"),
-                                  F.col("lo").alias("x_lo"),
-                                  F.col("wv").alias("x_wv")), "x")
-               .localCheckpoint(eager=False))
 
         def draw_negs(h):
-            u0 = h % (F.lit(w_total) - F.col("x_wv"))
-            u = u0 + F.when(u0 >= F.col("x_lo"),
-                            F.col("x_wv")).otherwise(F.lit(0))
-            return (exi.select("c", "w", u.alias("u"))
+            return (ex.select("c", F.col("x").alias("_px"),
+                              (h % w_total).alias("u"), "w")
                     .withColumn("bkt", F.expr(f"u DIV {width}"))
                     .join(buckets, "bkt")
                     .filter((F.col("u") >= F.col("lo"))
-                            & (F.col("u") < F.col("hi")))
+                            & (F.col("u") < F.col("hi"))
+                            & (F.col("node") != F.col("_px")))
                     .select("c", F.col("node").alias("x"), "w",
                             F.lit(0.0).alias("label")))
 
@@ -259,7 +260,7 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
         # one example row per positive + per negative slot
         pos = ex.select("c", "x", "w", F.lit(1.0).alias("label"))
         negs = []
-        for slot in range(negatives if n_vocab > 1 else 0):
+        for slot in range(negatives):
             h = _portable_hash60(
                 F.concat(F.col("c").cast("string"), F.lit("|"),
                          F.col("x").cast("string"),

@@ -106,35 +106,34 @@ emb0 AS (
     FROM vocab
 )"""]
     for e in range(epochs):
-        # negative draw is rotated around the CONTEXT's rank (uniform)
-        # or shifted past the context's cumulative interval
-        # (unigram75) so it can never equal the pair's positive
-        # context — mirrors graph/embeddings.py train_sgns exactly
-        # (r10 advice: collision trained the same (c,x) with label 1
-        # and 0 in one batch)
+        # a draw colliding with the pair's positive context is DROPPED
+        # (word2vec's `if (target == word) continue` semantics) —
+        # mirrors graph/embeddings.py train_sgns exactly (r10 advice:
+        # collision trained the same (c,x) with label 1 and 0 in one
+        # batch; r11: the drop formulation, unlike draw-shifting,
+        # needs no per-example context-rank join)
         if neg_distribution == "uniform":
             neg_sql = "".join(f"""
     UNION ALL
     SELECT p.c, r.node AS x, p.w, 0.0 AS label
-    FROM pairs p
-    JOIN ranked rx ON rx.node = p.x
-    JOIN ranked r
-      ON r.idx = (rx.idx + 1 + {h60.format(
+    FROM pairs p JOIN ranked r
+      ON r.idx = {h60.format(
           s=f"'{seed}' || p.c || '|' || p.x || '|{e}|{s}'")}
-               % ((SELECT n FROM nv) - 1)) % (SELECT n FROM nv)"""
+               % (SELECT n FROM nv)
+    WHERE r.node <> p.x"""
                               for s in range(negatives))
         else:
             neg_sql = "".join(f"""
     UNION ALL
-    SELECT d.c, r.node AS x, d.w, 0.0 AS label
-    FROM (SELECT p.c, p.w,
-                 u0 + CASE WHEN u0 >= cx.lo THEN cx.wv ELSE 0 END AS u
-          FROM pairs p
-          JOIN cdf cx ON cx.node = p.x,
-          LATERAL (SELECT {h60.format(
-              s=f"'{seed}' || p.c || '|' || p.x || '|{e}|{s}'")}
-                   % ((SELECT tw FROM wt) - cx.wv) AS u0)) d
-    JOIN cdf r ON d.u >= r.lo AND d.u < r.hi"""
+    SELECT p.c, r.node AS x, p.w, 0.0 AS label
+    FROM pairs p JOIN cdf r
+      ON {h60.format(
+          s=f"'{seed}' || p.c || '|' || p.x || '|{e}|{s}'")}
+               % (SELECT tw FROM wt) >= r.lo
+     AND {h60.format(
+          s=f"'{seed}' || p.c || '|' || p.x || '|{e}|{s}'")}
+               % (SELECT tw FROM wt) < r.hi
+    WHERE r.node <> p.x"""
                               for s in range(negatives))
         parts.append(f""",
 batch{e} AS (

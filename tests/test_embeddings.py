@@ -34,17 +34,17 @@ def np_sgns(pairs, dim, epochs, lr, negatives, seed="emb0"):
     negatives, same full-batch updates."""
     nodes = sorted({c for c, _, _ in pairs} | {x for _, x, _ in pairs})
     ranked = {i: n for i, n in enumerate(nodes)}  # row_number order
-    rank_of = {n: i for i, n in enumerate(nodes)}
     nv = len(nodes)
     emb = np_init(nodes, dim, seed)
     for epoch in range(epochs):
         batch = [(c, x, w, 1.0) for c, x, w in pairs]
-        for slot in range(negatives if nv > 1 else 0):
+        for slot in range(negatives):
             for c, x, w in pairs:
-                # rotated around the context's rank: never equals x
                 h = h60(f"{seed}{c}|{x}|{epoch}|{slot}")
-                idx = (rank_of[x] + 1 + h % (nv - 1)) % nv
-                batch.append((c, ranked[idx], w, 0.0))
+                n = ranked[h % nv]
+                if n == x:  # word2vec skip semantics
+                    continue
+                batch.append((c, n, w, 0.0))
         grads = {n: np.zeros(dim) for n in nodes}
         for c, x, w, label in batch:
             dot = max(-20.0, min(20.0, float(emb[c] @ emb[x])))
@@ -141,23 +141,31 @@ def test_negative_slot_count(spark, negatives):
         np.testing.assert_allclose(got[n], want[n], atol=1e-9)
 
 
-def test_negatives_never_equal_positive_context(spark):
-    """The hash draw is rotated around the context's rank (r10 advice:
-    a colliding negative trains the same (c, x) with label 1 AND 0 in
-    one batch).  Replay every draw over a small vocab where plain
-    h % nv collides often and assert no (c, x, epoch, slot) draw
-    equals x."""
+def test_colliding_negatives_are_dropped_not_label_flipped(spark):
+    """r10 advice: a negative equal to the positive context trains the
+    same (c, x) with label 1 AND 0 in one batch.  The fix (r11 form)
+    DROPS colliding draws — word2vec.c's `if (target == word)
+    continue` — so training must equal a replay whose colliding draws
+    simply vanish.  Verified on a tiny vocab where h % nv collides
+    often: the Spark run matches the skip-replay exactly, which it
+    could not if collisions were trained with label 0."""
     pairs = [(a, b, 1.0) for a in range(1, 5) for b in range(1, 5)
              if a != b]
     nodes = sorted({p[0] for p in pairs} | {p[1] for p in pairs})
-    rank_of = {n: i for i, n in enumerate(nodes)}
     nv = len(nodes)
-    for epoch in range(3):
-        for slot in range(4):
-            for c, x, _ in pairs:
-                h = h60(f"emb0{c}|{x}|{epoch}|{slot}")
-                idx = (rank_of[x] + 1 + h % (nv - 1)) % nv
-                assert nodes[idx] != x
+    collisions = sum(
+        1 for epoch in range(2) for slot in range(2)
+        for c, x, _ in pairs
+        if nodes[h60(f"emb0{c}|{x}|{epoch}|{slot}") % nv] == x)
+    assert collisions > 0  # the scenario actually exercises the drop
+    df = spark.createDataFrame(
+        pairs, "center bigint, context bigint, cnt double")
+    got = {r.node: np.array(r.emb)
+           for r in train_sgns(df, dim=3, epochs=2, lr=0.1,
+                               negatives=2).collect()}
+    want = np_sgns(pairs, dim=3, epochs=2, lr=0.1, negatives=2)
+    for n in want:
+        np.testing.assert_allclose(got[n], want[n], atol=1e-9)
 
 
 def test_empty_pair_table_raises(spark):
@@ -167,8 +175,9 @@ def test_empty_pair_table_raises(spark):
 
 
 def test_single_node_vocab_skips_negatives(spark):
-    """nv == 1 has no non-context node to draw: negatives are skipped
-    (positives-only) instead of dividing by zero or self-colliding."""
+    """nv == 1: every draw collides with the context and is dropped,
+    so training is positives-only — no division by zero, no label
+    conflict."""
     df = spark.createDataFrame([(7, 7, 2.0)],
                                "center bigint, context bigint, cnt double")
     got = {r.node: np.array(r.emb)
@@ -193,7 +202,7 @@ def test_rank_vocab_is_global_sort_rank(spark):
 def np_sgns_u75(pairs, dim, epochs, lr, negatives, seed="emb0"):
     """Exact replay of train_sgns(neg_distribution='unigram75'):
     integer inverse-CDF intervals over wv = max(floor((freq^3*1e4)
-    ^(1/4)), 1), draws shifted past the context's interval."""
+    ^(1/4)), 1); draws colliding with the context are dropped."""
     nodes = sorted({c for c, _, _ in pairs} | {x for _, x, _ in pairs})
     freq = {n: 0.0 for n in nodes}
     for c, x, w in pairs:
@@ -209,15 +218,14 @@ def np_sgns_u75(pairs, dim, epochs, lr, negatives, seed="emb0"):
     emb = np_init(nodes, dim, seed)
     for epoch in range(epochs):
         batch = [(c, x, w, 1.0) for c, x, w in pairs]
-        for slot in range(negatives if len(nodes) > 1 else 0):
+        for slot in range(negatives):
             for c, x, w in pairs:
                 h = h60(f"{seed}{c}|{x}|{epoch}|{slot}")
-                u = h % (total - wv[x])
-                if u >= lo[x]:
-                    u += wv[x]
+                u = h % total
                 n = next(nn for nn in nodes
                          if lo[nn] <= u < lo[nn] + wv[nn])
-                assert n != x
+                if n == x:  # word2vec skip semantics
+                    continue
                 batch.append((c, n, w, 0.0))
         grads = {n: np.zeros(dim) for n in nodes}
         for c, x, w, label in batch:
@@ -243,9 +251,10 @@ def test_sgns_unigram75_matches_numpy_replay(spark):
 
 def test_unigram75_draws_follow_the_weights():
     """The inverse-CDF mapping itself: over many (c, x, epoch, slot)
-    draws, each node's draw share must approach wv/W (and the context
-    is never drawn).  Replayed in pure Python — the mapping is the
-    contract the engine and oracle both implement."""
+    draws, each surviving node's draw share must approach wv/W
+    (draws hitting the context are dropped).  Replayed in pure
+    Python — the mapping is the contract the engine and oracle both
+    implement."""
     freq = {1: 1000.0, 2: 100.0, 3: 10.0, 4: 1.0}
     nodes = sorted(freq)
     wv = {n: max(int(math.floor(math.sqrt(math.sqrt(
@@ -256,19 +265,19 @@ def test_unigram75_draws_follow_the_weights():
         acc += wv[n]
     total = acc
     counts = {n: 0 for n in nodes}
-    x = 4  # fixed context: its interval is excised
+    kept = 0
+    x = 4  # fixed context: draws landing on it are dropped
     for i in range(20000):
         h = h60(f"emb0{i}|{x}|0|0")
-        u = h % (total - wv[x])
-        if u >= lo[x]:
-            u += wv[x]
+        u = h % total
         n = next(nn for nn in nodes if lo[nn] <= u < lo[nn] + wv[nn])
-        assert n != x
+        if n == x:
+            continue
         counts[n] += 1
-    denom = total - wv[x]
+        kept += 1
     for n in (1, 2, 3):
-        share = counts[n] / 20000
-        expect = wv[n] / denom
+        share = counts[n] / kept
+        expect = wv[n] / (total - wv[x])
         assert abs(share - expect) < 0.02, (n, share, expect)
 
 
