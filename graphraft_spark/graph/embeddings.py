@@ -318,7 +318,8 @@ def node2vec_embeddings(edges: DataFrame, dim: int = 16,
                         epochs: int = 3, lr: float = 0.05,
                         negatives: int = 2, seed: str = "emb0",
                         src_col: str = "src",
-                        dst_col: str = "dst") -> DataFrame:
+                        dst_col: str = "dst",
+                        neg_distribution: str = "uniform") -> DataFrame:
     """DeepWalk end-to-end: one deterministic walk per node →
     skip-gram pairs → SGNS → (node, emb).  Nodes with no out-edges
     still embed (they appear as contexts or get init-only vectors)."""
@@ -332,4 +333,5 @@ def node2vec_embeddings(edges: DataFrame, dim: int = 16,
                          seed=seed, src_col=src_col, dst_col=dst_col)
     pairs = skipgram_pairs(walks, window=window)
     return train_sgns(pairs, dim=dim, epochs=epochs, lr=lr,
-                      negatives=negatives, seed=seed)
+                      negatives=negatives, seed=seed,
+                      neg_distribution=neg_distribution)
