@@ -155,7 +155,9 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                seed: str = "emb0",
                center_col: str = "center", context_col: str = "context",
                weight_col: str = "cnt",
-               neg_distribution: str = "uniform") -> DataFrame:
+               neg_distribution: str = "uniform",
+               lr_decay: bool = False,
+               subsample_t: float | None = None) -> DataFrame:
     """Train SGNS embeddings over a (center, context, cnt) pair table
     (e.g. :func:`~graphraft_spark.graph.sampling.skipgram_pairs`) →
     (node, emb ARRAY<DOUBLE>).
@@ -184,7 +186,21 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
     context's rank/interval onto every example row: the r11 ×10 soak
     measured that join + its checkpoint at 1.9× the whole trainer's
     wall (280.9 s vs 147.3 s) — the filter costs nothing and is the
-    reference behavior anyway."""
+    reference behavior anyway.
+
+    ``lr_decay``: word2vec's linear learning-rate schedule, full-batch
+    analog — epoch e trains at lr·max(1 − e/epochs, 1e-4) (word2vec.c
+    floors alpha at starting_alpha·1e-4).
+
+    ``subsample_t``: frequent-word subsampling (Mikolov et al. 2013
+    §2.3), deterministic expected-weight form: instead of randomly
+    discarding occurrences with P(discard) = 1 − sqrt(t/f(w)), each
+    pair's weight is scaled by p_keep(c)·p_keep(x) where p_keep =
+    min(1, sqrt(t·total/freq)) — the exact expectation of the
+    reference's Bernoulli thinning, with no RNG.  Corpus statistics
+    (vocab, noise freq) are computed on RAW weights first, as in
+    word2vec.  Costs two extra node-keyed joins over the pair table,
+    ONCE, before the epoch loop."""
     if neg_distribution not in ("uniform", "unigram75"):
         raise ValueError(f"unknown neg_distribution {neg_distribution!r}")
     ex = pairs.select(F.col(center_col).alias("c"),
@@ -206,6 +222,29 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
     emb = init_embeddings(vocab, dim, seed=seed) \
         .localCheckpoint(eager=False)
 
+    # corpus frequency per node (RAW weights, both roles) — feeds the
+    # unigram75 noise table and/or the subsampling keep-probabilities
+    freq = None
+    if neg_distribution == "unigram75" or subsample_t is not None:
+        freq = (ex.select(F.col("c").alias("node"), "w")
+                .unionByName(ex.select(F.col("x").alias("node"), "w"))
+                .groupBy("node").agg(F.sum("w").alias("freq"))
+                .localCheckpoint(eager=False))
+    if subsample_t is not None:
+        total = freq.agg(F.sum("freq")).first()[0]  # driver scalar
+        pk = F.least(F.lit(1.0),
+                     F.sqrt(F.lit(subsample_t) * F.lit(total)
+                            / F.col("freq")))
+        keep = freq.select("node", pk.alias("pk"))
+        ex = (ex.join(keep.select(F.col("node").alias("c"),
+                                  F.col("pk").alias("_pkc")), "c")
+              .join(keep.select(F.col("node").alias("x"),
+                                F.col("pk").alias("_pkx")), "x")
+              .select("c", "x",
+                      (F.col("w") * F.col("_pkc") * F.col("_pkx"))
+                      .alias("w"))
+              .localCheckpoint(eager=False))
+
     if neg_distribution == "uniform":
         def draw_negs(h):
             # plain equi-join on idx — no forced broadcast: the vocab
@@ -221,9 +260,6 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                     .select("c", F.col("node").alias("x"), "w",
                             F.lit(0.0).alias("label")))
     else:  # unigram75
-        freq = (ex.select(F.col("c").alias("node"), "w")
-                .unionByName(ex.select(F.col("x").alias("node"), "w"))
-                .groupBy("node").agg(F.sum("w").alias("freq")))
         # (freq³·10⁴)^{1/4} via two correctly-rounded sqrts — IEEE
         # bitwise-portable where pow() is not; floor+max(1) keeps every
         # node drawable with an exact integer weight
@@ -257,6 +293,7 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                             F.lit(0.0).alias("label")))
 
     for epoch in range(epochs):
+        alpha = lr * max(1.0 - epoch / epochs, 1e-4) if lr_decay else lr
         # one example row per positive + per negative slot
         pos = ex.select("c", "x", "w", F.lit(1.0).alias("label"))
         negs = []
@@ -278,7 +315,7 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                   .withColumn(
                       "g",
                       (_sigmoid(_dot(F.col("c_emb"), F.col("x_emb")))
-                       - F.col("label")) * F.col("w") * F.lit(lr)))
+                       - F.col("label")) * F.col("w") * F.lit(alpha)))
         # gradient contributions: d/dc = g·x_emb, d/dx = g·c_emb
         contrib = (
             scored.select(F.col("c").alias("node"),

@@ -47,7 +47,9 @@ _GOPHER_KEEP_SQL = f"""
 def sgns_replay_sql(pairs_cte: str, dim: int = 4, epochs: int = 2,
                     lr: float = 0.05, negatives: int = 2,
                     seed: str = "emb0",
-                    neg_distribution: str = "uniform") -> str:
+                    neg_distribution: str = "uniform",
+                    lr_decay: bool = False,
+                    subsample_t: float | None = None) -> str:
     """Unrolled-SQL replay of the full-batch SGNS trainer
     (graph/embeddings.py train_sgns) over an arbitrary pair table.
     ``pairs_cte`` is the body of a CTE producing (c, x, w DOUBLE) —
@@ -66,13 +68,17 @@ def sgns_replay_sql(pairs_cte: str, dim: int = 4, epochs: int = 2,
         "((" + h60.format(
             s=f"'{seed}' || node || '#' || j::VARCHAR")
         + f" % 2001 - 1000) / 1000.0) * {scale}")
-    wcdf = """,
+    # corpus node frequencies on RAW weights — needed by the unigram75
+    # noise table and/or the subsampling keep-probabilities
+    freqs_sql = """,
 freqs AS (
     SELECT node, SUM(w) AS freq FROM (
         SELECT c AS node, w FROM pairs
         UNION ALL SELECT x AS node, w FROM pairs
     ) GROUP BY node
-),
+)""" if (neg_distribution == "unigram75"
+         or subsample_t is not None) else ""
+    cdf_sql = """,
 cdf AS (
     -- unigram^0.75 noise weights, all-integer intervals: two
     -- correctly-rounded sqrts (never libm pow), floor, min 1 —
@@ -89,6 +95,24 @@ cdf AS (
 ),
 wt AS (SELECT SUM(wv) AS tw FROM cdf)""" \
         if neg_distribution == "unigram75" else ""
+    # expected-weight frequent-word subsampling (deterministic form of
+    # word2vec's Bernoulli thinning): training pairs scale by
+    # p_keep(c)·p_keep(x), p_keep = min(1, sqrt(t·total/freq)) —
+    # corpus stats above stay RAW, as in word2vec
+    sub_sql = f""",
+tot AS (SELECT SUM(freq) AS t FROM freqs),
+spairs AS (
+    SELECT p.c, p.x,
+           p.w * LEAST(1.0, SQRT({subsample_t!r} * (SELECT t FROM tot)
+                                 / kc.freq))
+               * LEAST(1.0, SQRT({subsample_t!r} * (SELECT t FROM tot)
+                                 / kx.freq)) AS w
+    FROM pairs p
+    JOIN freqs kc ON kc.node = p.c
+    JOIN freqs kx ON kx.node = p.x
+)""" if subsample_t is not None else ""
+    wcdf = freqs_sql + cdf_sql + sub_sql
+    tp = "spairs" if subsample_t is not None else "pairs"
     parts = [f"""WITH pairs AS (
 {pairs_cte}
 ),
@@ -106,6 +130,9 @@ emb0 AS (
     FROM vocab
 )"""]
     for e in range(epochs):
+        # word2vec's linear alpha schedule, full-batch analog — same
+        # Python arithmetic as train_sgns, so the literals match
+        alpha = lr * max(1.0 - e / epochs, 1e-4) if lr_decay else lr
         # a draw colliding with the pair's positive context is DROPPED
         # (word2vec's `if (target == word) continue` semantics) —
         # mirrors graph/embeddings.py train_sgns exactly (r10 advice:
@@ -116,7 +143,7 @@ emb0 AS (
             neg_sql = "".join(f"""
     UNION ALL
     SELECT p.c, r.node AS x, p.w, 0.0 AS label
-    FROM pairs p JOIN ranked r
+    FROM {tp} p JOIN ranked r
       ON r.idx = {h60.format(
           s=f"'{seed}' || p.c || '|' || p.x || '|{e}|{s}'")}
                % (SELECT n FROM nv)
@@ -126,7 +153,7 @@ emb0 AS (
             neg_sql = "".join(f"""
     UNION ALL
     SELECT p.c, r.node AS x, p.w, 0.0 AS label
-    FROM pairs p JOIN cdf r
+    FROM {tp} p JOIN cdf r
       ON {h60.format(
           s=f"'{seed}' || p.c || '|' || p.x || '|{e}|{s}'")}
                % (SELECT tw FROM wt) >= r.lo
@@ -137,13 +164,13 @@ emb0 AS (
                               for s in range(negatives))
         parts.append(f""",
 batch{e} AS (
-    SELECT c, x, w, 1.0 AS label FROM pairs{neg_sql}
+    SELECT c, x, w, 1.0 AS label FROM {tp}{neg_sql}
 ),
 scored{e} AS (
     SELECT b.c, b.x, ec.emb AS cemb, ex.emb AS xemb,
            ((1.0 / (1.0 + exp(-GREATEST(-20.0, LEAST(20.0,
                 list_dot_product(ec.emb, ex.emb))))) - b.label)
-            * b.w) * {lr!r} AS g
+            * b.w) * {alpha!r} AS g
     FROM batch{e} b
     JOIN emb{e} ec ON ec.node = b.c
     JOIN emb{e} ex ON ex.node = b.x

@@ -1318,3 +1318,31 @@ def t_word_embeddings_u75(spark, sf_dir):
             .select("node", F.col("pos").cast("int").alias("pos"),
                     F.round("val", 6).alias("val")))
 
+
+@register("t_word_embeddings_w2v", extra=True,
+          oracle=_sgns_replay_sql(_WORD_PAIRS_CTE, 4, 2, 0.05, 2,
+                                  neg_distribution="unigram75",
+                                  lr_decay=True, subsample_t=1e-3))
+def t_word_embeddings_w2v(spark, sf_dir):
+    """The COMPLETE word2vec training recipe in one run: unigram^0.75
+    noise distribution + linear learning-rate decay + frequent-word
+    subsampling (deterministic expected-weight form of the Bernoulli
+    thinning, t=1e-3) — every knob of Mikolov et al. 2013 §2.2-2.3
+    the full-batch trainer expresses, each mirrored into the same
+    unrolled-SQL replay, so the full composition is hash-matched like
+    the single-knob twins."""
+    from graphraft_spark.graph.embeddings import train_sgns
+    from graphraft_spark.ops.word_lm import _transitions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = (_transitions(docs, "text", "doc_id")
+             .groupBy(F.col("prev").alias("center"),
+                      F.col("cur").alias("context"))
+             .agg(F.count("*").alias("cnt")))
+    emb = train_sgns(pairs, dim=4, epochs=2, lr=0.05, negatives=2,
+                     neg_distribution="unigram75",
+                     lr_decay=True, subsample_t=1e-3)
+    return (emb.select("node", F.posexplode("emb").alias("pos", "val"))
+            .select("node", F.col("pos").cast("int").alias("pos"),
+                    F.round("val", 6).alias("val")))
+

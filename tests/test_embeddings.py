@@ -285,3 +285,99 @@ def test_unknown_neg_distribution_raises(spark):
     df = spark.createDataFrame(PAIRS, "center bigint, context bigint, cnt double")
     with pytest.raises(ValueError, match="neg_distribution"):
         train_sgns(df, dim=2, epochs=1, neg_distribution="zipf")
+
+
+def np_sgns_w2v(pairs, dim, epochs, lr, negatives, t, seed="emb0"):
+    """Exact replay of the full word2vec recipe: unigram^0.75
+    negatives + linear lr decay + expected-weight subsampling."""
+    nodes = sorted({c for c, _, _ in pairs} | {x for _, x, _ in pairs})
+    rawfreq = {n: 0.0 for n in nodes}
+    for c, x, w in pairs:
+        rawfreq[c] += w
+        rawfreq[x] += w
+    total = sum(rawfreq.values())
+    pk = {n: min(1.0, math.sqrt(t * total / rawfreq[n])) for n in nodes}
+    spairs = [(c, x, w * pk[c] * pk[x]) for c, x, w in pairs]
+    wv = {n: max(int(math.floor(math.sqrt(math.sqrt(
+        rawfreq[n] ** 3 * 1e4)))), 1) for n in nodes}
+    lo, acc = {}, 0
+    for n in nodes:
+        lo[n] = acc
+        acc += wv[n]
+    W = acc
+    emb = np_init(nodes, dim, seed)
+    for epoch in range(epochs):
+        alpha = lr * max(1.0 - epoch / epochs, 1e-4)
+        batch = [(c, x, w, 1.0) for c, x, w in spairs]
+        for slot in range(negatives):
+            for c, x, w in spairs:
+                h = h60(f"{seed}{c}|{x}|{epoch}|{slot}")
+                u = h % W
+                n = next(nn for nn in nodes
+                         if lo[nn] <= u < lo[nn] + wv[nn])
+                if n == x:
+                    continue
+                batch.append((c, n, w, 0.0))
+        grads = {n: np.zeros(dim) for n in nodes}
+        for c, x, w, label in batch:
+            dot = max(-20.0, min(20.0, float(emb[c] @ emb[x])))
+            g = (1.0 / (1.0 + math.exp(-dot)) - label) * w * alpha
+            grads[c] = grads[c] + g * emb[x]
+            grads[x] = grads[x] + g * emb[c]
+        for n in nodes:
+            emb[n] = emb[n] - grads[n]
+    return emb
+
+
+def test_sgns_full_w2v_recipe_matches_numpy_replay(spark):
+    """unigram75 + lr_decay + subsample_t composed (the
+    t_word_embeddings_w2v configuration) against the exact numpy
+    replay.  t is chosen so that subsampling actually bites (the
+    most frequent node's p_keep < 1) — asserted, not assumed."""
+    df = spark.createDataFrame(PAIRS, "center bigint, context bigint, cnt double")
+    t = 0.1
+    rawfreq = {}
+    for c, x, w in PAIRS:
+        rawfreq[c] = rawfreq.get(c, 0.0) + w
+        rawfreq[x] = rawfreq.get(x, 0.0) + w
+    total = sum(rawfreq.values())
+    assert min(math.sqrt(t * total / f) for f in rawfreq.values()) < 1.0
+    got = {r.node: np.array(r.emb)
+           for r in train_sgns(df, dim=4, epochs=3, lr=0.1, negatives=2,
+                               neg_distribution="unigram75",
+                               lr_decay=True, subsample_t=t).collect()}
+    want = np_sgns_w2v(PAIRS, dim=4, epochs=3, lr=0.1, negatives=2, t=t)
+    for n in want:
+        np.testing.assert_allclose(got[n], want[n], atol=1e-9)
+
+
+def test_lr_decay_uniform_matches_numpy_replay(spark):
+    """lr_decay alone on the uniform path: epoch e trains at
+    lr*max(1-e/epochs, 1e-4)."""
+    df = spark.createDataFrame(PAIRS, "center bigint, context bigint, cnt double")
+    got = {r.node: np.array(r.emb)
+           for r in train_sgns(df, dim=3, epochs=4, lr=0.1, negatives=1,
+                               lr_decay=True).collect()}
+    # replay with per-epoch alpha
+    nodes = sorted({c for c, _, _ in PAIRS} | {x for _, x, _ in PAIRS})
+    ranked = {i: n for i, n in enumerate(nodes)}
+    nv = len(nodes)
+    emb = np_init(nodes, 3)
+    for epoch in range(4):
+        alpha = 0.1 * max(1.0 - epoch / 4, 1e-4)
+        batch = [(c, x, w, 1.0) for c, x, w in PAIRS]
+        for c, x, w in PAIRS:
+            h = h60(f"emb0{c}|{x}|{epoch}|0")
+            n = ranked[h % nv]
+            if n != x:
+                batch.append((c, n, w, 0.0))
+        grads = {n: np.zeros(3) for n in nodes}
+        for c, x, w, label in batch:
+            dot = max(-20.0, min(20.0, float(emb[c] @ emb[x])))
+            g = (1.0 / (1.0 + math.exp(-dot)) - label) * w * alpha
+            grads[c] = grads[c] + g * emb[x]
+            grads[x] = grads[x] + g * emb[c]
+        for n in nodes:
+            emb[n] = emb[n] - grads[n]
+    for n in emb:
+        np.testing.assert_allclose(got[n], emb[n], atol=1e-9)
