@@ -303,6 +303,13 @@ def main() -> None:
         timed("sgns_train", n,
               lambda p=prs: _noop(train_sgns(p, dim=8, epochs=2,
                                              negatives=2)))
+        # unigram75 adds the noise-CDF build + a bucket-table equi-join
+        # per negative slot — the ×N delta vs the uniform line above
+        # isolates that shape (r11)
+        timed("sgns_train_u75", n,
+              lambda p=prs: _noop(train_sgns(
+                  p, dim=8, epochs=2, negatives=2,
+                  neg_distribution="unigram75")))
 
     # HITS on the graph ×N (r9: the new bench line's scale axis) —
     # per-iteration work is two join+aggregates over the edge list, so
