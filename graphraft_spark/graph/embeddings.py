@@ -212,8 +212,11 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
     vocab = (ex.select(F.col("c").alias("node"))
              .unionByName(ex.select(F.col("x").alias("node")))
              .distinct().localCheckpoint(eager=False))
-    ranked = _rank_vocab(vocab).localCheckpoint(eager=False)
-    n_vocab = ranked.count()
+    n_vocab = vocab.count()
+    # the rank table only feeds the UNIFORM draw's idx join; the
+    # unigram75 path resolves draws through its own CDF bucket table
+    ranked = (_rank_vocab(vocab).localCheckpoint(eager=False)
+              if neg_distribution == "uniform" else None)
     if n_vocab == 0:
         raise ValueError(
             "train_sgns: empty pair table — no vocabulary to train "
