@@ -1234,3 +1234,72 @@ def keep_best_in_components(items: DataFrame, pairs: DataFrame,
     w = Window.partitionBy("comp").orderBy(F.desc(score_col),
                                            F.asc(id_col))
     return out.withColumn("is_kept", F.row_number().over(w) == 1)
+
+
+def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           emb_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           threshold: float = 0.9,
+                           method: str = "exact",
+                           dim: int | None = None,
+                           bits: int = 12, seed: int = 7,
+                           multiprobe: bool = True) -> DataFrame:
+    """Cross-set semantic decontamination: flag every CORPUS row whose
+    embedding-cosine to ANY BENCHMARK row reaches ``threshold`` — the
+    embedding-space counterpart of the n-gram/Bloom benchmark
+    decontamination (ops/text_analysis.py decontaminate), catching
+    paraphrased/reformatted test leakage that token overlap misses
+    (cf. the within-set :func:`semantic_dedup`, which clusters a single
+    corpus; here the sets are distinct so no component step exists —
+    one max-similarity per corpus row decides).
+
+    Inputs are expected unit-norm (cosine = dot), as everywhere in the
+    ANN stack.  Returns (id, max_cos, contaminated); anti-join the
+    corpus on ``contaminated`` to scrub.
+
+    ``method="exact"``: corpus × broadcast(benchmark) dot + per-corpus
+    max.  Benchmarks are SMALL by nature (a test set, not a crawl), so
+    the broadcast cross-score is the honest 100 TB plan: the product
+    never materializes — map-side partial MAX reduces it to |corpus|
+    rows before any exchange.  ``method="srp"``: SRP-bucket both sides
+    (Hamming-1 multiprobe) and verify exact cosine only within probed
+    buckets — the scale path when the benchmark is itself large;
+    candidates are a recall<1 subset, so flags are a SUBSET of exact's
+    (precision stays exact — every flag is verified), and corpus ids
+    with NO probed candidate are absent from the output (absent =
+    clean)."""
+    from graphraft_spark.search.vector import dot_col
+
+    c = corpus.select(F.col(id_col).alias("id"),
+                      F.col(emb_col).alias("ce"))
+    b = benchmark.select(F.col(id_col).alias("bid"),
+                         F.col(emb_col).alias("be"))
+    if method == "exact":
+        scored = (c.join(F.broadcast(b))
+                  .withColumn("cos", dot_col(F.col("ce"), F.col("be"))))
+    elif method == "srp":
+        if dim is None:
+            raise ValueError("method='srp' needs dim")
+        from graphraft_spark.ops.similarity import (
+            srp_hyperplanes,
+            srp_signature,
+        )
+
+        planes = srp_hyperplanes(dim, bits, seed)
+        bs = b.withColumn("bk", srp_signature(F.col("be"), planes))
+        cs = c.withColumn("bk", srp_signature(F.col("ce"), planes))
+        probe = (F.array(F.col("bk"),
+                         *[F.expr(f"bk ^ {1 << i}") for i in range(bits)])
+                 if multiprobe else F.array(F.col("bk")))
+        cp = (cs.select("id", "ce", F.explode(probe).alias("bk"))
+              .withColumn("bk", F.col("bk").cast("bigint")))
+        scored = (cp.join(bs.withColumn("bk", F.col("bk").cast("bigint")),
+                          "bk")
+                  .withColumn("cos", dot_col(F.col("ce"), F.col("be"))))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (scored.groupBy("id")
+            .agg(F.max("cos").alias("max_cos"))
+            .select("id", "max_cos",
+                    (F.col("max_cos") >= F.lit(threshold))
+                    .alias("contaminated")))

@@ -1036,3 +1036,65 @@ def d_keep_best_quality(spark, sf_dir):
         .alias("n_words"))
     return keep_best_in_components(items, pairs, "n_words",
                                    id_col="doc_id")
+
+
+@register(
+    "d_semantic_decontaminate", extra=True,
+    oracle="""
+WITH base AS (
+    SELECT CAST(vec_id AS BIGINT) AS id,
+           CAST(embedding AS DOUBLE[]) AS e0
+    FROM embeddings
+),
+normed AS (
+    SELECT id, list_transform(
+        e0, x -> x / sqrt(list_dot_product(e0, e0))) AS e
+    FROM base
+),
+bench AS (SELECT id, e FROM normed WHERE id % 11 = 3),
+corp  AS (
+    SELECT id, e FROM normed WHERE id % 11 <> 3
+    UNION ALL
+    SELECT id + 1000000, e FROM bench
+),
+scored AS (
+    SELECT c.id, MAX(list_dot_product(c.e, b.e)) AS max_cos
+    FROM corp c CROSS JOIN bench b
+    GROUP BY c.id
+)
+SELECT id, ROUND(max_cos, 6) AS max_cos,
+       max_cos >= 0.9 AS contaminated
+FROM scored
+""")
+def d_semantic_decontaminate(spark, sf_dir):
+    """Cross-set SEMANTIC decontamination (ops/dedup.py
+    semantic_decontaminate, exact path): every ~11th embedding plays
+    the held-out benchmark; each remaining corpus vector is flagged
+    when its max cosine against the whole benchmark reaches 0.9 —
+    catching paraphrase-level test leakage the n-gram/Bloom
+    decontaminators (t_decontaminate, t_bloom_decontaminate) cannot
+    see.  The benchmark side broadcasts (test sets are small by
+    nature); the corpus×bench product never materializes — map-side
+    partial MAX reduces it to |corpus| rows before the exchange.  A
+    copy of every benchmark vector (id+1,000,000) is UNIONED into the
+    corpus as a planted leak — the natural cross-set cosines top out
+    ≈0.47 on the synthetic clusters, so without the plants a 0.9
+    threshold would flag nothing and prove nothing (the same
+    copy-injection recipe as d_semantic_dedup); both outcomes are
+    asserted in tests/test_semantic_decontaminate.py.  Unit-norm
+    inputs; the dot/normalization arithmetic is the same left-to-right
+    sequence on both engines, so the threshold flag cannot straddle."""
+    from graphraft_spark.ops.dedup import semantic_decontaminate
+    from graphraft_spark.search.vector import l2_normalize_col
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        l2_normalize_col(F.col("embedding")).alias("embedding"))
+    bench = emb.filter(F.col("vec_id") % 11 == 3)
+    corp = (emb.filter(F.col("vec_id") % 11 != 3)
+            .unionByName(bench.select(
+                (F.col("vec_id") + 1000000).alias("vec_id"),
+                "embedding")))
+    out = semantic_decontaminate(corp, bench, threshold=0.9)
+    return out.select("id", F.round("max_cos", 6).alias("max_cos"),
+                      "contaminated")

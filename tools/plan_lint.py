@@ -47,6 +47,9 @@ BNLJ_OK = {
     # expands against the corpus — the cross-score plan shape
     "ann_ivf_assign", "ann_mmr_rerank", "s_knn_per_group",
     "d_semantic_dedup",
+    # broadcast BENCHMARK side cross-scores the corpus (test sets are
+    # small by nature; map-side partial MAX collapses the product)
+    "d_semantic_decontaminate",
     # broadcast entity-segment side substring-scans the names (the
     # PassJoin pigeonhole candidate filter — same shape as KNN)
     "s_fuzzy_entity_match",
