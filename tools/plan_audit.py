@@ -70,6 +70,10 @@ ALLOWED: dict[str, int] = {
     "r_token_budget_exact": 9, "e_entity_resolution": 5,
     # OLAP shapes where the second reference IS the semantics
     # (set ops, nation pairs both directions, semi+main).
+    # benchmark slice re-scanned as the planted-leak union AND the
+    # broadcast scoring side — embeddings is a fixed 500-row table at
+    # every sf, so the re-scan is cheaper than any materialization
+    "d_semantic_decontaminate": 2,
     "q_dormant_rich_customers": 1, "q_large_volume_customers": 1,
     "q_market_share": 1, "q_nation_pair_volume": 1,
     "q_setops_customers": 3, "q_small_qty_revenue": 1,
