@@ -216,7 +216,7 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
     # the rank table only feeds the UNIFORM draw's idx join; the
     # unigram75 path resolves draws through its own CDF bucket table
     ranked = (_rank_vocab(vocab).localCheckpoint(eager=False)
-              if neg_distribution == "uniform" else None)
+              if neg_distribution == "uniform" and negatives else None)
     if n_vocab == 0:
         raise ValueError(
             "train_sgns: empty pair table — no vocabulary to train "
@@ -228,7 +228,8 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
     # corpus frequency per node (RAW weights, both roles) — feeds the
     # unigram75 noise table and/or the subsampling keep-probabilities
     freq = None
-    if neg_distribution == "unigram75" or subsample_t is not None:
+    if ((neg_distribution == "unigram75" and negatives)
+            or subsample_t is not None):
         freq = (ex.select(F.col("c").alias("node"), "w")
                 .unionByName(ex.select(F.col("x").alias("node"), "w"))
                 .groupBy("node").agg(F.sum("w").alias("freq"))
@@ -248,7 +249,10 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                       .alias("w"))
               .localCheckpoint(eager=False))
 
-    if neg_distribution == "uniform":
+    draw_negs = None
+    if not negatives:
+        pass  # positives-only training: no draw machinery at all
+    elif neg_distribution == "uniform":
         def draw_negs(h):
             # plain equi-join on idx — no forced broadcast: the vocab
             # table is |V|-sized (6M+ rows on a graph-node
