@@ -182,3 +182,30 @@ def png_grid_feature(payload: bytes, grid: int = 2) -> list[float]:
             counts[cell] += 1
     # images smaller than the grid leave trailing cells empty
     return [s / c / 255.0 if c else 0.0 for s, c in zip(sums, counts)]
+
+
+def png_resize_nearest(payload: bytes, out_w: int = 4,
+                       out_h: int = 4) -> list[float]:
+    """REAL decode-based resize: decode the PNG and nearest-neighbor
+    resample to ``out_w × out_h`` (standard top-left convention:
+    src = floor(dst · in/out), integer arithmetic — exact and
+    engine-portable).  Returns the resampled luminance row-major,
+    normalized to [0, 1] — the same ``bytes -> list[float]`` decode_fn
+    contract as :func:`png_grid_feature`, so it plugs straight into
+    ops/multimodal.py extract_features.  This is the thumbnail /
+    low-res-tower preprocessing step of a multimodal training
+    pipeline, done by the engine's own codec instead of a stubbed
+    PIL."""
+    width, height, ch, px = png_decode(payload)
+    out = []
+    for dy in range(out_h):
+        sy = dy * height // out_h
+        row = sy * width * ch
+        for dx in range(out_w):
+            sx = dx * width // out_w
+            v = px[row + sx * ch]
+            if ch >= 3:  # same integer luma as png_grid_feature
+                v = (299 * px[row + sx * ch] + 587 * px[row + sx * ch + 1]
+                     + 114 * px[row + sx * ch + 2]) // 1000
+            out.append(v / 255.0)
+    return out

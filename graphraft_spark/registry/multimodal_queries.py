@@ -254,3 +254,52 @@ def mm_avi_frames(spark, sf_dir):
 
     return d.select("doc_id").mapInPandas(
         run, schema="media_id bigint, frame_idx bigint, psum bigint")
+
+
+@register(
+    "mm_png_resize", extra=True,
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(ty.range * 4 + tx.range AS INT) AS pos,
+       CAST((doc_id * 31 + (tx.range * 4) + 7 * (ty.range * 4)) % 256
+            AS BIGINT) AS val
+FROM documents d, range(4) tx, range(4) ty
+""")
+def mm_png_resize(spark, sf_dir):
+    """REAL image RESIZE in-pipeline, oracle-checked on CONTENT: the
+    same synthetic 16x16 PNGs as mm_png_feature (pixel(x,y) =
+    (doc_id*31 + x + 7y) % 256, all five scanline filters), decoded
+    and nearest-neighbor resampled to 4x4 by the pure-stdlib codec
+    (ops/png.py png_resize_nearest, src = floor(dst*in/out)) inside
+    Arrow-batched mapInPandas — the thumbnail/low-res-tower
+    preprocessing step of a multimodal pipeline.  The oracle computes
+    the same sampled pixels from the closed form (16/4 = exact stride
+    4), so any wrong byte in encode -> decode -> resample fails the
+    value hash."""
+    from graphraft_spark.ops.png import png_encode, png_resize_nearest
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                px = bytes((int(doc_id) * 31 + x + 7 * y) % 256
+                           for y in range(16) for x in range(16))
+                payloads.append(png_encode(16, 16, px, color_type=0,
+                                           filters=[0, 1, 2, 3, 4]))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.select("doc_id").mapInPandas(
+        encode, schema="media_id bigint, payload binary")
+    feats = extract_features(
+        media.select("media_id", F.lit("image").alias("kind"), "payload"),
+        decode_fn=lambda p: png_resize_nearest(p, 4, 4))
+    return (feats.select("media_id",
+                         F.posexplode("feature").alias("pos", "v"))
+            .select("media_id", F.col("pos").cast("int").alias("pos"),
+                    F.round(F.col("v") * 255, 0).cast("bigint")
+                    .alias("val")))

@@ -138,3 +138,36 @@ try:
         assert png_decode(blob) == (w, h, _CHANNELS[ctype], px)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_resize_nearest_greyscale_non_divisible():
+    """src = floor(dst*in/out) nearest-neighbor, including a ratio that
+    does not divide evenly (5 -> 2 samples indices 0 and 2)."""
+    from graphraft_spark.ops.png import png_encode, png_resize_nearest
+
+    px = bytes((x + 10 * y) % 256 for y in range(5) for x in range(5))
+    p = png_encode(5, 5, px, color_type=0, filters=[0, 1, 2, 3, 4])
+    got = png_resize_nearest(p, 2, 2)
+    want = [v / 255.0 for v in (0, 2, 20, 22)]
+    assert got == want
+
+
+def test_resize_nearest_rgb_uses_same_luma_as_grid_feature():
+    from graphraft_spark.ops.png import png_encode, png_resize_nearest
+
+    # 2x2 RGB: distinct channels per pixel; resize to 1x1 samples (0,0)
+    px = bytes([10, 200, 30,  0, 0, 0,
+                0, 0, 0,     0, 0, 0])
+    p = png_encode(2, 2, px, color_type=2)
+    got = png_resize_nearest(p, 1, 1)
+    want = [((299 * 10 + 587 * 200 + 114 * 30) // 1000) / 255.0]
+    assert got == want
+
+
+def test_resize_identity_roundtrips_pixels():
+    from graphraft_spark.ops.png import png_encode, png_resize_nearest
+
+    px = bytes((3 * i) % 256 for i in range(16))
+    p = png_encode(4, 4, px, color_type=0)
+    got = png_resize_nearest(p, 4, 4)
+    assert got == [v / 255.0 for v in px]
