@@ -97,3 +97,22 @@ def wav_window_energy(payload: bytes, n_windows: int = 4) -> list[float]:
         counts[w] += 1
     return [s / c / (32768.0 * 32768.0) if c else 0.0
             for s, c in zip(sums, counts)]
+
+
+def wav_resample_nearest(payload: bytes, out_n: int = 16) -> list[float]:
+    """REAL decode-based resample: decode the WAV and nearest-neighbor
+    decimate the (first-channel) sample stream to ``out_n`` frames
+    (src = floor(dst · n/out_n), integer arithmetic — the same
+    top-left convention as the image resize in ops/png.py).  Returns
+    samples normalized to [-1, 1] — the ``bytes -> list[float]``
+    decode_fn contract, so it plugs into extract_features.  Sample-rate
+    conversion is the audio twin of image thumbnailing in a multimodal
+    preprocessing pipeline; a production resampler adds an
+    anti-aliasing filter, which is a kernel choice BEHIND this same
+    seam, not a different dataflow."""
+    _, ch, samples = wav_decode(payload)
+    frames = len(samples) // ch
+    if frames == 0:
+        return [0.0] * out_n
+    return [samples[(d * frames // out_n) * ch] / 32768.0
+            for d in range(out_n)]

@@ -303,3 +303,46 @@ def mm_png_resize(spark, sf_dir):
             .select("media_id", F.col("pos").cast("int").alias("pos"),
                     F.round(F.col("v") * 255, 0).cast("bigint")
                     .alias("val")))
+
+
+@register(
+    "mm_wav_resample", extra=True,
+    oracle="""
+SELECT doc_id AS media_id, CAST(t.range AS INT) AS pos,
+       CAST((doc_id * 7 + (t.range * 8)) % 200 - 100 AS BIGINT) AS val
+FROM documents d, range(16) t
+""")
+def mm_wav_resample(spark, sf_dir):
+    """REAL audio RESAMPLE in-pipeline, oracle-checked on CONTENT: the
+    same synthetic 128-frame PCM16 WAVs as mm_wav_energy, decoded and
+    nearest-neighbor decimated to 16 frames by the pure-stdlib codec
+    (ops/wav.py wav_resample_nearest, exact stride 128/16 = 8) inside
+    mapInPandas — sample-rate conversion, the audio twin of the
+    mm_png_resize thumbnail step.  The oracle computes the same
+    decimated samples from the closed form, so any wrong byte in
+    encode -> decode -> decimate fails the value hash."""
+    from graphraft_spark.ops.wav import wav_encode, wav_resample_nearest
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                wav_encode([(int(doc_id) * 7 + i) % 200 - 100
+                            for i in range(128)])
+                for doc_id in pdf["doc_id"]]
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.select("doc_id").mapInPandas(
+        encode, schema="media_id bigint, payload binary")
+    feats = extract_features(
+        media.select("media_id", F.lit("audio").alias("kind"), "payload"),
+        decode_fn=lambda p: wav_resample_nearest(p, 16))
+    return (feats.select("media_id",
+                         F.posexplode("feature").alias("pos", "v"))
+            .select("media_id", F.col("pos").cast("int").alias("pos"),
+                    F.round(F.col("v") * 32768, 0).cast("bigint")
+                    .alias("val")))

@@ -106,3 +106,26 @@ try:
         assert out == (rate, channels, s)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_resample_nearest_decimates_with_floor_stride():
+    from graphraft_spark.ops.wav import wav_encode, wav_resample_nearest
+
+    samples = [i * 100 for i in range(10)]
+    p = wav_encode(samples)
+    got = wav_resample_nearest(p, 4)
+    # src = floor(d*10/4) = 0, 2, 5, 7
+    assert got == [0.0, 200 / 32768.0, 500 / 32768.0, 700 / 32768.0]
+
+
+def test_resample_nearest_stereo_takes_first_channel():
+    from graphraft_spark.ops.wav import wav_encode, wav_resample_nearest
+
+    # interleaved L/R: L = 10*i, R = -1
+    inter = []
+    for i in range(8):
+        inter += [10 * i, -1]
+    p = wav_encode(inter, channels=2)
+    got = wav_resample_nearest(p, 2)
+    # frames = 8; src frames 0 and 4 -> L samples 0 and 40
+    assert got == [0.0, 40 / 32768.0]
