@@ -1261,7 +1261,11 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     max.  Benchmarks are SMALL by nature (a test set, not a crawl), so
     the broadcast cross-score is the honest 100 TB plan: the product
     never materializes — map-side partial MAX reduces it to |corpus|
-    rows before any exchange.  ``method="srp"``: SRP-bucket both sides
+    rows before any exchange.  The exact path returns one row per
+    corpus id ALWAYS: an empty benchmark yields (id, -1.0, false) for
+    every corpus row rather than an empty frame (r11 advice — the bare
+    cross join would return zero rows, silently inverting the
+    absent=clean contract that only the SRP path documents).  ``method="srp"``: SRP-bucket both sides
     (Hamming-1 multiprobe) and verify exact cosine only within probed
     buckets — the scale path when the benchmark is itself large;
     candidates are a recall<1 subset, so flags are a SUBSET of exact's
@@ -1275,6 +1279,10 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     b = benchmark.select(F.col(id_col).alias("bid"),
                          F.col(emb_col).alias("be"))
     if method == "exact":
+        if b.isEmpty():  # benchmark is small by contract — cheap probe
+            return c.select(
+                "id", F.lit(-1.0).alias("max_cos"),
+                F.lit(False).alias("contaminated"))
         scored = (c.join(F.broadcast(b))
                   .withColumn("cos", dot_col(F.col("ce"), F.col("be"))))
     elif method == "srp":

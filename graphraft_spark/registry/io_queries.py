@@ -113,6 +113,14 @@ def io_bucketed_join(spark, sf_dir):
         write_bucketed_table,
     )
 
+    # catalog hygiene: prior invocations (other sf dirs / pids in a
+    # long-lived driver session) leave their external tables registered
+    # — drop every io_bucketed_* entry before creating this run's pair
+    # (r11 advice; the CURRENT run's tables must outlive the returned
+    # plan, so cleanup can only happen here, at the NEXT invocation).
+    for t in spark.catalog.listTables():
+        if t.name.startswith("io_bucketed_"):
+            spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
     base = _scratch(sf_dir, "bucketed")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     names = {}

@@ -25,7 +25,11 @@ Caveats encoded here rather than left to the caller:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
 def write_bucketed_table(df: DataFrame, name: str, path: str,
@@ -33,9 +37,14 @@ def write_bucketed_table(df: DataFrame, name: str, path: str,
                          mode: str = "overwrite") -> None:
     """Write ``df`` as an external bucketed+sorted table ``name`` at
     ``path``, hashed on ``key`` into ``n_buckets`` buckets (one file
-    per bucket)."""
+    per bucket).  ``name`` must be a bare identifier — it is spliced
+    into SQL, so anything else is rejected rather than quoted-and-
+    hoped (r11 advice)."""
+    if not _IDENT.fullmatch(name):
+        raise ValueError(
+            f"table name must be a bare SQL identifier: {name!r}")
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
     (df.repartition(n_buckets, F.col(key))
      .write.mode(mode)
      .bucketBy(n_buckets, key).sortBy(key)

@@ -74,3 +74,29 @@ def test_plain_parquet_read_of_same_path_loses_bucketing(spark, tmp_path):
     assert any("Exchange" in l for l in lines[smj_at:])
     spark.sql("DROP TABLE IF EXISTS tb_plain_a")
     spark.sql("DROP TABLE IF EXISTS tb_plain_b")
+
+
+def test_table_name_must_be_bare_identifier(spark, tmp_path):
+    """r11 advice: the name is spliced into SQL — reject anything that
+    is not a bare identifier instead of quoting-and-hoping."""
+    import pytest
+
+    from graphraft_spark.sources.bucketed import write_bucketed_table
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    for bad in ("t; DROP TABLE x", "a.b", "x-y", "", "1tab", "t`"):
+        with pytest.raises(ValueError, match="identifier"):
+            write_bucketed_table(df, bad, str(tmp_path / "t"), "k")
+
+
+def test_io_bucketed_join_drops_prior_catalog_entries(spark):
+    """r11 advice: repeated invocations in a long-lived session must not
+    accumulate catalog tables — each run drops every io_bucketed_*
+    entry from prior runs before registering its own pair."""
+    from graphraft_spark.registry.io_queries import io_bucketed_join
+
+    for _ in range(2):
+        io_bucketed_join(spark, "/root/testdata/sf0.001").collect()
+    names = [t.name for t in spark.catalog.listTables()
+             if t.name.startswith("io_bucketed_")]
+    assert len(names) == 2  # exactly the LAST run's orders+lineitem pair

@@ -45,6 +45,25 @@ def test_column_order_does_not_split_the_key():
     assert dup_count(plan) == 1
 
 
+def test_pruned_rescan_merges_into_wider_scan():
+    """r11 advice false-negative class: a raw read plus an
+    aggregate-subtree read of the SAME table prune to different column
+    sets — the subset is the same table re-scanned."""
+    plan = ("Join\n:- Relation [doc_id#1L,text#2,lang#3] parquet\n"
+            "+- Relation [doc_id#7L] parquet\n")
+    assert dup_count(plan) == 1
+
+
+def test_ambiguous_subset_stands_alone():
+    """A pruned set that fits under TWO distinct wider tables (shared
+    key column) cannot be attributed — counted as its own table, not a
+    duplicate of either."""
+    plan = ("Join\n:- Relation [doc_id#1L,text#2] parquet\n"
+            ":- Relation [doc_id#3L,embedding#4] parquet\n"
+            "+- Relation [doc_id#9L] parquet\n")
+    assert dup_count(plan) == 0
+
+
 def test_exprid_suffix_stripped():
     # same base column, different expression ids -> same relation
     plan = ("Join\n:- Relation [l_orderkey#12L,l_suppkey#13L] parquet\n"

@@ -80,3 +80,15 @@ def test_registry_slice_has_both_outcomes(spark):
     out = d_semantic_decontaminate(spark, "/root/testdata/sf0.001")
     flags = {r.contaminated for r in out.collect()}
     assert flags == {True, False}
+
+
+def test_exact_empty_benchmark_reports_every_id_clean(spark):
+    """r11 advice: the exact path promises one row per corpus id — an
+    empty benchmark must yield (id, -1.0, false) rows, not an empty
+    frame (the bare cross join would silently invert absent=clean)."""
+    c, b, corpus, _ = _frames(spark)
+    got = {r.id: (r.max_cos, r.contaminated)
+           for r in semantic_decontaminate(c, b.limit(0),
+                                           threshold=0.9).collect()}
+    assert set(got) == {cid for cid, _ in corpus}
+    assert all(v == (-1.0, False) for v in got.values())

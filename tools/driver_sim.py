@@ -51,14 +51,15 @@ def _dtype_class(col: pd.Series) -> str:
     if col.dtype.kind == "f":
         return "float"
     if col.dtype == object:
+        # one non-None value decides the class — don't scan the column
         for v in col:
+            if v is None:
+                continue
             if isinstance(v, decimal.Decimal):
                 return "decimal"
             if isinstance(v, float):
                 return "float"
-            if v is not None and not (isinstance(v, float)
-                                      and math.isnan(v)):
-                return "object"
+            return "object"
     return col.dtype.kind
 
 

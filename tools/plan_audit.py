@@ -66,7 +66,10 @@ ALLOWED: dict[str, int] = {
     # tables consumed by several budget stages.
     "m_retrieval_eval": 6, "p_full_pipeline": 2, "p_curate_corpus": 3,
     "r_budget_accumulate": 5, "r_negative_samples": 1,
-    "r_retrieve_data": 8, "r_token_budget": 1,
+    # r_retrieve_data: 10 refs to ONE localCheckpointed ranked frame
+    # (cached partitions, not parquet re-scans) — 9 under subset keying,
+    # which now also attributes the pruned 4-col vector-top-up read
+    "r_retrieve_data": 9, "r_token_budget": 1,
     "r_token_budget_exact": 9, "e_entity_resolution": 5,
     # OLAP shapes where the second reference IS the semantics
     # (set ops, nation pairs both directions, semi+main).
@@ -93,15 +96,27 @@ _REL = re.compile(r"Relation \[([a-zA-Z_0-9#,L ]+)")
 
 
 def dup_count(plan: str) -> int:
-    """Count re-scanned relations, keying each Relation by its FULL
-    sorted column-name set (exprIds stripped) — first-column keying
-    (r10) both false-positived on distinct tables sharing a leading
-    column name and false-negatived on pruned re-reads that dropped
-    the first column (r10 advice)."""
-    rels = [",".join(sorted(c.split("#")[0].strip()
-                            for c in r.split(",") if c.strip()))
+    """Count re-scanned relations.  The optimized plan prints no file
+    path, only the (pruned) column set, so table identity is inferred:
+    two Relations are the SAME table when one's column set is a subset
+    of the other's (Catalyst prunes each scan independently, so a raw
+    read plus an aggregate-subtree read of one table usually print
+    different sets — exact-set keying (r11) missed that most common
+    re-scan shape entirely, per the r11 advice).  Sets are merged
+    widest-first; a set that fits under TWO distinct wider groups is
+    ambiguous (e.g. a bare [doc_id] under both documents and
+    embeddings) and conservatively counted as its own table."""
+    rels = [frozenset(c.split("#")[0].strip()
+                      for c in r.split(",") if c.strip())
             for r in _REL.findall(plan)]
-    return sum(v - 1 for v in Counter(rels).values() if v > 1)
+    groups: list[list] = []  # [representative column set, count]
+    for s in sorted(rels, key=len, reverse=True):
+        supers = [g for g in groups if s <= g[0]]
+        if len(supers) == 1:
+            supers[0][1] += 1
+        else:  # no home, or ambiguous — stand alone
+            groups.append([s, 1])
+    return sum(c - 1 for _, c in groups if c > 1)
 
 
 def main() -> None:
