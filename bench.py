@@ -92,6 +92,71 @@ HEADLINE = [
 ]
 
 
+# ABSOLUTE AMBIENT ANCHOR (r11 verdict item 2): the intra-run drift
+# ratio is blind to a UNIFORMLY loaded machine (r11: drift read 0.926
+# while 42 unchanged plans inflated 1.25x and adjudication needed a
+# judge re-run).  This is a fixed pure-compute task — constant work,
+# no parquet, no shuffle beyond the 32-row final exchange — timed at
+# session START with the same adaptive-warm + min-of-3 protocol as the
+# headline lines.  Its quiet-machine reference is measured ONCE and
+# recorded here + in BASELINE.md; `ambient_abs` = this run / reference,
+# so a cross-round artifact self-adjudicates: ambient_abs ≈ 1 and a
+# slower line means the PLAN changed; ambient_abs elevated means the
+# MACHINE was loaded, whatever the intra-run drift says.
+CALIBRATION_REF_SEC = 0.83  # BASELINE.md "ambient anchor" (r12, quiet)
+
+
+def _calibrate(spark) -> float | None:
+    from pyspark.sql import functions as F
+
+    c = F.col("id")
+    expr = ((c * 2654435761 % 1000000007) % 97
+            + (c * 40503 % 999999937) % 89
+            + (c * 2246822519 % 998244353) % 83
+            + (c * 3266489917 % 1000000021) % 79)
+
+    def once() -> float:
+        t0 = time.time()
+        spark.range(0, 1_000_000_000, 1, 32) \
+            .select(F.sum(expr).alias("s")).collect()
+        return round(time.time() - t0, 3)
+
+    try:
+        warm = [once(), once()]
+        while len(warm) < 8 and max(warm[-2:]) > 1.15 * min(warm):
+            warm.append(once())
+        return round(min(once() for _ in range(3)), 3)
+    except Exception:  # noqa: BLE001 — anchor must not zero the bench
+        return None
+
+
+def _machine_state() -> dict:
+    """Host-contention snapshot for the artifact: loadavg + how many
+    JVMs are alive (a concurrent Spark session is the usual source of
+    the uniform inflation the anchor exists to catch)."""
+    state: dict = {}
+    try:
+        state["loadavg"] = [float(x) for x in
+                            open("/proc/loadavg").read().split()[:3]]
+    except (OSError, ValueError):
+        pass
+    try:
+        n = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    if b"java" in fh.read(4096):
+                        n += 1
+            except OSError:
+                continue
+        state["jvm_count"] = n
+    except OSError:
+        pass
+    return state
+
+
 def _tmpfs_local_dir(sf: str) -> dict[str, str]:
     """RAM-backed shuffle dirs only when /dev/shm can hold the worst
     shuffle at this sf with headroom — an unguarded tmpfs local dir
@@ -143,6 +208,11 @@ def main() -> None:
         **_tmpfs_local_dir(sf),
     })
     spark.sparkContext.setLogLevel("ERROR")
+
+    machine_start = _machine_state()
+    calibration = _calibrate(spark)
+    ambient_abs = (round(calibration / CALIBRATION_REF_SEC, 3)
+                   if calibration else None)
 
     # headline set spans both tiers: primary (driver-graded) queries and
     # extra-tier scale/bench variants
@@ -249,6 +319,11 @@ def main() -> None:
         "ambient_control": control,
         "ambient_drift": ambient_drift,
         "ambient_inflated": bool(ambient_drift and ambient_drift > 1.25),
+        "calibration_sec": calibration,
+        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "ambient_abs": ambient_abs,
+        "machine_start": machine_start,
+        "machine_end": _machine_state(),
     }
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
@@ -265,6 +340,9 @@ def main() -> None:
         out["ambient_drift"] = ambient_drift
         if ambient_drift > 1.25:
             out["ambient_inflated"] = True
+    if ambient_abs is not None:
+        out["ambient_abs"] = ambient_abs
+    out["machine"] = machine_start
     if errors:
         out["errors"] = {k: v[:80] for k, v in errors.items()}
     print(json.dumps(out))

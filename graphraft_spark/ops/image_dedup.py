@@ -1,0 +1,187 @@
+"""Image near-dup dedup: perceptual hashing + Hamming-banded blocking.
+
+A crawl pipeline dedups images BEFORE captioning/training: re-encoded
+copies (same pixels, different bytes — filters, compressor level) and
+lightly-edited copies (uniform brightness shift) must land in one
+cluster while distinct images stay apart.  Byte-level hashing can't do
+that; perceptual hashes over a tiny luma thumbnail can:
+
+* aHash — bit i set iff thumbnail pixel i is above the thumbnail mean.
+  Exactly invariant to uniform additive brightness shifts (mean moves
+  with the pixels) as long as no pixel clips.
+* dHash — bit set iff the right neighbor is brighter (horizontal
+  gradient sign over a (w+1)×h thumbnail).  Invariant to ANY monotone
+  per-pixel tone curve, additive or not.
+
+Both consume the engine's OWN decode seam: ``extract_features(...,
+decode_fn=png_resize_nearest(p, 8, 8))`` (ops/png.py) yields the
+64-float luma thumbnail; the hash is pure JVM column arithmetic from
+there — integer-exact (bits compare ``64·px > Σpx`` on recovered
+0–255 ints, never float means).
+
+Blocking is the simhash recipe (ops/dedup.py): split the 64-bit hash
+into ``bands`` fixed windows; by pigeonhole any pair within Hamming
+distance ``< bands`` agrees on at least one whole band, so an
+equi-join on (band, value) finds EVERY such pair — no all-pairs join
+ever — and an exact Hamming verify within buckets keeps precision 1.
+At 100 TB the banded frame is the only shuffle (4 rows per image,
+hash-partitioned on 16-bit band values) and hot buckets (boilerplate
+logos, solid-color fills) are capped with star edges to the bucket
+root, same as minhash LSH.
+
+Reference parity: the reference has no image pipeline at all (its
+media handling is out-of-engine); this follows SURVEY.md's
+training-data-pipeline mandate — the image twin of ``simhash``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from graphraft_spark.ops.dedup import hamming
+
+#: 64-bit hashes are carried as two 32-bit words — Spark's bigint
+#: arithmetic in ``hamming`` is exact only below 2^52.
+WORD_BITS = 32
+
+
+def _luma_ints(feature: Column) -> Column:
+    """Recover exact 0–255 ints from the decode seam's v = luma/255
+    floats (round-trips exactly: 255 · k/255 rounds back to k)."""
+    return F.transform(feature, lambda v: F.round(v * 255, 0)
+                       .cast("bigint"))
+
+
+def _pack_word(bits: Column, word: int) -> Column:
+    """bits[32·word .. 32·word+31] → one bigint (bit j = 2^j)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(WORD_BITS - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: acc + F.element_at(
+            bits, (j + word * WORD_BITS + 1).cast("int")).cast("bigint")
+        * F.pow(F.lit(2.0), j.cast("double")).cast("bigint"))
+
+
+def image_ahash_words(df: DataFrame, feature_col: str = "feature",
+                      prefix: str = "h") -> DataFrame:
+    """Append aHash columns ``{prefix}0``/``{prefix}1`` (two 32-bit
+    words, 64 bits total) computed from an 8×8 luma thumbnail column
+    (array<double> of 64, the ``png_resize_nearest(p, 8, 8)`` decode
+    contract).  Bit i = 1 iff ``64·px[i] > Σpx`` — integer-exact, ties
+    break to 0, uniform brightness shifts cancel."""
+    out = (df.withColumn("_px", _luma_ints(F.col(feature_col)))
+           .withColumn("_s", F.aggregate(
+               "_px", F.lit(0).cast("bigint"), lambda a, x: a + x))
+           .withColumn("_bits", F.transform(
+               "_px", lambda v: (v * 64 > F.col("_s")).cast("int"))))
+    return (out.withColumn(f"{prefix}0", _pack_word(F.col("_bits"), 0))
+            .withColumn(f"{prefix}1", _pack_word(F.col("_bits"), 1))
+            .drop("_px", "_s", "_bits"))
+
+
+def image_dhash_words(df: DataFrame, feature_col: str = "feature",
+                      prefix: str = "h") -> DataFrame:
+    """Append dHash columns from a 9×8 luma thumbnail (array<double>
+    of 72, row-major, the ``png_resize_nearest(p, 9, 8)`` contract):
+    bit (y·8+x) = 1 iff px[y·9+x+1] > px[y·9+x] — 8 horizontal
+    gradient signs per row × 8 rows = 64 bits, invariant to any
+    monotone tone curve."""
+    px = _luma_ints(F.col(feature_col))
+    idx = F.sequence(F.lit(0), F.lit(63))
+    bits = F.transform(
+        idx, lambda i: (
+            F.element_at(px, (F.floor(i / 8) * 9 + i % 8 + 2).cast("int"))
+            > F.element_at(px, (F.floor(i / 8) * 9 + i % 8 + 1).cast("int"))
+        ).cast("int"))
+    out = df.withColumn("_bits", bits)
+    return (out.withColumn(f"{prefix}0", _pack_word(F.col("_bits"), 0))
+            .withColumn(f"{prefix}1", _pack_word(F.col("_bits"), 1))
+            .drop("_bits"))
+
+
+def hash_bands(w0: Column, w1: Column, bands: int) -> Column:
+    """Split the 64-bit (w0 ‖ w1) hash into ``bands`` equal windows:
+    ARRAY<STRUCT<band INT, bucket BIGINT>>.  ``bands`` must be even
+    and divide 64 with a window width ≤ 32 (each window stays inside
+    one word)."""
+    if bands <= 0 or bands % 2 or 64 % bands or 64 // bands > WORD_BITS:
+        raise ValueError(f"bands must be even, divide 64, and give "
+                         f"windows ≤ {WORD_BITS} bits; got {bands}")
+    width = 64 // bands
+    per_word = WORD_BITS // width
+    out = []
+    for j in range(bands):
+        word = w0 if j < per_word else w1
+        off = (j % per_word) * width
+        val = (F.floor(word / F.lit(float(1 << off))).cast("bigint")
+               % F.lit(1 << width))
+        out.append(F.struct(F.lit(j).alias("band"), val.alias("bucket")))
+    return F.array(*out)
+
+
+def image_neardup_pairs(hashed: DataFrame, id_col: str = "id",
+                        h0: str = "h0", h1: str = "h1",
+                        max_dist: int = 3, bands: int = 4,
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Near-dup image pairs (id_a < id_b, dist ≤ ``max_dist``) from a
+    hashed frame.  Pigeonhole requires ``bands > max_dist`` — then the
+    banded equi-join is RECALL-EXACT (uncapped): the output equals the
+    all-pairs Hamming filter, without the all-pairs join.
+
+    ``max_bucket_size``: hot buckets (near-identical floods — the
+    image analog of boilerplate) are replaced by star edges to the
+    bucket root before the quadratic within-bucket join; star edges
+    still pass the exact Hamming verify, so precision stays 1 and
+    identical-image floods stay clustered, while a genuinely diverse
+    hot bucket trades recall for the bounded work — the same contract
+    as minhash LSH's cap (ops/dedup.py)."""
+    if bands <= max_dist:
+        raise ValueError(
+            f"pigeonhole needs bands > max_dist for exact recall; "
+            f"got bands={bands}, max_dist={max_dist}")
+    s = hashed.select(F.col(id_col).alias("id"),
+                      F.col(h0).alias("w0"), F.col(h1).alias("w1"))
+    # the hash words RIDE ALONG through the banding explode (4 rows ×
+    # 2 extra bigints per image — negligible) so the within-bucket
+    # verify needs NO join back to the hashed frame: the upstream
+    # decode/hash subtree is referenced exactly twice (the self-join's
+    # two sides), not four times
+    banded = (s.select("id", "w0", "w1", F.explode(
+        hash_bands(F.col("w0"), F.col("w1"), bands)).alias("bb"))
+        .select("id", "w0", "w1", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket")))
+    star = None
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        tagged = banded.select(
+            "id", "w0", "w1", "band", "bucket",
+            F.count("*").over(w).alias("bsz"),
+            # min-id member's (id, w0, w1) — the star root with words
+            F.min(F.struct("id", "w0", "w1")).over(w).alias("root"))
+        star = (tagged.filter((F.col("bsz") > max_bucket_size)
+                              & (F.col("id") != F.col("root.id")))
+                .select(F.col("root.id").alias("id_a"),
+                        F.col("id").alias("id_b"),
+                        F.col("root.w0").alias("w0a"),
+                        F.col("root.w1").alias("w1a"),
+                        F.col("w0").alias("w0b"),
+                        F.col("w1").alias("w1b")))
+        banded = tagged.filter(F.col("bsz") <= max_bucket_size) \
+            .select("id", "w0", "w1", "band", "bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.w0").alias("w0a"), F.col("a.w1").alias("w1a"),
+                    F.col("b.w0").alias("w0b"), F.col("b.w1").alias("w1b")))
+    if star is not None:
+        cand = cand.unionByName(star)
+    # distinct on the pair: the word columns are functionally dependent
+    # on the ids, so including them cannot widen the key
+    cand = cand.distinct()
+    dist = (hamming(F.col("w0a"), F.col("w0b"), WORD_BITS)
+            + hamming(F.col("w1a"), F.col("w1b"), WORD_BITS))
+    return (cand.withColumn("dist", dist)
+            .filter(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", F.col("dist").cast("int").alias("dist")))

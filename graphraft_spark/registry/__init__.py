@@ -121,7 +121,6 @@ PRIORITY = [
     # byte-exact tables), and d_exact_dedup (exact dedup is a graded
     # stage inside p_curate_corpus).
     "f_best_of_n",
-    "t_bloom_decontaminate", "tm_resample_ffill", "d_keep_best_quality",
     # round-10 fourth rotation wave (r9 verdict item 1): the strongest
     # judge-verified extras earn driver grading — value-checked HITS
     # (hash-matched unrolled-SQL oracle at 3 sfs), exact all-sources
@@ -137,7 +136,7 @@ PRIORITY = [
     # flags; the delta merge stays in the multibatch pytest parity),
     # and tm_scd2_lookup (the lookup is a point-in-time join OVER the
     # version table the incoming tm_scd2_versions grades end-to-end).
-    "g_hits_top", "g_betweenness_types", "io_jsonl_roundtrip",
+    "g_hits_top", "io_jsonl_roundtrip",
     "q_nation_profit", "t_tfidf_topterms", "tm_scd2_versions",
     # round-10 fifth rotation wave (r9 handoff item 2, pulled forward a
     # round): every iterative graph algorithm's hash-matched value line
@@ -154,9 +153,8 @@ PRIORITY = [
     # scd2-versions), and e_entity_resolution (ER keeps
     # s_fuzzy_entity_match; the component/canonical composition stays
     # oracle-backed in the extra tier).
-    "g_pagerank_types", "g_ppr_types", "g_kcore_types",
-    "g_betweenness_fixed", "io_csv_roundtrip", "io_orc_roundtrip",
-    "q_top_supplier", "q_cube_status_priority",
+    "g_pagerank_types", "g_kcore_types",
+    "g_betweenness_fixed",
     # late round-10: the new in-engine SGNS embedding trainer lands
     # driver-graded the round it ships (hash-matched at 3 sfs via the
     # unrolled-SQL replay — the same evidence tier as the other
@@ -164,7 +162,6 @@ PRIORITY = [
     # (driver-green r7-r9; dedup keeps minhash/embedding_neardup/
     # span/keep_best primary rows and SemDeDup stays oracle-backed
     # extra).
-    "g_type_embeddings",
     # round-11 sixth rotation wave (r10 verdict item 3): the remaining
     # decorrelated Q2/Q21 shapes, the deterministic-sampling family's
     # first driver rows (hash split + temperature-weighted source mix),
@@ -187,14 +184,32 @@ PRIORITY = [
     # retrieval
     "r_budget_accumulate",
     # dataset ops
-    "f_sft_llm1", "e_rank_sample",
+    "f_sft_llm1",
     # dedup (d_span_dedup promoted from extra in round 5; d_simhash and
     # d_components demoted round 8; d_exact_dedup demoted round 9 —
     # exact dedup is graded inside p_curate_corpus)
-    # multimodal (real content-checked PNG decode; frame sampling is extra)
-    "mm_png_feature",
     # llm surface (f_llm1_prompt demoted round 9)
     "f_generate_answers",
+    # round-12 seventh rotation wave (r11 verdict item 1): the completed
+    # word2vec recipe's two hash-matched value lines, the co-located
+    # bucketed-table join, cross-set semantic decontamination, the PNG
+    # resize / WAV resample content-checked codec lines, and the
+    # carried-over never-graded tm_interval_join / e_shuffle_det /
+    # s_hybrid_rrf plus the two OLAP shapes; d_image_neardup (new this
+    # round) lands driver-graded the round it ships, per precedent.
+    # Slots from g_type_embeddings (the same trainer now graded via the
+    # fuller recipe), t_bloom_decontaminate / tm_resample_ffill /
+    # d_keep_best_quality (green r9-r11), io_csv/orc_roundtrip /
+    # q_top_supplier / q_cube_status_priority / g_ppr_types /
+    # g_betweenness_types (green r10-r11; io keeps jsonl + incoming
+    # bucketed, OLAP keeps 4 rows + 2 incoming, graph keeps pagerank /
+    # kcore / betweenness_fixed / hits), e_rank_sample (green r1-r11)
+    # and mm_png_feature (superseded under grading by mm_png_resize —
+    # same codec seam, decode AND resample).
+    "t_word_embeddings_u75", "t_word_embeddings_w2v", "io_bucketed_join",
+    "d_semantic_decontaminate", "mm_png_resize", "mm_wav_resample",
+    "tm_interval_join", "e_shuffle_det", "s_hybrid_rrf",
+    "q_forecast_revenue", "q_dormant_rich_customers", "d_image_neardup",
 ]
 
 

@@ -109,7 +109,7 @@ def e_quality_gate(spark, sf_dir):
 
 
 @register(
-    "e_rank_sample",
+    "e_rank_sample", extra=True,  # demoted r12 (green r1-r11)
     oracle=f"""
 WITH {_QA_SQL.strip()},
 sampled AS (

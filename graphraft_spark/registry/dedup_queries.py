@@ -972,7 +972,7 @@ def d_bucket_histogram(spark, sf_dir):
 
 
 @register(
-    "d_keep_best_quality",
+    "d_keep_best_quality", extra=True,  # demoted r12 (green r9-r11)
     oracle=f"""
 WITH RECURSIVE {_DOCS_NEAR_SQL.strip().lstrip()},
 w AS (
@@ -1039,7 +1039,7 @@ def d_keep_best_quality(spark, sf_dir):
 
 
 @register(
-    "d_semantic_decontaminate", extra=True,
+    "d_semantic_decontaminate",  # promoted r12 (seventh wave)
     oracle="""
 WITH base AS (
     SELECT CAST(vec_id AS BIGINT) AS id,
@@ -1098,3 +1098,116 @@ def d_semantic_decontaminate(spark, sf_dir):
     out = semantic_decontaminate(corp, bench, threshold=0.9)
     return out.select("id", F.round("max_cos", 6).alias("max_cos"),
                       "contaminated")
+
+
+_IMAGE_NEARDUP_ORACLE = """
+WITH media AS (
+    SELECT doc_id AS media_id, doc_id AS src, 0 AS shift FROM documents
+  UNION ALL
+    SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+    SELECT doc_id + 2000000, doc_id, 40 FROM documents WHERE doc_id % 10 = 5
+),
+-- 8x8 nearest-neighbor thumbnail of the 16x16 image: src pixel (2x, 2y)
+px AS (
+    SELECT media_id, CAST(ty.range * 8 + tx.range AS BIGINT) AS i,
+           ((src * 13) % 199
+            + (2 * tx.range) * (1 + src % 23)
+            + (2 * ty.range) * (1 + src % 19)
+            + (4 * tx.range * ty.range) * (src % 7)) % 200 + shift AS v
+    FROM media, range(8) tx, range(8) ty
+),
+stats AS (SELECT media_id, SUM(v) AS s FROM px GROUP BY media_id),
+bits AS (
+    SELECT p.media_id, p.i,
+           CASE WHEN 64 * p.v > st.s THEN 1 ELSE 0 END AS b
+    FROM px p JOIN stats st USING (media_id)
+),
+words AS (
+    SELECT media_id,
+           CAST(SUM(CASE WHEN i < 32
+                         THEN b * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN i >= 32
+                         THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS w1
+    FROM bits GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.w0, b.w0))
+            + bit_count(xor(a.w1, b.w1)) AS INT) AS dist
+FROM words a JOIN words b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+"""
+
+
+@register("d_image_neardup", oracle=_IMAGE_NEARDUP_ORACLE)
+def d_image_neardup(spark, sf_dir):
+    """Image near-dup dedup, content-checked end to end: every document
+    becomes a genuine 16x16 greyscale PNG (pixel(x,y) = (src*13 % 199
+    + x*(1 + src%23) + y*(1 + src%19) + x*y*(src%7)) % 200, values
+    0..199 so the +40 plant never clips); docs % 10 == 0 plant a
+    RE-ENCODED copy (identical pixels, reversed scanline-filter cycle
+    — different bytes) and docs % 10 == 5 plant a BRIGHTNESS-SHIFTED
+    copy (+40, aHash-invariant: the mean moves with the pixels).  The
+    pipeline is the engine's own codec seam (ops/png.py decode + 8x8
+    nearest resize inside Arrow-batched mapInPandas), 64-bit aHash in
+    pure JVM integer arithmetic, Hamming-banded blocking (4x16-bit
+    bands — pigeonhole-exact for dist <= 3, NO all-pairs join;
+    tests/test_image_dedup.py pins the plan), exact Hamming verify.
+    The oracle computes the same thumbnail/hash from the closed form
+    and an all-pairs filter — equal output BECAUSE banding at
+    bands > max_dist is recall-exact, so any wrong byte in
+    encode -> decode -> resize -> hash -> block -> verify diverges."""
+    from graphraft_spark.ops.image_dedup import (
+        image_ahash_words,
+        image_neardup_pairs,
+    )
+    from graphraft_spark.ops.multimodal import extract_features
+    from graphraft_spark.ops.png import png_encode, png_resize_nearest
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # one documents scan: plants materialize as per-doc exploded variant
+    # structs (null-compacted), not a 3-way self-union
+    doc = F.col("doc_id")
+    variants = F.array_compact(F.array(
+        F.struct(doc.alias("media_id"),
+                 F.lit(0).alias("shift"), F.lit(0).alias("variant")),
+        F.when(doc % 10 == 0, F.struct(
+            (doc + 1000000).alias("media_id"),
+            F.lit(0).alias("shift"), F.lit(1).alias("variant"))),
+        F.when(doc % 10 == 5, F.struct(
+            (doc + 2000000).alias("media_id"),
+            F.lit(40).alias("shift"), F.lit(2).alias("variant")))))
+    spec = (d.select(doc.alias("src"), F.explode(variants).alias("v"))
+            .select("src", "v.media_id", "v.shift", "v.variant"))
+
+    filter_cycles = {0: [0, 1, 2, 3, 4], 1: [4, 3, 2, 1, 0],
+                     2: [2, 0, 3, 1, 4]}
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for s, sh, var in zip(pdf["src"], pdf["shift"],
+                                  pdf["variant"]):
+                s, sh = int(s), int(sh)
+                px = bytes(((s * 13) % 199 + x * (1 + s % 23)
+                            + y * (1 + s % 19) + x * y * (s % 7))
+                           % 200 + sh
+                           for y in range(16) for x in range(16))
+                payloads.append(png_encode(
+                    16, 16, px, color_type=0,
+                    filters=filter_cycles[int(var)]))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads})
+
+    media = spec.mapInPandas(encode,
+                             schema="media_id bigint, payload binary")
+    feats = extract_features(
+        media.select("media_id", F.lit("image").alias("kind"), "payload"),
+        decode_fn=lambda p: png_resize_nearest(p, 8, 8))
+    hashed = image_ahash_words(
+        feats.select(F.col("media_id").alias("id"), "feature"))
+    return image_neardup_pairs(hashed, max_dist=3, bands=4)

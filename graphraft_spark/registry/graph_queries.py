@@ -1189,8 +1189,8 @@ FROM n LEFT JOIN dep ON dep.node = n.id""")
     return "".join(parts)
 
 
-@register("g_betweenness_types",
-          oracle=_betweenness_types_sql(8))
+@register("g_betweenness_types",  # demoted r12 (green r10-r11)
+          oracle=_betweenness_types_sql(8), extra=True)
 def g_betweenness_types(spark, sf_dir):
     """EXACT directed betweenness (all sources) on the event-type
     transition graph — the value-checked twin of g_betweenness_top
@@ -1285,7 +1285,8 @@ SELECT id AS node, ROUND(rank, 9) AS rank FROM r{n_iter}""")
     return "".join(parts)
 
 
-@register("g_ppr_types", oracle=_ppr_types_sql(5))  # promoted r10
+@register("g_ppr_types", oracle=_ppr_types_sql(5),
+          extra=True)  # promoted r10; demoted r12 (green r10-r11)
 def g_ppr_types(spark, sf_dir):
     """Value-checked personalized PageRank (graph/algos.py
     personalized_pagerank, 5 rounds, seeds = the 2 smallest type ids)
@@ -1407,8 +1408,9 @@ def _sgns_types_sql(dim: int = 4, epochs: int = 2, lr: float = 0.05,
                            seed)
 
 
-@register("g_type_embeddings",  # promoted late r10: lands driver-graded
-          oracle=_sgns_types_sql(4, 2, 0.05, 2))
+@register("g_type_embeddings",  # demoted r12: the trainer is now
+          # graded via the fuller word2vec recipe (t_word_embeddings_*)
+          oracle=_sgns_types_sql(4, 2, 0.05, 2), extra=True)
 def g_type_embeddings(spark, sf_dir):
     """Value-checked distributed SGNS (graph/embeddings.py train_sgns,
     dim=4, 2 epochs, 2 hash-drawn negative slots, lr=0.05) over the

@@ -55,7 +55,8 @@ def io_jsonl_roundtrip(spark, sf_dir):
     return read_jsonl(spark, path, ddl).select(*_DOCS_COLS)
 
 
-@register("io_csv_roundtrip", oracle=_DOCS_ORACLE)  # promoted r10
+@register("io_csv_roundtrip", oracle=_DOCS_ORACLE,
+          extra=True)  # demoted r12 (green r10-r11; io keeps jsonl+bucketed)
 def io_csv_roundtrip(spark, sf_dir):
     """documents → headered CSV (sources/formats.py write_csv) →
     explicit-schema DROPMALFORMED read (read_csv) — the inference-free
@@ -70,7 +71,8 @@ def io_csv_roundtrip(spark, sf_dir):
     return read_csv(spark, path, ddl).select(*_DOCS_COLS)
 
 
-@register("io_orc_roundtrip", oracle=_DOCS_ORACLE)  # promoted r10
+@register("io_orc_roundtrip", oracle=_DOCS_ORACLE,
+          extra=True)  # demoted r12 (green r10-r11)
 def io_orc_roundtrip(spark, sf_dir):
     """documents → ORC (sources/formats.py write_orc) → ORC scan
     (read_orc; schema travels with the file) — hash-matched against
@@ -94,7 +96,7 @@ GROUP BY o.o_orderpriority
 """
 
 
-@register("io_bucketed_join", oracle=_BUCKETED_ORACLE, extra=True)
+@register("io_bucketed_join", oracle=_BUCKETED_ORACLE)  # promoted r12
 def io_bucketed_join(spark, sf_dir):
     """Co-located join through bucketed tables (sources/bucketed.py):
     orders and lineitem are written bucketed+sorted on the order key

@@ -110,7 +110,8 @@ def mm_feature_extract(spark, sf_dir):
 
 
 @register(
-    "mm_png_feature",
+    "mm_png_feature", extra=True,  # demoted r12: superseded under
+    # grading by mm_png_resize (decode AND resample, same codec seam)
     oracle="""
 SELECT doc_id AS media_id,
        CAST(SUM(CASE WHEN y < 8  AND x < 8  THEN val END) AS BIGINT) AS c00,
@@ -257,7 +258,7 @@ def mm_avi_frames(spark, sf_dir):
 
 
 @register(
-    "mm_png_resize", extra=True,
+    "mm_png_resize",  # promoted r12 (seventh wave)
     oracle="""
 SELECT doc_id AS media_id,
        CAST(ty.range * 4 + tx.range AS INT) AS pos,
@@ -306,7 +307,7 @@ def mm_png_resize(spark, sf_dir):
 
 
 @register(
-    "mm_wav_resample", extra=True,
+    "mm_wav_resample",  # promoted r12 (seventh wave)
     oracle="""
 SELECT doc_id AS media_id, CAST(t.range AS INT) AS pos,
        CAST((doc_id * 7 + (t.range * 8)) % 200 - 100 AS BIGINT) AS val

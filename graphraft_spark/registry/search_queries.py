@@ -336,7 +336,7 @@ _RRF_K = 60
 
 
 @register(
-    "s_hybrid_rrf", extra=True,
+    "s_hybrid_rrf",  # promoted r12 (seventh wave)
     oracle=_BM25_ORACLE.rsplit("SELECT doc_id, ROUND(raw, 6)", 1)[0] + f"""
 , lex AS (
   SELECT doc_id, ROUND(raw, 6) AS bm25

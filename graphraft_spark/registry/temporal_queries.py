@@ -50,7 +50,7 @@ def tm_asof_enrich(spark, sf_dir):
 
 
 @register(
-    "tm_interval_join", extra=True,
+    "tm_interval_join",  # promoted r12 (seventh wave)
     oracle="""
 WITH incidents AS (
     SELECT event_id AS incident_id, ts AS start_ts,
@@ -331,7 +331,7 @@ def tm_scd2_lookup(spark, sf_dir):
 
 
 @register(
-    "tm_resample_ffill",
+    "tm_resample_ffill", extra=True,  # demoted r12 (green r9-r11)
     oracle="""
 WITH e AS (
     SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec, value FROM events

@@ -274,7 +274,8 @@ def t_decontaminate(spark, sf_dir):
     return contamination_flags(docs, bench, n=8)
 
 
-@register("t_bloom_decontaminate", oracle=_DECON_ORACLE)
+@register("t_bloom_decontaminate", oracle=_DECON_ORACLE,
+          extra=True)  # demoted r12 (green r9-r11)
 def t_bloom_decontaminate(spark, sf_dir):
     """t_decontaminate through the Bloom prefilter
     (ops/decontaminate.py bloom_decontaminate): executors receive a
@@ -526,7 +527,7 @@ def t_top_ngrams(spark, sf_dir):
 
 
 @register(
-    "e_shuffle_det", extra=True,
+    "e_shuffle_det",  # promoted r12 (seventh wave)
     oracle="""
 SELECT doc_id,
        CAST(row_number() OVER (
@@ -1292,7 +1293,7 @@ def t_word_embeddings(spark, sf_dir):
                     F.round("val", 6).alias("val")))
 
 
-@register("t_word_embeddings_u75", extra=True,
+@register("t_word_embeddings_u75",  # promoted r12 (seventh wave)
           oracle=_sgns_replay_sql(_WORD_PAIRS_CTE, 4, 2, 0.05, 2,
                                   neg_distribution="unigram75"))
 def t_word_embeddings_u75(spark, sf_dir):
@@ -1319,7 +1320,7 @@ def t_word_embeddings_u75(spark, sf_dir):
                     F.round("val", 6).alias("val")))
 
 
-@register("t_word_embeddings_w2v", extra=True,
+@register("t_word_embeddings_w2v",  # promoted r12 (seventh wave)
           oracle=_sgns_replay_sql(_WORD_PAIRS_CTE, 4, 2, 0.05, 2,
                                   neg_distribution="unigram75",
                                   lr_decay=True, subsample_t=1e-3))

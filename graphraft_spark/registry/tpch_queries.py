@@ -300,7 +300,7 @@ def q_moving_avg_30d(spark, sf_dir):
 
 
 @register(
-    "q_cube_status_priority",  # promoted r10 (fifth wave)
+    "q_cube_status_priority", extra=True,  # demoted r12 (green r10-r11)
     oracle="""
 SELECT COALESCE(o_orderstatus, '<all>') AS status,
        COALESCE(o_orderpriority, '<all>') AS priority,

@@ -33,7 +33,7 @@ def _disc_price():
 
 
 @register(
-    "q_forecast_revenue", extra=True,
+    "q_forecast_revenue",  # promoted r12 (seventh wave)
     oracle="""
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
              * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -389,7 +389,7 @@ def q_large_volume_customers(spark, sf_dir):
 
 
 @register(
-    "q_dormant_rich_customers", extra=True,
+    "q_dormant_rich_customers",  # promoted r12 (seventh wave)
     oracle="""
 SELECT c.c_nationkey,
        COUNT(*) AS numcust,
@@ -730,7 +730,7 @@ def q_nation_profit(spark, sf_dir):
 
 
 @register(
-    "q_top_supplier",  # promoted r10 (fifth wave)
+    "q_top_supplier", extra=True,  # demoted r12 (green r10-r11)
     oracle="""
 WITH rev AS (
     SELECT l_suppkey,

@@ -1,0 +1,163 @@
+"""ops/image_dedup.py: perceptual-hash image near-dup — aHash/dHash bit
+exactness vs a pure-Python replay, brightness/re-encode invariance,
+pigeonhole-banded blocking recall-exactness (and the no-all-pairs plan),
+hot-bucket star capping, and the registry query's planted recovery."""
+
+import itertools
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from graphraft_spark.ops.image_dedup import (
+    hash_bands,
+    image_ahash_words,
+    image_dhash_words,
+    image_neardup_pairs,
+)
+
+
+def _ahash_ref(px):
+    s = sum(px)
+    bits = [1 if 64 * v > s else 0 for v in px]
+    return (sum(b << i for i, b in enumerate(bits[:32])),
+            sum(b << i for i, b in enumerate(bits[32:])))
+
+
+def _dhash_ref(px):  # px: 72 ints, row-major 9 wide x 8 tall
+    bits = [1 if px[y * 9 + x + 1] > px[y * 9 + x] else 0
+            for y in range(8) for x in range(8)]
+    return (sum(b << i for i, b in enumerate(bits[:32])),
+            sum(b << i for i, b in enumerate(bits[32:])))
+
+
+def _feat(spark, imgs):  # imgs: {id: [ints]}
+    rows = [(i, [v / 255.0 for v in px]) for i, px in imgs.items()]
+    return spark.createDataFrame(rows, "id bigint, feature array<double>")
+
+
+def test_ahash_matches_python_replay(spark):
+    rng = random.Random(7)
+    imgs = {i: [rng.randrange(256) for _ in range(64)] for i in range(6)}
+    got = {r.id: (r.h0, r.h1) for r in
+           image_ahash_words(_feat(spark, imgs)).collect()}
+    assert got == {i: _ahash_ref(px) for i, px in imgs.items()}
+
+
+def test_dhash_matches_python_replay(spark):
+    rng = random.Random(11)
+    imgs = {i: [rng.randrange(256) for _ in range(72)] for i in range(6)}
+    got = {r.id: (r.h0, r.h1) for r in
+           image_dhash_words(_feat(spark, imgs)).collect()}
+    assert got == {i: _dhash_ref(px) for i, px in imgs.items()}
+
+
+def test_ahash_invariant_to_uniform_brightness_shift(spark):
+    rng = random.Random(3)
+    base = [rng.randrange(200) for _ in range(64)]  # +40 never clips
+    imgs = {0: base, 1: [v + 40 for v in base]}
+    got = {r.id: (r.h0, r.h1) for r in
+           image_ahash_words(_feat(spark, imgs)).collect()}
+    assert got[0] == got[1]
+
+
+def test_dhash_invariant_to_monotone_tone_curve(spark):
+    rng = random.Random(5)
+    base = [rng.randrange(128) for _ in range(72)]
+    curved = [v + v // 2 for v in base]  # monotone, non-additive
+    got = {r.id: (r.h0, r.h1) for r in
+           image_dhash_words(_feat(spark, {0: base, 1: curved})).collect()}
+    assert got[0] == got[1]
+
+
+def test_hash_bands_partition_the_64_bits(spark):
+    df = spark.createDataFrame([(0x12345678, 0x0ABCDEF1)], "w0 long, w1 long")
+    out = df.select(hash_bands(F.col("w0"), F.col("w1"), 4).alias("bb")) \
+        .collect()[0].bb
+    assert [b.band for b in out] == [0, 1, 2, 3]
+    assert [b.bucket for b in out] == [
+        0x12345678 & 0xFFFF, 0x12345678 >> 16,
+        0x0ABCDEF1 & 0xFFFF, 0x0ABCDEF1 >> 16]
+
+
+def test_hash_bands_rejects_bad_band_counts(spark):
+    c = F.col("w0")
+    for bad in (3, 5, 1, 0):
+        with pytest.raises(ValueError, match="bands"):
+            hash_bands(c, c, bad)
+
+
+def test_pigeonhole_requires_bands_gt_max_dist(spark):
+    df = spark.createDataFrame([(1, 0, 0)], "id bigint, h0 long, h1 long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(df, max_dist=4, bands=4)
+
+
+def test_banded_pairs_equal_bruteforce_hamming(spark):
+    """Recall exactness: bands > max_dist ⇒ banded output == all-pairs
+    Hamming filter (the invariant the registry oracle relies on)."""
+    rng = random.Random(42)
+    hashes = {}
+    base = rng.getrandbits(64)
+    for i in range(20):
+        h = rng.getrandbits(64)
+        hashes[i] = h
+    # plant near pairs at controlled distances around `base`
+    for i, d in ((100, 0), (101, 1), (102, 3), (103, 4), (104, 7)):
+        h = base
+        for j in rng.sample(range(64), d):
+            h ^= 1 << j
+        hashes[i] = h
+    rows = [(i, h & 0xFFFFFFFF, h >> 32) for i, h in hashes.items()]
+    df = spark.createDataFrame(rows, "id bigint, h0 long, h1 long")
+    got = {(r.id_a, r.id_b, r.dist) for r in
+           image_neardup_pairs(df, max_dist=3, bands=4).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        d = bin(hashes[a] ^ hashes[b]).count("1")
+        if d <= 3:
+            want.add((a, b, d))
+    assert got == want
+    assert (100, 102, 3) in got and not any(
+        a == 100 and b == 104 for a, b, _ in got)
+
+
+def test_plan_is_banded_not_all_pairs(spark):
+    df = spark.createDataFrame([(1, 0, 0), (2, 1, 1)],
+                               "id bigint, h0 long, h1 long")
+    plan = image_neardup_pairs(df, max_dist=3, bands=4) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "Cartesian" not in plan  # the equi-join keys carry the block
+    assert "band" in plan and "bucket" in plan
+
+
+def test_hot_bucket_cap_keeps_flood_clustered_via_star(spark):
+    """An identical-image flood over the cap collapses to star edges —
+    every member still pairs with the root at dist 0, and the
+    quadratic within-bucket clique is gone."""
+    rows = [(i, 7, 7) for i in range(30)]  # 30 identical hashes
+    df = spark.createDataFrame(rows, "id bigint, h0 long, h1 long")
+    got = {(r.id_a, r.id_b) for r in
+           image_neardup_pairs(df, max_dist=3, bands=4,
+                               max_bucket_size=5).collect()}
+    assert got == {(0, i) for i in range(1, 30)}  # star, not C(30,2)
+
+
+def test_registry_query_recovers_planted_copies(spark):
+    """Planted re-encoded and brightness-shifted copies are found at
+    dist 0; the plants' partners are never paired with each other."""
+    from graphraft_spark.registry.dedup_queries import d_image_neardup
+
+    out = d_image_neardup(spark, "/root/testdata/sf0.001")
+    pairs = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+    docs = [r.doc_id for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id").collect()]
+    reenc = [d for d in docs if d % 10 == 0]
+    bright = [d for d in docs if d % 10 == 5]
+    assert reenc and bright
+    for d in reenc:
+        assert pairs.get((d, d + 1000000)) == 0
+    for d in bright:
+        assert pairs.get((d, d + 2000000)) == 0

@@ -85,6 +85,9 @@ PYTHON_OK_PREFIXES = ("f_", "mm_", "p_", "st_sessionize", "ann_mmr")
 PYTHON_OK = {
     "s_fulltext_match", "s_entity_match_fallback", "t_bpe_tokenize",
     "ann_bruteforce_scaled", "ann_ivf_kmeans_search",
+    # PNG encode + decode/resize through the media codec seam; the
+    # hash/banding/verify stages after it are pure JVM
+    "d_image_neardup",
 }
 
 # callables that EXECUTE work when invoked (iterative/stateful):
