@@ -103,10 +103,19 @@ HEADLINE = [
 # so a cross-round artifact self-adjudicates: ambient_abs ≈ 1 and a
 # slower line means the PLAN changed; ambient_abs elevated means the
 # MACHINE was loaded, whatever the intra-run drift says.
-CALIBRATION_REF_SEC = 0.83  # BASELINE.md "ambient anchor" (r12, quiet)
+# TWO anchors because the two failure axes are independent (measured
+# r12: a host epoch where the same code+data ran 1.2x slower on
+# shuffle-heavy lines read 0.84 on the CPU anchor): `compute` is pure
+# arithmetic (catches CPU contention), `shuffle` is one full 30M-row
+# repartition through the tmpfs local dirs (catches memory-bandwidth /
+# spill-path degradation, which is what the heavy graph/pipeline lines
+# actually spend).  References measured quiet (1 JVM) UNDER THE BENCH
+# CONFS — the G1/code-cache flags change the numbers.
+CALIBRATION_REF_SEC = 0.70          # BASELINE.md "ambient anchor" (r12)
+CALIBRATION_SHUFFLE_REF_SEC = 0.95  # BASELINE.md, same session
 
 
-def _calibrate(spark) -> float | None:
+def _calibrate(spark) -> dict:
     from pyspark.sql import functions as F
 
     c = F.col("id")
@@ -115,19 +124,32 @@ def _calibrate(spark) -> float | None:
             + (c * 2246822519 % 998244353) % 83
             + (c * 3266489917 % 1000000021) % 79)
 
-    def once() -> float:
+    def compute_once() -> float:
         t0 = time.time()
         spark.range(0, 1_000_000_000, 1, 32) \
             .select(F.sum(expr).alias("s")).collect()
         return round(time.time() - t0, 3)
 
-    try:
-        warm = [once(), once()]
-        while len(warm) < 8 and max(warm[-2:]) > 1.15 * min(warm):
-            warm.append(once())
-        return round(min(once() for _ in range(3)), 3)
-    except Exception:  # noqa: BLE001 — anchor must not zero the bench
-        return None
+    def shuffle_once() -> float:
+        t0 = time.time()
+        (spark.range(0, 30_000_000, 1, 32)
+         .select(c, (c * 2654435761 % 1000000007).alias("k"))
+         .repartition(64, F.col("k"))
+         .groupBy(F.col("k") % 997)
+         .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+         .write.format("noop").mode("overwrite").save())
+        return round(time.time() - t0, 3)
+
+    out: dict = {}
+    for key, once in (("compute", compute_once), ("shuffle", shuffle_once)):
+        try:
+            warm = [once(), once()]
+            while len(warm) < 8 and max(warm[-2:]) > 1.15 * min(warm):
+                warm.append(once())
+            out[key] = round(min(once() for _ in range(3)), 3)
+        except Exception:  # noqa: BLE001 — anchor must not zero the bench
+            out[key] = None
+    return out
 
 
 def _machine_state() -> dict:
@@ -211,8 +233,11 @@ def main() -> None:
 
     machine_start = _machine_state()
     calibration = _calibrate(spark)
-    ambient_abs = (round(calibration / CALIBRATION_REF_SEC, 3)
-                   if calibration else None)
+    ambient_abs = (round(calibration["compute"] / CALIBRATION_REF_SEC, 3)
+                   if calibration.get("compute") else None)
+    ambient_abs_shuffle = (
+        round(calibration["shuffle"] / CALIBRATION_SHUFFLE_REF_SEC, 3)
+        if calibration.get("shuffle") else None)
 
     # headline set spans both tiers: primary (driver-graded) queries and
     # extra-tier scale/bench variants
@@ -319,9 +344,12 @@ def main() -> None:
         "ambient_control": control,
         "ambient_drift": ambient_drift,
         "ambient_inflated": bool(ambient_drift and ambient_drift > 1.25),
-        "calibration_sec": calibration,
+        "calibration_sec": calibration.get("compute"),
         "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "calibration_shuffle_sec": calibration.get("shuffle"),
+        "calibration_shuffle_ref_sec": CALIBRATION_SHUFFLE_REF_SEC,
         "ambient_abs": ambient_abs,
+        "ambient_abs_shuffle": ambient_abs_shuffle,
         "machine_start": machine_start,
         "machine_end": _machine_state(),
     }
@@ -342,6 +370,8 @@ def main() -> None:
             out["ambient_inflated"] = True
     if ambient_abs is not None:
         out["ambient_abs"] = ambient_abs
+    if ambient_abs_shuffle is not None:
+        out["ambient_abs_shuffle"] = ambient_abs_shuffle
     out["machine"] = machine_start
     if errors:
         out["errors"] = {k: v[:80] for k, v in errors.items()}
