@@ -1211,3 +1211,109 @@ def d_image_neardup(spark, sf_dir):
     hashed = image_ahash_words(
         feats.select(F.col("media_id").alias("id"), "feature"))
     return image_neardup_pairs(hashed, max_dist=3, bands=4)
+
+
+_IMAGE_NEARDUP_DHASH_ORACLE = """
+WITH media AS (
+    SELECT doc_id AS media_id, doc_id AS src, 0 AS shift FROM documents
+  UNION ALL
+    SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+    SELECT doc_id + 2000000, doc_id, 40 FROM documents WHERE doc_id % 10 = 5
+),
+-- 9x8 nearest thumbnail: src pixel (x*16//9, 2y)
+px AS (
+    SELECT media_id, ty.range AS y, tx.range AS x,
+           ((src * 13) % 199
+            + ((tx.range * 16) // 9) * (1 + src % 23)
+            + (2 * ty.range) * (1 + src % 19)
+            + (((tx.range * 16) // 9) * (2 * ty.range)) * (src % 7))
+           % 200 + shift AS v
+    FROM media, range(9) tx, range(8) ty
+),
+bits AS (
+    SELECT l.media_id, CAST(l.y * 8 + l.x AS BIGINT) AS i,
+           CASE WHEN r.v > l.v THEN 1 ELSE 0 END AS b
+    FROM px l JOIN px r
+      ON r.media_id = l.media_id AND r.y = l.y AND r.x = l.x + 1
+    WHERE l.x < 8
+),
+words AS (
+    SELECT media_id,
+           CAST(SUM(CASE WHEN i < 32
+                         THEN b * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN i >= 32
+                         THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS w1
+    FROM bits GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.w0, b.w0))
+            + bit_count(xor(a.w1, b.w1)) AS INT) AS dist
+FROM words a JOIN words b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+"""
+
+
+@register("d_image_neardup_dhash", oracle=_IMAGE_NEARDUP_DHASH_ORACLE,
+          extra=True)
+def d_image_neardup_dhash(spark, sf_dir):
+    """dHash twin of d_image_neardup: the same synthetic corpus +
+    planted copies, but hashed as horizontal gradient SIGNS over a 9x8
+    luma thumbnail (ops/image_dedup.py image_dhash_words) — invariant
+    to ANY monotone tone curve, not just additive shifts.  Same
+    pigeonhole-exact 4x16-bit Hamming banding; the oracle replays
+    thumbnail -> gradient bits -> all-pairs Hamming from the closed
+    form (9-wide nearest sampling = x*16//9, exact integer floor on
+    both engines)."""
+    from graphraft_spark.ops.image_dedup import (
+        image_dhash_words,
+        image_neardup_pairs,
+    )
+    from graphraft_spark.ops.multimodal import extract_features
+    from graphraft_spark.ops.png import png_encode, png_resize_nearest
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    doc = F.col("doc_id")
+    variants = F.array_compact(F.array(
+        F.struct(doc.alias("media_id"),
+                 F.lit(0).alias("shift"), F.lit(0).alias("variant")),
+        F.when(doc % 10 == 0, F.struct(
+            (doc + 1000000).alias("media_id"),
+            F.lit(0).alias("shift"), F.lit(1).alias("variant"))),
+        F.when(doc % 10 == 5, F.struct(
+            (doc + 2000000).alias("media_id"),
+            F.lit(40).alias("shift"), F.lit(2).alias("variant")))))
+    spec = (d.select(doc.alias("src"), F.explode(variants).alias("v"))
+            .select("src", "v.media_id", "v.shift", "v.variant"))
+
+    filter_cycles = {0: [0, 1, 2, 3, 4], 1: [4, 3, 2, 1, 0],
+                     2: [2, 0, 3, 1, 4]}
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for s, sh, var in zip(pdf["src"], pdf["shift"],
+                                  pdf["variant"]):
+                s, sh = int(s), int(sh)
+                px = bytes(((s * 13) % 199 + x * (1 + s % 23)
+                            + y * (1 + s % 19) + x * y * (s % 7))
+                           % 200 + sh
+                           for y in range(16) for x in range(16))
+                payloads.append(png_encode(
+                    16, 16, px, color_type=0,
+                    filters=filter_cycles[int(var)]))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads})
+
+    media = spec.mapInPandas(encode,
+                             schema="media_id bigint, payload binary")
+    feats = extract_features(
+        media.select("media_id", F.lit("image").alias("kind"), "payload"),
+        decode_fn=lambda p: png_resize_nearest(p, 9, 8))
+    hashed = image_dhash_words(
+        feats.select(F.col("media_id").alias("id"), "feature"))
+    return image_neardup_pairs(hashed, max_dist=3, bands=4)

@@ -161,3 +161,20 @@ def test_registry_query_recovers_planted_copies(spark):
         assert pairs.get((d, d + 1000000)) == 0
     for d in bright:
         assert pairs.get((d, d + 2000000)) == 0
+
+
+def test_dhash_registry_query_recovers_planted_copies(spark):
+    """The dHash twin finds the same plants (both invariances cover
+    re-encode and +40 brightness) at dist 0."""
+    from graphraft_spark.registry.dedup_queries import d_image_neardup_dhash
+
+    out = d_image_neardup_dhash(spark, "/root/testdata/sf0.001")
+    pairs = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+    docs = [r.doc_id for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id").collect()]
+    for d in docs:
+        if d % 10 == 0:
+            assert pairs.get((d, d + 1000000)) == 0
+        if d % 10 == 5:
+            assert pairs.get((d, d + 2000000)) == 0
