@@ -99,6 +99,31 @@ def image_dhash_words(df: DataFrame, feature_col: str = "feature",
             .drop("_bits"))
 
 
+def gradient_sign_words(df: DataFrame, feature_col: str = "feature",
+                        prefix: str = "h",
+                        scale: int = 32768) -> DataFrame:
+    """Append a 64-bit derivative-sign fingerprint (two 32-bit words)
+    over a 65-sample 1-D sequence column: bit i = 1 iff
+    sample[i+1] > sample[i] — invariant to positive GAIN and DC OFFSET
+    (both cancel in the differences), the audio twin of
+    :func:`image_dhash_words` (a loudness-normalized or re-levelled
+    copy of a clip fingerprints identically).  ``scale`` recovers
+    exact ints from the decode seam's normalized floats (32768 for the
+    PCM16 contract of ops/wav.py wav_resample_nearest; 255 for
+    luma)."""
+    px = F.transform(F.col(feature_col),
+                     lambda v: F.round(v * scale, 0).cast("bigint"))
+    idx = F.sequence(F.lit(0), F.lit(63))
+    bits = F.transform(
+        idx, lambda i: (F.element_at(px, (i + 2).cast("int"))
+                        > F.element_at(px, (i + 1).cast("int"))
+                        ).cast("int"))
+    out = df.withColumn("_bits", bits)
+    return (out.withColumn(f"{prefix}0", _pack_word(F.col("_bits"), 0))
+            .withColumn(f"{prefix}1", _pack_word(F.col("_bits"), 1))
+            .drop("_bits"))
+
+
 def hash_bands(w0: Column, w1: Column, bands: int) -> Column:
     """Split the 64-bit (w0 ‖ w1) hash into ``bands`` equal windows:
     ARRAY<STRUCT<band INT, bucket BIGINT>>.  ``bands`` must be even

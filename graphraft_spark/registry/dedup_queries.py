@@ -1317,3 +1317,106 @@ def d_image_neardup_dhash(spark, sf_dir):
     hashed = image_dhash_words(
         feats.select(F.col("media_id").alias("id"), "feature"))
     return image_neardup_pairs(hashed, max_dist=3, bands=4)
+
+
+_AUDIO_NEARDUP_ORACLE = """
+WITH media AS (
+    SELECT doc_id AS media_id, doc_id AS src, 1 AS gain, 0 AS dc
+    FROM documents
+  UNION ALL
+    SELECT doc_id + 1000000, doc_id, 2, 0
+    FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+    SELECT doc_id + 2000000, doc_id, 1, 30
+    FROM documents WHERE doc_id % 10 = 5
+),
+-- 65-point nearest decimation of the 128-frame clip: src frame t*128//65
+sm AS (
+    SELECT media_id, t.range AS t,
+           (((src * 7) % 193
+             + ((t.range * 128) // 65) * (1 + src % 11)) % 200 - 100)
+           * gain + dc AS v
+    FROM media, range(65) t
+),
+bits AS (
+    SELECT l.media_id, CAST(l.t AS BIGINT) AS i,
+           CASE WHEN r.v > l.v THEN 1 ELSE 0 END AS b
+    FROM sm l JOIN sm r ON r.media_id = l.media_id AND r.t = l.t + 1
+    WHERE l.t < 64
+),
+words AS (
+    SELECT media_id,
+           CAST(SUM(CASE WHEN i < 32
+                         THEN b * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN i >= 32
+                         THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS w1
+    FROM bits GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.w0, b.w0))
+            + bit_count(xor(a.w1, b.w1)) AS INT) AS dist
+FROM words a JOIN words b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+"""
+
+
+@register("d_audio_neardup", oracle=_AUDIO_NEARDUP_ORACLE, extra=True)
+def d_audio_neardup(spark, sf_dir):
+    """Audio near-dup dedup — the third modality on the SAME banded
+    dataflow (simhash for text, aHash/dHash for images, this for
+    audio): every document becomes a genuine 128-frame PCM16 WAV
+    (sample(i) = (src*7 % 193 + i*(1 + src%11)) % 200 - 100, per-doc
+    frequency so waveforms are distinct); docs % 10 == 0 plant a
+    GAIN-DOUBLED copy and docs % 10 == 5 a DC-OFFSET (+30) copy — a
+    re-levelled or loudness-normalized duplicate of a clip, the audio
+    analog of a brightness-shifted image.  The pipeline decodes and
+    65-point-decimates through the engine's own codec (ops/wav.py
+    inside mapInPandas), fingerprints with the 64-bit derivative-sign
+    hash (ops/image_dedup.py gradient_sign_words — gain/offset cancel
+    in the differences), and blocks with the same pigeonhole-exact
+    4x16-bit Hamming banding.  The oracle replays decimation ->
+    gradient signs -> all-pairs Hamming from the closed form."""
+    from graphraft_spark.ops.image_dedup import (
+        gradient_sign_words,
+        image_neardup_pairs,
+    )
+    from graphraft_spark.ops.multimodal import extract_features
+    from graphraft_spark.ops.wav import wav_encode, wav_resample_nearest
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    doc = F.col("doc_id")
+    variants = F.array_compact(F.array(
+        F.struct(doc.alias("media_id"),
+                 F.lit(1).alias("gain"), F.lit(0).alias("dc")),
+        F.when(doc % 10 == 0, F.struct(
+            (doc + 1000000).alias("media_id"),
+            F.lit(2).alias("gain"), F.lit(0).alias("dc"))),
+        F.when(doc % 10 == 5, F.struct(
+            (doc + 2000000).alias("media_id"),
+            F.lit(1).alias("gain"), F.lit(30).alias("dc")))))
+    spec = (d.select(doc.alias("src"), F.explode(variants).alias("v"))
+            .select("src", "v.media_id", "v.gain", "v.dc"))
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for s, g, dc in zip(pdf["src"], pdf["gain"], pdf["dc"]):
+                s, g, dc = int(s), int(g), int(dc)
+                payloads.append(wav_encode(
+                    [(((s * 7) % 193 + i * (1 + s % 11)) % 200 - 100)
+                     * g + dc for i in range(128)]))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads})
+
+    media = spec.mapInPandas(encode,
+                             schema="media_id bigint, payload binary")
+    feats = extract_features(
+        media.select("media_id", F.lit("audio").alias("kind"), "payload"),
+        decode_fn=lambda p: wav_resample_nearest(p, 65))
+    hashed = gradient_sign_words(
+        feats.select(F.col("media_id").alias("id"), "feature"))
+    return image_neardup_pairs(hashed, max_dist=3, bands=4)

@@ -178,3 +178,49 @@ def test_dhash_registry_query_recovers_planted_copies(spark):
             assert pairs.get((d, d + 1000000)) == 0
         if d % 10 == 5:
             assert pairs.get((d, d + 2000000)) == 0
+
+
+def test_gradient_sign_words_matches_python_replay(spark):
+    from graphraft_spark.ops.image_dedup import gradient_sign_words
+
+    rng = random.Random(13)
+    seqs = {i: [rng.randrange(-32768, 32768) for _ in range(65)]
+            for i in range(5)}
+    rows = [(i, [v / 32768.0 for v in s]) for i, s in seqs.items()]
+    df = spark.createDataFrame(rows, "id bigint, feature array<double>")
+    got = {r.id: (r.h0, r.h1) for r in gradient_sign_words(df).collect()}
+    for i, s in seqs.items():
+        bits = [1 if s[j + 1] > s[j] else 0 for j in range(64)]
+        want = (sum(b << k for k, b in enumerate(bits[:32])),
+                sum(b << k for k, b in enumerate(bits[32:])))
+        assert got[i] == want
+
+
+def test_gradient_sign_invariant_to_gain_and_dc(spark):
+    from graphraft_spark.ops.image_dedup import gradient_sign_words
+
+    rng = random.Random(17)
+    base = [rng.randrange(-100, 100) for _ in range(65)]
+    rows = [(0, [v / 32768.0 for v in base]),
+            (1, [v * 3 / 32768.0 for v in base]),       # gain x3
+            (2, [(v + 50) / 32768.0 for v in base])]     # DC offset
+    df = spark.createDataFrame(rows, "id bigint, feature array<double>")
+    got = {r.id: (r.h0, r.h1) for r in gradient_sign_words(df).collect()}
+    assert got[0] == got[1] == got[2]
+
+
+def test_audio_registry_query_recovers_planted_copies(spark):
+    """Gain-doubled and DC-offset copies fingerprint identically —
+    found at dist 0 through the real WAV codec."""
+    from graphraft_spark.registry.dedup_queries import d_audio_neardup
+
+    out = d_audio_neardup(spark, "/root/testdata/sf0.001")
+    pairs = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+    docs = [r.doc_id for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id").collect()]
+    for d in docs:
+        if d % 10 == 0:
+            assert pairs.get((d, d + 1000000)) == 0
+        if d % 10 == 5:
+            assert pairs.get((d, d + 2000000)) == 0

@@ -80,6 +80,7 @@ ALLOWED: dict[str, int] = {
     # the banded self-join's two sides each carry the (single-scan)
     # encode+hash subtree; words ride the banding so no further refs
     "d_image_neardup": 1, "d_image_neardup_dhash": 1,
+    "d_audio_neardup": 1,
     "q_dormant_rich_customers": 1, "q_large_volume_customers": 1,
     "q_market_share": 1, "q_nation_pair_volume": 1,
     "q_setops_customers": 3, "q_small_qty_revenue": 1,

@@ -87,7 +87,7 @@ PYTHON_OK = {
     "ann_bruteforce_scaled", "ann_ivf_kmeans_search",
     # PNG encode + decode/resize through the media codec seam; the
     # hash/banding/verify stages after it are pure JVM
-    "d_image_neardup", "d_image_neardup_dhash",
+    "d_image_neardup", "d_image_neardup_dhash", "d_audio_neardup",
 }
 
 # callables that EXECUTE work when invoked (iterative/stateful):
