@@ -173,10 +173,14 @@ def test_tpch2_filters_push_and_dims_broadcast(spark):
     """Round-5 TPC-H additions: Q6's predicates must reach the lineitem
     scan; Q7's dimension joins must broadcast (no SMJ for nation/
     supplier); nothing builds a cartesian product."""
-    from graphraft_spark.registry import EXTRA_QUERIES, load_all
+    from graphraft_spark.registry import EXTRA_QUERIES, QUERIES, load_all
 
     load_all()
-    p6 = physical(EXTRA_QUERIES["q_forecast_revenue"](spark, SF))
+    # q_forecast_revenue moved tiers (promoted r12 wave 7) — look it up
+    # across both so rotation doesn't break the plan pin
+    allq = dict(EXTRA_QUERIES)
+    allq.update(QUERIES)
+    p6 = physical(allq["q_forecast_revenue"](spark, SF))
     assert "PushedFilters" in p6 and "l_shipdate" in p6.split(
         "PushedFilters")[1][:400], "Q6 date filter must push to scan"
     assert "CartesianProduct" not in p6

@@ -106,7 +106,7 @@ def test_mm_png_feature_oracle_parity(spark):
 
     registry.load_all()
     sf = "/root/testdata/sf0.001"
-    query = registry.QUERIES["mm_png_feature"]  # primary (driver-graded)
+    query = registry.EXTRA_QUERIES["mm_png_feature"]  # extra since r12
     got = {r["media_id"]: (r["c00"], r["c01"], r["c10"], r["c11"])
            for r in query(spark, sf).collect()}
     con = duckdb.connect()
@@ -114,7 +114,7 @@ def test_mm_png_feature_oracle_parity(spark):
             f"SELECT * FROM '{sf}/documents.parquet'")
     want = {row[0]: tuple(row[1:])
             for row in con.sql(
-                registry.ORACLES["mm_png_feature"]).fetchall()}
+                registry.EXTRA_ORACLES["mm_png_feature"]).fetchall()}
     assert got == want and len(got) == 500
 
 
