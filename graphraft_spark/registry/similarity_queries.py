@@ -597,3 +597,45 @@ def ann_recall_clustered(spark, sf_dir):
         rows.append((name, round(hits / (5.0 * n_q), 4)))
     return spark.createDataFrame(sorted(rows),
                                  "tier string, recall_at_5 double")
+
+
+@register(
+    "e_cluster_balanced_sample", extra=True,
+    oracle=f"""
+WITH {_CENTROIDS_SQL.strip()},
+{_ASSIGNED_SQL.strip()},
+ranked AS (
+    SELECT centroid_id, vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY centroid_id
+               ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                            ::BIGINT % 1000000007,
+                        vec_id) AS rk
+    FROM assigned
+)
+SELECT centroid_id, vec_id, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+""")
+def e_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced corpus sampling: IVF-assign every embedding to
+    its nearest centroid, then keep at most 5 per CLUSTER in a
+    portable-hash order — the diversity-quota step of an
+    embedding-curated training mix (cap dense semantic regions so no
+    near-duplicate neighborhood dominates; the cluster twin of
+    ops/text_analysis.py source_quota, which caps by source label).
+    The hash ordering makes the within-cluster pick a deterministic
+    uniform sample rather than an id-prefix bias.  Modulo centroids
+    keep the oracle exact (the seeded k-means trainer
+    ivf_centroids_kmeans is the drop-in at scale — same assignment
+    dataflow).  One broadcast assignment scan + one per-cluster
+    window; no global shuffle beyond the centroid_id re-key."""
+    from graphraft_spark.ops.dedup import _h60
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = ivf_assign(emb, ivf_centroids(emb, every=50))
+    w = Window.partitionBy("centroid_id").orderBy(
+        _h60(F.col("vec_id").cast("string")), F.col("vec_id"))
+    return (assigned.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("centroid_id", "vec_id",
+                    F.col("rk").cast("int").alias("rk")))

@@ -41,6 +41,7 @@ ALLOWED: dict[str, int] = {
     # small table.  1-3 pruned re-reads of the base scan.
     "ann_bruteforce_topk": 1, "ann_hard_negatives": 1,
     "ann_ivf_assign": 1, "ann_ivf_kmeans_search": 1,
+    "e_cluster_balanced_sample": 1,
     "ann_ivf_search": 3, "ann_mmr_rerank": 2, "ann_srp_lsh_topk": 1,
     "s_cosine_pair": 1, "s_knn_excluding": 1, "s_knn_per_group": 1,
     "s_knn_topk": 1, "s_hybrid_rrf": 2, "d_embedding_neardup": 1,

@@ -46,6 +46,7 @@ BNLJ_OK = {
     # per-qid candidate expansion: tiny broadcast side scores or
     # expands against the corpus — the cross-score plan shape
     "ann_ivf_assign", "ann_mmr_rerank", "s_knn_per_group",
+    "e_cluster_balanced_sample",
     "d_semantic_dedup",
     # broadcast BENCHMARK side cross-scores the corpus (test sets are
     # small by nature; map-side partial MAX collapses the product)

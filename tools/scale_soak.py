@@ -358,6 +358,75 @@ def main() -> None:
                   prop_cols=("detail",),
                   persist_mode="local_checkpoint")))
 
+    # Perceptual image dedup ×N (r12): corpus-size axis — every copy's
+    # images are DISTINCT (the pixel formula folds the ×N-offset src id
+    # through independent moduli), plants stay per-copy so duplicate
+    # GROUP size is constant and pair count grows linearly.  The Python
+    # codec seam (encode+decode inside mapInPandas) is embarrassingly
+    # parallel; the only shuffle is the 4-rows-per-image banding join —
+    # the soak checks both stay ~linear.
+    if any(want(t) for t in ("imagededup",)):
+        from graphraft_spark.ops.image_dedup import (
+            image_ahash_words,
+            image_neardup_pairs,
+        )
+        from graphraft_spark.ops.multimodal import extract_features
+        from graphraft_spark.ops.png import png_encode, png_resize_nearest
+
+        def _image_pairs_x(n):
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+            idx = spark.range(n).select(F.col("id").alias("copy"))
+            base = (d.crossJoin(idx)
+                    .select((F.col("doc_id") * 1000 + F.col("copy"))
+                            .alias("src")))
+            doc = F.col("src")
+            variants = F.array_compact(F.array(
+                F.struct(doc.alias("media_id"),
+                         F.lit(0).alias("shift"), F.lit(0).alias("variant")),
+                F.when(doc % 10 == 0, F.struct(
+                    (doc + 1000000000).alias("media_id"),
+                    F.lit(0).alias("shift"), F.lit(1).alias("variant"))),
+                F.when(doc % 10 == 5, F.struct(
+                    (doc + 2000000000).alias("media_id"),
+                    F.lit(40).alias("shift"), F.lit(2).alias("variant")))))
+            spec = (base.select(doc.alias("src"),
+                                F.explode(variants).alias("v"))
+                    .select("src", "v.media_id", "v.shift", "v.variant"))
+            cycles = {0: [0, 1, 2, 3, 4], 1: [4, 3, 2, 1, 0],
+                      2: [2, 0, 3, 1, 4]}
+
+            def encode(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    payloads = []
+                    for s, sh, var in zip(pdf["src"], pdf["shift"],
+                                          pdf["variant"]):
+                        s, sh = int(s), int(sh)
+                        px = bytes(((s * 13) % 199 + x * (1 + s % 23)
+                                    + y * (1 + s % 19) + x * y * (s % 7))
+                                   % 200 + sh
+                                   for y in range(16) for x in range(16))
+                        payloads.append(png_encode(
+                            16, 16, px, color_type=0,
+                            filters=cycles[int(var)]))
+                    yield pd.DataFrame({"media_id": pdf["media_id"],
+                                        "payload": payloads})
+
+            media = spec.mapInPandas(
+                encode, schema="media_id bigint, payload binary")
+            feats = extract_features(
+                media.select("media_id", F.lit("image").alias("kind"),
+                             "payload"),
+                decode_fn=lambda p: png_resize_nearest(p, 8, 8))
+            hashed = image_ahash_words(
+                feats.select(F.col("media_id").alias("id"), "feature"))
+            return image_neardup_pairs(hashed, max_dist=3, bands=4)
+
+        for n in (FACTORS if want("imagededup") else ()):
+            timed("imagededup", n, lambda n=n: _noop(_image_pairs_x(n)))
+
     print("\n| task | factor | wall_s |")
     print("|---|---|---|")
     for task, factor, dt in rows:
