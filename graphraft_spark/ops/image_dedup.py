@@ -29,6 +29,19 @@ hash-partitioned on 16-bit band values) and hot buckets (boilerplate
 logos, solid-color fills) are capped with star edges to the bucket
 root, same as minhash LSH.
 
+Scale honesty — candidate volume: with B-bit bands, hash-UNIFORM
+corpora produce ~N²/2^(B+1) birthday-collision candidates per band
+(each verified with two cheap XORs).  16-bit bands are the canonical
+multi-index split for a 64-bit hash at dist ≤ 3 (bands > dist is
+forced), and they carry ~10⁸ images comfortably — but at 10⁹+ the N²
+term dominates regardless of skew.  The scale path is NOT different
+blocking, it is a WIDER fingerprint: a 256-bit pHash is 8 words
+through this same module (``hash_bands`` and ``image_neardup_pairs``
+generalize over the word list — tested at 128 bits), giving 32-bit
+windows (2³² buckets) at dist ≤ 7 — the birthday floor moves to
+~N²/2³³ per band, past any real corpus.  The r12 soak (BASELINE.md)
+measures the 64-bit behavior explicitly.
+
 Reference parity: the reference has no image pipeline at all (its
 media handling is out-of-engine); this follows SURVEY.md's
 training-data-pipeline mandate — the image twin of ``simhash``.
@@ -124,19 +137,28 @@ def gradient_sign_words(df: DataFrame, feature_col: str = "feature",
             .drop("_bits"))
 
 
-def hash_bands(w0: Column, w1: Column, bands: int) -> Column:
-    """Split the 64-bit (w0 ‖ w1) hash into ``bands`` equal windows:
-    ARRAY<STRUCT<band INT, bucket BIGINT>>.  ``bands`` must be even
-    and divide 64 with a window width ≤ 32 (each window stays inside
-    one word)."""
-    if bands <= 0 or bands % 2 or 64 % bands or 64 // bands > WORD_BITS:
-        raise ValueError(f"bands must be even, divide 64, and give "
-                         f"windows ≤ {WORD_BITS} bits; got {bands}")
-    width = 64 // bands
+def hash_bands(words: list[Column] | tuple[Column, ...],
+               bands: int) -> Column:
+    """Split a (32·len(words))-bit fingerprint (word 0 = lowest bits)
+    into ``bands`` equal windows: ARRAY<STRUCT<band INT,
+    bucket BIGINT>>.  ``bands`` must divide the total bit count into
+    windows whose width divides 32 (each window stays inside one
+    word): the 64-bit default with bands=4 gives 16-bit windows; a
+    256-bit pHash (8 words) with bands=8 gives 32-bit windows (2³²
+    buckets) — the wider-fingerprint scale path in the module
+    docstring."""
+    total = WORD_BITS * len(words)
+    if (bands <= 0 or total % bands
+            or (total // bands) > WORD_BITS
+            or WORD_BITS % (total // bands)):
+        raise ValueError(
+            f"bands must divide {total} bits into windows of width "
+            f"dividing {WORD_BITS}; got bands={bands}")
+    width = total // bands
     per_word = WORD_BITS // width
     out = []
     for j in range(bands):
-        word = w0 if j < per_word else w1
+        word = words[j // per_word]
         off = (j % per_word) * width
         val = (F.floor(word / F.lit(float(1 << off))).cast("bigint")
                % F.lit(1 << width))
@@ -145,7 +167,7 @@ def hash_bands(w0: Column, w1: Column, bands: int) -> Column:
 
 
 def image_neardup_pairs(hashed: DataFrame, id_col: str = "id",
-                        h0: str = "h0", h1: str = "h1",
+                        word_cols: tuple[str, ...] = ("h0", "h1"),
                         max_dist: int = 3, bands: int = 4,
                         max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup image pairs (id_a < id_b, dist ≤ ``max_dist``) from a
@@ -164,49 +186,50 @@ def image_neardup_pairs(hashed: DataFrame, id_col: str = "id",
         raise ValueError(
             f"pigeonhole needs bands > max_dist for exact recall; "
             f"got bands={bands}, max_dist={max_dist}")
+    k = len(word_cols)
+    ws = [f"w{i}" for i in range(k)]
     s = hashed.select(F.col(id_col).alias("id"),
-                      F.col(h0).alias("w0"), F.col(h1).alias("w1"))
-    # the hash words RIDE ALONG through the banding explode (4 rows ×
-    # 2 extra bigints per image — negligible) so the within-bucket
-    # verify needs NO join back to the hashed frame: the upstream
-    # decode/hash subtree is referenced exactly twice (the self-join's
-    # two sides), not four times
-    banded = (s.select("id", "w0", "w1", F.explode(
-        hash_bands(F.col("w0"), F.col("w1"), bands)).alias("bb"))
-        .select("id", "w0", "w1", F.col("bb.band").alias("band"),
+                      *[F.col(c).alias(w) for c, w in zip(word_cols, ws)])
+    # the hash words RIDE ALONG through the banding explode (`bands`
+    # rows × k extra bigints per image — negligible) so the
+    # within-bucket verify needs NO join back to the hashed frame: the
+    # upstream decode/hash subtree is referenced exactly twice (the
+    # self-join's two sides), not four times
+    banded = (s.select("id", *ws, F.explode(
+        hash_bands([F.col(w) for w in ws], bands)).alias("bb"))
+        .select("id", *ws, F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket")))
     star = None
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
         tagged = banded.select(
-            "id", "w0", "w1", "band", "bucket",
+            "id", *ws, "band", "bucket",
             F.count("*").over(w).alias("bsz"),
-            # min-id member's (id, w0, w1) — the star root with words
-            F.min(F.struct("id", "w0", "w1")).over(w).alias("root"))
+            # min-id member's (id, words...) — the star root with words
+            F.min(F.struct("id", *ws)).over(w).alias("root"))
         star = (tagged.filter((F.col("bsz") > max_bucket_size)
                               & (F.col("id") != F.col("root.id")))
                 .select(F.col("root.id").alias("id_a"),
                         F.col("id").alias("id_b"),
-                        F.col("root.w0").alias("w0a"),
-                        F.col("root.w1").alias("w1a"),
-                        F.col("w0").alias("w0b"),
-                        F.col("w1").alias("w1b")))
+                        *[F.col(f"root.{w}").alias(f"{w}a") for w in ws],
+                        *[F.col(w).alias(f"{w}b") for w in ws]))
         banded = tagged.filter(F.col("bsz") <= max_bucket_size) \
-            .select("id", "w0", "w1", "band", "bucket")
+            .select("id", *ws, "band", "bucket")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, ["band", "bucket"])
             .filter(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
-                    F.col("a.w0").alias("w0a"), F.col("a.w1").alias("w1a"),
-                    F.col("b.w0").alias("w0b"), F.col("b.w1").alias("w1b")))
+                    *[F.col(f"a.{w}").alias(f"{w}a") for w in ws],
+                    *[F.col(f"b.{w}").alias(f"{w}b") for w in ws]))
     if star is not None:
         cand = cand.unionByName(star)
     # distinct on the pair: the word columns are functionally dependent
     # on the ids, so including them cannot widen the key
     cand = cand.distinct()
-    dist = (hamming(F.col("w0a"), F.col("w0b"), WORD_BITS)
-            + hamming(F.col("w1a"), F.col("w1b"), WORD_BITS))
+    dist = sum((hamming(F.col(f"{w}a"), F.col(f"{w}b"), WORD_BITS)
+                for w in ws[1:]),
+               hamming(F.col(f"{ws[0]}a"), F.col(f"{ws[0]}b"), WORD_BITS))
     return (cand.withColumn("dist", dist)
             .filter(F.col("dist") <= max_dist)
             .select("id_a", "id_b", F.col("dist").cast("int").alias("dist")))

@@ -73,7 +73,7 @@ def test_dhash_invariant_to_monotone_tone_curve(spark):
 
 def test_hash_bands_partition_the_64_bits(spark):
     df = spark.createDataFrame([(0x12345678, 0x0ABCDEF1)], "w0 long, w1 long")
-    out = df.select(hash_bands(F.col("w0"), F.col("w1"), 4).alias("bb")) \
+    out = df.select(hash_bands([F.col("w0"), F.col("w1")], 4).alias("bb")) \
         .collect()[0].bb
     assert [b.band for b in out] == [0, 1, 2, 3]
     assert [b.bucket for b in out] == [
@@ -83,9 +83,37 @@ def test_hash_bands_partition_the_64_bits(spark):
 
 def test_hash_bands_rejects_bad_band_counts(spark):
     c = F.col("w0")
-    for bad in (3, 5, 1, 0):
+    for bad in (3, 5, 0, -1):  # 3/5 don't divide 64; widths must fit
         with pytest.raises(ValueError, match="bands"):
-            hash_bands(c, c, bad)
+            hash_bands([c, c], bad)
+    with pytest.raises(ValueError, match="bands"):
+        hash_bands([c, c], 1)  # 64-bit window exceeds a 32-bit word
+
+
+def test_wider_fingerprint_pairs_equal_bruteforce(spark):
+    """The scale path: 128-bit fingerprints (4 words) through the same
+    banding — recall-exact vs brute force at bands=8, dist<=3."""
+    rng = random.Random(99)
+    hashes = {i: rng.getrandbits(128) for i in range(15)}
+    base = hashes[0]
+    for i, d in ((200, 1), (201, 3), (202, 4)):
+        h = base
+        for j in rng.sample(range(128), d):
+            h ^= 1 << j
+        hashes[i] = h
+    rows = [tuple([i] + [(h >> (32 * k)) & 0xFFFFFFFF for k in range(4)])
+            for i, h in hashes.items()]
+    df = spark.createDataFrame(
+        rows, "id bigint, h0 long, h1 long, h2 long, h3 long")
+    got = {(r.id_a, r.id_b, r.dist) for r in
+           image_neardup_pairs(df, word_cols=("h0", "h1", "h2", "h3"),
+                               max_dist=3, bands=8).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        d = bin(hashes[a] ^ hashes[b]).count("1")
+        if d <= 3:
+            want.add((a, b, d))
+    assert got == want and (0, 201, 3) in got
 
 
 def test_pigeonhole_requires_bands_gt_max_dist(spark):

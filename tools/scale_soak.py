@@ -390,9 +390,15 @@ def main() -> None:
                 F.when(doc % 10 == 5, F.struct(
                     (doc + 2000000000).alias("media_id"),
                     F.lit(40).alias("shift"), F.lit(2).alias("variant")))))
+            # documents.parquet is ONE small file at test sf, so the
+            # crossJoin inherits ~1 input partition and the ×N codec
+            # work would starve on one core (a fixture artifact: real
+            # corpora arrive in thousands of files) — spread it before
+            # the Python seam so the soak measures the operator
             spec = (base.select(doc.alias("src"),
                                 F.explode(variants).alias("v"))
-                    .select("src", "v.media_id", "v.shift", "v.variant"))
+                    .select("src", "v.media_id", "v.shift", "v.variant")
+                    .repartition(32, F.col("media_id")))
             cycles = {0: [0, 1, 2, 3, 4], 1: [4, 3, 2, 1, 0],
                       2: [2, 0, 3, 1, 4]}
 
