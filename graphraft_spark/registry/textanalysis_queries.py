@@ -1347,3 +1347,47 @@ def t_word_embeddings_w2v(spark, sf_dir):
             .select("node", F.col("pos").cast("int").alias("pos"),
                     F.round("val", 6).alias("val")))
 
+
+
+@register(
+    "t_quality_gate_scalable", extra=True,
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(CAST({_stop_sql('en')} AS DOUBLE)
+                             / GREATEST(len({_WORDS}), 1) * 4, 1.0)
+                 + 0.3 * (CASE WHEN len({_WORDS}) > 0 AND
+                               list_sum(list_transform({_WORDS},
+                                        w -> len(w))) / len({_WORDS})
+                               BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+                 + 0.3 * (1 - LEAST(CAST(len(regexp_extract_all(text,
+                          '[^\\w\\s]')) AS DOUBLE)
+                          / GREATEST(length(text), 1) * 5, 1.0)), 6)
+               AS quality
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, quality,
+           percent_rank() OVER (ORDER BY quality, doc_id) AS pr
+    FROM scored
+)
+SELECT doc_id, quality FROM ranked WHERE pr >= 0.25
+""")
+def t_quality_gate_scalable(spark, sf_dir):
+    """The 100 TB form of t_quality_gate: the SAME bottom-25% keep set
+    (the oracle IS the percent_rank form) computed with NO row-level
+    global sort or window — ops/quantile.py keep_top_fraction builds a
+    value histogram (bounded by the 6-dp score domain, ≤ 1,000,001
+    rows at any corpus size — the only global window runs over it),
+    derives the exact integer rank threshold, and gates the corpus in
+    one pass with a per-VALUE (partitioned) window for the boundary
+    tiebreak.  Scores are rounded to 6 dp BEFORE ranking on both
+    engines, so the gate's total order is identical bit-for-bit.
+    Closes the scale path the t_quality_gate docstring documents."""
+    from graphraft_spark.ops.quantile import keep_top_fraction
+    from graphraft_spark.ops.text_analysis import quality_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+    return keep_top_fraction(scored, "quality", "doc_id", 1, 4)

@@ -62,6 +62,9 @@ BNLJ_OK = {
     "g_embed_knn",
     # 1-row corpus-total frames crossed onto the bucket ratio table
     "t_dsir_weights",
+    # 1-row quantile-threshold frame range-joined (v >= threshold) onto
+    # the scoring scan — the exact-quantile gate's broadcast probe
+    "t_quality_gate_scalable",
     # 1-row corpus-stats frames (N/avgdl/df; total/vocab) crossed onto
     # the scoring scan
     "s_bm25_topk", "s_bm25_indexed", "s_hybrid_rrf", "t_bigram_lm_score",
@@ -114,6 +117,10 @@ GLOBAL_WINDOW_OK = {
     # rankings fused by RRF are top-N frames (search/hybrid.py:22 —
     # with_rank's documented contract)
     "s_hybrid_rrf",
+    # exact-quantile gate: the global cum-window runs over the VALUE
+    # HISTOGRAM, bounded by the 6-dp score domain (<= 1,000,001 rows at
+    # any corpus size — ops/quantile.py module docstring)
+    "t_quality_gate_scalable",
     # percent_rank quantile gate: documented single-shard form; the
     # 100 TB paths (shard key / GK sketch broadcast) are in the
     # docstring (registry/textanalysis_queries.py t_quality_gate)
