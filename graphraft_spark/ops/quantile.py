@@ -79,3 +79,55 @@ def keep_top_fraction(df: DataFrame, value_col: str, tiebreak_col: str,
             .filter((v > F.col("_tv"))
                     | (F.col("_below") + F.col("_rn") >= F.col("_k")))
             .select(*df.columns))
+
+
+def exact_global_rank(df: DataFrame, value_col: str, tiebreak_col: str,
+                      out_col: str = "rank",
+                      n_col: str | None = None) -> DataFrame:
+    """Exact 1-based global rank under (value ASC, tiebreak ASC) with
+    NO row-level global sort: the value histogram's cumulative
+    count-below (global window over the bounded value domain only) is
+    broadcast back onto the corpus, and a per-VALUE (partitioned)
+    row_number supplies the tiebreak offset.  ``n_col``: also attach
+    the total row count (derived from the same histogram — no second
+    corpus scan)."""
+    w_hist = Window.orderBy(value_col)
+    hist = df.groupBy(value_col).agg(F.count("*").alias("_cnt"))
+    cum = hist.select(
+        value_col,
+        F.coalesce(F.sum("_cnt").over(
+            w_hist.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("_below"),
+        F.sum("_cnt").over(
+            w_hist.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)).alias("_tot"))
+    wg = Window.partitionBy(value_col).orderBy(tiebreak_col)
+    out = (df.join(F.broadcast(cum), value_col)
+           .withColumn(out_col,
+                       F.col("_below") + F.row_number().over(wg)))
+    if n_col is not None:
+        out = out.withColumn(n_col, F.col("_tot"))
+    return out.drop("_below", "_tot")
+
+
+def exact_ntile(df: DataFrame, value_col: str, tiebreak_col: str,
+                buckets: int, out_col: str = "bucket") -> DataFrame:
+    """Exact NTILE(buckets) over (value ASC, tiebreak ASC) without the
+    global sort NTILE forces: global rank via :func:`exact_global_rank`
+    then NTILE's own split arithmetic — the first N mod buckets
+    buckets take ceil(N/buckets) rows, the rest floor(N/buckets):
+    bucket(r) = ceil(r/(q+1)) while r ≤ rem·(q+1), else
+    rem + ceil((r − rem·(q+1))/q).  Bit-identical to the window NTILE
+    under the same total order (ties broken by ``tiebreak_col``)."""
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive; got {buckets}")
+    ranked = exact_global_rank(df, value_col, tiebreak_col,
+                               out_col="_r", n_col="_n")
+    q = F.floor(F.col("_n") / buckets).cast("bigint")
+    rem = (F.col("_n") % buckets).cast("bigint")
+    r = F.col("_r")
+    head = rem * (q + 1)
+    bucket = F.when(r <= head, F.ceil(r / (q + 1))).otherwise(
+        rem + F.ceil((r - head) / q))
+    return (ranked.withColumn(out_col, bucket.cast("int"))
+            .drop("_r", "_n"))

@@ -840,3 +840,59 @@ def q_lonely_late_supplier(spark, sf_dir):
             .join(s, F.col("l_suppkey") == s.s_suppkey)
             .groupBy("s_name")
             .agg(F.count("*").alias("numwait")))
+
+
+@register(
+    "q_order_gaps_scalable", extra=True,
+    oracle="""
+SELECT quartile,
+       COUNT(*) AS n_gaps,
+       MIN(gap_days) AS min_gap,
+       MAX(gap_days) AS max_gap
+FROM (
+    SELECT gap_days, NTILE(4) OVER (ORDER BY gap_days, o_orderkey)
+               AS quartile
+    FROM (
+        SELECT o_orderkey,
+               epoch_us(o_orderdate) // 86400000000
+                 - LAG(epoch_us(o_orderdate) // 86400000000)
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS gap_days
+        FROM orders
+    )
+    WHERE gap_days IS NOT NULL
+)
+GROUP BY quartile
+""")
+def q_order_gaps_scalable(spark, sf_dir):
+    """The fleet-scale form q_order_gaps' docstring names: the SAME
+    global quartiles (the oracle IS the NTILE form) with no global
+    sort — ops/quantile.py exact_ntile derives each gap's exact global
+    rank from the gap-value histogram (the only global window runs
+    over that bounded frame; gap_days at any corpus size has at most
+    ~2,500 distinct values — order dates span years, not eons) plus a
+    per-VALUE partitioned row_number, then applies NTILE's own split
+    arithmetic.  The per-customer LAG stays partitioned by custkey as
+    before."""
+    from pyspark.sql import Window
+
+    from graphraft_spark.ops.quantile import exact_ntile
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    day = (F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz"))
+           - F.pmod(F.unix_micros(F.col("o_orderdate").cast(
+               "timestamp_ltz")), F.lit(86400000000))) / F.lit(86400000000)
+    day = day.cast("bigint")
+    per_cust = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey")
+    gaps = (o.select("o_orderkey", "o_custkey", "o_orderdate",
+                     day.alias("day"))
+            .withColumn("gap_days",
+                        F.col("day") - F.lag("day").over(per_cust))
+            .filter(F.col("gap_days").isNotNull()))
+    tiled = exact_ntile(gaps, "gap_days", "o_orderkey", 4,
+                        out_col="quartile")
+    return (tiled.groupBy("quartile")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.min("gap_days").alias("min_gap"),
+                 F.max("gap_days").alias("max_gap")))

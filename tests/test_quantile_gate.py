@@ -68,3 +68,32 @@ def test_no_global_row_window_in_plan(spark):
         if "Exchange SinglePartition" in line:
             below = "\n".join(lines[i:i + 4])
             assert ("HashAggregate" in below or "Scan" not in below), below
+
+
+@pytest.mark.parametrize("n,dups,buckets", [
+    (100, 1, 4), (97, 6, 4), (50, 5, 7), (3, 1, 4), (8, 8, 3),
+])
+def test_exact_ntile_matches_window_ntile(spark, n, dups, buckets):
+    from graphraft_spark.ops.quantile import exact_ntile
+
+    rng = random.Random(n + buckets)
+    rows = [(i, float(rng.randrange(max(n // dups, 1)))) for i in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = {r.id: r.bucket for r in
+           exact_ntile(df, "v", "id", buckets).collect()}
+    want = {r.id: r.q for r in df.withColumn(
+        "q", F.ntile(buckets).over(Window.orderBy("v", "id"))).collect()}
+    assert got == want
+
+
+def test_exact_global_rank_matches_row_number(spark):
+    from graphraft_spark.ops.quantile import exact_global_rank
+
+    rng = random.Random(4)
+    rows = [(i, float(rng.randrange(9))) for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = {r.id: r.rank for r in
+           exact_global_rank(df, "v", "id").collect()}
+    want = {r.id: r.rn for r in df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "id"))).collect()}
+    assert got == want

@@ -91,7 +91,7 @@ ALLOWED: dict[str, int] = {
     "st_sig_maintenance": 1,
     # exact-quantile gate: histogram pass + gate pass = 2 corpus scans
     # by design (the price of removing the global row sort)
-    "t_quality_gate_scalable": 1,
+    "t_quality_gate_scalable": 1, "q_order_gaps_scalable": 1,
     "t_bloom_decontaminate": 4, "t_cms_wordfreq": 2,
     "t_decontaminate": 2, "t_ppl_band": 1,
     "t_source_kl": 3, "t_tfidf_topterms": 2, "s_bm25_indexed": 1,

@@ -117,10 +117,11 @@ GLOBAL_WINDOW_OK = {
     # rankings fused by RRF are top-N frames (search/hybrid.py:22 —
     # with_rank's documented contract)
     "s_hybrid_rrf",
-    # exact-quantile gate: the global cum-window runs over the VALUE
-    # HISTOGRAM, bounded by the 6-dp score domain (<= 1,000,001 rows at
-    # any corpus size — ops/quantile.py module docstring)
-    "t_quality_gate_scalable",
+    # exact-quantile gate / exact-ntile: the global cum-window runs
+    # over the VALUE HISTOGRAM, bounded by the value domain (6-dp score
+    # <= 1,000,001 rows; gap_days ~2,500) at any corpus size
+    # (ops/quantile.py module docstring)
+    "t_quality_gate_scalable", "q_order_gaps_scalable",
     # percent_rank quantile gate: documented single-shard form; the
     # 100 TB paths (shard key / GK sketch broadcast) are in the
     # docstring (registry/textanalysis_queries.py t_quality_gate)
