@@ -26,7 +26,7 @@ corpus scan for the histogram + one for the gate, both shuffles keyed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def keep_top_fraction(df: DataFrame, value_col: str, tiebreak_col: str,

@@ -26,6 +26,10 @@ ALLOWED = {
     "registry/textanalysis_queries.py": 1,
     "registry/tpch_queries2.py": 1,
     "data/ops.py": 1,
+    # exact-quantile machinery: both cum windows run over the VALUE
+    # HISTOGRAM, bounded by the value domain, never the corpus
+    # (ops/quantile.py module docstring)
+    "ops/quantile.py": 2,
 }
 
 
