@@ -123,7 +123,10 @@ def gradient_sign_words(df: DataFrame, feature_col: str = "feature",
     copy of a clip fingerprints identically).  ``scale`` recovers
     exact ints from the decode seam's normalized floats (32768 for the
     PCM16 contract of ops/wav.py wav_resample_nearest; 255 for
-    luma)."""
+    luma).  The sequence must have ≥ 65 samples — fewer would null the
+    out-of-range comparisons and poison the packed words;
+    wav_resample_nearest(p, 65) guarantees exactly 65 (zero-padding
+    empty clips)."""
     px = F.transform(F.col(feature_col),
                      lambda v: F.round(v * scale, 0).cast("bigint"))
     idx = F.sequence(F.lit(0), F.lit(63))

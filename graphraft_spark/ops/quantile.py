@@ -39,7 +39,13 @@ def keep_top_fraction(df: DataFrame, value_col: str, tiebreak_col: str,
     keep ⇔ den·(rank−1) ≥ num·(N−1), so k = ceil(num·(N−1)/den) + 1 —
     pure integer arithmetic, no float-boundary drift.  A single-row
     frame (N = 1) has percent_rank 0 and is dropped for any frac > 0,
-    matching the window form."""
+    matching the window form.
+
+    Contract: ``value_col`` must be NON-NULL (a null neither groups
+    nor compares — the range join drops it unconditionally, where the
+    window form would rank nulls first) and BOUNDED-DOMAIN (the
+    histogram is the value domain; round/bucketize continuous scores
+    first, as t_quality_gate_scalable does with its 6-dp round)."""
     if not (0 < frac_num < frac_den):
         raise ValueError(f"need 0 < frac_num < frac_den; "
                          f"got {frac_num}/{frac_den}")
@@ -90,7 +96,8 @@ def exact_global_rank(df: DataFrame, value_col: str, tiebreak_col: str,
     broadcast back onto the corpus, and a per-VALUE (partitioned)
     row_number supplies the tiebreak offset.  ``n_col``: also attach
     the total row count (derived from the same histogram — no second
-    corpus scan)."""
+    corpus scan).  Same non-null / bounded-domain contract as
+    :func:`keep_top_fraction` (the broadcast is the histogram)."""
     w_hist = Window.orderBy(value_col)
     hist = df.groupBy(value_col).agg(F.count("*").alias("_cnt"))
     cum = hist.select(
