@@ -1420,3 +1420,80 @@ def d_audio_neardup(spark, sf_dir):
     hashed = gradient_sign_words(
         feats.select(F.col("media_id").alias("id"), "feature"))
     return image_neardup_pairs(hashed, max_dist=3, bands=4)
+
+
+_IMAGE_GROUPS_ORACLE = """
+WITH RECURSIVE media AS (
+    SELECT doc_id AS media_id, doc_id AS src, 0 AS shift FROM documents
+  UNION ALL
+    SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+    SELECT doc_id + 2000000, doc_id, 40 FROM documents WHERE doc_id % 10 = 5
+),
+px AS (
+    SELECT media_id, CAST(ty.range * 8 + tx.range AS BIGINT) AS i,
+           ((src * 13) % 199
+            + (2 * tx.range) * (1 + src % 23)
+            + (2 * ty.range) * (1 + src % 19)
+            + (4 * tx.range * ty.range) * (src % 7)) % 200 + shift AS v
+    FROM media, range(8) tx, range(8) ty
+),
+stats AS (SELECT media_id, SUM(v) AS s FROM px GROUP BY media_id),
+bits AS (
+    SELECT p.media_id, p.i,
+           CASE WHEN 64 * p.v > st.s THEN 1 ELSE 0 END AS b
+    FROM px p JOIN stats st USING (media_id)
+),
+words AS (
+    SELECT media_id,
+           CAST(SUM(CASE WHEN i < 32
+                         THEN b * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN i >= 32
+                         THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS w1
+    FROM bits GROUP BY media_id
+),
+pairs AS (
+    SELECT a.media_id AS id_a, b.media_id AS id_b
+    FROM words a JOIN words b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+),
+und AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT a, b FROM und
+  UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+    SELECT a AS id, LEAST(a, MIN(b)) AS comp
+    FROM reach GROUP BY a
+)
+SELECT c.id, c.comp, CAST(n.cluster_size AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp) n
+  ON n.comp = c.comp
+"""
+
+
+@register("d_image_dedup_groups", oracle=_IMAGE_GROUPS_ORACLE, extra=True)
+def d_image_dedup_groups(spark, sf_dir):
+    """The crawl-pipeline composition over d_image_neardup: perceptual
+    near-dup pairs → connected components → (id, comp, cluster_size)
+    — the grouping a captioning/training pipeline consumes to keep ONE
+    representative per visually-identical family (a doc's re-encoded
+    and brightness-shifted plants land in one component with it).  The
+    oracle recomputes pairs from the closed form and clusters them with
+    a recursive transitive-closure CTE (the same pattern
+    d_lsh_repair_components pins for the text family).  Iterative —
+    the component loop executes on invocation (plan_lint EAGER)."""
+    from graphraft_spark.ops.dedup import connected_components
+    from graphraft_spark.registry.dedup_queries import d_image_neardup
+
+    pairs = d_image_neardup(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs) \
+        .select("id", "comp", F.col("cluster_size").cast("bigint")
+                .alias("cluster_size"))

@@ -252,3 +252,21 @@ def test_audio_registry_query_recovers_planted_copies(spark):
             assert pairs.get((d, d + 1000000)) == 0
         if d % 10 == 5:
             assert pairs.get((d, d + 2000000)) == 0
+
+
+def test_image_dedup_groups_cluster_plants_with_source(spark):
+    """The composition query: each planted copy lands in the same
+    component as its source, and that component's size is >= 2."""
+    from graphraft_spark.registry.dedup_queries import d_image_dedup_groups
+
+    out = {r.id: (r.comp, r.cluster_size) for r in
+           d_image_dedup_groups(spark, "/root/testdata/sf0.001").collect()}
+    docs = [r.doc_id for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id").collect()]
+    for d in docs:
+        for plant in ([d + 1000000] if d % 10 == 0 else
+                      [d + 2000000] if d % 10 == 5 else []):
+            assert d in out and plant in out
+            assert out[d][0] == out[plant][0]
+            assert out[d][1] >= 2
