@@ -1497,3 +1497,100 @@ def d_image_dedup_groups(spark, sf_dir):
     return connected_components(pairs) \
         .select("id", "comp", F.col("cluster_size").cast("bigint")
                 .alias("cluster_size"))
+
+
+def _image_media_spec(spark, sf_dir):
+    """Shared synthetic image corpus for the perceptual-dedup family:
+    (src, media_id, shift, variant) with re-encode plants on
+    doc%10==0 and +40 brightness plants on doc%10==5."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    doc = F.col("doc_id")
+    variants = F.array_compact(F.array(
+        F.struct(doc.alias("media_id"),
+                 F.lit(0).alias("shift"), F.lit(0).alias("variant")),
+        F.when(doc % 10 == 0, F.struct(
+            (doc + 1000000).alias("media_id"),
+            F.lit(0).alias("shift"), F.lit(1).alias("variant"))),
+        F.when(doc % 10 == 5, F.struct(
+            (doc + 2000000).alias("media_id"),
+            F.lit(40).alias("shift"), F.lit(2).alias("variant")))))
+    return (d.select(doc.alias("src"), F.explode(variants).alias("v"))
+            .select("src", "v.media_id", "v.shift", "v.variant"))
+
+
+def _image_encode_batches(batches):
+    """mapInPandas encoder over _image_media_spec rows → (media_id,
+    payload) PNGs (the closed form the oracles replay)."""
+    import pandas as pd
+
+    from graphraft_spark.ops.png import png_encode
+
+    cycles = {0: [0, 1, 2, 3, 4], 1: [4, 3, 2, 1, 0], 2: [2, 0, 3, 1, 4]}
+    for pdf in batches:
+        payloads = []
+        for s, sh, var in zip(pdf["src"], pdf["shift"], pdf["variant"]):
+            s, sh = int(s), int(sh)
+            px = bytes(((s * 13) % 199 + x * (1 + s % 23)
+                        + y * (1 + s % 19) + x * y * (s % 7)) % 200 + sh
+                       for y in range(16) for x in range(16))
+            payloads.append(png_encode(16, 16, px, color_type=0,
+                                       filters=cycles[int(var)]))
+        yield pd.DataFrame({"media_id": pdf["media_id"],
+                            "payload": payloads})
+
+
+@register("d_stream_image_neardup", extra=True)  # rows-only: incremental
+def d_stream_image_neardup(spark, sf_dir):
+    """REAL incremental image dedup (streaming/image_dedup_stream.py):
+    the synthetic PNG corpus streamed in two micro-batches — ORIGINALS
+    first, PLANTS second, so every planted copy is flagged by the
+    CROSS-batch probe against the already-admitted index, the exact
+    shape of a crawl catching a re-upload.  Returns the accumulated
+    (id_a, id_b, dist) flags.  pytest asserts flag-set equality with
+    the one-shot d_image_neardup batch pipeline; the driver records a
+    rows-only check (d_image_neardup is the oracle-checked anchor for
+    the same semantics)."""
+    import os
+    import shutil
+
+    from graphraft_spark.ops.png import png_resize_nearest
+    from graphraft_spark.streaming.image_dedup_stream import (
+        image_neardup_stream_flags,
+        stream_image_neardup_flags,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = f"{repo}/.scratch/media_neardup_{tag}"
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    want = f"{st.st_size}:{int(st.st_mtime)}"
+    marker = f"{stage}/_SRC"
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = fh.read().strip()
+    if have != want:
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        media = _image_media_spec(spark, sf_dir).mapInPandas(
+            _image_encode_batches, schema="media_id bigint, payload binary")
+        media.filter(F.col("media_id") < 1000000).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{stage}/tmp0")
+        media.filter(F.col("media_id") >= 1000000).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{stage}/tmp1")
+        import glob
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/tmp*/part-*"))):
+            shutil.copy(f, f"{stage}/{i:02d}.parquet")
+        shutil.rmtree(f"{stage}/tmp0")
+        shutil.rmtree(f"{stage}/tmp1")
+        with open(marker, "w") as fh:
+            fh.write(want + "\n")
+
+    index_dir = f"{repo}/.scratch/image_neardup_index_{tag}"
+    shutil.rmtree(index_dir, ignore_errors=True)  # deterministic rebuild
+    stream = (spark.readStream.schema("media_id bigint, payload binary")
+              .option("maxFilesPerTrigger", 1).parquet(stage))
+    stream_image_neardup_flags(
+        stream, index_dir, decode_fn=lambda p: png_resize_nearest(p, 8, 8))
+    return image_neardup_stream_flags(spark, index_dir)

@@ -104,7 +104,7 @@ EAGER = {
     "g_bfs_distances",
     "st_sig_maintenance", "st_funnel_maintenance", "st_graph_deltas",
     "st_graph_stream_update", "d_stream_neardup", "ann_recall_report",
-    "d_image_dedup_groups",
+    "d_image_dedup_groups", "d_stream_image_neardup",
     "ann_recall_clustered",
 }
 
