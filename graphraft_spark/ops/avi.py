@@ -147,6 +147,38 @@ def avi_frame_iter(payload: bytes, every_n: int = 1
         yield idx, _dib_to_rgb(payload[off:off + ln], width, height)
 
 
+def avi_clip_thumbs(payload: bytes, every_n: int = 2, tw: int = 8,
+                    th: int = 8, max_frames: int | None = None
+                    ) -> list[float]:
+    """Sampled-frame luma thumbnails with the standard ``bytes ->
+    list[float]`` decode-seam contract: every ``every_n``-th frame is
+    nearest-neighbor resampled (src = floor(dst*in/out), the
+    ops/png.py png_resize_nearest convention) to a ``tw``×``th`` luma
+    plane; the planes concatenate row-major in frame order, each value
+    normalized to [0, 1].  Luma is the integer mean (r+g+b)//3 —
+    EXACT for greyscale content (r=g=b), which is what the
+    fingerprinting recipes feed it.  ``max_frames`` bounds the output
+    length (a clip fingerprint wants a FIXED width; extra sampled
+    frames are ignored, and the caller is responsible for clips long
+    enough to fill it — see video_ahash_words' size guard).  Skipped
+    frames' pixel data is never decoded (avi_frame_iter)."""
+    width, height, _, _, _ = _walk(payload)
+    out: list[float] = []
+    taken = 0
+    for _, rgb in avi_frame_iter(payload, every_n):
+        if max_frames is not None and taken >= max_frames:
+            break
+        for y in range(th):
+            sy = y * height // th
+            for x in range(tw):
+                sx = x * width // tw
+                base = (sy * width + sx) * 3
+                r, g, b = rgb[base:base + 3]
+                out.append(((r + g + b) // 3) / 255.0)
+        taken += 1
+    return out
+
+
 def avi_frame_energy(payload: bytes, every_n: int = 2) -> list[float]:
     """Decode-based video feature with the standard ``bytes ->
     list[float]`` seam contract: mean pixel intensity of each sampled

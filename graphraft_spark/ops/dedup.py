@@ -1263,9 +1263,14 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     never materializes — map-side partial MAX reduces it to |corpus|
     rows before any exchange.  The exact path returns one row per
     corpus id ALWAYS: an empty benchmark yields (id, -1.0, false) for
-    every corpus row rather than an empty frame (r11 advice — the bare
-    cross join would return zero rows, silently inverting the
-    absent=clean contract that only the SRP path documents).  ``method="srp"``: SRP-bucket both sides
+    every corpus row rather than an empty frame (r11 advice — a bare
+    inner cross join would return zero rows, silently inverting the
+    absent=clean contract that only the SRP path documents); the
+    empty case is handled LAZILY — a left join on TRUE keeps every
+    corpus row and ``coalesce(max_cos, -1)`` fills the no-benchmark
+    nulls, so building the plan runs no Spark job (r12 advice — the
+    former ``isEmpty()`` probe cost an action per invocation in
+    foreachBatch contexts).  ``method="srp"``: SRP-bucket both sides
     (Hamming-1 multiprobe) and verify exact cosine only within probed
     buckets — the scale path when the benchmark is itself large;
     candidates are a recall<1 subset, so flags are a SUBSET of exact's
@@ -1279,12 +1284,17 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     b = benchmark.select(F.col(id_col).alias("bid"),
                          F.col(emb_col).alias("be"))
     if method == "exact":
-        if b.isEmpty():  # benchmark is small by contract — cheap probe
-            return c.select(
-                "id", F.lit(-1.0).alias("max_cos"),
-                F.lit(False).alias("contaminated"))
-        scored = (c.join(F.broadcast(b))
+        # left join on TRUE, not inner: an empty benchmark then yields
+        # one null-be row per corpus id (cos null -> max null -> the
+        # coalesce below), keeping the builder purely lazy
+        scored = (c.join(F.broadcast(b), F.lit(True), "left")
                   .withColumn("cos", dot_col(F.col("ce"), F.col("be"))))
+        return (scored.groupBy("id")
+                .agg(F.coalesce(F.max("cos"), F.lit(-1.0))
+                     .alias("max_cos"))
+                .select("id", "max_cos",
+                        (F.col("max_cos") >= F.lit(threshold))
+                        .alias("contaminated")))
     elif method == "srp":
         if dim is None:
             raise ValueError("method='srp' needs dim")

@@ -124,11 +124,18 @@ def gradient_sign_words(df: DataFrame, feature_col: str = "feature",
     exact ints from the decode seam's normalized floats (32768 for the
     PCM16 contract of ops/wav.py wav_resample_nearest; 255 for
     luma).  The sequence must have ≥ 65 samples — fewer would null the
-    out-of-range comparisons and poison the packed words;
+    out-of-range comparisons and poison the packed words, so the
+    contract is ENFORCED: a shorter sequence raises at execution
+    instead of silently nulling the fingerprint (r12 advice);
     wav_resample_nearest(p, 65) guarantees exactly 65 (zero-padding
     empty clips)."""
-    px = F.transform(F.col(feature_col),
-                     lambda v: F.round(v * scale, 0).cast("bigint"))
+    seq = F.when(
+        F.size(F.col(feature_col)) >= 65, F.col(feature_col)
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("gradient_sign_words: sequence must have >= 65 samples; "
+              "got "),
+        F.size(F.col(feature_col)).cast("string"))))
+    px = F.transform(seq, lambda v: F.round(v * scale, 0).cast("bigint"))
     idx = F.sequence(F.lit(0), F.lit(63))
     bits = F.transform(
         idx, lambda i: (F.element_at(px, (i + 2).cast("int"))
@@ -138,6 +145,49 @@ def gradient_sign_words(df: DataFrame, feature_col: str = "feature",
     return (out.withColumn(f"{prefix}0", _pack_word(F.col("_bits"), 0))
             .withColumn(f"{prefix}1", _pack_word(F.col("_bits"), 1))
             .drop("_bits"))
+
+
+def video_ahash_words(df: DataFrame, feature_col: str = "feature",
+                      tiles: int = 2, prefix: str = "h") -> DataFrame:
+    """Append a (64·``tiles``)-bit CLIP fingerprint (2·``tiles``
+    32-bit words ``{prefix}0..{prefix}{2·tiles-1}``) over a
+    concatenated sampled-frame thumbnail column — the ops/avi.py
+    ``avi_clip_thumbs(p, every_n, 8, 8, max_frames=tiles)`` decode
+    contract (array<double> of 64·tiles, one 8×8 luma plane per
+    sampled frame in frame order).  Tile t gets its OWN aHash: bit i
+    of frame t compares ``64·px[i] > Σ(frame t's px)`` — per-frame
+    means, so a uniform brightness shift applied to any subset of
+    frames cancels frame-locally, exactly like the single-image
+    :func:`image_ahash_words`.  Word 2t|2t+1 = frame t's low|high
+    word, so Hamming distance over the word list decomposes as the
+    SUM of per-sampled-frame aHash distances — the clip analog of a
+    wider fingerprint, feeding the same :func:`hash_bands` /
+    :func:`image_neardup_pairs` banded dataflow (4 words → bands=8 →
+    16-bit windows, pigeonhole-exact to dist ≤ 7).  The feature must
+    have ≥ 64·tiles samples (clips shorter than the sampling window
+    under-fill the fingerprint); enforced with raise_error rather
+    than silently nulling the packed words (same contract class as
+    gradient_sign_words' guard)."""
+    need = 64 * tiles
+    checked = F.when(
+        F.size(F.col(feature_col)) >= need, F.col(feature_col)
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"video_ahash_words: feature must have >= {need} "
+              "samples (64 per sampled frame); got "),
+        F.size(F.col(feature_col)).cast("string"))))
+    out = df.withColumn("_px_all", _luma_ints(checked))
+    for t in range(tiles):
+        tile = F.slice(F.col("_px_all"), t * 64 + 1, 64)
+        out = (out.withColumn("_px", tile)
+               .withColumn("_s", F.aggregate(
+                   "_px", F.lit(0).cast("bigint"), lambda a, x: a + x))
+               .withColumn("_bits", F.transform(
+                   "_px", lambda v: (v * 64 > F.col("_s")).cast("int")))
+               .withColumn(f"{prefix}{2 * t}",
+                           _pack_word(F.col("_bits"), 0))
+               .withColumn(f"{prefix}{2 * t + 1}",
+                           _pack_word(F.col("_bits"), 1)))
+    return out.drop("_px_all", "_px", "_s", "_bits")
 
 
 def hash_bands(words: list[Column] | tuple[Column, ...],
@@ -172,7 +222,8 @@ def hash_bands(words: list[Column] | tuple[Column, ...],
 def image_neardup_pairs(hashed: DataFrame, id_col: str = "id",
                         word_cols: tuple[str, ...] = ("h0", "h1"),
                         max_dist: int = 3, bands: int = 4,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        repair_capped: bool = False) -> DataFrame:
     """Near-dup image pairs (id_a < id_b, dist ≤ ``max_dist``) from a
     hashed frame.  Pigeonhole requires ``bands > max_dist`` — then the
     banded equi-join is RECALL-EXACT (uncapped): the output equals the
@@ -184,7 +235,22 @@ def image_neardup_pairs(hashed: DataFrame, id_col: str = "id",
     still pass the exact Hamming verify, so precision stays 1 and
     identical-image floods stay clustered, while a genuinely diverse
     hot bucket trades recall for the bounded work — the same contract
-    as minhash LSH's cap (ops/dedup.py)."""
+    as minhash LSH's cap (ops/dedup.py).
+
+    ``repair_capped`` closes the star-edge recall gap at the COMPONENT
+    level, mirroring the minhash repair (ops/dedup.py
+    _lsh_verified_pairs): capped-bucket members whose star link to the
+    root FAILS the Hamming verify are re-paired with every bucket-mate
+    and re-verified.  For any same-bucket pair (X, Y) with
+    dist ≤ max_dist, either both root links passed (path X–root–Y
+    survives) or a failed endpoint was re-paired with the other
+    directly — so connected components over the capped+repaired pairs
+    equal components over the uncapped output.  Unlike the minhash
+    repair this stays fully LAZY (the verify is pure column
+    arithmetic, not a join back to shingle arrays); pass a
+    pre-materialized ``hashed`` (e.g. localCheckpointed fingerprints)
+    when the decode subtree is expensive, since the repair path
+    references the banded frame three extra times."""
     if bands <= max_dist:
         raise ValueError(
             f"pigeonhole needs bands > max_dist for exact recall; "
@@ -202,7 +268,7 @@ def image_neardup_pairs(hashed: DataFrame, id_col: str = "id",
         hash_bands([F.col(w) for w in ws], bands)).alias("bb"))
         .select("id", *ws, F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket")))
-    star = None
+    star = repair = None
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
         tagged = banded.select(
@@ -210,12 +276,36 @@ def image_neardup_pairs(hashed: DataFrame, id_col: str = "id",
             F.count("*").over(w).alias("bsz"),
             # min-id member's (id, words...) — the star root with words
             F.min(F.struct("id", *ws)).over(w).alias("root"))
-        star = (tagged.filter((F.col("bsz") > max_bucket_size)
-                              & (F.col("id") != F.col("root.id")))
+        members = tagged.filter(F.col("bsz") > max_bucket_size)
+        star = (members.filter(F.col("id") != F.col("root.id"))
                 .select(F.col("root.id").alias("id_a"),
                         F.col("id").alias("id_b"),
                         *[F.col(f"root.{w}").alias(f"{w}a") for w in ws],
                         *[F.col(w).alias(f"{w}b") for w in ws]))
+        if repair_capped:
+            star_dist = sum(
+                (hamming(F.col(f"root.{w}"), F.col(w), WORD_BITS)
+                 for w in ws[1:]),
+                hamming(F.col(f"root.{ws[0]}"), F.col(ws[0]), WORD_BITS))
+            at_risk = (members
+                       .filter((F.col("id") != F.col("root.id"))
+                               & (star_dist > max_dist))
+                       .select("band", "bucket",
+                               F.col("id").alias("rid"),
+                               *[F.col(w).alias(f"_r_{w}") for w in ws]))
+            mates = members.select("band", "bucket",
+                                   F.col("id").alias("mid"),
+                                   *[F.col(w).alias(f"_m_{w}") for w in ws])
+            rp = (at_risk.join(mates, ["band", "bucket"])
+                  .filter(F.col("rid") != F.col("mid")))
+            lo = F.col("rid") < F.col("mid")
+            repair = rp.select(
+                F.least("rid", "mid").alias("id_a"),
+                F.greatest("rid", "mid").alias("id_b"),
+                *[F.when(lo, F.col(f"_r_{w}")).otherwise(F.col(f"_m_{w}"))
+                  .alias(f"{w}a") for w in ws],
+                *[F.when(lo, F.col(f"_m_{w}")).otherwise(F.col(f"_r_{w}"))
+                  .alias(f"{w}b") for w in ws])
         banded = tagged.filter(F.col("bsz") <= max_bucket_size) \
             .select("id", *ws, "band", "bucket")
     a, b = banded.alias("a"), banded.alias("b")
@@ -227,6 +317,8 @@ def image_neardup_pairs(hashed: DataFrame, id_col: str = "id",
                     *[F.col(f"b.{w}").alias(f"{w}b") for w in ws]))
     if star is not None:
         cand = cand.unionByName(star)
+    if repair is not None:
+        cand = cand.unionByName(repair)
     # distinct on the pair: the word columns are functionally dependent
     # on the ids, so including them cannot widen the key
     cand = cand.distinct()

@@ -45,7 +45,13 @@ def keep_top_fraction(df: DataFrame, value_col: str, tiebreak_col: str,
     nor compares — the range join drops it unconditionally, where the
     window form would rank nulls first) and BOUNDED-DOMAIN (the
     histogram is the value domain; round/bucketize continuous scores
-    first, as t_quality_gate_scalable does with its 6-dp round)."""
+    first, as t_quality_gate_scalable does with its 6-dp round);
+    ``tiebreak_col`` must be UNIQUE WITHIN each value group so that
+    (value, tiebreak) is a total order — duplicate tiebreaks at the
+    boundary value make the row_number cut nondeterministic, where the
+    percent_rank window form would assign EQUAL ranks and keep/drop
+    the duplicates together (the registry uses satisfy this: doc_id /
+    o_orderkey are primary keys)."""
     if not (0 < frac_num < frac_den):
         raise ValueError(f"need 0 < frac_num < frac_den; "
                          f"got {frac_num}/{frac_den}")
@@ -96,8 +102,10 @@ def exact_global_rank(df: DataFrame, value_col: str, tiebreak_col: str,
     broadcast back onto the corpus, and a per-VALUE (partitioned)
     row_number supplies the tiebreak offset.  ``n_col``: also attach
     the total row count (derived from the same histogram — no second
-    corpus scan).  Same non-null / bounded-domain contract as
-    :func:`keep_top_fraction` (the broadcast is the histogram)."""
+    corpus scan).  Same non-null / bounded-domain / unique-tiebreak
+    contract as :func:`keep_top_fraction` (the broadcast is the
+    histogram; a duplicate tiebreak within a value group would make
+    the assigned ranks nondeterministic across the duplicates)."""
     w_hist = Window.orderBy(value_col)
     hist = df.groupBy(value_col).agg(F.count("*").alias("_cnt"))
     cum = hist.select(

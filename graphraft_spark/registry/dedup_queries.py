@@ -1422,6 +1422,143 @@ def d_audio_neardup(spark, sf_dir):
     return image_neardup_pairs(hashed, max_dist=3, bands=4)
 
 
+_VIDEO_NEARDUP_ORACLE = """
+WITH media AS (
+    SELECT doc_id AS media_id, doc_id AS src, 0 AS shift FROM documents
+  UNION ALL
+    SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+    SELECT doc_id + 2000000, doc_id, 40 FROM documents WHERE doc_id % 10 = 5
+),
+-- sampled frames 0 and 2 (every 2nd of 4); 8x8 nearest thumbnail of the
+-- 16x16 frame: src pixel (2x, 2y)
+px AS (
+    SELECT media_id, fr.f AS f,
+           CAST(ty.range * 8 + tx.range AS BIGINT) AS i,
+           ((src * 13) % 199
+            + (2 * tx.range) * (1 + src % 23)
+            + (2 * ty.range) * (1 + src % 19)
+            + (4 * tx.range * ty.range) * (src % 7)
+            + fr.f * (7 + src % 11)) % 200 + shift AS v
+    FROM media, (SELECT 0 AS f UNION ALL SELECT 2) fr,
+         range(8) tx, range(8) ty
+),
+stats AS (SELECT media_id, f, SUM(v) AS s FROM px GROUP BY media_id, f),
+bits AS (
+    SELECT p.media_id, p.f, p.i,
+           CASE WHEN 64 * p.v > st.s THEN 1 ELSE 0 END AS b
+    FROM px p JOIN stats st
+      ON st.media_id = p.media_id AND st.f = p.f
+),
+words AS (
+    SELECT media_id,
+           CAST(SUM(CASE WHEN f = 0 AND i < 32
+                         THEN b * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN f = 0 AND i >= 32
+                         THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS w1,
+           CAST(SUM(CASE WHEN f = 2 AND i < 32
+                         THEN b * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS w2,
+           CAST(SUM(CASE WHEN f = 2 AND i >= 32
+                         THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS w3
+    FROM bits GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(CAST(bit_count(xor(a.w0, b.w0)) AS INT)
+            + CAST(bit_count(xor(a.w1, b.w1)) AS INT)
+            + CAST(bit_count(xor(a.w2, b.w2)) AS INT)
+            + CAST(bit_count(xor(a.w3, b.w3)) AS INT) AS INT) AS dist
+FROM words a JOIN words b ON a.media_id < b.media_id
+-- bit_count returns TINYINT; four of them can sum to 128 = overflow,
+-- so each is widened BEFORE the addition
+WHERE CAST(bit_count(xor(a.w0, b.w0)) AS INT)
+      + CAST(bit_count(xor(a.w1, b.w1)) AS INT)
+      + CAST(bit_count(xor(a.w2, b.w2)) AS INT)
+      + CAST(bit_count(xor(a.w3, b.w3)) AS INT) <= 6
+"""
+
+
+@register("d_video_neardup", oracle=_VIDEO_NEARDUP_ORACLE)
+def d_video_neardup(spark, sf_dir):
+    """Video near-dup dedup — completes the modality triple on the SAME
+    banded dataflow (simhash text, aHash/dHash images, gradient-sign
+    audio, sampled-frame clip fingerprints video): every document
+    becomes a genuine 4-frame 16x16 greyscale uncompressed AVI
+    (frame f pixel(x,y) = (src*13 % 199 + x*(1 + src%23) +
+    y*(1 + src%19) + x*y*(src%7) + f*(7 + src%11)) % 200, values
+    0..199 so the +40 plant never clips and per-doc frame motion so
+    clips are distinct); docs % 10 == 0 plant a REMUXED copy
+    (identical pixels, fps 50 container instead of 25 — different
+    bytes, the honest analog of a re-containered video) and
+    docs % 10 == 5 plant a BRIGHTNESS-SHIFTED copy (+40 on every
+    frame, per-frame-aHash-invariant).  The pipeline is the engine's
+    own codec seam end to end: RIFF walk + every-2nd-frame sampling
+    (skipped frames' pixel data never decoded) + 8x8 nearest luma
+    thumbnails inside Arrow-batched mapInPandas (ops/avi.py
+    avi_clip_thumbs), per-frame 64-bit aHash packed into a 128-bit
+    clip fingerprint in pure JVM integer arithmetic
+    (ops/image_dedup.py video_ahash_words), Hamming-banded blocking
+    over the WIDER fingerprint (8x16-bit bands — pigeonhole-exact for
+    the clip-level dist <= 6 budget, i.e. <= 3 per sampled frame; NO
+    all-pairs join), exact Hamming verify.  The oracle replays
+    thumbnail -> per-frame hash -> all-pairs Hamming from the closed
+    form — equal output BECAUSE banding at bands > max_dist is
+    recall-exact.  Reference has no media pipeline (SURVEY §2.H.1
+    training-data mandate)."""
+    from graphraft_spark.ops.avi import avi_clip_thumbs, avi_encode
+    from graphraft_spark.ops.image_dedup import (
+        image_neardup_pairs,
+        video_ahash_words,
+    )
+    from graphraft_spark.ops.multimodal import extract_features
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    doc = F.col("doc_id")
+    variants = F.array_compact(F.array(
+        F.struct(doc.alias("media_id"),
+                 F.lit(0).alias("shift"), F.lit(25).alias("fps")),
+        F.when(doc % 10 == 0, F.struct(
+            (doc + 1000000).alias("media_id"),
+            F.lit(0).alias("shift"), F.lit(50).alias("fps"))),
+        F.when(doc % 10 == 5, F.struct(
+            (doc + 2000000).alias("media_id"),
+            F.lit(40).alias("shift"), F.lit(25).alias("fps")))))
+    spec = (d.select(doc.alias("src"), F.explode(variants).alias("v"))
+            .select("src", "v.media_id", "v.shift", "v.fps"))
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for s, sh, fps in zip(pdf["src"], pdf["shift"], pdf["fps"]):
+                s, sh = int(s), int(sh)
+                frames = []
+                for f in range(4):
+                    grey = [((s * 13) % 199 + x * (1 + s % 23)
+                             + y * (1 + s % 19) + x * y * (s % 7)
+                             + f * (7 + s % 11)) % 200 + sh
+                            for y in range(16) for x in range(16)]
+                    frames.append(bytes(v for v in grey for _ in range(3)))
+                payloads.append(avi_encode(frames, 16, 16, fps=int(fps)))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads})
+
+    media = spec.mapInPandas(encode,
+                             schema="media_id bigint, payload binary")
+    feats = extract_features(
+        media.select("media_id", F.lit("video").alias("kind"), "payload"),
+        decode_fn=lambda p: avi_clip_thumbs(p, every_n=2, tw=8, th=8,
+                                            max_frames=2))
+    hashed = video_ahash_words(
+        feats.select(F.col("media_id").alias("id"), "feature"), tiles=2)
+    return image_neardup_pairs(hashed, word_cols=("h0", "h1", "h2", "h3"),
+                               max_dist=6, bands=8)
+
+
 _IMAGE_GROUPS_ORACLE = """
 WITH RECURSIVE media AS (
     SELECT doc_id AS media_id, doc_id AS src, 0 AS shift FROM documents

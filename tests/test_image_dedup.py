@@ -270,3 +270,31 @@ def test_image_dedup_groups_cluster_plants_with_source(spark):
             assert d in out and plant in out
             assert out[d][0] == out[plant][0]
             assert out[d][1] >= 2
+
+
+def test_repair_capped_restores_components_in_diverse_bucket(spark):
+    """A DIVERSE hot bucket: root R is > max_dist from both members X
+    and Y, but dist(X, Y) <= max_dist.  Star-only capping loses the
+    X-Y cluster entirely (both star links fail the verify);
+    repair_capped re-pairs the failed members with their bucket-mates
+    and recovers exactly the uncapped components."""
+    from graphraft_spark.ops.dedup import connected_components
+
+    # h0 = 0 for all three -> they share bands 0 and 1 (bucket size 3);
+    # h1 encodes the distances: R=0, X=0xF0 (4 bits), Y=0xE1 (4 bits),
+    # popcount(X^Y) = 2
+    hashed = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 0xF0), (3, 0, 0xE1)],
+        "id bigint, h0 bigint, h1 bigint")
+    unc = image_neardup_pairs(hashed, max_dist=3, bands=4)
+    star_only = image_neardup_pairs(hashed, max_dist=3, bands=4,
+                                    max_bucket_size=1)
+    repaired = image_neardup_pairs(hashed, max_dist=3, bands=4,
+                                   max_bucket_size=1, repair_capped=True)
+    assert {(r.id_a, r.id_b) for r in unc.collect()} == {(2, 3)}
+    assert star_only.count() == 0  # the cap alone loses the cluster
+    comp_unc = {(r.id, r.comp) for r in
+                connected_components(unc.select("id_a", "id_b")).collect()}
+    comp_rep = {(r.id, r.comp) for r in connected_components(
+        repaired.select("id_a", "id_b")).collect()}
+    assert comp_rep == comp_unc == {(2, 2), (3, 2)}
