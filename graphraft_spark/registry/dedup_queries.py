@@ -1676,6 +1676,44 @@ def _image_encode_batches(batches):
                             "payload": payloads})
 
 
+@register("d_image_neardup_capped", oracle=_IMAGE_GROUPS_ORACLE,
+          extra=True)
+def d_image_neardup_capped(spark, sf_dir):
+    """The capped-bucket PRODUCTION contract graded as an oracle
+    equality — the image twin of d_lsh_repair_components: Spark runs
+    the BOUNDED pipeline (max_bucket_size=1 star-links EVERY bucket;
+    repair_capped re-pairs members whose star link failed the Hamming
+    verify, ops/image_dedup.py) and clusters the surviving pairs; the
+    DuckDB oracle clusters the UNCAPPED all-pairs Hamming graph.
+    Identical components prove the bounded plan — the one that runs
+    when a boilerplate-logo flood hits a bucket at crawl scale — loses
+    no verified cluster.  Fingerprints are localCheckpointed once
+    (id + two bigint words per image), so the repair path's extra
+    banded-frame references replay cached hashes, never the decode
+    subtree.  Iterative — plan_lint EAGER."""
+    from graphraft_spark.ops.dedup import connected_components
+    from graphraft_spark.ops.image_dedup import (
+        image_ahash_words,
+        image_neardup_pairs,
+    )
+    from graphraft_spark.ops.multimodal import extract_features
+    from graphraft_spark.ops.png import png_resize_nearest
+
+    media = _image_media_spec(spark, sf_dir).mapInPandas(
+        _image_encode_batches, schema="media_id bigint, payload binary")
+    feats = extract_features(
+        media.select("media_id", F.lit("image").alias("kind"), "payload"),
+        decode_fn=lambda p: png_resize_nearest(p, 8, 8))
+    hashed = image_ahash_words(
+        feats.select(F.col("media_id").alias("id"), "feature")) \
+        .localCheckpoint(eager=True)
+    pairs = image_neardup_pairs(hashed, max_dist=3, bands=4,
+                                max_bucket_size=1, repair_capped=True)
+    return connected_components(pairs.select("id_a", "id_b")) \
+        .select("id", "comp", F.col("cluster_size").cast("bigint")
+                .alias("cluster_size"))
+
+
 @register("d_stream_image_neardup", extra=True)  # rows-only: incremental
 def d_stream_image_neardup(spark, sf_dir):
     """REAL incremental image dedup (streaming/image_dedup_stream.py):

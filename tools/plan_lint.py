@@ -105,6 +105,7 @@ EAGER = {
     "st_sig_maintenance", "st_funnel_maintenance", "st_graph_deltas",
     "st_graph_stream_update", "d_stream_neardup", "ann_recall_report",
     "d_image_dedup_groups", "d_stream_image_neardup",
+    "d_image_neardup_capped",
     "ann_recall_clustered",
 }
 
