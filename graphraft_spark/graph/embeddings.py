@@ -157,7 +157,8 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                weight_col: str = "cnt",
                neg_distribution: str = "uniform",
                lr_decay: bool = False,
-               subsample_t: float | None = None) -> DataFrame:
+               subsample_t: float | None = None,
+               subsample_mode: str = "expected") -> DataFrame:
     """Train SGNS embeddings over a (center, context, cnt) pair table
     (e.g. :func:`~graphraft_spark.graph.sampling.skipgram_pairs`) →
     (node, emb ARRAY<DOUBLE>).
@@ -200,7 +201,19 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
     reference's Bernoulli thinning, with no RNG.  Corpus statistics
     (vocab, noise freq) are computed on RAW weights first, as in
     word2vec.  Costs two extra node-keyed joins over the pair table,
-    ONCE, before the epoch loop."""
+    ONCE, before the epoch loop.
+
+    ``subsample_mode="hash"``: the HASH-DECIDED Bernoulli form —
+    occurrence k (1..cnt) of pair (c, x) is kept iff
+    u_k < p_keep(c)·p_keep(x), where u_k is the portable md5 hash of
+    (seed|ss|c|x|k) reduced to a 6-digit uniform; zero-survivor pairs
+    are dropped.  This is word2vec.c's per-occurrence coin flip made
+    deterministic (same decision on any engine/partitioning: every
+    input to the threshold is an exact-integer sum or a single
+    correctly-rounded IEEE op, so the comparison cannot straddle).
+    Work is O(total corpus occurrences) — exactly the reference's
+    per-occurrence pass; "expected" is the aggregated scale path when
+    pair multiplicities are huge."""
     if neg_distribution not in ("uniform", "unigram75"):
         raise ValueError(f"unknown neg_distribution {neg_distribution!r}")
     ex = pairs.select(F.col(center_col).alias("c"),
@@ -235,19 +248,39 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
                 .groupBy("node").agg(F.sum("w").alias("freq"))
                 .localCheckpoint(eager=False))
     if subsample_t is not None:
+        if subsample_mode not in ("expected", "hash"):
+            raise ValueError(f"unknown subsample_mode {subsample_mode!r}")
         total = freq.agg(F.sum("freq")).first()[0]  # driver scalar
         pk = F.least(F.lit(1.0),
                      F.sqrt(F.lit(subsample_t) * F.lit(total)
                             / F.col("freq")))
         keep = freq.select("node", pk.alias("pk"))
-        ex = (ex.join(keep.select(F.col("node").alias("c"),
-                                  F.col("pk").alias("_pkc")), "c")
-              .join(keep.select(F.col("node").alias("x"),
-                                F.col("pk").alias("_pkx")), "x")
-              .select("c", "x",
-                      (F.col("w") * F.col("_pkc") * F.col("_pkx"))
-                      .alias("w"))
-              .localCheckpoint(eager=False))
+        joined = (ex.join(keep.select(F.col("node").alias("c"),
+                                      F.col("pk").alias("_pkc")), "c")
+                  .join(keep.select(F.col("node").alias("x"),
+                                    F.col("pk").alias("_pkx")), "x"))
+        if subsample_mode == "expected":
+            ex = joined.select(
+                "c", "x",
+                (F.col("w") * F.col("_pkc") * F.col("_pkx")).alias("w"))
+        else:  # per-occurrence hash-decided Bernoulli (see docstring)
+            p = F.col("_pkc") * F.col("_pkx")
+
+            def _u(k):
+                return (_portable_hash60(
+                    F.concat(F.col("c").cast("string"), F.lit("|"),
+                             F.col("x").cast("string"), F.lit("|"),
+                             k.cast("string")),
+                    f"{seed}|ss|") % 1000000) / F.lit(1e6)
+
+            kept = F.size(F.filter(
+                F.sequence(F.lit(1).cast("bigint"),
+                           F.col("w").cast("bigint")),
+                lambda k: _u(k) < p))
+            ex = (joined.select("c", "x",
+                                kept.cast("double").alias("w"))
+                  .filter(F.col("w") > 0))
+        ex = ex.localCheckpoint(eager=False)
 
     draw_negs = None
     if not negatives:

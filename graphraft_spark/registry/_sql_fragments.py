@@ -49,7 +49,8 @@ def sgns_replay_sql(pairs_cte: str, dim: int = 4, epochs: int = 2,
                     seed: str = "emb0",
                     neg_distribution: str = "uniform",
                     lr_decay: bool = False,
-                    subsample_t: float | None = None) -> str:
+                    subsample_t: float | None = None,
+                    subsample_mode: str = "expected") -> str:
     """Unrolled-SQL replay of the full-batch SGNS trainer
     (graph/embeddings.py train_sgns) over an arbitrary pair table.
     ``pairs_cte`` is the body of a CTE producing (c, x, w DOUBLE) —
@@ -99,7 +100,10 @@ wt AS (SELECT SUM(wv) AS tw FROM cdf)""" \
     # word2vec's Bernoulli thinning): training pairs scale by
     # p_keep(c)·p_keep(x), p_keep = min(1, sqrt(t·total/freq)) —
     # corpus stats above stay RAW, as in word2vec
-    sub_sql = f""",
+    if subsample_t is None:
+        sub_sql = ""
+    elif subsample_mode == "expected":
+        sub_sql = f""",
 tot AS (SELECT SUM(freq) AS t FROM freqs),
 spairs AS (
     SELECT p.c, p.x,
@@ -110,7 +114,40 @@ spairs AS (
     FROM pairs p
     JOIN freqs kc ON kc.node = p.c
     JOIN freqs kx ON kx.node = p.x
-)""" if subsample_t is not None else ""
+)"""
+    else:
+        # hash-decided Bernoulli thinning: occurrence k of pair (c, x)
+        # kept iff the portable md5 uniform < p_keep(c)·p_keep(x) —
+        # mirrors graph/embeddings.py subsample_mode="hash" exactly
+        # (every threshold input is an exact-integer sum or one
+        # correctly-rounded IEEE op, so the comparison cannot straddle)
+        # the keep probability is hoisted into a projected column
+        # (lambdas cannot hold subqueries), so the lambda compares the
+        # per-occurrence uniform against a plain column reference
+        uk = ("(('0x' || substr(md5('" + seed + "|ss|' || c || '|' "
+              "|| x || '|' || k::VARCHAR), 1, 15))::BIGINT "
+              "% 1000000) / 1000000.0")
+        sub_sql = f""",
+tot AS (SELECT SUM(freq) AS t FROM freqs),
+spairs AS (
+    SELECT c, x, w FROM (
+        SELECT c, x,
+               CAST(len(list_filter(
+                   generate_series(1, CAST(w0 AS BIGINT)),
+                   k -> {uk} < pkp)) AS DOUBLE) AS w
+        FROM (
+            SELECT p.c AS c, p.x AS x, p.w AS w0,
+                   LEAST(1.0, SQRT({subsample_t!r}
+                                   * (SELECT t FROM tot) / kc.freq))
+                   * LEAST(1.0, SQRT({subsample_t!r}
+                                     * (SELECT t FROM tot) / kx.freq))
+                       AS pkp
+            FROM pairs p
+            JOIN freqs kc ON kc.node = p.c
+            JOIN freqs kx ON kx.node = p.x
+        )
+    ) WHERE w > 0
+)"""
     wcdf = freqs_sql + cdf_sql + sub_sql
     tp = "spairs" if subsample_t is not None else "pairs"
     parts = [f"""WITH pairs AS (

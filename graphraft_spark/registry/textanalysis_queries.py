@@ -1348,6 +1348,41 @@ def t_word_embeddings_w2v(spark, sf_dir):
                     F.round("val", 6).alias("val")))
 
 
+@register("t_word_embeddings_decay", extra=True,
+          oracle=_sgns_replay_sql(_WORD_PAIRS_CTE, 4, 2, 0.05, 2,
+                                  neg_distribution="unigram75",
+                                  lr_decay=True, subsample_t=1e-3,
+                                  subsample_mode="hash"))
+def t_word_embeddings_decay(spark, sf_dir):
+    """t_word_embeddings_w2v with the HASH-DECIDED subsampling
+    (r12 verdict item 4): linear per-epoch LR decay + frequent-word
+    thinning where occurrence k of each pair survives a deterministic
+    per-occurrence Bernoulli (portable md5 uniform < p_keep(c)·
+    p_keep(x)) — word2vec.c's actual coin flip, not its expectation,
+    with zero-survivor pairs dropped from the batch exactly as
+    discarded occurrences vanish from the stream.  Per-occurrence work
+    equals corpus size (the reference's own complexity); the
+    expected-weight twin (t_word_embeddings_w2v) is the aggregated
+    scale path.  The oracle replays the identical thinning inside the
+    unrolled-SQL SGNS replay, so the line is hash-matched like its
+    twins."""
+    from graphraft_spark.graph.embeddings import train_sgns
+    from graphraft_spark.ops.word_lm import _transitions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = (_transitions(docs, "text", "doc_id")
+             .groupBy(F.col("prev").alias("center"),
+                      F.col("cur").alias("context"))
+             .agg(F.count("*").alias("cnt")))
+    emb = train_sgns(pairs, dim=4, epochs=2, lr=0.05, negatives=2,
+                     neg_distribution="unigram75",
+                     lr_decay=True, subsample_t=1e-3,
+                     subsample_mode="hash")
+    return (emb.select("node", F.posexplode("emb").alias("pos", "val"))
+            .select("node", F.col("pos").cast("int").alias("pos"),
+                    F.round("val", 6).alias("val")))
+
+
 
 @register(
     "t_quality_gate_scalable", extra=True,

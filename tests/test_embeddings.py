@@ -381,3 +381,70 @@ def test_lr_decay_uniform_matches_numpy_replay(spark):
             emb[n] = emb[n] - grads[n]
     for n in emb:
         np.testing.assert_allclose(got[n], emb[n], atol=1e-9)
+
+
+def test_hash_subsample_matches_numpy_replay(spark):
+    """subsample_mode="hash": per-occurrence Bernoulli decided by the
+    portable md5 uniform; zero-survivor pairs vanish from the batch.
+    Exact numpy replay of the full recipe with hash thinning."""
+    pairs = PAIRS
+    df = spark.createDataFrame(pairs,
+                               "center bigint, context bigint, cnt double")
+    got = {r.node: np.array(r.emb)
+           for r in train_sgns(df, dim=3, epochs=2, lr=0.05, negatives=1,
+                               neg_distribution="unigram75",
+                               lr_decay=True, subsample_t=0.05,
+                               subsample_mode="hash").collect()}
+    nodes = sorted({c for c, _, _ in pairs} | {x for _, x, _ in pairs})
+    rawfreq = {n: 0.0 for n in nodes}
+    for c, x, w in pairs:
+        rawfreq[c] += w
+        rawfreq[x] += w
+    total = sum(rawfreq.values())
+    pk = {n: min(1.0, math.sqrt(0.05 * total / rawfreq[n]))
+          for n in nodes}
+    spairs = []
+    for c, x, w in pairs:
+        p = pk[c] * pk[x]
+        kept = sum(
+            1 for k in range(1, int(w) + 1)
+            if (h60(f"emb0|ss|{c}|{x}|{k}") % 1000000) / 1e6 < p)
+        if kept > 0:
+            spairs.append((c, x, float(kept)))
+    assert spairs != [(c, x, w) for c, x, w in pairs]  # thinning bit
+    wv = {n: max(int(math.floor(math.sqrt(math.sqrt(
+        rawfreq[n] ** 3 * 1e4)))), 1) for n in nodes}
+    lo, acc = {}, 0
+    for n in nodes:
+        lo[n] = acc
+        acc += wv[n]
+    W = acc
+    emb = np_init(nodes, 3)
+    for epoch in range(2):
+        alpha = 0.05 * max(1.0 - epoch / 2, 1e-4)
+        batch = [(c, x, w, 1.0) for c, x, w in spairs]
+        for c, x, w in spairs:
+            h = h60(f"emb0{c}|{x}|{epoch}|0")
+            u = h % W
+            n = next(nn for nn in nodes
+                     if lo[nn] <= u < lo[nn] + wv[nn])
+            if n != x:
+                batch.append((c, n, w, 0.0))
+        grads = {n: np.zeros(3) for n in nodes}
+        for c, x, w, label in batch:
+            dot = max(-20.0, min(20.0, float(emb[c] @ emb[x])))
+            g = (1.0 / (1.0 + math.exp(-dot)) - label) * w * alpha
+            grads[c] = grads[c] + g * emb[x]
+            grads[x] = grads[x] + g * emb[c]
+        for n in nodes:
+            emb[n] = emb[n] - grads[n]
+    for n in emb:
+        np.testing.assert_allclose(got[n], emb[n], atol=1e-9)
+
+
+def test_unknown_subsample_mode_raises(spark):
+    df = spark.createDataFrame(PAIRS,
+                               "center bigint, context bigint, cnt double")
+    with pytest.raises(ValueError, match="subsample_mode"):
+        train_sgns(df, dim=2, epochs=1, subsample_t=1e-3,
+                   subsample_mode="bernoulli")
