@@ -89,6 +89,12 @@ HEADLINE = [
     # so their plans stay perf-visible under driver grading
     "q_min_price_supplier",
     "q_lonely_late_supplier",
+    # round-13 addition (appended, same ordering rule): the
+    # sampled-frame video near-dup — the heaviest codec-seam line
+    # (encode + RIFF walk + thumbnail inside mapInPandas, then the
+    # 128-bit banded self-join) — so the media dataflow's plan stays
+    # perf-visible under driver grading
+    "d_video_neardup",
 ]
 
 

@@ -69,9 +69,11 @@ def register(name: str, oracle: str | None = None, extra: bool = False):
 # first (defensive — if the driver's window ever shrinks below 50,
 # every family still gets a verdict), then the remaining coverage.
 PRIORITY = [
-    # flagships, one per family
-    "g_twohop_enum", "s_entity_match_fallback", "r_retrieve_data",
-    "e_parallel_sort", "m_metrics_per_row", "d_minhash_lsh",
+    # flagships, one per family (g/s/e reps rotated in r13 when the
+    # long-green originals were demoted)
+    "g_supervised_enum", "s_fulltext_match", "r_retrieve_data",
+    "e_shuffle_det",
+    "m_metrics_per_row", "d_minhash_lsh",
     "ann_ivf_search", "t_quality_features", "st_curation_flags",
     "tm_asof_enrich", "mm_media_metadata", "f_rank_trie",
     "p_full_pipeline", "q_pricing_summary",
@@ -120,7 +122,6 @@ PRIORITY = [
     # f_llm1_prompt (F5 formatting exercised inside f_sft_llm1's
     # byte-exact tables), and d_exact_dedup (exact dedup is a graded
     # stage inside p_curate_corpus).
-    "f_best_of_n",
     # round-10 fourth rotation wave (r9 verdict item 1): the strongest
     # judge-verified extras earn driver grading — value-checked HITS
     # (hash-matched unrolled-SQL oracle at 3 sfs), exact all-sources
@@ -136,8 +137,7 @@ PRIORITY = [
     # flags; the delta merge stays in the multibatch pytest parity),
     # and tm_scd2_lookup (the lookup is a point-in-time join OVER the
     # version table the incoming tm_scd2_versions grades end-to-end).
-    "g_hits_top", "io_jsonl_roundtrip",
-    "q_nation_profit", "t_tfidf_topterms", "tm_scd2_versions",
+    "g_hits_top",
     # round-10 fifth rotation wave (r9 handoff item 2, pulled forward a
     # round): every iterative graph algorithm's hash-matched value line
     # earns driver grading (PageRank / personalized PageRank / k-core on
@@ -153,7 +153,6 @@ PRIORITY = [
     # scd2-versions), and e_entity_resolution (ER keeps
     # s_fuzzy_entity_match; the component/canonical composition stays
     # oracle-backed in the extra tier).
-    "g_pagerank_types", "g_kcore_types",
     "g_betweenness_fixed",
     # late round-10: the new in-engine SGNS embedding trainer lands
     # driver-graded the round it ships (hash-matched at 3 sfs via the
@@ -174,13 +173,13 @@ PRIORITY = [
     # keeps f_best_of_n), d_embedding_neardup (green r7-r10) and
     # d_span_dedup (green r5-r10; dedup keeps minhash/keep_best +
     # incoming paragraph line).
-    "q_min_price_supplier", "q_lonely_late_supplier", "e_hash_split",
-    "t_temperature_mix", "d_paragraph_dedup", "m_retrieval_eval",
+    "q_min_price_supplier", "q_lonely_late_supplier",
+    "t_temperature_mix",
     # remaining graph pattern coverage (g_pattern_exec_2hop demoted
     # round 10)
-    "g_supervised_enum", "g_enum_all_pruned", "g_ingest_validate",
-    # search (s_knn_topk demoted round 10)
-    "s_fulltext_match",
+    "g_enum_all_pruned", "g_ingest_validate",
+    # search (s_knn_topk demoted round 10; s_fulltext_match is now
+    # the family flagship above)
     # retrieval
     "r_budget_accumulate",
     # dataset ops
@@ -208,8 +207,32 @@ PRIORITY = [
     # same codec seam, decode AND resample).
     "t_word_embeddings_u75", "t_word_embeddings_w2v", "io_bucketed_join",
     "d_semantic_decontaminate", "mm_png_resize", "mm_wav_resample",
-    "tm_interval_join", "e_shuffle_det", "s_hybrid_rrf",
+    "tm_interval_join", "s_hybrid_rrf",
     "q_forecast_revenue", "q_dormant_rich_customers", "d_image_neardup",
+    # round-13 eighth rotation wave (r12 verdict item 1): every
+    # never-graded oracle-backed family head earns driver grading —
+    # the image dHash / audio perceptual twins + the dedup-group
+    # composition, event analytics' first rows ever (funnel,
+    # retention), the two iterative graph value lines (triangles,
+    # hash-decided random walks), the Gopher gates / PII scrub / exact
+    # distributed-quantile text gates, the order-gap quantile OLAP
+    # twin, cluster-balanced sampling, and d_video_neardup (new this
+    # round, lands graded per precedent).  Slots from g_twohop_enum /
+    # s_entity_match_fallback / e_parallel_sort (green r1-r12; enum,
+    # fallback and ordering semantics stay graded inside
+    # p_full_pipeline / r_retrieve_data and their families keep rows),
+    # g_pagerank_types / g_kcore_types (green r10-r12; iterative graph
+    # keeps hits + betweenness_fixed + the two incoming lines),
+    # q_nation_profit / t_tfidf_topterms / tm_scd2_versions /
+    # io_jsonl_roundtrip (green r10-r12), f_best_of_n (green r9-r12),
+    # e_hash_split / m_retrieval_eval / d_paragraph_dedup (green
+    # r11-r12; the macro-average is a thin aggregate over
+    # m_metrics_per_row, which stays).
+    "d_image_neardup_dhash", "d_audio_neardup", "d_video_neardup",
+    "d_image_dedup_groups", "ev_funnel", "ev_retention",
+    "g_triangles", "g_random_walks", "t_gopher_gates", "t_pii_scrub",
+    "t_quality_gate_scalable", "q_order_gaps_scalable",
+    "e_cluster_balanced_sample",
 ]
 
 

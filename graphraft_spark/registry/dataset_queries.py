@@ -61,7 +61,7 @@ def _sorted(spark, sf_dir):
 
 
 @register(
-    "e_parallel_sort",
+    "e_parallel_sort", extra=True,  # demoted r13 (eighth wave)
     oracle=f"""
 WITH {_QA_SQL.strip()},
 {_SORTED_SQL.strip()}
@@ -250,7 +250,7 @@ _H60_SQL = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
 
 
 @register(
-    "e_hash_split",  # promoted r11 (sixth wave)
+    "e_hash_split", extra=True,  # promoted r11; demoted r13 (eighth wave)
     oracle=f"""
 SELECT o_orderkey,
        CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'valid'

@@ -503,7 +503,7 @@ def d_stream_neardup(spark, sf_dir):
 
 
 @register(
-    "d_paragraph_dedup",  # promoted r11 (sixth wave)
+    "d_paragraph_dedup", extra=True,  # promoted r11; demoted r13 (eighth wave)
     oracle="""
 WITH p AS (
     SELECT doc_id,
@@ -1256,8 +1256,8 @@ WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
 """
 
 
-@register("d_image_neardup_dhash", oracle=_IMAGE_NEARDUP_DHASH_ORACLE,
-          extra=True)
+@register("d_image_neardup_dhash",  # promoted r13 (eighth wave)
+          oracle=_IMAGE_NEARDUP_DHASH_ORACLE)
 def d_image_neardup_dhash(spark, sf_dir):
     """dHash twin of d_image_neardup: the same synthetic corpus +
     planted copies, but hashed as horizontal gradient SIGNS over a 9x8
@@ -1362,7 +1362,8 @@ WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
 """
 
 
-@register("d_audio_neardup", oracle=_AUDIO_NEARDUP_ORACLE, extra=True)
+@register("d_audio_neardup",  # promoted r13 (eighth wave)
+          oracle=_AUDIO_NEARDUP_ORACLE)
 def d_audio_neardup(spark, sf_dir):
     """Audio near-dup dedup — the third modality on the SAME banded
     dataflow (simhash for text, aHash/dHash for images, this for
@@ -1616,7 +1617,8 @@ JOIN (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp) n
 """
 
 
-@register("d_image_dedup_groups", oracle=_IMAGE_GROUPS_ORACLE, extra=True)
+@register("d_image_dedup_groups",  # promoted r13 (eighth wave)
+          oracle=_IMAGE_GROUPS_ORACLE)
 def d_image_dedup_groups(spark, sf_dir):
     """The crawl-pipeline composition over d_image_neardup: perceptual
     near-dup pairs → connected components → (id, comp, cluster_size)

@@ -48,7 +48,7 @@ def g_onehop_enum(spark, sf_dir):
 
 
 @register(
-    "g_twohop_enum",
+    "g_twohop_enum", extra=True,  # demoted r13 (eighth wave)
     oracle=GRAPH_ORACLE_CTE + f"""
 , anchors AS ({ANCHORS_SQL})
 SELECT n1.label AS label1, n1.name AS name1, e1.relType AS type1,
@@ -527,7 +527,7 @@ def g_ppr_top(spark, sf_dir):
 
 
 @register(
-    "g_triangles", extra=True,
+    "g_triangles",  # promoted r13 (eighth wave)
     oracle=GRAPH_ORACLE_CTE + """
 , ue AS (
     SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -695,7 +695,7 @@ def g_khop_sample(spark, sf_dir):
 
 
 @register(
-    "g_random_walks", extra=True,
+    "g_random_walks",  # promoted r13 (eighth wave)
     oracle=GRAPH_ORACLE_CTE + """, ue AS (SELECT DISTINCT src, dst FROM edges),
 p0 AS (SELECT * FROM (VALUES (0, 4000000000), (1, 4000000001), (2, 4000000002), (3, 4000000003), (4, 4000000004), (5, 4000000000), (6, 4000000001), (7, 4000000002), (8, 4000000003), (9, 4000000004)) s(walk_id, node)),
 p1 AS (
@@ -1342,7 +1342,8 @@ GROUP BY nn""")
     return "".join(parts)
 
 
-@register("g_kcore_types", oracle=_kcore_types_sql(2))  # promoted r10
+@register("g_kcore_types", oracle=_kcore_types_sql(2),
+          extra=True)  # promoted r10; demoted r13 (eighth wave)
 def g_kcore_types(spark, sf_dir):
     """Value-checked 2-core (graph/algos.py k_core) of the undirected
     event-type graph — integer-exact (node, in-core degree), anchoring
@@ -1361,8 +1362,8 @@ def g_kcore_types(spark, sf_dir):
     return out.select(F.col("n"), F.col("deg").cast("bigint").alias("deg"))
 
 
-@register("g_pagerank_types",  # promoted r10 (fifth wave)
-          oracle=_pagerank_types_sql(5))
+@register("g_pagerank_types",  # promoted r10; demoted r13 (eighth wave)
+          oracle=_pagerank_types_sql(5), extra=True)
 def g_pagerank_types(spark, sf_dir):
     """Value-checked PageRank (graph/algos.py pagerank, 5 rounds,
     damping 0.85, uniform dangling redistribution) on the event-type

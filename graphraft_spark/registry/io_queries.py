@@ -40,7 +40,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     return df, ddl
 
 
-@register("io_jsonl_roundtrip", oracle=_DOCS_ORACLE)
+@register("io_jsonl_roundtrip", oracle=_DOCS_ORACLE,
+          extra=True)  # demoted r13 (eighth wave)
 def io_jsonl_roundtrip(spark, sf_dir):
     """documents → plain-text JSONL (sources/jsonl.py write_jsonl;
     compression=None — the zstd default needs native Hadoop codecs this

@@ -444,7 +444,7 @@ c AS (
 
 
 @register(
-    "f_best_of_n",
+    "f_best_of_n", extra=True,  # demoted r13 (eighth wave)
     oracle=f"""
 WITH {_CANDS_SQL.strip()}
 SELECT prompt_id, candidate, reward, CAST(rn AS INT) AS rank

@@ -120,7 +120,7 @@ def m_metrics_macro(spark, sf_dir):
 
 
 @register(
-    "m_retrieval_eval",  # re-promoted r11 (sixth wave; demoted r9)
+    "m_retrieval_eval", extra=True,  # re-promoted r11; demoted r13 (eighth wave)
     oracle=f"""
 WITH {_R_RESULTS_SQL.strip()},
 {_R_ACCUM_SQL.strip()},

@@ -179,7 +179,7 @@ def _pseudo_emb(col):
 
 
 @register(
-    "s_entity_match_fallback",
+    "s_entity_match_fallback", extra=True,  # demoted r13 (eighth wave)
     oracle=GRAPH_ORACLE_CTE + f"""
 , entities AS (
     SELECT * FROM (VALUES

@@ -600,7 +600,7 @@ def ann_recall_clustered(spark, sf_dir):
 
 
 @register(
-    "e_cluster_balanced_sample", extra=True,
+    "e_cluster_balanced_sample",  # promoted r13 (eighth wave)
     oracle=f"""
 WITH {_CENTROIDS_SQL.strip()},
 {_ASSIGNED_SQL.strip()},

@@ -84,7 +84,7 @@ def tm_interval_join(spark, sf_dir):
 
 
 @register(
-    "ev_funnel", extra=True,
+    "ev_funnel",  # promoted r13 (eighth wave)
     oracle="""
 WITH s1 AS (
     SELECT user_id AS u, MIN(epoch_us(ts)) AS t1
@@ -123,7 +123,7 @@ def ev_funnel(spark, sf_dir):
 
 
 @register(
-    "ev_retention", extra=True,
+    "ev_retention",  # promoted r13 (eighth wave)
     oracle="""
 WITH ev AS (
     SELECT user_id AS u, epoch_us(ts) // 604800000000 AS period
@@ -208,7 +208,7 @@ def tm_user_rfm(spark, sf_dir):
 
 
 @register(
-    "tm_scd2_versions",
+    "tm_scd2_versions", extra=True,  # demoted r13 (eighth wave)
     oracle="""
 WITH ordered AS (
     SELECT user_id, ts, event_id, event_type,

@@ -193,7 +193,7 @@ def t_pack_bins(spark, sf_dir):
 
 
 @register(
-    "t_pii_scrub", extra=True,
+    "t_pii_scrub",  # promoted r13 (eighth wave)
     oracle="""
 WITH seeded AS (
     SELECT doc_id,
@@ -847,7 +847,7 @@ def t_c4_clean(spark, sf_dir):
 
 
 @register(
-    "t_gopher_gates", extra=True,
+    "t_gopher_gates",  # promoted r13 (eighth wave)
     oracle=f"""
 SELECT doc_id,
        (len({_WORDS}) >= 50 AND len({_WORDS}) <= 100000) AS ok_word_count,
@@ -1130,7 +1130,7 @@ def t_langid_margin(spark, sf_dir):
 
 
 @register(
-    "t_tfidf_topterms",
+    "t_tfidf_topterms", extra=True,  # demoted r13 (eighth wave)
     oracle=f"""
 WITH w AS (
     SELECT doc_id, {_WORDS} AS words FROM documents
@@ -1385,7 +1385,7 @@ def t_word_embeddings_decay(spark, sf_dir):
 
 
 @register(
-    "t_quality_gate_scalable", extra=True,
+    "t_quality_gate_scalable",  # promoted r13 (eighth wave)
     oracle=f"""
 WITH scored AS (
     SELECT doc_id,

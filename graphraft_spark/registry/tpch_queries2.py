@@ -687,7 +687,7 @@ def q_min_price_supplier(spark, sf_dir):
 
 
 @register(
-    "q_nation_profit",
+    "q_nation_profit", extra=True,  # demoted r13 (eighth wave)
     oracle="""
 SELECT n.n_name AS nation,
        CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
@@ -843,7 +843,7 @@ def q_lonely_late_supplier(spark, sf_dir):
 
 
 @register(
-    "q_order_gaps_scalable", extra=True,
+    "q_order_gaps_scalable",  # promoted r13 (eighth wave)
     oracle="""
 SELECT quartile,
        COUNT(*) AS n_gaps,
