@@ -1509,47 +1509,15 @@ def d_video_neardup(spark, sf_dir):
     form — equal output BECAUSE banding at bands > max_dist is
     recall-exact.  Reference has no media pipeline (SURVEY §2.H.1
     training-data mandate)."""
-    from graphraft_spark.ops.avi import avi_clip_thumbs, avi_encode
+    from graphraft_spark.ops.avi import avi_clip_thumbs
     from graphraft_spark.ops.image_dedup import (
         image_neardup_pairs,
         video_ahash_words,
     )
     from graphraft_spark.ops.multimodal import extract_features
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    doc = F.col("doc_id")
-    variants = F.array_compact(F.array(
-        F.struct(doc.alias("media_id"),
-                 F.lit(0).alias("shift"), F.lit(25).alias("fps")),
-        F.when(doc % 10 == 0, F.struct(
-            (doc + 1000000).alias("media_id"),
-            F.lit(0).alias("shift"), F.lit(50).alias("fps"))),
-        F.when(doc % 10 == 5, F.struct(
-            (doc + 2000000).alias("media_id"),
-            F.lit(40).alias("shift"), F.lit(25).alias("fps")))))
-    spec = (d.select(doc.alias("src"), F.explode(variants).alias("v"))
-            .select("src", "v.media_id", "v.shift", "v.fps"))
-
-    def encode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            payloads = []
-            for s, sh, fps in zip(pdf["src"], pdf["shift"], pdf["fps"]):
-                s, sh = int(s), int(sh)
-                frames = []
-                for f in range(4):
-                    grey = [((s * 13) % 199 + x * (1 + s % 23)
-                             + y * (1 + s % 19) + x * y * (s % 7)
-                             + f * (7 + s % 11)) % 200 + sh
-                            for y in range(16) for x in range(16)]
-                    frames.append(bytes(v for v in grey for _ in range(3)))
-                payloads.append(avi_encode(frames, 16, 16, fps=int(fps)))
-            yield pd.DataFrame({"media_id": pdf["media_id"],
-                                "payload": payloads})
-
-    media = spec.mapInPandas(encode,
-                             schema="media_id bigint, payload binary")
+    media = _video_media_spec(spark, sf_dir).mapInPandas(
+        _video_encode_batches, schema="media_id bigint, payload binary")
     feats = extract_features(
         media.select("media_id", F.lit("video").alias("kind"), "payload"),
         decode_fn=lambda p: avi_clip_thumbs(p, every_n=2, tw=8, th=8,
@@ -1636,6 +1604,49 @@ def d_image_dedup_groups(spark, sf_dir):
     return connected_components(pairs) \
         .select("id", "comp", F.col("cluster_size").cast("bigint")
                 .alias("cluster_size"))
+
+
+def _video_media_spec(spark, sf_dir):
+    """Shared synthetic video corpus for the clip-dedup family:
+    (src, media_id, shift, fps) with remux plants (fps 50, identical
+    pixels) on doc%10==0 and +40 brightness plants on doc%10==5."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    doc = F.col("doc_id")
+    variants = F.array_compact(F.array(
+        F.struct(doc.alias("media_id"),
+                 F.lit(0).alias("shift"), F.lit(25).alias("fps")),
+        F.when(doc % 10 == 0, F.struct(
+            (doc + 1000000).alias("media_id"),
+            F.lit(0).alias("shift"), F.lit(50).alias("fps"))),
+        F.when(doc % 10 == 5, F.struct(
+            (doc + 2000000).alias("media_id"),
+            F.lit(40).alias("shift"), F.lit(25).alias("fps")))))
+    return (d.select(doc.alias("src"), F.explode(variants).alias("v"))
+            .select("src", "v.media_id", "v.shift", "v.fps"))
+
+
+def _video_encode_batches(batches):
+    """mapInPandas encoder over _video_media_spec rows -> (media_id,
+    payload) 4-frame greyscale AVIs (the closed form the oracle
+    replays)."""
+    import pandas as pd
+
+    from graphraft_spark.ops.avi import avi_encode
+
+    for pdf in batches:
+        payloads = []
+        for s, sh, fps in zip(pdf["src"], pdf["shift"], pdf["fps"]):
+            s, sh = int(s), int(sh)
+            frames = []
+            for f in range(4):
+                grey = [((s * 13) % 199 + x * (1 + s % 23)
+                         + y * (1 + s % 19) + x * y * (s % 7)
+                         + f * (7 + s % 11)) % 200 + sh
+                        for y in range(16) for x in range(16)]
+                frames.append(bytes(v for v in grey for _ in range(3)))
+            payloads.append(avi_encode(frames, 16, 16, fps=int(fps)))
+        yield pd.DataFrame({"media_id": pdf["media_id"],
+                            "payload": payloads})
 
 
 def _image_media_spec(spark, sf_dir):
@@ -1770,4 +1781,68 @@ def d_stream_image_neardup(spark, sf_dir):
               .option("maxFilesPerTrigger", 1).parquet(stage))
     stream_image_neardup_flags(
         stream, index_dir, decode_fn=lambda p: png_resize_nearest(p, 8, 8))
+    return image_neardup_stream_flags(spark, index_dir)
+
+
+@register("d_stream_video_neardup", extra=True)  # rows-only: incremental
+def d_stream_video_neardup(spark, sf_dir):
+    """REAL incremental VIDEO dedup: the synthetic AVI corpus streamed
+    in two micro-batches (originals first, remux/brightness plants
+    second — every plant flagged by the CROSS-batch probe) through the
+    SAME epoch-partitioned banded index as the image stream, at the
+    128-bit clip-fingerprint width (streaming/image_dedup_stream.py is
+    fingerprint-pluggable: hash_fn=video_ahash_words, n_words=4,
+    bands=8, dist <= 6).  pytest asserts flag-set equality with the
+    one-shot d_video_neardup batch pipeline; the driver records a
+    rows-only check (d_video_neardup is the oracle-checked anchor for
+    the same semantics)."""
+    import glob
+    import os
+    import shutil
+
+    from graphraft_spark.ops.avi import avi_clip_thumbs
+    from graphraft_spark.ops.image_dedup import video_ahash_words
+    from graphraft_spark.streaming.image_dedup_stream import (
+        image_neardup_stream_flags,
+        stream_image_neardup_flags,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = f"{repo}/.scratch/video_neardup_{tag}"
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    want = f"{st.st_size}:{int(st.st_mtime)}"
+    marker = f"{stage}/_SRC"
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = fh.read().strip()
+    if have != want:
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        media = _video_media_spec(spark, sf_dir).mapInPandas(
+            _video_encode_batches, schema="media_id bigint, payload binary")
+        media.filter(F.col("media_id") < 1000000).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{stage}/tmp0")
+        media.filter(F.col("media_id") >= 1000000).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{stage}/tmp1")
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/tmp*/part-*"))):
+            shutil.copy(f, f"{stage}/{i:02d}.parquet")
+        shutil.rmtree(f"{stage}/tmp0")
+        shutil.rmtree(f"{stage}/tmp1")
+        with open(marker, "w") as fh:
+            fh.write(want + "\n")
+
+    index_dir = f"{repo}/.scratch/video_neardup_index_{tag}"
+    shutil.rmtree(index_dir, ignore_errors=True)  # deterministic rebuild
+    stream = (spark.readStream.schema("media_id bigint, payload binary")
+              .option("maxFilesPerTrigger", 1).parquet(stage))
+    stream_image_neardup_flags(
+        stream, index_dir,
+        decode_fn=lambda p: avi_clip_thumbs(p, every_n=2, tw=8, th=8,
+                                            max_frames=2),
+        max_dist=6, bands=8,
+        hash_fn=lambda df: video_ahash_words(df, tiles=2, prefix="w"),
+        n_words=4, kind="video")
     return image_neardup_stream_flags(spark, index_dir)

@@ -89,9 +89,10 @@ PYTHON_OK_PREFIXES = ("f_", "mm_", "p_", "st_sessionize", "ann_mmr")
 PYTHON_OK = {
     "s_fulltext_match", "s_entity_match_fallback", "t_bpe_tokenize",
     "ann_bruteforce_scaled", "ann_ivf_kmeans_search",
-    # PNG encode + decode/resize through the media codec seam; the
-    # hash/banding/verify stages after it are pure JVM
+    # PNG/WAV/AVI encode + decode/resample through the media codec
+    # seam; the hash/banding/verify stages after it are pure JVM
     "d_image_neardup", "d_image_neardup_dhash", "d_audio_neardup",
+    "d_video_neardup",
 }
 
 # callables that EXECUTE work when invoked (iterative/stateful):
@@ -105,6 +106,7 @@ EAGER = {
     "st_sig_maintenance", "st_funnel_maintenance", "st_graph_deltas",
     "st_graph_stream_update", "d_stream_neardup", "ann_recall_report",
     "d_image_dedup_groups", "d_stream_image_neardup",
+    "d_stream_video_neardup",
     "d_image_neardup_capped",
     "ann_recall_clustered",
 }

@@ -442,6 +442,82 @@ def main() -> None:
                       _image_pairs_x(n), max_dist=3, bands=4,
                       max_bucket_size=100)))
 
+    # Video near-dup ×N (r13): the clip twin of the image soak — same
+    # corpus-size axis, but each item is a 4-frame AVI walked by the
+    # RIFF codec (only frames 0/2 pixel-decoded) and fingerprinted at
+    # 128 bits (8×16-bit bands → birthday floor N²/2^17 per band, same
+    # as the image line; the per-frame aHash skew drives hot buckets).
+    if want("videodedup"):
+        from graphraft_spark.ops.avi import avi_clip_thumbs, avi_encode
+        from graphraft_spark.ops.image_dedup import (
+            image_neardup_pairs,
+            video_ahash_words,
+        )
+        from graphraft_spark.ops.multimodal import extract_features
+
+        def _video_hashed_x(n):
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+            idx = spark.range(n).select(F.col("id").alias("copy"))
+            base = (d.crossJoin(idx)
+                    .select((F.col("doc_id") * 1000 + F.col("copy"))
+                            .alias("src")))
+            doc = F.col("src")
+            variants = F.array_compact(F.array(
+                F.struct(doc.alias("media_id"), F.lit(0).alias("shift"),
+                         F.lit(25).alias("fps")),
+                F.when(doc % 10 == 0, F.struct(
+                    (doc + 1000000000).alias("media_id"),
+                    F.lit(0).alias("shift"), F.lit(50).alias("fps"))),
+                F.when(doc % 10 == 5, F.struct(
+                    (doc + 2000000000).alias("media_id"),
+                    F.lit(40).alias("shift"), F.lit(25).alias("fps")))))
+            spec = (base.select(doc.alias("src"),
+                                F.explode(variants).alias("v"))
+                    .select("src", "v.media_id", "v.shift", "v.fps")
+                    .repartition(32, F.col("media_id")))
+
+            def encode(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    payloads = []
+                    for s, sh, fps in zip(pdf["src"], pdf["shift"],
+                                          pdf["fps"]):
+                        s, sh = int(s), int(sh)
+                        frames = []
+                        for f in range(4):
+                            grey = [((s * 13) % 199 + x * (1 + s % 23)
+                                     + y * (1 + s % 19) + x * y * (s % 7)
+                                     + f * (7 + s % 11)) % 200 + sh
+                                    for y in range(16) for x in range(16)]
+                            frames.append(bytes(
+                                v for v in grey for _ in range(3)))
+                        payloads.append(avi_encode(frames, 16, 16,
+                                                   fps=int(fps)))
+                    yield pd.DataFrame({"media_id": pdf["media_id"],
+                                        "payload": payloads})
+
+            media = spec.mapInPandas(
+                encode, schema="media_id bigint, payload binary")
+            feats = extract_features(
+                media.select("media_id", F.lit("video").alias("kind"),
+                             "payload"),
+                decode_fn=lambda p: avi_clip_thumbs(
+                    p, every_n=2, tw=8, th=8, max_frames=2))
+            return video_ahash_words(
+                feats.select(F.col("media_id").alias("id"), "feature"),
+                tiles=2)
+
+        W4 = ("h0", "h1", "h2", "h3")
+        for n in FACTORS:
+            timed("videodedup", n, lambda n=n: _noop(image_neardup_pairs(
+                _video_hashed_x(n), word_cols=W4, max_dist=6, bands=8)))
+            timed("videodedup_capped", n,
+                  lambda n=n: _noop(image_neardup_pairs(
+                      _video_hashed_x(n), word_cols=W4, max_dist=6,
+                      bands=8, max_bucket_size=100)))
+
     print("\n| task | factor | wall_s |")
     print("|---|---|---|")
     for task, factor, dt in rows:
