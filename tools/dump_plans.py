@@ -16,6 +16,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 FLAGSHIPS = [
+    ("d_video_neardup",
+     "Clip near-dup: one documents scan exploding per-doc variant "
+     "structs; encode/decode/thumbnail inside two chained mapInPandas "
+     "seams; pure-JVM 128-bit hashing; banded equi-join self-join "
+     "(8x16-bit buckets) - never all-pairs; exact Hamming verify."),
     ("g_twohop_enum",
      "Anchors broadcast; two expansion joins over the pre-reversed "
      "undirected parquet; edge-uniqueness filters; map-side partial "
