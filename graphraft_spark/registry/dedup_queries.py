@@ -1621,8 +1621,14 @@ def _video_media_spec(spark, sf_dir):
         F.when(doc % 10 == 5, F.struct(
             (doc + 2000000).alias("media_id"),
             F.lit(40).alias("shift"), F.lit(25).alias("fps")))))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # documents.parquet is ONE small file at test sf, so the codec seam
+    # would inherit ~1 input partition and starve (a fixture artifact —
+    # real corpora arrive in thousands of files); spread the tiny spec
+    # frame BEFORE the Python seam so encode/decode parallelize
     return (d.select(doc.alias("src"), F.explode(variants).alias("v"))
-            .select("src", "v.media_id", "v.shift", "v.fps"))
+            .select("src", "v.media_id", "v.shift", "v.fps")
+            .repartition(n, F.col("media_id")))
 
 
 def _video_encode_batches(batches):
