@@ -1179,8 +1179,12 @@ def d_image_neardup(spark, sf_dir):
         F.when(doc % 10 == 5, F.struct(
             (doc + 2000000).alias("media_id"),
             F.lit(40).alias("shift"), F.lit(2).alias("variant")))))
+    # spread the tiny spec frame before the Python codec seam (the
+    # single-file fixture otherwise starves it — see _video_media_spec)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     spec = (d.select(doc.alias("src"), F.explode(variants).alias("v"))
-            .select("src", "v.media_id", "v.shift", "v.variant"))
+            .select("src", "v.media_id", "v.shift", "v.variant")
+            .repartition(n, F.col("media_id")))
 
     filter_cycles = {0: [0, 1, 2, 3, 4], 1: [4, 3, 2, 1, 0],
                      2: [2, 0, 3, 1, 4]}
@@ -1285,8 +1289,12 @@ def d_image_neardup_dhash(spark, sf_dir):
         F.when(doc % 10 == 5, F.struct(
             (doc + 2000000).alias("media_id"),
             F.lit(40).alias("shift"), F.lit(2).alias("variant")))))
+    # spread the tiny spec frame before the Python codec seam (the
+    # single-file fixture otherwise starves it — see _video_media_spec)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     spec = (d.select(doc.alias("src"), F.explode(variants).alias("v"))
-            .select("src", "v.media_id", "v.shift", "v.variant"))
+            .select("src", "v.media_id", "v.shift", "v.variant")
+            .repartition(n, F.col("media_id")))
 
     filter_cycles = {0: [0, 1, 2, 3, 4], 1: [4, 3, 2, 1, 0],
                      2: [2, 0, 3, 1, 4]}
@@ -1397,8 +1405,10 @@ def d_audio_neardup(spark, sf_dir):
         F.when(doc % 10 == 5, F.struct(
             (doc + 2000000).alias("media_id"),
             F.lit(1).alias("gain"), F.lit(30).alias("dc")))))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     spec = (d.select(doc.alias("src"), F.explode(variants).alias("v"))
-            .select("src", "v.media_id", "v.gain", "v.dc"))
+            .select("src", "v.media_id", "v.gain", "v.dc")
+            .repartition(n, F.col("media_id")))
 
     def encode(batches):
         import pandas as pd
@@ -1670,8 +1680,10 @@ def _image_media_spec(spark, sf_dir):
         F.when(doc % 10 == 5, F.struct(
             (doc + 2000000).alias("media_id"),
             F.lit(40).alias("shift"), F.lit(2).alias("variant")))))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (d.select(doc.alias("src"), F.explode(variants).alias("v"))
-            .select("src", "v.media_id", "v.shift", "v.variant"))
+            .select("src", "v.media_id", "v.shift", "v.variant")
+            .repartition(n, F.col("media_id")))
 
 
 def _image_encode_batches(batches):
