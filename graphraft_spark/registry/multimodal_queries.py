@@ -347,3 +347,78 @@ def mm_wav_resample(spark, sf_dir):
             .select("media_id", F.col("pos").cast("int").alias("pos"),
                     F.round(F.col("v") * 32768, 0).cast("bigint")
                     .alias("val")))
+
+
+@register(
+    "mm_scene_cuts", extra=True,
+    oracle="""
+WITH e AS (
+    SELECT doc_id, f.range AS frame_idx,
+           CAST(3 * SUM((doc_id * 7) % 120 + (tx.range + ty.range) % 40
+                        + CASE WHEN f.range >= 2 + doc_id % 3
+                               THEN 60 ELSE 0 END)
+                AS DOUBLE) / 768 / 255 AS energy
+    FROM documents, range(6) f, range(16) tx, range(16) ty
+    GROUP BY doc_id, f.range
+)
+SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+       -- the decode seam carries float32 features; quantize through
+       -- REAL so both engines round the identical double
+       ROUND(CAST(CAST(energy AS REAL) AS DOUBLE), 6) AS energy,
+       COALESCE(energy - LAG(energy) OVER (PARTITION BY doc_id
+                                           ORDER BY frame_idx) > 0.1,
+                FALSE) AS is_cut
+FROM e
+""")
+def mm_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over per-frame energies — the KEYFRAME
+    SELECTION step of a video training pipeline (sample one frame per
+    shot, not per second): each document becomes a genuine 6-frame
+    16x16 AVI with a PLANTED cut at frame 2 + doc%3 (pixel(x,y,f) =
+    doc*7 % 120 + (x+y) % 40, +60 from the cut frame on — a brightness
+    jump of 60/255 ~ 0.235, far from the 0.1 threshold on both sides);
+    ops/avi.py avi_frame_energy decodes every frame's mean intensity
+    inside the codec seam, and the cut flag is a per-clip previous-
+    frame comparison on the ARRAY (element_at — no window, no shuffle:
+    each clip's energies arrive as one row).  The oracle computes the
+    same integer pixel sums and the identical division order, so
+    energies match bitwise and the threshold cannot straddle."""
+    from graphraft_spark.ops.avi import avi_encode, avi_frame_energy
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                s = int(doc_id)
+                c = 2 + s % 3
+                frames = []
+                for f in range(6):
+                    grey = [(s * 7) % 120 + (x + y) % 40
+                            + (60 if f >= c else 0)
+                            for y in range(16) for x in range(16)]
+                    frames.append(bytes(v for v in grey for _ in range(3)))
+                payloads.append(avi_encode(frames, 16, 16))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.repartition(n, F.col("doc_id")).mapInPandas(
+        encode, schema="media_id bigint, payload binary")
+    feats = extract_features(
+        media.select("media_id", F.lit("video").alias("kind"), "payload"),
+        decode_fn=lambda p: avi_frame_energy(p, every_n=1))
+    out = feats.select(
+        "media_id", "feature",
+        F.posexplode("feature").alias("pos", "energy"))
+    is_cut = F.when(F.col("pos") == 0, F.lit(False)).otherwise(
+        (F.col("energy")
+         - F.element_at("feature", F.col("pos").cast("int"))) > 0.1)
+    return out.select("media_id",
+                      F.col("pos").cast("int").alias("frame_idx"),
+                      F.round(F.col("energy").cast("double"), 6)
+                      .alias("energy"),
+                      is_cut.alias("is_cut"))

@@ -92,3 +92,20 @@ try:
         assert avi_decode(avi_encode(fr, w, h, fps=fps)) == (w, h, fps, fr)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_scene_cuts_flag_exactly_the_planted_cut(spark):
+    """mm_scene_cuts: for every clip, is_cut is True at exactly the
+    planted scene boundary (frame 2 + doc%3) and False elsewhere."""
+    from graphraft_spark.registry.multimodal_queries import mm_scene_cuts
+
+    rows = mm_scene_cuts(spark, "/root/testdata/sf0.001").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.media_id, {})[r.frame_idx] = r.is_cut
+    assert by_doc  # corpus non-empty
+    for doc, flags in by_doc.items():
+        cut = 2 + doc % 3
+        assert len(flags) == 6
+        for f, v in flags.items():
+            assert v == (f == cut), (doc, f)
