@@ -1864,3 +1864,114 @@ def d_stream_video_neardup(spark, sf_dir):
         hash_fn=lambda df: video_ahash_words(df, tiles=2, prefix="w"),
         n_words=4, kind="video")
     return image_neardup_stream_flags(spark, index_dir)
+
+
+_CROSSMODAL_ORACLE = """
+WITH media AS (
+    SELECT doc_id AS media_id, doc_id AS src, 0 AS shift FROM documents
+  UNION ALL
+    SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+    SELECT doc_id + 2000000, doc_id, 40 FROM documents WHERE doc_id % 10 = 5
+),
+px AS (
+    SELECT media_id, CAST(ty.range * 8 + tx.range AS BIGINT) AS i,
+           ((src * 13) % 199
+            + (2 * tx.range) * (1 + src % 23)
+            + (2 * ty.range) * (1 + src % 19)
+            + (4 * tx.range * ty.range) * (src % 7)) % 200 + shift AS v
+    FROM media, range(8) tx, range(8) ty
+),
+stats AS (SELECT media_id, SUM(v) AS s FROM px GROUP BY media_id),
+bits AS (
+    SELECT p.media_id, p.i,
+           CASE WHEN 64 * p.v > st.s THEN 1 ELSE 0 END AS b
+    FROM px p JOIN stats st USING (media_id)
+),
+hw AS (
+    SELECT media_id,
+           CAST(SUM(CASE WHEN i < 32
+                         THEN b * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN i >= 32
+                         THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS w1
+    FROM bits GROUP BY media_id
+),
+pairs AS (
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.w0, b.w0))
+                + bit_count(xor(a.w1, b.w1)) AS INT) AS dist
+    FROM hw a JOIN hw b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+),
+caps AS (
+    SELECT doc_id AS media_id,
+           list_distinct(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  UNION ALL
+    SELECT doc_id + 1000000,
+           list_distinct(string_split(trim(regexp_replace(lower(
+               reverse(text)), '\\s+', ' ', 'g')), ' '))
+    FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+    SELECT doc_id + 2000000,
+           list_distinct(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' '))
+    FROM documents WHERE doc_id % 10 = 5
+)
+SELECT id_a, id_b, dist, ROUND(jac, 6) AS jac, jac < 0.5 AS mismatch
+FROM (
+    SELECT p.id_a, p.id_b, p.dist,
+           CAST(len(list_intersect(ca.w, cb.w)) AS DOUBLE)
+               / len(list_distinct(list_concat(ca.w, cb.w))) AS jac
+    FROM pairs p
+    JOIN caps ca ON ca.media_id = p.id_a
+    JOIN caps cb ON cb.media_id = p.id_b
+)
+"""
+
+
+@register("d_crossmodal_mismatch", oracle=_CROSSMODAL_ORACLE, extra=True)
+def d_crossmodal_mismatch(spark, sf_dir):
+    """CROSS-MODAL consistency filter for image-caption training data:
+    join the perceptual image near-dup pairs (d_image_neardup's exact
+    banded pipeline) with caption word-set Jaccard, and flag pairs
+    whose images duplicate but whose captions diverge (jac < 0.5) —
+    the caption-swap / mis-scrape signal a single-modality dedup
+    cannot see (duplicated images with matching captions are ordinary
+    re-uploads; duplicated images with DIFFERENT captions poison
+    contrastive/caption training).  Plants: the re-encoded copy
+    (doc%10==0) carries a REVERSED caption — a mismatch; the
+    brightness copy (doc%10==5) keeps its caption — clean.  The
+    caption join is two broadcast-sized lookups keyed by media_id; the
+    Jaccard is exact set arithmetic (array_intersect/array_union),
+    identical division both engines, so the 0.5 flag cannot straddle
+    (planted values sit at ~0 and 1.0)."""
+    from graphraft_spark.ops.dedup import jaccard, normalize_text
+
+    pairs = d_image_neardup(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    doc = F.col("doc_id")
+    ws = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+    ws_rev = F.array_distinct(
+        F.split(normalize_text(F.reverse(F.col("text"))), " "))
+    variants = F.array_compact(F.array(
+        F.struct(doc.alias("media_id"), ws.alias("w")),
+        F.when(doc % 10 == 0, F.struct(
+            (doc + 1000000).alias("media_id"), ws_rev.alias("w"))),
+        F.when(doc % 10 == 5, F.struct(
+            (doc + 2000000).alias("media_id"), ws.alias("w")))))
+    caps = (d.select(F.explode(variants).alias("v"))
+            .select("v.media_id", "v.w"))
+    joined = (pairs
+              .join(caps.select(F.col("media_id").alias("id_a"),
+                                F.col("w").alias("wa")), "id_a")
+              .join(caps.select(F.col("media_id").alias("id_b"),
+                                F.col("w").alias("wb")), "id_b")
+              .withColumn("_jac", jaccard(F.col("wa"), F.col("wb"))))
+    return joined.select("id_a", "id_b", "dist",
+                         F.round("_jac", 6).alias("jac"),
+                         (F.col("_jac") < 0.5).alias("mismatch"))

@@ -298,3 +298,27 @@ def test_repair_capped_restores_components_in_diverse_bucket(spark):
     comp_rep = {(r.id, r.comp) for r in connected_components(
         repaired.select("id_a", "id_b")).collect()}
     assert comp_rep == comp_unc == {(2, 2), (3, 2)}
+
+
+def test_crossmodal_mismatch_flags_caption_swaps_only(spark):
+    """d_crossmodal_mismatch: re-encoded copies carry a REVERSED
+    caption -> flagged; brightness copies keep theirs -> clean."""
+    from graphraft_spark.registry.dedup_queries import (
+        d_crossmodal_mismatch,
+    )
+
+    rows = d_crossmodal_mismatch(spark, "/root/testdata/sf0.001") \
+        .collect()
+    flags = {(r.id_a, r.id_b): (r.mismatch, r.jac) for r in rows}
+    docs = [r.doc_id for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+        .collect()]
+    assert any(d % 10 == 0 for d in docs) and any(d % 10 == 5
+                                                  for d in docs)
+    for d in docs:
+        if d % 10 == 0:
+            m, j = flags[(d, d + 1000000)]
+            assert m and j < 0.5
+        if d % 10 == 5:
+            m, j = flags[(d, d + 2000000)]
+            assert not m and j == 1.0

@@ -82,6 +82,10 @@ ALLOWED: dict[str, int] = {
     # encode+hash subtree; words ride the banding so no further refs
     "d_image_neardup": 1, "d_image_neardup_dhash": 1,
     "d_audio_neardup": 1, "d_video_neardup": 1,
+    # pairs subtree (1 banded self-join dup) + the caption variant
+    # frame consumed by both join sides — all over the one small
+    # documents table
+    "d_crossmodal_mismatch": 3,
     "q_dormant_rich_customers": 1, "q_large_volume_customers": 1,
     "q_market_share": 1, "q_nation_pair_volume": 1,
     "q_setops_customers": 3, "q_small_qty_revenue": 1,
