@@ -92,7 +92,7 @@ PYTHON_OK = {
     # PNG/WAV/AVI encode + decode/resample through the media codec
     # seam; the hash/banding/verify stages after it are pure JVM
     "d_image_neardup", "d_image_neardup_dhash", "d_audio_neardup",
-    "d_video_neardup",
+    "d_video_neardup", "d_crossmodal_mismatch",
 }
 
 # callables that EXECUTE work when invoked (iterative/stateful):
