@@ -146,3 +146,30 @@ def test_plan_is_banded_not_all_pairs(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repair_capped_restores_components_at_128bit_width(spark):
+    """The star-cap repair guarantee holds at the 4-word clip width:
+    a diverse hot bucket whose root is far from both members loses the
+    member pair under star-only capping and recovers it with
+    repair_capped — components equal the uncapped form's."""
+    from graphraft_spark.ops.dedup import connected_components
+
+    # h0..h2 = 0 for all three -> shared bands 0-5 (bucket size 3);
+    # h3 encodes distances: R=0, X=0xFE (7 bits), Y=0x7F (7 bits),
+    # popcount(X^Y) = 2 <= 6 while both root links are 7 > 6
+    hashed = spark.createDataFrame(
+        [(1, 0, 0, 0, 0), (2, 0, 0, 0, 0xFE), (3, 0, 0, 0, 0x7F)],
+        "id bigint, h0 bigint, h1 bigint, h2 bigint, h3 bigint")
+    kw = dict(word_cols=("h0", "h1", "h2", "h3"), max_dist=6, bands=8)
+    unc = image_neardup_pairs(hashed, **kw)
+    star_only = image_neardup_pairs(hashed, max_bucket_size=1, **kw)
+    repaired = image_neardup_pairs(hashed, max_bucket_size=1,
+                                   repair_capped=True, **kw)
+    assert {(r.id_a, r.id_b) for r in unc.collect()} == {(2, 3)}
+    assert star_only.count() == 0
+    comp_unc = {(r.id, r.comp) for r in
+                connected_components(unc.select("id_a", "id_b")).collect()}
+    comp_rep = {(r.id, r.comp) for r in connected_components(
+        repaired.select("id_a", "id_b")).collect()}
+    assert comp_rep == comp_unc == {(2, 2), (3, 2)}
