@@ -1975,3 +1975,112 @@ def d_crossmodal_mismatch(spark, sf_dir):
     return joined.select("id_a", "id_b", "dist",
                          F.round("_jac", 6).alias("jac"),
                          (F.col("_jac") < 0.5).alias("mismatch"))
+
+
+_VIDEO_CAPPED_ORACLE = """
+WITH RECURSIVE media AS (
+    SELECT doc_id AS media_id, doc_id AS src, 0 AS shift FROM documents
+  UNION ALL
+    SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+    SELECT doc_id + 2000000, doc_id, 40 FROM documents WHERE doc_id % 10 = 5
+),
+px AS (
+    SELECT media_id, fr.f AS f,
+           CAST(ty.range * 8 + tx.range AS BIGINT) AS i,
+           ((src * 13) % 199
+            + (2 * tx.range) * (1 + src % 23)
+            + (2 * ty.range) * (1 + src % 19)
+            + (4 * tx.range * ty.range) * (src % 7)
+            + fr.f * (7 + src % 11)) % 200 + shift AS v
+    FROM media, (SELECT 0 AS f UNION ALL SELECT 2) fr,
+         range(8) tx, range(8) ty
+),
+stats AS (SELECT media_id, f, SUM(v) AS s FROM px GROUP BY media_id, f),
+bits AS (
+    SELECT p.media_id, p.f, p.i,
+           CASE WHEN 64 * p.v > st.s THEN 1 ELSE 0 END AS b
+    FROM px p JOIN stats st
+      ON st.media_id = p.media_id AND st.f = p.f
+),
+hw AS (
+    SELECT media_id,
+           CAST(SUM(CASE WHEN f = 0 AND i < 32
+                         THEN b * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN f = 0 AND i >= 32
+                         THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS w1,
+           CAST(SUM(CASE WHEN f = 2 AND i < 32
+                         THEN b * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS w2,
+           CAST(SUM(CASE WHEN f = 2 AND i >= 32
+                         THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS w3
+    FROM bits GROUP BY media_id
+),
+pairs AS (
+    SELECT a.media_id AS id_a, b.media_id AS id_b
+    FROM hw a JOIN hw b ON a.media_id < b.media_id
+    WHERE CAST(bit_count(xor(a.w0, b.w0)) AS INT)
+          + CAST(bit_count(xor(a.w1, b.w1)) AS INT)
+          + CAST(bit_count(xor(a.w2, b.w2)) AS INT)
+          + CAST(bit_count(xor(a.w3, b.w3)) AS INT) <= 6
+),
+und AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT a, b FROM und
+  UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+    SELECT a AS id, LEAST(a, MIN(b)) AS comp
+    FROM reach GROUP BY a
+)
+SELECT c.id, c.comp, CAST(n.cluster_size AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp) n
+  ON n.comp = c.comp
+"""
+
+
+@register("d_video_neardup_capped", oracle=_VIDEO_CAPPED_ORACLE,
+          extra=True)
+def d_video_neardup_capped(spark, sf_dir):
+    """The capped production contract at the 128-BIT clip width: Spark
+    runs the bounded pipeline (every bucket star-capped at 1,
+    repair_capped re-pairing failed star members — the generalized
+    word-list repair of ops/image_dedup.py) and clusters; the oracle
+    clusters the UNCAPPED all-pairs Hamming graph over the same
+    sampled-frame fingerprints.  Component equality proves the bounded
+    plan loses no verified cluster at the wider fingerprint too — the
+    configuration the ×50 soak shows is the only one that survives
+    corpus growth (BASELINE.md r13: capped 61.7 s vs uncapped 946 s at
+    ×50).  Iterative — plan_lint EAGER."""
+    from graphraft_spark.ops.avi import avi_clip_thumbs
+    from graphraft_spark.ops.dedup import connected_components
+    from graphraft_spark.ops.image_dedup import (
+        image_neardup_pairs,
+        video_ahash_words,
+    )
+    from graphraft_spark.ops.multimodal import extract_features
+
+    media = _video_media_spec(spark, sf_dir).mapInPandas(
+        _video_encode_batches, schema="media_id bigint, payload binary")
+    feats = extract_features(
+        media.select("media_id", F.lit("video").alias("kind"), "payload"),
+        decode_fn=lambda p: avi_clip_thumbs(p, every_n=2, tw=8, th=8,
+                                            max_frames=2))
+    hashed = video_ahash_words(
+        feats.select(F.col("media_id").alias("id"), "feature"),
+        tiles=2).localCheckpoint(eager=True)
+    pairs = image_neardup_pairs(hashed,
+                                word_cols=("h0", "h1", "h2", "h3"),
+                                max_dist=6, bands=8,
+                                max_bucket_size=1, repair_capped=True)
+    return connected_components(pairs.select("id_a", "id_b")) \
+        .select("id", "comp", F.col("cluster_size").cast("bigint")
+                .alias("cluster_size"))

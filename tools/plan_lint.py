@@ -107,7 +107,7 @@ EAGER = {
     "st_graph_stream_update", "d_stream_neardup", "ann_recall_report",
     "d_image_dedup_groups", "d_stream_image_neardup",
     "d_stream_video_neardup",
-    "d_image_neardup_capped",
+    "d_image_neardup_capped", "d_video_neardup_capped",
     "ann_recall_clustered",
 }
 
