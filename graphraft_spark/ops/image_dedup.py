@@ -190,6 +190,64 @@ def video_ahash_words(df: DataFrame, feature_col: str = "feature",
     return out.drop("_px_all", "_px", "_s", "_bits")
 
 
+def clip_frame_match_pairs(hashed: DataFrame, id_col: str = "id",
+                           frame_col: str = "frame_idx",
+                           word_cols: tuple[str, ...] = ("h0", "h1"),
+                           max_dist: int = 3, bands: int = 4,
+                           min_frames: int = 3) -> DataFrame:
+    """Temporally-shifted (TRIMMED) clip detection: a clip missing its
+    first frames fingerprints differently under the fixed sampled-frame
+    recipe (video_ahash_words — every sampled index shifts), so this
+    matcher works at FRAME granularity instead: ``hashed`` carries one
+    row per (clip ``id_col``, ``frame_col``) with per-frame hash words;
+    frames band/bucket exactly like single images (pigeonhole-exact
+    per-frame recall for dist ≤ max_dist), candidate frame pairs join
+    across DIFFERENT clips only, and clip pairs aggregate
+    ``matched_frames`` = count of distinct (frame_a, frame_b) matches,
+    flagged ``is_dup`` at ≥ ``min_frames`` — containment semantics (a
+    3-frame trim of a 4-frame clip matches 3 of 4), the video analog
+    of ops/dedup.py asymmetric containment.  Returns (id_a, id_b,
+    matched_frames, is_dup); pairs with zero matching frames are
+    absent.  Scale shape: the banded equi-join is the only shuffle
+    (``bands`` rows per FRAME), the clip-pair aggregate map-side
+    combines — never an all-pairs join over clips or frames."""
+    if bands <= max_dist:
+        raise ValueError(
+            f"pigeonhole needs bands > max_dist for exact per-frame "
+            f"recall; got bands={bands}, max_dist={max_dist}")
+    k = len(word_cols)
+    ws = [f"w{i}" for i in range(k)]
+    s = hashed.select(F.col(id_col).alias("id"),
+                      F.col(frame_col).alias("f"),
+                      *[F.col(c).alias(w)
+                        for c, w in zip(word_cols, ws)])
+    banded = (s.select("id", "f", *ws, F.explode(
+        hash_bands([F.col(w) for w in ws], bands)).alias("bb"))
+        .select("id", "f", *ws, F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket")))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("a.f").alias("fa"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("b.f").alias("fb"),
+                    *[F.col(f"a.{w}").alias(f"{w}a") for w in ws],
+                    *[F.col(f"b.{w}").alias(f"{w}b") for w in ws])
+            .distinct())
+    dist = sum((hamming(F.col(f"{w}a"), F.col(f"{w}b"), WORD_BITS)
+                for w in ws[1:]),
+               hamming(F.col(f"{ws[0]}a"), F.col(f"{ws[0]}b"),
+                       WORD_BITS))
+    matched = (cand.filter(dist <= max_dist)
+               .groupBy("id_a", "id_b")
+               .agg(F.count("*").alias("matched_frames")))
+    return matched.select(
+        "id_a", "id_b",
+        F.col("matched_frames").cast("int").alias("matched_frames"),
+        (F.col("matched_frames") >= min_frames).alias("is_dup"))
+
+
 def hash_bands(words: list[Column] | tuple[Column, ...],
                bands: int) -> Column:
     """Split a (32·len(words))-bit fingerprint (word 0 = lowest bits)

@@ -2084,3 +2084,127 @@ def d_video_neardup_capped(spark, sf_dir):
     return connected_components(pairs.select("id_a", "id_b")) \
         .select("id", "comp", F.col("cluster_size").cast("bigint")
                 .alias("cluster_size"))
+
+
+_VIDEO_TRIMMED_ORACLE = """
+WITH media AS (
+    SELECT doc_id AS media_id, doc_id AS src, 0 AS off, 4 AS nf
+    FROM documents
+  UNION ALL
+    SELECT doc_id + 1000000, doc_id, 1, 3
+    FROM documents WHERE doc_id % 10 = 0
+),
+px AS (
+    SELECT media_id, f.range AS f,
+           CAST(ty.range * 8 + tx.range AS BIGINT) AS i,
+           ((src * 13) % 199
+            + (2 * tx.range) * (1 + src % 23)
+            + (2 * ty.range) * (1 + src % 19)
+            + (4 * tx.range * ty.range) * (src % 7)
+            + (f.range + off) * (7 + src % 11)
+            + (2 * tx.range) * (f.range + off) * (2 + src % 5)) % 200 AS v
+    FROM media, range(4) f, range(8) tx, range(8) ty
+    WHERE f.range < nf
+),
+stats AS (SELECT media_id, f, SUM(v) AS s FROM px GROUP BY media_id, f),
+bits AS (
+    SELECT p.media_id, p.f, p.i,
+           CASE WHEN 64 * p.v > st.s THEN 1 ELSE 0 END AS b
+    FROM px p JOIN stats st
+      ON st.media_id = p.media_id AND st.f = p.f
+),
+fw AS (
+    SELECT media_id, f,
+           CAST(SUM(CASE WHEN i < 32
+                         THEN b * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN i >= 32
+                         THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS w1
+    FROM bits GROUP BY media_id, f
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(COUNT(*) AS INT) AS matched_frames,
+       COUNT(*) >= 3 AS is_dup
+FROM fw a JOIN fw b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+GROUP BY a.media_id, b.media_id
+"""
+
+
+@register("d_video_trimmed_dup", oracle=_VIDEO_TRIMMED_ORACLE,
+          extra=True)
+def d_video_trimmed_dup(spark, sf_dir):
+    """TRIMMED-clip detection — the temporal-shift dup transform the
+    fixed sampled-frame fingerprint cannot see (drop frame 0 and every
+    sampled index shifts): docs % 10 == 0 plant a copy missing its
+    FIRST frame (frames 1..3 of the source as a 3-frame clip); the
+    per-frame matcher (ops/image_dedup.py clip_frame_match_pairs)
+    hashes EVERY frame through the codec seam, bands frames like
+    single images, and aggregates matched-frame counts per clip pair —
+    the plant matches 3 of its source's 4 frames (containment), well
+    over the >= 3 flag.  The oracle replays per-frame thumbnails ->
+    hashes -> all-pairs frame Hamming -> the same clip-pair
+    aggregation.  Complements d_video_neardup (remux/brightness) the
+    way containment complements Jaccard for text."""
+    from graphraft_spark.ops.avi import avi_clip_thumbs, avi_encode
+    from graphraft_spark.ops.image_dedup import (
+        clip_frame_match_pairs,
+        image_ahash_words,
+    )
+    from graphraft_spark.ops.multimodal import extract_features
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    doc = F.col("doc_id")
+    variants = F.array_compact(F.array(
+        F.struct(doc.alias("media_id"),
+                 F.lit(0).alias("off"), F.lit(4).alias("nf")),
+        F.when(doc % 10 == 0, F.struct(
+            (doc + 1000000).alias("media_id"),
+            F.lit(1).alias("off"), F.lit(3).alias("nf")))))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    spec = (d.select(doc.alias("src"), F.explode(variants).alias("v"))
+            .select("src", "v.media_id", "v.off", "v.nf")
+            .repartition(n, F.col("media_id")))
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for s, off, nf in zip(pdf["src"], pdf["off"], pdf["nf"]):
+                s, off, nf = int(s), int(off), int(nf)
+                frames = []
+                for f in range(nf):
+                    # the x*(f+off) term makes inter-frame motion
+                    # spatially NON-uniform — a uniform per-frame
+                    # brightness ramp would leave every frame's aHash
+                    # identical (the invariance working against us)
+                    grey = [((s * 13) % 199 + x * (1 + s % 23)
+                             + y * (1 + s % 19) + x * y * (s % 7)
+                             + (f + off) * (7 + s % 11)
+                             + x * (f + off) * (2 + s % 5)) % 200
+                            for y in range(16) for x in range(16)]
+                    frames.append(bytes(v for v in grey for _ in range(3)))
+                payloads.append(avi_encode(frames, 16, 16))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads})
+
+    media = spec.mapInPandas(encode,
+                             schema="media_id bigint, payload binary")
+    feats = extract_features(
+        media.select("media_id", F.lit("video").alias("kind"), "payload"),
+        decode_fn=lambda p: avi_clip_thumbs(p, every_n=1, tw=8, th=8))
+    # one row per frame: slice the concatenated thumbnail planes
+    nf = (F.size("feature") / 64).cast("int")
+    per_frame = F.transform(
+        F.sequence(F.lit(0), nf - 1),
+        lambda f: F.slice("feature", f * 64 + 1, 64))
+    frames = (feats.select(
+        F.col("media_id").alias("id"),
+        F.posexplode(per_frame).alias("frame_idx", "fthumb"))
+        .select("id", "frame_idx",
+                F.col("fthumb").alias("feature")))
+    hashed = image_ahash_words(frames)
+    return clip_frame_match_pairs(hashed, max_dist=3, bands=4,
+                                  min_frames=3)

@@ -173,3 +173,47 @@ def test_repair_capped_restores_components_at_128bit_width(spark):
     comp_rep = {(r.id, r.comp) for r in connected_components(
         repaired.select("id_a", "id_b")).collect()}
     assert comp_rep == comp_unc == {(2, 2), (3, 2)}
+
+
+def test_trimmed_clip_matcher_flags_frame_containment(spark):
+    """clip_frame_match_pairs: a clip missing its first frame matches
+    3 of its source's 4 frames (containment) and is flagged; unrelated
+    clips never reach min_frames."""
+    from graphraft_spark.ops.image_dedup import clip_frame_match_pairs
+
+    rng = random.Random(21)
+    # clip 1 = 4 random frames; clip 100 = frames 1..3 of clip 1;
+    # clips 2,3 unrelated
+    f1 = _rand_clip(rng, n=4)
+    rows = []
+    for cid, fs in ((1, f1), (100, f1[1:]),
+                    (2, _rand_clip(rng, n=4)), (3, _rand_clip(rng, n=4))):
+        for idx, g in enumerate(fs):
+            rows.append((cid, idx, [v / 255.0 for v in _thumb_ref(g)]))
+    df = spark.createDataFrame(
+        rows, "id bigint, frame_idx int, feature array<double>")
+    from graphraft_spark.ops.image_dedup import image_ahash_words
+
+    hashed = image_ahash_words(df)
+    got = {(r.id_a, r.id_b): (r.matched_frames, r.is_dup)
+           for r in clip_frame_match_pairs(hashed).collect()}
+    assert got[(1, 100)] == (3, True)
+    assert all(not d or p == (1, 100) for p, (_, d) in got.items())
+
+
+def test_trimmed_registry_query_flags_all_plants(spark):
+    """d_video_trimmed_dup: every %10==0 doc's first-frame-trimmed
+    plant is flagged with >= 3 matched frames (each trimmed frame
+    matches its source frame exactly; a few docs' frames also
+    near-collide with each other, adding legitimate extra matches)."""
+    from graphraft_spark.registry.dedup_queries import d_video_trimmed_dup
+
+    rows = d_video_trimmed_dup(spark, "/root/testdata/sf0.001").collect()
+    got = {(r.id_a, r.id_b): (r.matched_frames, r.is_dup) for r in rows}
+    docs = [r.doc_id for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+        .collect()]
+    for d in docs:
+        if d % 10 == 0:
+            m, dup = got[(d, d + 1000000)]
+            assert dup and m >= 3

@@ -86,6 +86,9 @@ ALLOWED: dict[str, int] = {
     # frame consumed by both join sides — all over the one small
     # documents table
     "d_crossmodal_mismatch": 3,
+    # per-frame banded self-join: two sides of the one-scan
+    # encode+hash subtree
+    "d_video_trimmed_dup": 1,
     "q_dormant_rich_customers": 1, "q_large_volume_customers": 1,
     "q_market_share": 1, "q_nation_pair_volume": 1,
     "q_setops_customers": 3, "q_small_qty_revenue": 1,

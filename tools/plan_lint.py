@@ -93,6 +93,7 @@ PYTHON_OK = {
     # seam; the hash/banding/verify stages after it are pure JVM
     "d_image_neardup", "d_image_neardup_dhash", "d_audio_neardup",
     "d_video_neardup", "d_crossmodal_mismatch",
+    "d_video_trimmed_dup",
 }
 
 # callables that EXECUTE work when invoked (iterative/stateful):
