@@ -173,8 +173,6 @@ PRIORITY = [
     # keeps f_best_of_n), d_embedding_neardup (green r7-r10) and
     # d_span_dedup (green r5-r10; dedup keeps minhash/keep_best +
     # incoming paragraph line).
-    "q_min_price_supplier", "q_lonely_late_supplier",
-    "t_temperature_mix",
     # remaining graph pattern coverage (g_pattern_exec_2hop demoted
     # round 10)
     "g_enum_all_pruned", "g_ingest_validate",
@@ -233,6 +231,13 @@ PRIORITY = [
     "g_triangles", "g_random_walks", "t_gopher_gates", "t_pii_scrub",
     "t_quality_gate_scalable", "q_order_gaps_scalable",
     "e_cluster_balanced_sample",
+    # r13 second pass: the round's remaining new ops land graded per
+    # precedent — trimmed-clip containment matching, the cross-modal
+    # caption-swap filter, and scene-cut keyframe detection.  Slots
+    # from q_min_price_supplier / q_lonely_late_supplier /
+    # t_temperature_mix (green r11-r12; OLAP keeps 4 rows incl. the
+    # incoming order-gap quantile twin, text keeps 6).
+    "d_video_trimmed_dup", "d_crossmodal_mismatch", "mm_scene_cuts",
 ]
 
 

@@ -1933,7 +1933,8 @@ FROM (
 """
 
 
-@register("d_crossmodal_mismatch", oracle=_CROSSMODAL_ORACLE, extra=True)
+@register("d_crossmodal_mismatch",  # promoted r13 (lands graded)
+          oracle=_CROSSMODAL_ORACLE)
 def d_crossmodal_mismatch(spark, sf_dir):
     """CROSS-MODAL consistency filter for image-caption training data:
     join the perceptual image near-dup pairs (d_image_neardup's exact
@@ -2132,8 +2133,8 @@ GROUP BY a.media_id, b.media_id
 """
 
 
-@register("d_video_trimmed_dup", oracle=_VIDEO_TRIMMED_ORACLE,
-          extra=True)
+@register("d_video_trimmed_dup",  # promoted r13 (lands graded)
+          oracle=_VIDEO_TRIMMED_ORACLE)
 def d_video_trimmed_dup(spark, sf_dir):
     """TRIMMED-clip detection — the temporal-shift dup transform the
     fixed sampled-frame fingerprint cannot see (drop frame 0 and every

@@ -350,7 +350,7 @@ def mm_wav_resample(spark, sf_dir):
 
 
 @register(
-    "mm_scene_cuts", extra=True,
+    "mm_scene_cuts",  # promoted r13 (lands graded)
     oracle="""
 WITH e AS (
     SELECT doc_id, f.range AS frame_idx,

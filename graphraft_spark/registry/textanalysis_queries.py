@@ -378,7 +378,7 @@ def t_quality_gate(spark, sf_dir):
 
 
 @register(
-    "t_temperature_mix",  # promoted r11 (sixth wave)
+    "t_temperature_mix", extra=True,  # promoted r11; demoted r13
     oracle="""
 SELECT doc_id, source
 FROM (

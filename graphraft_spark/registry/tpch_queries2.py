@@ -632,7 +632,7 @@ def q_disjunctive_revenue(spark, sf_dir):
 
 
 @register(
-    "q_min_price_supplier",  # promoted r11 (sixth wave)
+    "q_min_price_supplier", extra=True,  # promoted r11; demoted r13
     oracle="""
 SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
        CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,4)), 4)
@@ -782,7 +782,7 @@ def q_top_supplier(spark, sf_dir):
 
 
 @register(
-    "q_lonely_late_supplier",  # promoted r11 (sixth wave)
+    "q_lonely_late_supplier", extra=True,  # promoted r11; demoted r13
     oracle="""
 WITH li AS (
     SELECT l.l_orderkey, l.l_suppkey,
