@@ -1,6 +1,11 @@
-"""Pure-stdlib AVI (RIFF) codec for UNCOMPRESSED video: the third
+"""Dependency-free AVI (RIFF) codec for UNCOMPRESSED video: the third
 modality behind the multimodal ``decode_fn`` seam (after PNG images,
-ops/png.py, and WAV audio, ops/wav.py).
+ops/png.py, and WAV audio, ops/wav.py).  Container framing uses
+``struct`` alone; the per-pixel hot paths (DIB<->RGB, thumbnail
+sampling) are numpy-vectorized — the codec runs inside Arrow-batched
+mapInPandas, where per-pixel Python loops were the measured wall
+(spark_optimization_guide §4.2: hand whole batches to vectorized
+native libraries).
 
 AVI is a RIFF container: ``LIST hdrl`` holds the ``avih`` main header
 (frame timing + dimensions) and a ``LIST strl`` stream header; ``LIST
@@ -20,6 +25,8 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
+
+import numpy as np
 
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
@@ -44,16 +51,11 @@ def avi_encode(frames: list[bytes], width: int, height: int,
     for f in frames:
         if len(f) != width * height * 3:
             raise ValueError("frame buffer does not match width*height*3")
-        rows = []
-        for y in range(height - 1, -1, -1):  # DIB rows are bottom-up
-            row = bytearray()
-            base = y * width * 3
-            for x in range(width):
-                r, g, b = f[base + x * 3:base + x * 3 + 3]
-                row += bytes((b, g, r))       # ...and BGR
-            row += bytes(stride - width * 3)  # 4-byte row padding
-            rows.append(bytes(row))
-        dibs.append(b"".join(rows))
+        # vectorized top-down RGB -> bottom-up BGR with 4-byte row pad
+        rgb = np.frombuffer(f, dtype=np.uint8).reshape(height, width, 3)
+        dib = np.zeros((height, stride), dtype=np.uint8)
+        dib[:, :width * 3] = rgb[::-1, :, ::-1].reshape(height, width * 3)
+        dibs.append(dib.tobytes())
 
     frame_bytes = stride * height
     avih = struct.pack("<IIIIIIIIIIIIII",
@@ -116,14 +118,10 @@ def _dib_to_rgb(dib: bytes, width: int, height: int) -> bytes:
     stride = _row_stride(width)
     if len(dib) != stride * height:
         raise ValueError("frame chunk does not match dimensions")
-    out = bytearray(width * height * 3)
-    for y in range(height):
-        src = (height - 1 - y) * stride
-        dst = y * width * 3
-        for x in range(width):
-            b, g, r = dib[src + x * 3:src + x * 3 + 3]
-            out[dst + x * 3:dst + x * 3 + 3] = bytes((r, g, b))
-    return bytes(out)
+    # vectorized bottom-up BGR (padded rows) -> top-down RGB
+    rows = np.frombuffer(dib, dtype=np.uint8).reshape(height, stride)
+    rgb = rows[::-1, :width * 3].reshape(height, width, 3)[:, :, ::-1]
+    return rgb.tobytes()
 
 
 def avi_decode(payload: bytes) -> tuple[int, int, int, list[bytes]]:
@@ -162,19 +160,29 @@ def avi_clip_thumbs(payload: bytes, every_n: int = 2, tw: int = 8,
     frames are ignored, and the caller is responsible for clips long
     enough to fill it — see video_ahash_words' size guard).  Skipped
     frames' pixel data is never decoded (avi_frame_iter)."""
-    width, height, _, _, _ = _walk(payload)
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    width, height, _, _, frames = _walk(payload)
+    stride = _row_stride(width)
+    # vectorized: sample luma straight off each DIB chunk — the 3-channel
+    # sum is channel-order-invariant, so no BGR->RGB swizzle is needed,
+    # and skipped frames' pixel data is still never touched
+    sy = (np.arange(th) * height) // th           # top-down row index
+    sx3 = ((np.arange(tw) * width) // tw) * 3
+    col = sx3[:, None] + np.arange(3)             # (tw, 3) byte columns
     out: list[float] = []
     taken = 0
-    for _, rgb in avi_frame_iter(payload, every_n):
+    for idx in range(0, len(frames), every_n):
         if max_frames is not None and taken >= max_frames:
             break
-        for y in range(th):
-            sy = y * height // th
-            for x in range(tw):
-                sx = x * width // tw
-                base = (sy * width + sx) * 3
-                r, g, b = rgb[base:base + 3]
-                out.append(((r + g + b) // 3) / 255.0)
+        off, ln = frames[idx]
+        if ln != stride * height:
+            raise ValueError("frame chunk does not match dimensions")
+        rows = np.frombuffer(payload, dtype=np.uint8,
+                             count=ln, offset=off).reshape(height, stride)
+        pix = rows[height - 1 - sy][:, col].astype(np.int64)
+        luma = pix.sum(axis=-1) // 3              # (th, tw) ints
+        out.extend((luma / 255.0).ravel().tolist())
         taken += 1
     return out
 

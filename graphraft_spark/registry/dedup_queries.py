@@ -1644,23 +1644,25 @@ def _video_media_spec(spark, sf_dir):
 def _video_encode_batches(batches):
     """mapInPandas encoder over _video_media_spec rows -> (media_id,
     payload) 4-frame greyscale AVIs (the closed form the oracle
-    replays)."""
+    replays).  Pixel synthesis is numpy-vectorized over the whole
+    Arrow batch (guide §4.2) — the per-pixel Python loops were the
+    measured wall of the codec seam."""
+    import numpy as np
     import pandas as pd
 
     from graphraft_spark.ops.avi import avi_encode
 
+    fy, yy, xx = np.ix_(np.arange(4), np.arange(16), np.arange(16))
     for pdf in batches:
-        payloads = []
-        for s, sh, fps in zip(pdf["src"], pdf["shift"], pdf["fps"]):
-            s, sh = int(s), int(sh)
-            frames = []
-            for f in range(4):
-                grey = [((s * 13) % 199 + x * (1 + s % 23)
-                         + y * (1 + s % 19) + x * y * (s % 7)
-                         + f * (7 + s % 11)) % 200 + sh
-                        for y in range(16) for x in range(16)]
-                frames.append(bytes(v for v in grey for _ in range(3)))
-            payloads.append(avi_encode(frames, 16, 16, fps=int(fps)))
+        s = pdf["src"].to_numpy(dtype=np.int64)[:, None, None, None]
+        sh = pdf["shift"].to_numpy(dtype=np.int64)[:, None, None, None]
+        grey = (((s * 13) % 199 + xx * (1 + s % 23) + yy * (1 + s % 19)
+                 + xx * yy * (s % 7) + fy * (7 + s % 11)) % 200 + sh)
+        rgb = np.repeat(grey.reshape(len(pdf), 4, 256).astype(np.uint8),
+                        3, axis=-1)
+        payloads = [avi_encode([rgb[i, f].tobytes() for f in range(4)],
+                               16, 16, fps=int(fps))
+                    for i, fps in enumerate(pdf["fps"])]
         yield pd.DataFrame({"media_id": pdf["media_id"],
                             "payload": payloads})
 
@@ -1688,21 +1690,24 @@ def _image_media_spec(spark, sf_dir):
 
 def _image_encode_batches(batches):
     """mapInPandas encoder over _image_media_spec rows → (media_id,
-    payload) PNGs (the closed form the oracles replay)."""
+    payload) PNGs (the closed form the oracles replay).  Pixel
+    synthesis is numpy-vectorized over the whole Arrow batch (guide
+    §4.2), same as the video twin."""
+    import numpy as np
     import pandas as pd
 
     from graphraft_spark.ops.png import png_encode
 
     cycles = {0: [0, 1, 2, 3, 4], 1: [4, 3, 2, 1, 0], 2: [2, 0, 3, 1, 4]}
+    yy, xx = np.ix_(np.arange(16), np.arange(16))
     for pdf in batches:
-        payloads = []
-        for s, sh, var in zip(pdf["src"], pdf["shift"], pdf["variant"]):
-            s, sh = int(s), int(sh)
-            px = bytes(((s * 13) % 199 + x * (1 + s % 23)
-                        + y * (1 + s % 19) + x * y * (s % 7)) % 200 + sh
-                       for y in range(16) for x in range(16))
-            payloads.append(png_encode(16, 16, px, color_type=0,
-                                       filters=cycles[int(var)]))
+        s = pdf["src"].to_numpy(dtype=np.int64)[:, None, None]
+        sh = pdf["shift"].to_numpy(dtype=np.int64)[:, None, None]
+        grey = (((s * 13) % 199 + xx * (1 + s % 23) + yy * (1 + s % 19)
+                 + xx * yy * (s % 7)) % 200 + sh).astype(np.uint8)
+        payloads = [png_encode(16, 16, grey[i].tobytes(), color_type=0,
+                               filters=cycles[int(var)])
+                    for i, var in enumerate(pdf["variant"])]
         yield pd.DataFrame({"media_id": pdf["media_id"],
                             "payload": payloads})
 
