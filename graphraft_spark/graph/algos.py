@@ -34,6 +34,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _keyed_cache(df: DataFrame, key: str) -> DataFrame:
+    """Persist ``df`` hash-partitioned AND sorted by ``key`` — the
+    in-session analog of a bucketed+sorted table (guide §2.4): every
+    later equi-join or aggregation keyed on ``key`` reads the cached
+    partitioning/ordering straight from the InMemoryTableScan, so the
+    per-round join of an iterative algorithm never re-exchanges (or
+    re-sorts) this side again.  One shuffle+sort at build time buys
+    zero exchanges for the n_iter reuses; callers unpersist when done."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (df.repartition(n, F.col(key))
+            .sortWithinPartitions(key).persist())
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """(nodeId, degree) over a DIRECTED edge frame, counting both
     endpoints — i.e. the undirected degree of the simple graph."""
@@ -52,16 +65,23 @@ def pagerank(nodes: DataFrame, edges: DataFrame, alpha: float = 0.85,
     what you schedule anyway).
     """
     n_nodes = nodes.select("nodeId").distinct()
-    out_deg = (edges.groupBy(F.col("src").alias("nodeId"))
-               .agg(F.count("*").alias("out_deg")))
-    # Static per-round inputs: keep them materialized once.
-    base = (n_nodes.join(out_deg, "nodeId", "left")
-            .select("nodeId", F.coalesce("out_deg", F.lit(0))
-                    .alias("out_deg"))
-            .persist())
-    total = base.count()  # materializes `base`; |V| for teleport term
-    e = edges.select("src", "dst").persist()
+    # Static per-round inputs: keep them materialized once.  The edge
+    # frame caches FIRST, partitioned+sorted by the per-round join key
+    # (src), so each round's contribution join streams it exchange- and
+    # sort-free from cache; out_deg then derives from the CACHED edges —
+    # previously both out_deg and e re-executed the caller's whole edge
+    # derivation (for the event-type graph that was the 600k-row
+    # window scan twice).
+    e = _keyed_cache(edges.select("src", "dst"), "src")
     e.count()
+    out_deg = (e.groupBy(F.col("src").alias("nodeId"))
+               .agg(F.count("*").alias("out_deg")))
+    base = _keyed_cache(
+        n_nodes.join(out_deg, "nodeId", "left")
+        .select("nodeId", F.coalesce("out_deg", F.lit(0))
+                .alias("out_deg")),
+        "nodeId")
+    total = base.count()  # materializes `base`; |V| for teleport term
 
     ranks = base.select("nodeId", "out_deg",
                         (F.lit(1.0) / total).alias("rank"))
@@ -113,23 +133,26 @@ def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
     :func:`pagerank`.
     """
     n_nodes = nodes.select("nodeId").distinct()
-    out_deg = (edges.groupBy(F.col("src").alias("nodeId"))
+    # same cached-edge-first layout as pagerank(): e partitioned+sorted
+    # by the per-round join key, out_deg derived from the cache
+    e = _keyed_cache(edges.select("src", "dst"), "src")
+    e.count()
+    out_deg = (e.groupBy(F.col("src").alias("nodeId"))
                .agg(F.count("*").alias("out_deg")))
     seed = seeds.select("nodeId").distinct() \
         .withColumn("is_seed", F.lit(True))
-    base = (n_nodes.join(out_deg, "nodeId", "left")
-            .join(F.broadcast(seed), "nodeId", "left")
-            .select("nodeId",
-                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-                    F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
-            .persist())
+    base = _keyed_cache(
+        n_nodes.join(out_deg, "nodeId", "left")
+        .join(F.broadcast(seed), "nodeId", "left")
+        .select("nodeId",
+                F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                F.coalesce("is_seed", F.lit(False)).alias("is_seed")),
+        "nodeId")
     n_seeds = base.filter("is_seed").count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs at least one seed "
                          "present in the node set")
     base.count()
-    e = edges.select("src", "dst").persist()
-    e.count()
 
     # start all mass on the seeds (the PPR stationary measure support)
     ranks = base.select(
@@ -348,11 +371,18 @@ def label_propagation(nodes: DataFrame, edges: DataFrame,
 
     ``edges`` is a DIRECTED frame; both binding directions are derived
     here so callers pass ``graph.edges`` directly."""
-    und = (edges.select("src", "dst")
-           .unionAll(edges.select(F.col("dst").alias("src"),
-                                  F.col("src").alias("dst")))
-           .unionAll(nodes.select(F.col("nodeId").alias("src"),
-                                  F.col("nodeId").alias("dst"))))
+    # cache the union-edge frame partitioned+sorted by the per-round
+    # join key (guide §2.4) — it was re-derived AND re-shuffled every
+    # round; the node id frame likewise feeds one join per round
+    und = _keyed_cache(
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .unionAll(nodes.select(F.col("nodeId").alias("src"),
+                               F.col("nodeId").alias("dst"))),
+        "dst")
+    und.count()
+    ids = _keyed_cache(nodes.select("nodeId"), "nodeId")
     labels = nodes.select("nodeId", F.col("nodeId").alias("label"))
     for r in range(rounds):
         nbr = (und.join(labels.select(F.col("nodeId").alias("dst"),
@@ -364,13 +394,16 @@ def label_propagation(nodes: DataFrame, edges: DataFrame,
                                     (-F.col("label")).alias("nl")))
                      .alias("b"))
                 .select("nodeId", (-F.col("b.nl")).alias("label")))
-        labels = (nodes.select("nodeId")
+        labels = (ids
                   .join(best, "nodeId", "left")
                   .select("nodeId",
                           F.coalesce(F.col("label"), F.col("nodeId"))
                           .alias("label")))
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    und.unpersist()
+    ids.unpersist()
     return labels
 
 
@@ -402,14 +435,22 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
     node membership each half-step."""
     if n_iter < 1:
         raise ValueError(f"hits() requires n_iter >= 1, got {n_iter}")
-    n_nodes = nodes.select("nodeId").distinct()
-    e = (edges.select("src", "dst")
-         .join(n_nodes.select(F.col("nodeId").alias("src")),
-               "src", "left_semi")
-         .join(n_nodes.select(F.col("nodeId").alias("dst")),
-               "dst", "left_semi")
-         .select("src", "dst").persist())
-    e.count()
+    n_nodes = nodes.select("nodeId").distinct().persist()
+    e0 = (edges.select("src", "dst")
+          .join(n_nodes.select(F.col("nodeId").alias("src")),
+                "src", "left_semi")
+          .join(n_nodes.select(F.col("nodeId").alias("dst")),
+                "dst", "left_semi")
+          .select("src", "dst"))
+    # the half-steps alternate join/aggregation keys (authority: join on
+    # src, aggregate by dst; hub: join on dst, aggregate by src) — keep
+    # one partitioned+sorted cached copy PER KEY so no round ever
+    # re-exchanges or re-sorts the edge list (guide §2.4; the module
+    # docstring's bucketed-deployment note, applied in-session)
+    e_src = _keyed_cache(e0, "src")
+    e_src.count()
+    e_dst = _keyed_cache(e_src, "dst")
+    e_dst.count()
 
     def _normalize(raw: DataFrame, raw_col: str, out_col: str) -> DataFrame:
         # zero-guard: an edgeless graph (or all-zero round) has t=0;
@@ -425,17 +466,19 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
     for i in range(n_iter):
         if i == 0:
             # hub⁰ = 1.0 everywhere ⇒ first a_raw is just the in-degree
-            a_raw = (e.groupBy(F.col("dst").alias("nodeId"))
+            # (e_dst: the aggregation key matches the cached
+            # partitioning, so even this groupBy is exchange-free)
+            a_raw = (e_dst.groupBy(F.col("dst").alias("nodeId"))
                      .agg(F.count("*").cast("double").alias("a_raw")))
         else:
-            a_raw = (e.join(hub.select(F.col("nodeId").alias("src"),
-                                       "hub"), "src")
+            a_raw = (e_src.join(hub.select(F.col("nodeId").alias("src"),
+                                           "hub"), "src")
                      .groupBy(F.col("dst").alias("nodeId"))
                      .agg(F.sum("hub").alias("a_raw")))
         a_raw = a_raw.localCheckpoint(eager=True)
         auth = _normalize(a_raw, "a_raw", "authority")
-        h_raw = (e.join(auth.select(F.col("nodeId").alias("dst"),
-                                    "authority"), "dst")
+        h_raw = (e_dst.join(auth.select(F.col("nodeId").alias("dst"),
+                                        "authority"), "dst")
                  .groupBy(F.col("src").alias("nodeId"))
                  .agg(F.sum("authority").alias("h_raw"))
                  .localCheckpoint(eager=True))
@@ -447,9 +490,11 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
                    F.round(F.coalesce("authority", F.lit(0.0)), 9)
                    .alias("authority"))
            .localCheckpoint(eager=True))
-    # materialize the result, then release the persisted edge frame (a
-    # long session would otherwise accumulate one cached frame per call)
-    e.unpersist()
+    # materialize the result, then release the persisted frames (a
+    # long session would otherwise accumulate cached frames per call)
+    e_src.unpersist()
+    e_dst.unpersist()
+    n_nodes.unpersist()
     return out
 
 
@@ -625,11 +670,16 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
     bloom map-side probe / auto switch at ``auto_switch_at`` settled
     pairs) — σ rides through the router untouched, so every path is
     value-identical; the flag-equality test pins it."""
-    ids = nodes.select(F.col("nodeId")).distinct()
-    e = (edges.select("src", "dst")
-         .filter(F.col("src") != F.col("dst")).distinct()
-         .persist())
+    ids = nodes.select(F.col("nodeId")).distinct().persist()
+    e0 = (edges.select("src", "dst")
+          .filter(F.col("src") != F.col("dst")).distinct())
+    # forward levels join on e.src, backward dependency rounds on e.dst:
+    # one partitioned+sorted cached copy per key (guide §2.4) so the
+    # per-level joins stream the edge list exchange- and sort-free
+    e = _keyed_cache(e0, "src")
     e.count()
+    e_rev = _keyed_cache(e, "dst")
+    e_rev.count()
     if sources is None:
         sources = [r.nodeId for r in
                    ids.orderBy("nodeId").limit(n_sources).collect()]
@@ -692,7 +742,7 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
                                        F.col("node").alias("w"),
                                        F.col("delta").alias("delta_w")),
                       ["source", "w"]))
-        contrib = (down.join(e, down.w == e.dst)
+        contrib = (down.join(e_rev, down.w == e_rev.dst)
                    .select("source", F.col("src").alias("node"),
                            "sigma_w", "delta_w"))
         contrib = (contrib.join(
@@ -715,8 +765,11 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
     out = (ids.join(acc, "nodeId", "left")
            .select("nodeId",
                    F.round(F.coalesce("betweenness", F.lit(0.0)), 9)
-                   .alias("betweenness")))
+                   .alias("betweenness"))
+           .localCheckpoint(eager=True))
     e.unpersist()
+    e_rev.unpersist()
+    ids.unpersist()
     return out
 
 
