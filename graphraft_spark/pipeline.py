@@ -287,6 +287,19 @@ def run_pipeline_bulk(
     qdf = spark.createDataFrame([(int(qid), text) for qid, text, _ in questions],
                                 "qid bigint, question string")
     ranked = rank_signatures(sigs, qdf, ranker, k=k)
+    # `ranked` fans into one plan branch PER TEMPLATE inside
+    # run_patterns_bulk (the spec filter) plus the fan-out broadcast —
+    # without a materialization the whole enumeration + applyInPandas
+    # ranking subtree executes once per branch (measured: 3
+    # FlatMapGroupsInPandas nodes / ~32 parquet scans in the 2-template
+    # plan).  The frame is tiny (≤ k rows per question); pin it once.
+    # local_checkpoint additionally truncates lineage (same rationale
+    # as budgeted_accumulate's persist_mode); plain persist keeps
+    # fault-tolerant recompute as the library default.
+    if persist_mode == "local_checkpoint":
+        ranked = ranked.localCheckpoint(eager=True)
+    else:
+        ranked = ranked.persist()
 
     executed = run_patterns_bulk(
         graph, ranked.select(*SPEC_COLS).distinct(), prop_cols,
