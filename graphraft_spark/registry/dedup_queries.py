@@ -1212,8 +1212,14 @@ def d_image_neardup(spark, sf_dir):
     feats = extract_features(
         media.select("media_id", F.lit("image").alias("kind"), "payload"),
         decode_fn=lambda p: png_resize_nearest(p, 8, 8))
+    # the self-join's two sides would otherwise each re-run the codec
+    # chain (the banded join plans as broadcast, so no exchange reuse:
+    # 2 MapInPandas chains in the pre-fix plan) — materialize the tiny
+    # (id, 2 bigint) fingerprint frame once, as d_image_neardup_capped
+    # already does
     hashed = image_ahash_words(
-        feats.select(F.col("media_id").alias("id"), "feature"))
+        feats.select(F.col("media_id").alias("id"), "feature")) \
+        .localCheckpoint(eager=True)
     return image_neardup_pairs(hashed, max_dist=3, bands=4)
 
 
@@ -1322,8 +1328,11 @@ def d_image_neardup_dhash(spark, sf_dir):
     feats = extract_features(
         media.select("media_id", F.lit("image").alias("kind"), "payload"),
         decode_fn=lambda p: png_resize_nearest(p, 9, 8))
+    # materialize once: see d_image_neardup (self-join sides re-run
+    # the codec chain otherwise)
     hashed = image_dhash_words(
-        feats.select(F.col("media_id").alias("id"), "feature"))
+        feats.select(F.col("media_id").alias("id"), "feature")) \
+        .localCheckpoint(eager=True)
     return image_neardup_pairs(hashed, max_dist=3, bands=4)
 
 
@@ -1428,8 +1437,11 @@ def d_audio_neardup(spark, sf_dir):
     feats = extract_features(
         media.select("media_id", F.lit("audio").alias("kind"), "payload"),
         decode_fn=lambda p: wav_resample_nearest(p, 65))
+    # materialize once: see d_image_neardup (self-join sides re-run
+    # the codec chain otherwise)
     hashed = gradient_sign_words(
-        feats.select(F.col("media_id").alias("id"), "feature"))
+        feats.select(F.col("media_id").alias("id"), "feature")) \
+        .localCheckpoint(eager=True)
     return image_neardup_pairs(hashed, max_dist=3, bands=4)
 
 
@@ -1532,8 +1544,11 @@ def d_video_neardup(spark, sf_dir):
         media.select("media_id", F.lit("video").alias("kind"), "payload"),
         decode_fn=lambda p: avi_clip_thumbs(p, every_n=2, tw=8, th=8,
                                             max_frames=2))
+    # materialize once: see d_image_neardup (self-join sides re-run
+    # the whole AVI encode + decode chain otherwise)
     hashed = video_ahash_words(
-        feats.select(F.col("media_id").alias("id"), "feature"), tiles=2)
+        feats.select(F.col("media_id").alias("id"), "feature"), tiles=2) \
+        .localCheckpoint(eager=True)
     return image_neardup_pairs(hashed, word_cols=("h0", "h1", "h2", "h3"),
                                max_dist=6, bands=8)
 
@@ -2211,6 +2226,8 @@ def d_video_trimmed_dup(spark, sf_dir):
         F.posexplode(per_frame).alias("frame_idx", "fthumb"))
         .select("id", "frame_idx",
                 F.col("fthumb").alias("feature")))
-    hashed = image_ahash_words(frames)
+    # materialize once: see d_image_neardup (self-join sides re-run
+    # the codec chain otherwise)
+    hashed = image_ahash_words(frames).localCheckpoint(eager=True)
     return clip_frame_match_pairs(hashed, max_dist=3, bands=4,
                                   min_frames=3)
