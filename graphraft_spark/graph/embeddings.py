@@ -218,7 +218,14 @@ def train_sgns(pairs: DataFrame, dim: int = 16, epochs: int = 3,
         raise ValueError(f"unknown neg_distribution {neg_distribution!r}")
     ex = pairs.select(F.col(center_col).alias("c"),
                       F.col(context_col).alias("x"),
-                      F.col(weight_col).cast("double").alias("w"))
+                      F.col(weight_col).cast("double").alias("w")) \
+        .localCheckpoint(eager=False)
+    # ^ the example table feeds vocab, freq, and one positive + one
+    # per-negative-slot branch EVERY epoch — without the checkpoint the
+    # caller's whole pair derivation (for the corpus trainers: a
+    # corpus-wide transition aggregation) re-executes once per branch
+    # (2·(1+negatives)·epochs references); one materialization serves
+    # them all, exactly like the subsample branch's re-checkpoint below
     # lazily checkpointed: the 2|pairs|-row distinct feeds the rank
     # table (twice — range sampling + ranking), init_embeddings, and
     # the unigram75 CDF; one materialization serves all of them
