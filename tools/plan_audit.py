@@ -54,7 +54,8 @@ ALLOWED: dict[str, int] = {
     "e_corpus_diff": 1, "f_dpo_pairs": 1,
     # graph: anchors/targets/edges joined per hop — the pattern IS a
     # multi-reference; edges come from the pruned .graph_cache parquet.
-    "g_betweenness_top": 1, "g_degree_top": 1,
+    "g_degree_top": 1,
+    # g_betweenness_top: 0 since r13 (per-round frames keyed-cached).
     "g_enum_all_pruned": 6, "g_khop_sample": 2, "g_onehop_enum": 1,
     "g_pattern_exec_1hop_multibind": 1, "g_pattern_exec_2hop": 3,
     "g_sql_onehop": 1, "g_supervised_enum": 1, "g_twohop_enum": 3,
@@ -78,17 +79,12 @@ ALLOWED: dict[str, int] = {
     # broadcast scoring side — embeddings is a fixed 500-row table at
     # every sf, so the re-scan is cheaper than any materialization
     "d_semantic_decontaminate": 2,
-    # the banded self-join's two sides each carry the (single-scan)
-    # encode+hash subtree; words ride the banding so no further refs
-    "d_image_neardup": 1, "d_image_neardup_dhash": 1,
-    "d_audio_neardup": 1, "d_video_neardup": 1,
-    # pairs subtree (1 banded self-join dup) + the caption variant
-    # frame consumed by both join sides — all over the one small
-    # documents table
-    "d_crossmodal_mismatch": 3,
-    # per-frame banded self-join: two sides of the one-scan
-    # encode+hash subtree
-    "d_video_trimmed_dup": 1,
+    # media near-dup: 0 since r13 — the fingerprint frame is eagerly
+    # localCheckpointed before the banded self-join, so both sides read
+    # cached partitions (no duplicated encode+hash subtree).
+    # d_crossmodal_mismatch keeps 1: the caption variant frame is
+    # consumed by both join sides of the one small documents table.
+    "d_crossmodal_mismatch": 1,
     "q_dormant_rich_customers": 1, "q_large_volume_customers": 1,
     "q_market_share": 1, "q_nation_pair_volume": 1,
     "q_setops_customers": 3, "q_small_qty_revenue": 1,
