@@ -733,7 +733,7 @@ def embedding_neardup_srp(df: DataFrame, dim: int,
 
     planes = srp_hyperplanes(dim, bits, seed)
     s = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"),
-                  srp_signature(F.col(emb_col), planes).alias("bk")).persist()
+                  srp_signature(emb_col, planes).alias("bk")).persist()
     s.count()  # both sides of the probe join scan this
     if multiprobe:
         probe_list = F.array(
@@ -1316,8 +1316,8 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
         )
 
         planes = srp_hyperplanes(dim, bits, seed)
-        bs = b.withColumn("bk", srp_signature(F.col("be"), planes))
-        cs = c.withColumn("bk", srp_signature(F.col("ce"), planes))
+        bs = b.withColumn("bk", srp_signature("be", planes))
+        cs = c.withColumn("bk", srp_signature("ce", planes))
         probe = (F.array(F.col("bk"),
                          *[F.expr(f"bk ^ {1 << i}") for i in range(bits)])
                  if multiprobe else F.array(F.col("bk")))
