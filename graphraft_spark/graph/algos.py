@@ -15,13 +15,16 @@ Both operators are pure DataFrame plans:
   reuses the exchange) + one aggregate keyed by dst.  Dangling-node
   mass is redistributed uniformly each round (the standard correction;
   without it rank mass leaks and the vector no longer sums to 1).
-  Each round's result is materialized with an eager localCheckpoint
+  Each round's result is plan-truncated with a localCheckpoint
   (checkpoint_every=1): the rank frame is referenced TWICE per round
-  (dangling aggregate + contribution join), so an unmaterialized
+  (dangling aggregate + contribution join), so an untruncated
   lineage would re-execute the previous rounds ~2× per reference —
   measured as a 14× wall blowup at 10 rounds before this guard.
-  Checkpointing |V| two-column rows per round is the cheap side of
-  that trade at any scale.
+  The checkpoint is LAZY: truncation happens at the call (both
+  references see a LogicalRDD leaf; the first compute caches), while
+  the materialization job folds into the consuming round instead of
+  paying a dedicated per-round job.  Checkpointing |V| two-column
+  rows per round is the cheap side of that trade at any scale.
 
 At 100 TB scale the per-round cost is the fact-table shuffle; the right
 deployment pre-partitions the edge frame by src once (bucketed sink) so
@@ -111,7 +114,11 @@ def pagerank(nodes: DataFrame, edges: DataFrame, alpha: float = 0.85,
                                    + F.col("dmass") / total))
                 .alias("rank")))
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
+            # lazy: plan truncation happens at the call (the two
+            # per-round references — dangling aggregate + contribution
+            # join — both see a LogicalRDD leaf and share the cached
+            # first compute), without a dedicated materialization job
+            ranks = ranks.localCheckpoint(eager=False)
     out = ranks.select("nodeId", "rank").localCheckpoint(eager=True)
     base.unpersist()
     e.unpersist()
@@ -180,7 +187,8 @@ def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
                  .otherwise(0.0)
                  + F.lit(alpha) * F.coalesce("in_mass", F.lit(0.0)))
                 .alias("rank")))
-        ranks = ranks.localCheckpoint(eager=True)
+        # lazy per-round truncation — same rationale as pagerank()
+        ranks = ranks.localCheckpoint(eager=False)
     out = ranks.select("nodeId", "rank").localCheckpoint(eager=True)
     base.unpersist()
     e.unpersist()
@@ -334,10 +342,11 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50,
                .unionByName(e.select(F.col("b").alias("n")))
                .groupBy("n").agg(F.count("*").alias("deg")))
         keep = deg.filter(F.col("deg") >= k).select("n")
+        # lazy checkpoint: the count() below materializes it (one job)
         e2 = (e.join(keep.withColumnRenamed("n", "a"), "a", "semi")
               .join(keep.withColumnRenamed("n", "b"), "b", "semi")
               .select("a", "b")
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
         if e2.count() == e.count():
             e = e2
             break
@@ -400,7 +409,11 @@ def label_propagation(nodes: DataFrame, edges: DataFrame,
                           F.coalesce(F.col("label"), F.col("nodeId"))
                           .alias("label")))
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
+            # lazy: truncates the plan now; the data materializes inside
+            # the next round's (or the final checkpoint's) job instead
+            # of a dedicated per-round job — labels are referenced once
+            # per round, and localCheckpoint caches on first compute
+            labels = labels.localCheckpoint(eager=False)
     labels = labels.localCheckpoint(eager=True)
     und.unpersist()
     ids.unpersist()
@@ -419,12 +432,13 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
     Frames stay SPARSE (only nodes with a nonzero score; absent = 0,
     which contributes nothing to sums or totals) so the per-round work
     is proportional to the edge list, not |V| extra left-joins; zero
-    rows join back once at the end.  Each half-step is eagerly
-    lineage-truncated BEFORE the normalization total branches off it —
-    the score frame is consumed twice per half-step (value path +
-    total), and un-truncated double-branching re-executes the whole
-    prefix, doubling work per half-step (measured 4x on the bench
-    line).  The totals remain executor-side 1-row broadcast aggregates
+    rows join back once at the end.  Each half-step is
+    lineage-truncated (lazy localCheckpoint) BEFORE the normalization
+    total branches off it — the score frame is consumed twice per
+    half-step (value path + total), and un-truncated double-branching
+    re-executes the whole prefix, doubling work per half-step
+    (measured 4x on the bench line); the first compute caches, so both
+    branches still compute it once.  The totals remain executor-side 1-row broadcast aggregates
     over the truncated frame, never a driver collect.
 
     Edges are semi-joined against ``nodes`` on BOTH endpoints up front:
@@ -475,13 +489,18 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
                                            "hub"), "src")
                      .groupBy(F.col("dst").alias("nodeId"))
                      .agg(F.sum("hub").alias("a_raw")))
-        a_raw = a_raw.localCheckpoint(eager=True)
+        # lazy checkpoints: the plan is truncated at the call (so the
+        # double-branching hazard in the docstring stays fixed — both
+        # consumers see a LogicalRDD leaf and the first compute caches),
+        # but the dedicated per-half-step materialization job disappears
+        # into the consuming job
+        a_raw = a_raw.localCheckpoint(eager=False)
         auth = _normalize(a_raw, "a_raw", "authority")
         h_raw = (e_dst.join(auth.select(F.col("nodeId").alias("dst"),
                                         "authority"), "dst")
                  .groupBy(F.col("src").alias("nodeId"))
                  .agg(F.sum("authority").alias("h_raw"))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
         hub = _normalize(h_raw, "h_raw", "hub")
     out = (n_nodes.join(auth, "nodeId", "left")
            .join(hub, "nodeId", "left")
@@ -671,12 +690,22 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
     pairs) — σ rides through the router untouched, so every path is
     value-identical; the flag-equality test pins it."""
     ids = nodes.select(F.col("nodeId")).distinct().persist()
-    e0 = (edges.select("src", "dst")
-          .filter(F.col("src") != F.col("dst")).distinct())
     # forward levels join on e.src, backward dependency rounds on e.dst:
     # one partitioned+sorted cached copy per key (guide §2.4) so the
-    # per-level joins stream the edge list exchange- and sort-free
-    e = _keyed_cache(e0, "src")
+    # per-level joins stream the edge list exchange- and sort-free.
+    # The dedup rides the SAME exchange as the src-keyed layout:
+    # hash-partitioning on src co-locates every (src, dst) pair, so the
+    # dropDuplicates aggregate needs no second shuffle (guide §2.4 —
+    # two operations keyed compatibly share one exchange; the old
+    # distinct-then-repartition shape paid an extra full exchange).
+    n_part = int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    e = (edges.select("src", "dst")
+         .filter(F.col("src") != F.col("dst"))
+         .repartition(n_part, F.col("src"))
+         .dropDuplicates(["src", "dst"])
+         .sortWithinPartitions("src")
+         .persist())
     e.count()
     e_rev = _keyed_cache(e, "dst")
     e_rev.count()
@@ -708,10 +737,15 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
         cand = (frontier.join(e, frontier.node == e.src)
                 .groupBy("source", F.col("dst").alias("node"))
                 .agg(F.sum("sigma").alias("sigma")))
+        # LAZY checkpoint + count: the count() is the materializing
+        # action, so plan-truncation and the termination probe share ONE
+        # job instead of paying a dedicated eager-checkpoint job per
+        # level (guide §1.2 — fewer passes; on a steal-prone host every
+        # extra job is another chance to eat a multi-second stall)
         nxt = (router.filter_new(cand, settled_v)
                .withColumn("dist", F.lit(d))
                .select("source", "node", "dist", "sigma")
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         n_new = nxt.count()
         if n_new == 0:
             break
@@ -730,18 +764,29 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
     # (source × settled) delta frame rewritten per round would cost
     # O(levels × settled) materialization traffic — the super-linear
     # term measured in the BFS settled-rewrite soak (BASELINE.md r9).
+    # Backward deltas are LAZY checkpoints: each call still compiles and
+    # truncates the plan (downstream rounds see a LogicalRDD leaf, so
+    # plan size stays per-round), but materialization cascades into the
+    # final eager checkpoint — one job DAG for the whole backward phase
+    # instead of one driver-scheduled job per level.  Every delta frame
+    # is cached on first compute (localCheckpoint persists), so the two
+    # consumers (next round's join + the final union) still compute it
+    # exactly once.
+    # Each delta frame CARRIES its level's sigma, so the next round
+    # reads (sigma_w, delta_w) from ONE frame instead of re-joining
+    # levels[d] ⨝ deltas[d] on (source, node) — one fewer join (and its
+    # exchanges) per round (guide §1.2).  sigma is a carried column,
+    # never recomputed, so the dependency arithmetic and its float
+    # evaluation order are untouched.
     deltas: list[DataFrame] = [None] * len(levels)
-    deltas[-1] = (levels[-1].select("source", "node",
+    deltas[-1] = (levels[-1].select("source", "node", "sigma",
                                     F.lit(0.0).alias("delta"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
     for d in range(len(levels) - 1, 0, -1):
-        down = (levels[d].select("source",
+        down = deltas[d].select("source",
                                 F.col("node").alias("w"),
-                                F.col("sigma").alias("sigma_w"))
-                .join(deltas[d].select("source",
-                                       F.col("node").alias("w"),
-                                       F.col("delta").alias("delta_w")),
-                      ["source", "w"]))
+                                F.col("sigma").alias("sigma_w"),
+                                F.col("delta").alias("delta_w"))
         contrib = (down.join(e_rev, down.w == e_rev.dst)
                    .select("source", F.col("src").alias("node"),
                            "sigma_w", "delta_w"))
@@ -752,13 +797,14 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
             .agg(F.sum(F.col("sigma") / F.col("sigma_w")
                        * (F.lit(1.0) + F.col("delta_w")))
                  .alias("add")))
-        deltas[d - 1] = (levels[d - 1].select("source", "node")
+        deltas[d - 1] = (levels[d - 1].select("source", "node", "sigma")
                          .join(contrib, ["source", "node"], "left")
-                         .select("source", "node",
+                         .select("source", "node", "sigma",
                                  F.coalesce("add", F.lit(0.0))
                                  .alias("delta"))
-                         .localCheckpoint(eager=True))
-    delta = reduce(lambda a, b: a.unionByName(b), deltas)
+                         .localCheckpoint(eager=False))
+    delta = reduce(lambda a, b: a.unionByName(b),
+                   [dl.select("source", "node", "delta") for dl in deltas])
     acc = (delta.filter(F.col("node") != F.col("source"))
            .groupBy(F.col("node").alias("nodeId"))
            .agg(F.sum("delta").alias("betweenness")))
@@ -966,9 +1012,12 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
         cand = (frontier.join(e, frontier.node == e.src)
                 .select("source", F.col("dst").alias("node"))
                 .distinct())
+        # lazy checkpoint + count: the count() is the materializing
+        # action, so truncation and the termination probe share one job
+        # (same fusion as betweenness_sampled's forward phase)
         nxt = (router.filter_new(cand, settled_v)
                .withColumn("dist", F.lit(d))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         n_new = nxt.count()
         if n_new == 0:
             break
