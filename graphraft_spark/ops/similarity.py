@@ -130,9 +130,12 @@ def ivf_centroids_kmeans(vectors: DataFrame, k: int = 16, iters: int = 5,
     import pandas as pd
 
     spark = vectors.sparkSession
+    # one materialization feeds the init draw + every Lloyd pass —
+    # without it each iteration re-executes the caller's whole vector
+    # derivation (guide §5: reuse ⇒ persist; released before return)
+    vecs = vectors.select(id_col, emb_col).persist()
     init_rows = (
-        vectors.select(id_col, emb_col)
-        .withColumn("h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        vecs.withColumn("h", F.xxhash64(F.col(id_col), F.lit(seed)))
         .orderBy("h", id_col).limit(k).collect()
     )
     if not init_rows:
@@ -164,29 +167,27 @@ def ivf_centroids_kmeans(vectors: DataFrame, k: int = 16, iters: int = 5,
                                 "cnt": counts,
                                 "vsum": [s.tolist() for s in sums]})
 
-        partials = vectors.select(emb_col).mapInPandas(
+        partials = vecs.select(emb_col).mapInPandas(
             kernel, schema="cid int, cnt bigint, vsum array<double>")
-        # one job per iteration: sum(cnt) grouped by (cid, pos) repeats
-        # the per-cid total on every pos row, so sums and counts ride
-        # the same k·dim-row collect
-        rows = (
-            partials.select("cid", "cnt",
-                            F.posexplode("vsum").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("v").alias("s"), F.sum("cnt").alias("n"))
-            .collect()
-        )
+        # one single-stage job per iteration: collect the per-PARTITION
+        # partials (O(partitions·k) rows) and reduce in numpy — the old
+        # posexplode + groupBy((cid, pos)) paid an exchange per
+        # iteration to produce the same O(k·dim) reduction (both forms
+        # sum the per-partition partials; summation order was already
+        # arrival-dependent under the shuffle)
+        rows = partials.collect()
         new = cents.copy()  # empty clusters keep their previous centroid
         acc = np.zeros((k, dim))
         cnts = np.zeros(k, dtype="int64")
         for r in rows:
-            acc[r["cid"], r["pos"]] = r["s"]
-            cnts[r["cid"]] = r["n"]
+            acc[r["cid"]] += np.asarray(r["vsum"], dtype="float64")
+            cnts[r["cid"]] += r["cnt"]
         for j in range(k):
             if cnts[j] > 0:
                 new[j] = acc[j] / cnts[j]
         cents = new
 
+    vecs.unpersist()
     return spark.createDataFrame(
         [(int(j), [float(x) for x in cents[j]]) for j in range(k)],
         f"centroid_id bigint, c_emb array<double>")
