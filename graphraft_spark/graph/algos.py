@@ -15,16 +15,18 @@ Both operators are pure DataFrame plans:
   reuses the exchange) + one aggregate keyed by dst.  Dangling-node
   mass is redistributed uniformly each round (the standard correction;
   without it rank mass leaks and the vector no longer sums to 1).
-  Each round's result is plan-truncated with a localCheckpoint
+  Each round's result is materialized with an eager localCheckpoint
   (checkpoint_every=1): the rank frame is referenced TWICE per round
-  (dangling aggregate + contribution join), so an untruncated
+  (dangling aggregate + contribution join), so an unmaterialized
   lineage would re-execute the previous rounds ~2× per reference —
   measured as a 14× wall blowup at 10 rounds before this guard.
-  The checkpoint is LAZY: truncation happens at the call (both
-  references see a LogicalRDD leaf; the first compute caches), while
-  the materialization job folds into the consuming round instead of
-  paying a dedicated per-round job.  Checkpointing |V| two-column
-  rows per round is the cheap side of that trade at any scale.
+  Eager rather than lazy: the round's first consumer is the dangling
+  total's broadcast build, and materializing inside that broadcast
+  (the lazy form) measured 1.06-1.13× slower in interleaved A/B —
+  the lazy+count fusion only pays where an explicit action is the
+  materializer (betweenness/bfs/k_core).  Checkpointing |V|
+  two-column rows per round is the cheap side of that trade at any
+  scale.
 
 At 100 TB scale the per-round cost is the fact-table shuffle; the right
 deployment pre-partitions the edge frame by src once (bucketed sink) so
@@ -114,11 +116,13 @@ def pagerank(nodes: DataFrame, edges: DataFrame, alpha: float = 0.85,
                                    + F.col("dmass") / total))
                 .alias("rank")))
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            # lazy: plan truncation happens at the call (the two
-            # per-round references — dangling aggregate + contribution
-            # join — both see a LogicalRDD leaf and share the cached
-            # first compute), without a dedicated materialization job
-            ranks = ranks.localCheckpoint(eager=False)
+            # EAGER, deliberately: a lazy checkpoint here materializes
+            # inside the next round's dangling-BROADCAST build (that
+            # aggregate is the first consumer), and the interleaved A/B
+            # read it 1.06-1.13x SLOWER than the dedicated eager job —
+            # the count-fused lazy form only wins where an explicit
+            # action (count) is the materializer (betweenness/bfs/kcore)
+            ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("nodeId", "rank").localCheckpoint(eager=True)
     base.unpersist()
     e.unpersist()
@@ -187,8 +191,8 @@ def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
                  .otherwise(0.0)
                  + F.lit(alpha) * F.coalesce("in_mass", F.lit(0.0)))
                 .alias("rank")))
-        # lazy per-round truncation — same rationale as pagerank()
-        ranks = ranks.localCheckpoint(eager=False)
+        # eager per-round — same measured rationale as pagerank()
+        ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("nodeId", "rank").localCheckpoint(eager=True)
     base.unpersist()
     e.unpersist()
@@ -409,11 +413,10 @@ def label_propagation(nodes: DataFrame, edges: DataFrame,
                           F.coalesce(F.col("label"), F.col("nodeId"))
                           .alias("label")))
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
-            # lazy: truncates the plan now; the data materializes inside
-            # the next round's (or the final checkpoint's) job instead
-            # of a dedicated per-round job — labels are referenced once
-            # per round, and localCheckpoint caches on first compute
-            labels = labels.localCheckpoint(eager=False)
+            # eager: the next round's first consumer would be a
+            # broadcast build of the small label frame — the same shape
+            # the pagerank A/B measured slower under a lazy checkpoint
+            labels = labels.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
     und.unpersist()
     ids.unpersist()
@@ -432,13 +435,12 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
     Frames stay SPARSE (only nodes with a nonzero score; absent = 0,
     which contributes nothing to sums or totals) so the per-round work
     is proportional to the edge list, not |V| extra left-joins; zero
-    rows join back once at the end.  Each half-step is
-    lineage-truncated (lazy localCheckpoint) BEFORE the normalization
-    total branches off it — the score frame is consumed twice per
-    half-step (value path + total), and un-truncated double-branching
-    re-executes the whole prefix, doubling work per half-step
-    (measured 4x on the bench line); the first compute caches, so both
-    branches still compute it once.  The totals remain executor-side 1-row broadcast aggregates
+    rows join back once at the end.  Each half-step is eagerly
+    lineage-truncated BEFORE the normalization total branches off it —
+    the score frame is consumed twice per half-step (value path +
+    total), and un-truncated double-branching re-executes the whole
+    prefix, doubling work per half-step (measured 4x on the bench
+    line).  The totals remain executor-side 1-row broadcast aggregates
     over the truncated frame, never a driver collect.
 
     Edges are semi-joined against ``nodes`` on BOTH endpoints up front:
@@ -489,18 +491,17 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
                                            "hub"), "src")
                      .groupBy(F.col("dst").alias("nodeId"))
                      .agg(F.sum("hub").alias("a_raw")))
-        # lazy checkpoints: the plan is truncated at the call (so the
-        # double-branching hazard in the docstring stays fixed — both
-        # consumers see a LogicalRDD leaf and the first compute caches),
-        # but the dedicated per-half-step materialization job disappears
-        # into the consuming job
-        a_raw = a_raw.localCheckpoint(eager=False)
+        # eager, deliberately: the first consumer of each half-step is
+        # the normalization total's 1-row BROADCAST aggregate, and the
+        # pagerank A/B measured the lazy-materialize-inside-broadcast
+        # shape consistently slower than the dedicated eager job
+        a_raw = a_raw.localCheckpoint(eager=True)
         auth = _normalize(a_raw, "a_raw", "authority")
         h_raw = (e_dst.join(auth.select(F.col("nodeId").alias("dst"),
                                         "authority"), "dst")
                  .groupBy(F.col("src").alias("nodeId"))
                  .agg(F.sum("authority").alias("h_raw"))
-                 .localCheckpoint(eager=False))
+                 .localCheckpoint(eager=True))
         hub = _normalize(h_raw, "h_raw", "hub")
     out = (n_nodes.join(auth, "nodeId", "left")
            .join(hub, "nodeId", "left")
