@@ -592,8 +592,10 @@ def strongly_connected_components(nodes: DataFrame, edges: DataFrame,
             dsts = e.select(F.col("dst").alias("id")).distinct()
             core = srcs.join(dsts, "id", "left_semi") \
                 .localCheckpoint(eager=True)
+            # lazy + count fusion (same as connected_components): the
+            # count materializes and truncates in one job
             trimmed = remaining.join(core, "id", "left_anti") \
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             if trimmed.count() == 0:
                 break
             done_parts.append(trimmed.withColumn("scc", F.col("id")))
@@ -640,7 +642,7 @@ def strongly_connected_components(nodes: DataFrame, edges: DataFrame,
                     .filter(F.col("color") == F.col("c_own"))
                     .select("id", "color"))
             frontier = pred.join(reached, "id", "left_anti") \
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             if frontier.count() == 0:
                 break
             reached = reached.unionByName(frontier) \
@@ -648,7 +650,7 @@ def strongly_connected_components(nodes: DataFrame, edges: DataFrame,
         done_parts.append(reached.select(
             "id", F.col("color").alias("scc")))
         remaining = remaining.join(reached, "id", "left_anti") \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         if remaining.count() == 0:
             return _finish()
         e = (e.join(remaining.withColumnRenamed("id", "src"), "src",
