@@ -52,6 +52,57 @@ def _keyed_cache(df: DataFrame, key: str) -> DataFrame:
             .sortWithinPartitions(key).persist())
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (0 when
+    disabled/unparseable — every gate below then falls back to the
+    shuffle-keyed shape)."""
+    v = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                           "10485760")).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1024), ("mb", 1024 ** 2), ("gb", 1024 ** 3),
+                   ("k", 1024), ("m", 1024 ** 2), ("g", 1024 ** 3),
+                   ("b", 1)):
+        if v.endswith(suf):
+            v, mult = v[: -len(suf)], m
+            break
+    try:
+        return max(0, int(float(v) * mult))
+    except ValueError:
+        return 0
+
+
+def _fits_broadcast(n_rows: int, n_cols: int, spark) -> bool:
+    """Size gate for the per-round small frame of an iterative
+    algorithm: True when a frame of ``n_rows`` fixed-width rows with
+    ``n_cols`` columns is safely under the session broadcast threshold
+    (UnsafeRow layout: one 8-byte null word + 8 bytes per field — the
+    same arithmetic the planner's own size estimate approximates for
+    fixed-width schemas).
+
+    The per-round joins of pagerank/hits/label-propagation/Brandes
+    stream the big cached edge frame against a |V|-proportional score
+    frame.  When the score frame broadcasts, the JOIN key needs no
+    partitioning at all — so the edge cache should be keyed by the
+    round's AGGREGATION key instead, making the groupBy ride the cached
+    partitioning exchange-free (guide §2.4 + §3.1).  When it cannot
+    broadcast (the 100 TB shape), the join itself is the shuffle to
+    avoid, and the cache must stay keyed by the JOIN key.  This gate
+    picks the shape; the threshold it reads is the deployment's own
+    scale knob, so the decision transfers to cluster configs unchanged.
+    """
+    return 0 < n_rows * 8 * (1 + n_cols) < _broadcast_threshold_bytes(spark)
+
+
+# Below this edge count a 32-ish-partition exchange is pure stage
+# latency, not bytes, and a SECOND agg-keyed edge cache costs more to
+# build than the per-round exchanges it removes (interleaved A/B: the
+# ~10²-edge event-type graph read 1.05× SLOWER with the extra cache,
+# while the 1.36M-edge TPC-H graph read 0.72× on the shared hits shape).
+# Only pagerank/PPR pay an extra cache for the swap, so only they gate
+# on it; hits/label-propagation choose between caches they build anyway.
+AGGKEY_SWAP_MIN_EDGES = 100_000
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """(nodeId, degree) over a DIRECTED edge frame, counting both
     endpoints — i.e. the undirected degree of the simple graph."""
@@ -78,7 +129,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, alpha: float = 0.85,
     # derivation (for the event-type graph that was the 600k-row
     # window scan twice).
     e = _keyed_cache(edges.select("src", "dst"), "src")
-    e.count()
+    ecount = e.count()
     out_deg = (e.groupBy(F.col("src").alias("nodeId"))
                .agg(F.count("*").alias("out_deg")))
     base = _keyed_cache(
@@ -87,6 +138,23 @@ def pagerank(nodes: DataFrame, edges: DataFrame, alpha: float = 0.85,
                 .alias("out_deg")),
         "nodeId")
     total = base.count()  # materializes `base`; |V| for teleport term
+
+    # Per-round shape gate (guide §2.4/§3.1): ranks is (nodeId, out_deg,
+    # rank) × |V|.  When it fits a broadcast, the contribution join
+    # needs no edge partitioning — so the rounds read a SECOND edge
+    # cache keyed by the AGGREGATION key (dst): groupBy(dst) rides the
+    # cached partitioning exchange-free, and contrib comes out already
+    # co-partitioned with `base` (hash(nodeId)) for the update join.
+    # One extra cache build+count at setup buys n_iter exchange-free
+    # rounds; above the threshold the original src-keyed shape (join is
+    # the shuffle to avoid) is untouched.
+    if (ecount >= AGGKEY_SWAP_MIN_EDGES
+            and _fits_broadcast(total, 3, nodes.sparkSession)):
+        e_iter = _keyed_cache(e, "dst")
+        e_iter.count()
+        _hint = F.broadcast
+    else:
+        e_iter, _hint = e, (lambda df: df)
 
     ranks = base.select("nodeId", "out_deg",
                         (F.lit(1.0) / total).alias("rank"))
@@ -101,8 +169,8 @@ def pagerank(nodes: DataFrame, edges: DataFrame, alpha: float = 0.85,
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                          .alias("dmass")))
         contrib = (
-            e.join(ranks.filter(F.col("out_deg") > 0),
-                   F.col("src") == F.col("nodeId"))
+            e_iter.join(_hint(ranks.filter(F.col("out_deg") > 0)),
+                        F.col("src") == F.col("nodeId"))
             .select(F.col("dst").alias("nodeId"),
                     (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("nodeId").agg(F.sum("c").alias("in_mass")))
@@ -125,6 +193,8 @@ def pagerank(nodes: DataFrame, edges: DataFrame, alpha: float = 0.85,
             ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("nodeId", "rank").localCheckpoint(eager=True)
     base.unpersist()
+    if e_iter is not e:
+        e_iter.unpersist()
     e.unpersist()
     return out
 
@@ -147,7 +217,7 @@ def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
     # same cached-edge-first layout as pagerank(): e partitioned+sorted
     # by the per-round join key, out_deg derived from the cache
     e = _keyed_cache(edges.select("src", "dst"), "src")
-    e.count()
+    ecount = e.count()
     out_deg = (e.groupBy(F.col("src").alias("nodeId"))
                .agg(F.count("*").alias("out_deg")))
     seed = seeds.select("nodeId").distinct() \
@@ -163,7 +233,15 @@ def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs at least one seed "
                          "present in the node set")
-    base.count()
+    total = base.count()
+    # same per-round shape gate as pagerank(); ranks here carries 4 cols
+    if (ecount >= AGGKEY_SWAP_MIN_EDGES
+            and _fits_broadcast(total, 4, nodes.sparkSession)):
+        e_iter = _keyed_cache(e, "dst")
+        e_iter.count()
+        _hint = F.broadcast
+    else:
+        e_iter, _hint = e, (lambda df: df)
 
     # start all mass on the seeds (the PPR stationary measure support)
     ranks = base.select(
@@ -175,8 +253,8 @@ def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                          .alias("dmass")))
         contrib = (
-            e.join(ranks.filter(F.col("out_deg") > 0),
-                   F.col("src") == F.col("nodeId"))
+            e_iter.join(_hint(ranks.filter(F.col("out_deg") > 0)),
+                        F.col("src") == F.col("nodeId"))
             .select(F.col("dst").alias("nodeId"),
                     (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("nodeId").agg(F.sum("c").alias("in_mass")))
@@ -195,6 +273,8 @@ def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
         ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("nodeId", "rank").localCheckpoint(eager=True)
     base.unpersist()
+    if e_iter is not e:
+        e_iter.unpersist()
     e.unpersist()
     return out
 
@@ -384,22 +464,32 @@ def label_propagation(nodes: DataFrame, edges: DataFrame,
 
     ``edges`` is a DIRECTED frame; both binding directions are derived
     here so callers pass ``graph.edges`` directly."""
-    # cache the union-edge frame partitioned+sorted by the per-round
-    # join key (guide §2.4) — it was re-derived AND re-shuffled every
-    # round; the node id frame likewise feeds one join per round
+    # cache the union-edge frame partitioned+sorted by a per-round key
+    # (guide §2.4) — it was re-derived AND re-shuffled every round; the
+    # node id frame likewise feeds one join per round.  WHICH key
+    # depends on whether the |V|-row label frame broadcasts: if yes,
+    # the join needs no partitioning at all, so keying by the
+    # AGGREGATION side (src) makes both per-round groupBys
+    # (src,label → src) ride the cached partitioning exchange-free and
+    # leaves `best` co-partitioned with `ids` for the final join; if
+    # not (the 100 TB shape), key by the JOIN side (dst) so the edge
+    # frame never re-exchanges under the label shuffle.
+    ids = _keyed_cache(nodes.select("nodeId"), "nodeId")
+    nv = ids.count()
+    swap = _fits_broadcast(nv, 2, nodes.sparkSession)
+    _hint = F.broadcast if swap else (lambda df: df)
     und = _keyed_cache(
         edges.select("src", "dst")
         .unionAll(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
         .unionAll(nodes.select(F.col("nodeId").alias("src"),
                                F.col("nodeId").alias("dst"))),
-        "dst")
+        "src" if swap else "dst")
     und.count()
-    ids = _keyed_cache(nodes.select("nodeId"), "nodeId")
     labels = nodes.select("nodeId", F.col("nodeId").alias("label"))
     for r in range(rounds):
-        nbr = (und.join(labels.select(F.col("nodeId").alias("dst"),
-                                      "label"), "dst")
+        nbr = (und.join(_hint(labels.select(F.col("nodeId").alias("dst"),
+                                            "label")), "dst")
                .groupBy(F.col("src").alias("nodeId"), "label")
                .agg(F.count("*").alias("c")))
         best = (nbr.groupBy("nodeId")
@@ -467,6 +557,18 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
     e_src.count()
     e_dst = _keyed_cache(e_src, "dst")
     e_dst.count()
+    # Which cache each half-step reads depends on whether the score
+    # frame broadcasts (guide §2.4/§3.1): if yes, the join key needs no
+    # partitioning, so read the cache keyed by the half-step's
+    # AGGREGATION key and the groupBy rides it exchange-free (a_raw:
+    # join src / agg dst → e_dst; h_raw: join dst / agg src → e_src);
+    # if not (the 100 TB shape), read the cache keyed by the JOIN key
+    # so the edge side never re-exchanges under the score shuffle.
+    nv = n_nodes.count()
+    swap = _fits_broadcast(nv, 2, nodes.sparkSession)
+    _hint = F.broadcast if swap else (lambda df: df)
+    e_for_a = e_dst if swap else e_src
+    e_for_h = e_src if swap else e_dst
 
     def _normalize(raw: DataFrame, raw_col: str, out_col: str) -> DataFrame:
         # zero-guard: an edgeless graph (or all-zero round) has t=0;
@@ -487,21 +589,23 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
             a_raw = (e_dst.groupBy(F.col("dst").alias("nodeId"))
                      .agg(F.count("*").cast("double").alias("a_raw")))
         else:
-            a_raw = (e_src.join(hub.select(F.col("nodeId").alias("src"),
-                                           "hub"), "src")
-                     .groupBy(F.col("dst").alias("nodeId"))
-                     .agg(F.sum("hub").alias("a_raw")))
+            a_raw = (e_for_a.join(
+                _hint(hub.select(F.col("nodeId").alias("src"), "hub")),
+                "src")
+                .groupBy(F.col("dst").alias("nodeId"))
+                .agg(F.sum("hub").alias("a_raw")))
         # eager, deliberately: the first consumer of each half-step is
         # the normalization total's 1-row BROADCAST aggregate, and the
         # pagerank A/B measured the lazy-materialize-inside-broadcast
         # shape consistently slower than the dedicated eager job
         a_raw = a_raw.localCheckpoint(eager=True)
         auth = _normalize(a_raw, "a_raw", "authority")
-        h_raw = (e_dst.join(auth.select(F.col("nodeId").alias("dst"),
-                                        "authority"), "dst")
-                 .groupBy(F.col("src").alias("nodeId"))
-                 .agg(F.sum("authority").alias("h_raw"))
-                 .localCheckpoint(eager=True))
+        h_raw = (e_for_h.join(
+            _hint(auth.select(F.col("nodeId").alias("dst"), "authority")),
+            "dst")
+            .groupBy(F.col("src").alias("nodeId"))
+            .agg(F.sum("authority").alias("h_raw"))
+            .localCheckpoint(eager=True))
         hub = _normalize(h_raw, "h_raw", "hub")
     out = (n_nodes.join(auth, "nodeId", "left")
            .join(hub, "nodeId", "left")
@@ -726,6 +830,7 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
                              F.lit(1.0).alias("sigma")) \
         .localCheckpoint(eager=True)
     levels = [frontier]
+    frontier_rows = len(sources)
     from functools import reduce
 
     router = _SettledRouter(settled_filter, bloom_bits, bloom_k,
@@ -737,9 +842,24 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
         # O(levels x |settled|) materialization traffic)
         settled_v = reduce(lambda a, b: a.unionByName(b),
                            [lv.select("source", "node") for lv in levels])
-        cand = (frontier.join(e, frontier.node == e.src)
-                .groupBy("source", F.col("dst").alias("node"))
-                .agg(F.sum("sigma").alias("sigma")))
+        # Per-LEVEL shape gate (guide §2.4/§3.1): the frontier's exact
+        # row count is already known from the previous termination
+        # probe.  When it fits a broadcast, join against the DST-keyed
+        # cache so the (source, dst) aggregation rides hash(dst)
+        # exchange-free (hash on a subset of the grouping keys still
+        # co-locates every group); when it does not (wide middle levels
+        # or the 100 TB shape), the src-keyed cache keeps the edge side
+        # exchange-free under the frontier shuffle.  σ sums are exact
+        # small integers in doubles, so accumulation order is free.
+        if _fits_broadcast(frontier_rows, 4, spark):
+            cand = (F.broadcast(frontier)
+                    .join(e_rev, frontier.node == e_rev.src)
+                    .groupBy("source", F.col("dst").alias("node"))
+                    .agg(F.sum("sigma").alias("sigma")))
+        else:
+            cand = (frontier.join(e, frontier.node == e.src)
+                    .groupBy("source", F.col("dst").alias("node"))
+                    .agg(F.sum("sigma").alias("sigma")))
         # LAZY checkpoint + count: the count() is the materializing
         # action, so plan-truncation and the termination probe share ONE
         # job instead of paying a dedicated eager-checkpoint job per
@@ -754,6 +874,7 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
             break
         router.observe(nxt, n_new)
         frontier = nxt
+        frontier_rows = n_new
         levels.append(nxt)
     else:
         raise RuntimeError(
