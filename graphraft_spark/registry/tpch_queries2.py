@@ -819,13 +819,24 @@ def q_lonely_late_supplier(spark, sf_dir):
     frame, not a groupBy-then-join-back: the join-back formulation
     plans the whole lineitem⋈orders+aggregate subtree TWICE (Catalyst
     does not share it), while the window computes both counts inside
-    one orderkey shuffle of the already-aggregated rows."""
+    one orderkey shuffle of the already-aggregated rows.
+
+    That shuffle is established ONCE, before the groupBy: repartition
+    by l_orderkey satisfies BOTH the (l_orderkey, l_suppkey) aggregate
+    (hash on a subset of the grouping keys still co-locates every
+    group) and the per-order window, collapsing the old
+    groupBy-exchange + window-exchange pair into one (guide §2.4).
+    Nothing is lost map-side: (l_orderkey, l_suppkey) is nearly unique
+    per lineitem row, so the partial aggregate never compressed the
+    exchange anyway — measured 0.69× on the line (interleaved
+    in-process pairs, rows identical)."""
     from pyspark.sql import Window
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     per_supp = (li.join(o, li.l_orderkey == o.o_orderkey)
+                .repartition(F.col("l_orderkey"))
                 .groupBy("l_orderkey", "l_suppkey")
                 .agg(F.max(
                     (F.col("l_shipdate")
