@@ -638,9 +638,21 @@ def bipartite_project(edges: DataFrame, left: str = "src",
     semi-join), the same star-cap recall trade the LSH bucket cap
     documents: hubs contribute the least co-occurrence signal per pair
     and all of the blowup.  Pairs are emitted once (a < b); map-side
-    combine applies to the final count."""
-    m = edges.select(F.col(left).alias("l"),
-                     F.col(right).alias("r")).distinct()
+    combine applies to the final count.
+
+    The membership dedup rides the SAME r-keyed exchange the self-join
+    needs (guide §2.4 — two operations keyed compatibly share one
+    exchange): hash-partitioning on ``r`` co-locates every (l, r) pair,
+    so dropDuplicates needs no second shuffle, both self-join sides
+    reuse the one exchange, and the degree cap's aggregate + semi-join
+    are co-partitioned too.  The old distinct-then-join shape paid a
+    full (l, r) exchange AND an r exchange back-to-back (measured
+    ~0.6× on the co-purchase line; rows identical)."""
+    n_part = int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    m = (edges.select(F.col(left).alias("l"), F.col(right).alias("r"))
+         .repartition(n_part, F.col("r"))
+         .dropDuplicates(["l", "r"]))
     if max_degree is not None:
         ok = (m.groupBy("r").agg(F.count("*").alias("d"))
               .filter(F.col("d") <= max_degree).select("r"))
