@@ -284,6 +284,7 @@ def main() -> None:
     # best seen (cap 6); stable lines still settle in 2.
     times, spread, medians, errors = {}, {}, {}, {}
     outliers = []
+    stall_retries = {}
     for name in names:
         try:
             warm = [run(name), run(name)]
@@ -294,6 +295,22 @@ def main() -> None:
             if max(timed) - min(timed) > min(timed):
                 timed += [run(name) for _ in range(2)]
                 outliers.append(name)
+            # STALL-AWARE RETRY (r14): the outlier rule above is blind
+            # when EVERY timed run lands in a host-stall window — r14
+            # round-start recorded d_minhash_lsh_scaled min-of-3 16.8 s
+            # while its own warmups had just run the identical plan at
+            # 1.8 s (this host's documented hypervisor stalls: 3-50x for
+            # tens of seconds with zero guest load, BASELINE.md).  The
+            # warmups are the same full noop executions, so a timed min
+            # far above the warm min measures the STALL, not the plan:
+            # retry (up to 3) until a run lands within 1.3x of the warm
+            # best.  Still min-of-timed, same protocol; retries recorded
+            # per line so the artifact shows when the window was dirty.
+            best_warm = min(warm)
+            while min(timed) > 1.3 * best_warm \
+                    and stall_retries.get(name, 0) < 3:
+                stall_retries[name] = stall_retries.get(name, 0) + 1
+                timed.append(run(name))
             times[name] = min(timed)
             spread[name] = round(max(timed) - min(timed), 3)
             medians[name] = sorted(timed)[len(timed) // 2]
@@ -346,6 +363,7 @@ def main() -> None:
         "median": medians,
         "sf": sf_val,
         "outliers": outliers,
+        "stall_retries": stall_retries,
         "errors": errors,
         "ambient_control": control,
         "ambient_drift": ambient_drift,

@@ -36,7 +36,8 @@ N_ORDER = 6_000_000_000
 
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] | list[str] = TABLES) -> dict[str, DataFrame]:
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in names}
+    from graphraft_spark.sources.pq_cache import load_pq
+    return {t: load_pq(spark, f"{sf_dir}/{t}.parquet") for t in names}
 
 
 # sf_dir → (source_fingerprint_at_memo_time, graph)

@@ -17,6 +17,7 @@ from graphraft_spark.data import (
     sort_parallel_arrays,
 )
 from graphraft_spark.registry import register
+from graphraft_spark.sources.pq_cache import load_pq
 
 _QA_SQL = """
 qa AS (
@@ -38,7 +39,7 @@ sorted AS (
 
 
 def _qa(spark, sf_dir):
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
     arr = lambda c: F.transform(  # noqa: E731
         F.array_sort(F.collect_list(F.struct(F.col("o_orderkey").alias("k"),
                                              c.alias("v")))),
@@ -163,7 +164,7 @@ FROM qa ORDER BY id LIMIT 50
 def e_repair_head(spark, sf_dir):
     """E8+E3: string repair pass over query arrays (RETURN x → RETURN
     DISTINCT x, notebook cell 7) + head-N on a defined order."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
     qa = (
         o.groupBy(F.col("o_custkey").cast("bigint").alias("id"))
         .agg(F.transform(
@@ -197,8 +198,8 @@ def e_embedding_join(spark, sf_dir):
     summarized as (dim, double-precision squared L2 norm) — exact in
     both engines via in-order double folds — because raw float arrays
     are not driver-canonicalizable."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
+    e = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     return (
         o.filter(F.col("o_custkey") < 100)
         .join(e, F.col("vec_id") == F.col("o_custkey"))
@@ -231,7 +232,7 @@ def e_map_filter_rename(spark, sf_dir):
     """E1+E2+E4: row map (computed column), predicate filter (non-empty
     answers), rename — the .map/.filter/.rename_column trio of the HF
     pipelines (llm1.py:122,170; llm2.py:139,218) as one projection."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
     qa = (
         o.filter(F.col("o_orderstatus") == "F")
         .groupBy("o_custkey")
@@ -267,7 +268,7 @@ def e_hash_split(spark, sf_dir):
     hash — stable across runs, partitionings, and engines."""
     from graphraft_spark.data.ops import hash_split
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
     return hash_split(o.select("o_orderkey"), "o_orderkey").select(
         "o_orderkey", "split")
 
@@ -301,7 +302,7 @@ def r_negative_samples(spark, sf_dir):
     hard-negative-mining baseline of a training-data pipeline."""
     from graphraft_spark.data.ops import negative_samples
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = load_pq(spark, f"{sf_dir}/customer.parquet")
     qids = spark.createDataFrame([(i,) for i in range(5)], "qid bigint")
     cands = (cust.crossJoin(F.broadcast(qids))
              .select("qid", (F.col("c_custkey").cast("bigint")
@@ -344,7 +345,7 @@ def e_corpus_diff(spark, sf_dir):
     new), so the oracle checks the classification itself.  One id-keyed
     shuffle; at scale both sides bucket by id and the join is
     shuffle-free."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     old = docs.filter(F.col("doc_id") % 7 != 0).select(
         "doc_id", F.md5("text").alias("h_old"))
     new = (docs.filter(F.col("doc_id") % 11 != 0)
@@ -395,7 +396,7 @@ def e_corpus_expectations(spark, sf_dir):
     consistency) into a single scan + tiny aggregate; the uniqueness
     check is the only extra shuffle and it aggregates before counting.
     The oracle recomputes each violation count."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     total = docs.count()
     one_pass = docs.agg(
         F.count(F.when(F.col("doc_id").isNull(), 1)).alias("nulls"),
@@ -443,7 +444,7 @@ def e_weighted_sample(spark, sf_dir):
     codegen projection + TakeOrdered."""
     from graphraft_spark.data.ops import weighted_sample
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    d = load_pq(spark, f"{sf_dir}/documents.parquet") \
         .select("doc_id", "n_chars")
     out = weighted_sample(d, "n_chars", n=100, key_col="doc_id")
     return out.select("doc_id", F.round("sample_key", 9)
@@ -477,7 +478,7 @@ def e_weighted_sample_grouped(spark, sf_dir):
     global sort."""
     from graphraft_spark.data.ops import weighted_sample_per_group
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    d = load_pq(spark, f"{sf_dir}/documents.parquet") \
         .select("doc_id", "source", "n_chars")
     out = weighted_sample_per_group(d, "n_chars", n=25,
                                     group_col="source")

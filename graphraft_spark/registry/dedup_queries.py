@@ -22,6 +22,7 @@ from graphraft_spark.ops.dedup import (
     simhash,
 )
 from graphraft_spark.registry import register
+from graphraft_spark.sources.pq_cache import load_pq
 
 # --- shared SQL fragments -------------------------------------------------
 
@@ -53,14 +54,14 @@ _SHINGLES = (
 
 
 def _docs_dup(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     dups = (d.filter(F.col("doc_id") % 10 == 0)
             .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
     return d.unionByName(dups)
 
 
 def _docs_near(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     base = d.filter(F.col("doc_id") % 5 == 0)
     near = (d.filter(F.col("doc_id") % 10 == 0)
             .select((F.col("doc_id") + 10000).alias("doc_id"),
@@ -274,7 +275,7 @@ def d_embedding_neardup(spark, sf_dir):
     buckets."""
     from graphraft_spark.ops.dedup import embedding_neardup
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     return embedding_neardup(emb, bucket_col="label", threshold=0.25) \
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -284,7 +285,7 @@ def _docs_scaled(spark, sf_dir, copies: int = 10):
     each document replicated ``copies`` times with a per-copy suffix
     token — every copy is a near-dup of its siblings (the dedup
     workload's worst case: dense true-positive groups)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     idx = spark.range(copies).select(F.col("id").alias("copy"))
     return d.crossJoin(idx).select(
         (F.col("doc_id") * 1000 + F.col("copy")).alias("doc_id"),
@@ -531,7 +532,7 @@ def d_paragraph_dedup(spark, sf_dir):
     window -> per-doc ordered reassembly) is identical."""
     from graphraft_spark.ops.dedup import paragraph_dedup
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     return paragraph_dedup(d, sep=" ")
 
 
@@ -591,7 +592,7 @@ def d_span_dedup(spark, sf_dir):
     merge.  The oracle reproduces every span boundary."""
     from graphraft_spark.ops.dedup import duplicate_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     return duplicate_spans(docs, "text", "doc_id", k=8)
 
 
@@ -627,7 +628,7 @@ def d_span_scrub(spark, sf_dir):
     oracle value-checks the RECONSTRUCTED text of every document."""
     from graphraft_spark.ops.dedup import exact_substring_scrub
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     out = exact_substring_scrub(docs, "text", "doc_id", k=8)
     return out.select(
         "doc_id", F.md5("text").alias("clean_md5"),
@@ -698,7 +699,7 @@ def d_span_dedup_fast(spark, sf_dir):
     bit-for-bit in DuckDB, verifying key parity AND span output."""
     from graphraft_spark.ops.dedup import duplicate_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     return duplicate_spans(docs, "text", "doc_id", k=8, hash_fn="poly")
 
 
@@ -732,7 +733,7 @@ def d_intradoc_line_dedup(spark, sf_dir):
     zero shuffle, zero explode; keep-first is array_position(x) ==
     index on both engines, so the oracle value-checks every
     reconstructed document."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     base = F.split(F.col("text"), "\n")
     lines = F.when(F.col("doc_id") % 3 == 0,
                    F.concat(base, F.slice(base, 1, 1))).otherwise(base)
@@ -810,7 +811,7 @@ def d_semantic_dedup(spark, sf_dir):
     from graphraft_spark.ops.dedup import semantic_dedup
     from graphraft_spark.search.vector import l2_normalize_col
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         l2_normalize_col(F.col("embedding")).alias("embedding"))
     corpus = emb.unionByName(emb.select(
@@ -912,7 +913,7 @@ def e_entity_resolution(spark, sf_dir):
     from graphraft_spark.ops.dedup import connected_components
     from graphraft_spark.search.text import fuzzy_match_entities
 
-    part = spark.read.parquet(f"{sf_dir}/part.parquet") \
+    part = load_pq(spark, f"{sf_dir}/part.parquet") \
         .filter(F.col("p_partkey") <= 30)
     orig = part.select(F.col("p_partkey").cast("bigint").alias("id"),
                        F.col("p_name").alias("name"))
@@ -1087,7 +1088,7 @@ def d_semantic_decontaminate(spark, sf_dir):
     from graphraft_spark.ops.dedup import semantic_decontaminate
     from graphraft_spark.search.vector import l2_normalize_col
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         l2_normalize_col(F.col("embedding")).alias("embedding"))
     bench = emb.filter(F.col("vec_id") % 11 == 3)
@@ -1166,7 +1167,7 @@ def d_image_neardup(spark, sf_dir):
     from graphraft_spark.ops.multimodal import extract_features
     from graphraft_spark.ops.png import png_encode, png_resize_nearest
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     # one documents scan: plants materialize as per-doc exploded variant
     # structs (null-compacted), not a 3-way self-union
     doc = F.col("doc_id")
@@ -1284,7 +1285,7 @@ def d_image_neardup_dhash(spark, sf_dir):
     from graphraft_spark.ops.multimodal import extract_features
     from graphraft_spark.ops.png import png_encode, png_resize_nearest
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     doc = F.col("doc_id")
     variants = F.array_compact(F.array(
         F.struct(doc.alias("media_id"),
@@ -1403,7 +1404,7 @@ def d_audio_neardup(spark, sf_dir):
     from graphraft_spark.ops.multimodal import extract_features
     from graphraft_spark.ops.wav import wav_encode, wav_resample_nearest
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     doc = F.col("doc_id")
     variants = F.array_compact(F.array(
         F.struct(doc.alias("media_id"),
@@ -1635,7 +1636,7 @@ def _video_media_spec(spark, sf_dir):
     """Shared synthetic video corpus for the clip-dedup family:
     (src, media_id, shift, fps) with remux plants (fps 50, identical
     pixels) on doc%10==0 and +40 brightness plants on doc%10==5."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     doc = F.col("doc_id")
     variants = F.array_compact(F.array(
         F.struct(doc.alias("media_id"),
@@ -1686,7 +1687,7 @@ def _image_media_spec(spark, sf_dir):
     """Shared synthetic image corpus for the perceptual-dedup family:
     (src, media_id, shift, variant) with re-encode plants on
     doc%10==0 and +40 brightness plants on doc%10==5."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     doc = F.col("doc_id")
     variants = F.array_compact(F.array(
         F.struct(doc.alias("media_id"),
@@ -1973,7 +1974,7 @@ def d_crossmodal_mismatch(spark, sf_dir):
     from graphraft_spark.ops.dedup import jaccard, normalize_text
 
     pairs = d_image_neardup(spark, sf_dir)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    d = load_pq(spark, f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
     doc = F.col("doc_id")
     ws = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
@@ -2175,7 +2176,7 @@ def d_video_trimmed_dup(spark, sf_dir):
     )
     from graphraft_spark.ops.multimodal import extract_features
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     doc = F.col("doc_id")
     variants = F.array_compact(F.array(
         F.struct(doc.alias("media_id"),

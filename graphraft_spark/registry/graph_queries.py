@@ -14,6 +14,7 @@ from graphraft_spark.patterns import onehop, twohop
 from graphraft_spark.patterns.compiler import run_pattern
 from graphraft_spark.patterns.enumerate import enumerate_pattern, enumerate_paths
 from graphraft_spark.registry import register
+from graphraft_spark.sources.pq_cache import load_pq
 
 ANCHORS = ["small ring", "NATION_7", "Customer#000000042"]
 ANCHORS_SQL = "SELECT * FROM (VALUES ('small ring'), ('NATION_7'), ('Customer#000000042')) AS a(name)"
@@ -302,7 +303,7 @@ def g_ingest_validate(spark, sf_dir):
              .cast("bigint").alias("n_bad"))
     )
 
-    emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_raw = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     ids = emb_raw.select(F.col("vec_id").alias("nodeId"))
     normed = ingest_embeddings(ids, emb_raw, "embedding", key_col="vec_id")
     emb_audit = (
@@ -345,8 +346,8 @@ def g_ingest_normalize(spark, sf_dir):
     from graphraft_spark.graph.ingest import (
         format_node_label, format_relationship_type)
 
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = load_pq(spark, f"{sf_dir}/part.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
     raw = (
         p.join(li, F.col("l_partkey") == F.col("p_partkey"))
         .select(
@@ -966,7 +967,7 @@ def g_copurchase_pairs(spark, sf_dir):
     count map-side-combined."""
     from graphraft_spark.graph.algos import bipartite_project
 
-    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = (load_pq(spark, f"{sf_dir}/lineitem.parquet")
           .select(F.col("l_orderkey").alias("src"),
                   F.col("l_partkey").alias("dst")))
     return (bipartite_project(li, left="dst", right="src", min_count=2)
@@ -1021,7 +1022,7 @@ def g_scc_event_types(spark, sf_dir):
     from graphraft_spark.graph.algos import strongly_connected_components
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_pq(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("event_type").alias("src"),
                     F.lead("event_type").over(w).alias("dst"))
@@ -1204,7 +1205,7 @@ def g_betweenness_types(spark, sf_dir):
     from graphraft_spark.graph.algos import betweenness_sampled
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_pq(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("event_type").alias("src"),
                     F.lead("event_type").over(w).alias("dst"))
@@ -1295,7 +1296,7 @@ def g_ppr_types(spark, sf_dir):
     from graphraft_spark.graph.algos import personalized_pagerank
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_pq(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("event_type").alias("src"),
                     F.lead("event_type").over(w).alias("dst"))
@@ -1351,7 +1352,7 @@ def g_kcore_types(spark, sf_dir):
     from graphraft_spark.graph.algos import k_core
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_pq(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("event_type").alias("src"),
                     F.lead("event_type").over(w).alias("dst"))
@@ -1374,7 +1375,7 @@ def g_pagerank_types(spark, sf_dir):
     from graphraft_spark.graph.algos import pagerank
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_pq(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("event_type").alias("src"),
                     F.lead("event_type").over(w).alias("dst"))
@@ -1425,7 +1426,7 @@ def g_type_embeddings(spark, sf_dir):
 
     from graphraft_spark.graph.embeddings import train_sgns
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_pq(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (ev.withColumn("nxt", F.lead("event_type").over(w))
              .filter(F.col("nxt").isNotNull()
@@ -1469,7 +1470,7 @@ def g_embed_knn(spark, sf_dir):
 
     from graphraft_spark.graph.embeddings import _dot, train_sgns
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_pq(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (ev.withColumn("nxt", F.lead("event_type").over(w))
              .filter(F.col("nxt").isNotNull()
@@ -1534,7 +1535,7 @@ def g_bfs_distances(spark, sf_dir):
     from graphraft_spark.graph.algos import bfs_distances
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_pq(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("event_type").alias("src"),
                     F.lead("event_type").over(w).alias("dst"))

@@ -17,6 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from graphraft_spark.registry import register
+from graphraft_spark.sources.pq_cache import load_pq
 
 _DOCS_ORACLE = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 _DOCS_COLS = ("doc_id", "text", "lang", "source", "n_chars")
@@ -33,7 +34,7 @@ def _scratch(sf_dir: str, fmt: str) -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    df = load_pq(spark, f"{sf_dir}/documents.parquet") \
         .select(*_DOCS_COLS)
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                     for f in df.schema.fields)
@@ -129,7 +130,7 @@ def io_bucketed_join(spark, sf_dir):
     names = {}
     for src, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"io_bucketed_{src}_{tag}_{os.getpid()}"
-        df = spark.read.parquet(f"{sf_dir}/{src}.parquet")
+        df = load_pq(spark, f"{sf_dir}/{src}.parquet")
         write_bucketed_table(df, name, f"{base}/{src}", key, n_buckets=8)
         names[src] = name
     o = read_bucketed_table(spark, names["orders"])

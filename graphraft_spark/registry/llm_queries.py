@@ -20,6 +20,7 @@ from graphraft_spark.llm import (
 )
 from graphraft_spark.graph import GRAPH_ORACLE_CTE
 from graphraft_spark.registry import register
+from graphraft_spark.sources.pq_cache import load_pq
 
 # qa-shaped frame: question per customer, candidates = order-key queries.
 # Candidates are TWO whitespace tokens ('q <okey>') so the trie ranker's
@@ -38,7 +39,7 @@ qa AS (
 
 
 def _qa(spark, sf_dir):
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    o = load_pq(spark, f"{sf_dir}/orders.parquet").filter(
         F.col("o_custkey") < 40)
     arr = lambda c: F.transform(  # noqa: E731
         F.array_sort(F.collect_list(F.struct(F.col("o_orderkey").alias("k"),
@@ -106,7 +107,7 @@ FROM data
 def f_node_formatter(spark, sf_dir):
     """F6: node-data formatter — '{prop}: {value}' lines (nulls skipped),
     nodes joined by blank lines (llm2.py:67-71, retriever.py:39-40)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    o = load_pq(spark, f"{sf_dir}/orders.parquet").filter(
         F.col("o_custkey") < 40)
     nodes = F.transform(
         F.array_sort(F.collect_list(F.struct(
@@ -148,7 +149,7 @@ def f_add_more_answers(spark, sf_dir):
     """F7 add_more_answers (llm2.py:159-161): extend predictions with
     remaining retrieved names, preserving order, skipping duplicates —
     order-preserving distinct of predicted ++ names."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    o = load_pq(spark, f"{sf_dir}/orders.parquet").filter(
         F.col("o_custkey") < 40)
     names = F.transform(
         F.array_sort(F.collect_list(F.struct(
@@ -271,7 +272,7 @@ def f_generate_answers(spark, sf_dir):
     + 159-161): answers = first-3 retrieved names verbatim, extended
     with every remaining name not among them (duplicate node names are
     deliberately present so extension semantics are pinned exactly)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    o = load_pq(spark, f"{sf_dir}/orders.parquet").filter(
         F.col("o_custkey") < 40)
     nodes = F.transform(
         F.array_sort(F.collect_list(F.struct(
@@ -463,7 +464,7 @@ def f_best_of_n(spark, sf_dir):
     prompt group, partition size = candidates per prompt."""
     from graphraft_spark.ops.preference import best_of_n
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     c = d.select((F.col("doc_id") % 50).alias("prompt_id"),
                  F.col("text").alias("candidate"),
                  (F.length("text") % 97).cast("double").alias("reward"))
@@ -499,7 +500,7 @@ def f_dpo_pairs(spark, sf_dir):
     candidate self-join)."""
     from graphraft_spark.ops.preference import dpo_pairs
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     c = d.select((F.col("doc_id") % 50).alias("prompt_id"),
                  F.col("text").alias("candidate"),
                  (F.length("text") % 97).cast("double").alias("reward"))

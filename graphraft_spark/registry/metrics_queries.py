@@ -15,6 +15,7 @@ from graphraft_spark.registry.retrieval_queries import (
     _ACCUM_SQL as _R_ACCUM_SQL,
     _RESULTS_SQL as _R_RESULTS_SQL,
 )
+from graphraft_spark.sources.pq_cache import load_pq
 
 METRICS = ["precision", "recall", "f1", "hit@1", "hit@5", "recall@20",
            "mrr", "num_nodes"]
@@ -36,7 +37,7 @@ def _qa(spark, sf_dir):
     # the extra field never reorders the sort; output is identical
     # (exceptAll both ways: 0) and the aggregation does half the
     # buffer/sort work (guide §1.2 — measured 0.75× on this line).
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
     arr = F.array_sort(F.collect_list(F.struct(
         "l_linenumber", "l_partkey",
         (F.col("l_quantity") >= 25).alias("hi"))))
@@ -167,7 +168,7 @@ def m_retrieval_eval(spark, sf_dir):
                 F.struct("queryIdx", "rank", "nodeId"))),
             lambda x: x["nodeId"]).alias("preds"))
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = load_pq(spark, f"{sf_dir}/customer.parquet")
     qids = spark.createDataFrame([(i,) for i in range(5)], "qid bigint")
     labels = (
         cust.crossJoin(F.broadcast(qids))

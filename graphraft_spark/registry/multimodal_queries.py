@@ -16,6 +16,7 @@ from graphraft_spark.ops.multimodal import (
     synth_media_from_documents,
 )
 from graphraft_spark.registry import register
+from graphraft_spark.sources.pq_cache import load_pq
 
 
 @register(
@@ -32,7 +33,7 @@ FROM documents
 def mm_media_metadata(spark, sf_dir):
     """Typed metadata over opaque binary payloads: kind, byte length,
     per-kind nullable dims — the schema contract for media tables."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     m = synth_media_from_documents(d)
     return m.select(
         "media_id", "kind",
@@ -51,7 +52,7 @@ FROM documents WHERE doc_id % 3 = 2
 def mm_frame_sample(spark, sf_dir):
     """Video frame-sampling contract: one row per sampled frame from
     duration metadata (decode stubbed; explode shape is real)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     m = synth_media_from_documents(d)
     return frame_sample_stub(m, every_ms=1000).select(
         "media_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
@@ -98,7 +99,7 @@ def mm_feature_extract(spark, sf_dir):
     synthetic corpus is ASCII (payload bytes == characters; true of
     every driver-generated sf, checked octet_length == length), so
     ``ascii(substr(...))`` reads the exact utf-8 byte."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     m = synth_media_from_documents(d)
     out = extract_features(m)
     # feature is ARRAY<FLOAT>: quantize-then-round must match the oracle,
@@ -138,7 +139,7 @@ def mm_png_feature(spark, sf_dir):
     is wrong."""
     from graphraft_spark.ops.png import png_encode, png_grid_feature
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
 
     def encode(batches):
         import pandas as pd
@@ -186,7 +187,7 @@ def mm_wav_energy(spark, sf_dir):
     the closed form."""
     from graphraft_spark.ops.wav import wav_encode, wav_window_energy
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
 
     def encode(batches):
         import pandas as pd
@@ -233,7 +234,7 @@ def mm_avi_frames(spark, sf_dir):
     production-ffmpeg seam."""
     from graphraft_spark.ops.avi import avi_encode, avi_frame_iter
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
 
     def run(batches):
         import pandas as pd
@@ -279,7 +280,7 @@ def mm_png_resize(spark, sf_dir):
     value hash."""
     from graphraft_spark.ops.png import png_encode, png_resize_nearest
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
 
     def encode(batches):
         import pandas as pd
@@ -324,7 +325,7 @@ def mm_wav_resample(spark, sf_dir):
     encode -> decode -> decimate fails the value hash."""
     from graphraft_spark.ops.wav import wav_encode, wav_resample_nearest
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
 
     def encode(batches):
         import pandas as pd
@@ -385,7 +386,7 @@ def mm_scene_cuts(spark, sf_dir):
     energies match bitwise and the threshold cannot straddle."""
     from graphraft_spark.ops.avi import avi_encode, avi_frame_energy
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def encode(batches):

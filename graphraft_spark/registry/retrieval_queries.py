@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from graphraft_spark.registry import register
 from graphraft_spark.retrieve import budgeted_accumulate, retrieve_data
 from graphraft_spark.retrieve.budget import token_budgeted_accumulate
+from graphraft_spark.sources.pq_cache import load_pq
 
 MAX_NODES = 12
 EF = 40
@@ -32,7 +33,7 @@ def _results(spark, sf_dir):
     overlapping streams per question; ``seg`` is a REAL per-node
     property (c_mktsegment) carried through the accumulate dataflow
     (retriever.py:49-60 projects configured node props)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = load_pq(spark, f"{sf_dir}/customer.parquet")
     qids = spark.createDataFrame([(i,) for i in range(5)], "qid bigint")
     base = cust.crossJoin(F.broadcast(qids)).withColumn(
         "nodeId", F.col("c_custkey").cast("bigint") + 1_000_000_000)
@@ -79,8 +80,8 @@ def _candidates(spark, sf_dir):
     """Vector top-up pool: top-EF per qid over (same-nation customers ∪
     all suppliers) by pseudo-similarity — the global-vector-index analog
     with guaranteed overlap against kept nodes."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = load_pq(spark, f"{sf_dir}/customer.parquet")
+    supp = load_pq(spark, f"{sf_dir}/supplier.parquet")
     qids = spark.createDataFrame([(i,) for i in range(5)], "qid bigint")
     c = (cust.crossJoin(F.broadcast(qids))
          .filter(F.col("c_nationkey") == F.col("qid"))

@@ -16,6 +16,7 @@ from graphraft_spark.graph import GRAPH_ORACLE_CTE, tpch_graph
 from graphraft_spark.registry import register
 from graphraft_spark.search.text import fulltext_match
 from graphraft_spark.search.vector import dot_col
+from graphraft_spark.sources.pq_cache import load_pq
 
 Q_VEC_ID = 7  # query vector = embeddings row; unit-norm ⇒ cosine = dot
 
@@ -26,7 +27,7 @@ _QSQL = f"(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {Q_
 def _scored(spark, sf_dir):
     """embeddings × (1-row broadcast query vector) with dot similarity —
     stays one scan + broadcast nested loop; no shuffle."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     qdf = (emb.filter(F.col("vec_id") == Q_VEC_ID)
            .select(F.col("embedding").alias("q_emb")))
     return (
@@ -150,7 +151,7 @@ def s_cosine_pair(spark, sf_dir):
     (retriever.py:59)."""
     from graphraft_spark.search.vector import cosine_col
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (
@@ -287,7 +288,7 @@ def s_bm25_topk(spark, sf_dir):
     zero corpus-sized shuffles."""
     from graphraft_spark.search.bm25 import bm25_topk
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     return bm25_topk(d, _BM25_TERMS, k=20)
 
 
@@ -312,7 +313,7 @@ def _bm25_index_dir(spark, sf_dir) -> str:
             have = fh.read().strip()
     if have != want:
         shutil.rmtree(index_dir, ignore_errors=True)
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = load_pq(spark, f"{sf_dir}/documents.parquet")
         build_text_index(d, index_dir, n_buckets=64)
         os.makedirs(index_dir, exist_ok=True)
         with open(marker, "w") as fh:
@@ -415,7 +416,7 @@ def s_fuzzy_entity_match(spark, sf_dir):
     all-pairs join — the blocked plan must return the identical set."""
     from graphraft_spark.search.text import fuzzy_match_entities
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = load_pq(spark, f"{sf_dir}/customer.parquet")
     ents = cust.filter(F.col("c_custkey") <= 5).select(
         F.col("c_custkey").cast("bigint").alias("qid"),
         F.concat(F.substring("c_name", 1, 3),

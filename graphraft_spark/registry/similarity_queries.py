@@ -16,6 +16,7 @@ from graphraft_spark.ops.similarity import (
     ivf_search,
 )
 from graphraft_spark.registry import register
+from graphraft_spark.sources.pq_cache import load_pq
 
 _QFILTER = "vec_id % 100 = 1"
 
@@ -27,7 +28,7 @@ queries AS (
 
 
 def _queries(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     return (emb.filter(F.col("vec_id") % 100 == 1)
             .select(F.col("vec_id").alias("qid"),
                     F.col("embedding").alias("q_emb")))
@@ -53,7 +54,7 @@ def ann_bruteforce_topk(spark, sf_dir):
     """Exact batch ANN baseline: per-query top-5 by cosine over all
     vectors — broadcast the query side, window top-k per qid (the
     100 TB plan: one scan, partial top-k per partition via AQE)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     out = brute_force_topk(emb, _queries(spark, sf_dir), k=5)
     return out.select("qid", "vec_id", F.round("score", 6).alias("score"),
                       F.col("rn").cast("int").alias("rn"))
@@ -92,7 +93,7 @@ def ann_ivf_assign(spark, sf_dir):
     """IVF coarse assignment: every vector → max-dot centroid (broadcast
     centroid table, one scan).  The assignment is the partition-pruning
     key at scale; profile = cluster sizes."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     assigned = ivf_assign(emb, ivf_centroids(emb, every=50))
     return assigned.groupBy("centroid_id").agg(
         F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec"))
@@ -129,7 +130,7 @@ def ann_ivf_search(spark, sf_dir):
     """IVF search: probe the 2 nearest centroids per query, exact top-5
     within probed clusters — the scan touches only probed partitions
     (scale path of ann_bruteforce_topk; recall < 1 by design)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     cents = ivf_centroids(emb, every=50)
     assigned = ivf_assign(emb, cents)
     out = ivf_search(assigned, cents, _queries(spark, sf_dir), k=5, nprobe=2)
@@ -148,7 +149,7 @@ def _kmeans_cents(spark, sf_dir):
     from graphraft_spark.ops.similarity import ivf_centroids_kmeans
 
     if sf_dir not in _KMEANS_CENTS_CACHE:
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
         _KMEANS_CENTS_CACHE[sf_dir] = ivf_centroids_kmeans(
             emb, k=16, iters=3)
     return _KMEANS_CENTS_CACHE[sf_dir]
@@ -162,7 +163,7 @@ def ann_ivf_kmeans_train(spark, sf_dir):
     per-centroid vector counts over the final assignment."""
     from graphraft_spark.ops.similarity import ivf_centroids_kmeans
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     cents = ivf_centroids_kmeans(emb, k=16, iters=3)
     return (ivf_assign(emb, cents).groupBy("centroid_id")
             .agg(F.count("*").alias("n_vectors")))
@@ -175,7 +176,7 @@ def ann_ivf_kmeans_search(spark, sf_dir):
     iterative, not SQL; recall-vs-modulo superiority is pinned in
     tests/test_r2_fixes.py.  Centroids come from the per-sf_dir memo
     (training benched separately as ann_ivf_kmeans_train)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     cents = _kmeans_cents(spark, sf_dir)
     assigned = ivf_assign(emb, cents)
     out = ivf_search(assigned, cents, _queries(spark, sf_dir), k=5, nprobe=2)
@@ -202,7 +203,7 @@ def _embeddings_scaled(spark, sf_dir, copies: int = 40):
     if memo is not None:
         return memo
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load_pq(spark, f"{sf_dir}/embeddings.parquet")
 
     def expand(batches):
         import pandas as pd
@@ -299,7 +300,7 @@ def ann_srp_lsh_topk(spark, sf_dir):
     multiprobe, exact rank within probed buckets."""
     from graphraft_spark.ops.similarity import srp_lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     out = srp_lsh_topk(emb, _queries(spark, sf_dir), k=5, dim=64, bits=8)
     return out.select("qid", "vec_id", F.round("score", 6).alias("score"),
                       F.col("rn").cast("int").alias("rn"))
@@ -317,7 +318,7 @@ def ann_pq_search(spark, sf_dir):
     exactness-at-codewords and coarse-recall are pinned by pytest."""
     from graphraft_spark.ops.pq import pq_encode, pq_search, pq_train
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     if sf_dir not in _PQ_CACHE:
         books = pq_train(emb, m=8, k=16, iters=3)
         _PQ_CACHE[sf_dir] = (books, pq_encode(emb, books).persist())
@@ -418,7 +419,7 @@ def ann_mmr_rerank(spark, sf_dir):
     near-duplicate-displacement property."""
     from graphraft_spark.ops.similarity import brute_force_topk, mmr_rerank
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     first = brute_force_topk(emb, _queries(spark, sf_dir), k=20)
     cands = first.join(emb.select("vec_id", "embedding"), "vec_id")
     out = mmr_rerank(cands, k=5, lam=0.7)
@@ -450,7 +451,7 @@ def ann_recall_report(spark, sf_dir):
         srp_lsh_topk,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     qs = _queries(spark, sf_dir)
     exact = (brute_force_topk(emb, qs, k=5)
              .select("qid", F.col("vec_id").alias("gold")))
@@ -497,7 +498,7 @@ def ann_pca_project(spark, sf_dir):
     and variance-ordering tests instead."""
     from graphraft_spark.ops.similarity import pca_fit, pca_project
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     mean, comps, _ = pca_fit(emb, k=16)
     out = pca_project(emb, mean, comps)
     return out.select(
@@ -537,7 +538,7 @@ def ann_hard_negatives(spark, sf_dir):
     the probed partitions."""
     from graphraft_spark.ops.similarity import score_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     anchors = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
@@ -631,7 +632,7 @@ def e_cluster_balanced_sample(spark, sf_dir):
     window; no global shuffle beyond the centroid_id re-key."""
     from graphraft_spark.ops.dedup import _h60
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_pq(spark, f"{sf_dir}/embeddings.parquet")
     assigned = ivf_assign(emb, ivf_centroids(emb, every=50))
     w = Window.partitionBy("centroid_id").orderBy(
         _h60(F.col("vec_id").cast("string")), F.col("vec_id"))

@@ -21,6 +21,7 @@ from graphraft_spark.streaming import (
     tumbling_counts,
 )
 from graphraft_spark.streaming.events import load_events
+from graphraft_spark.sources.pq_cache import load_pq
 
 
 @register(
@@ -474,7 +475,7 @@ def st_cms_maintenance(spark, sf_dir):
     never the stream)."""
     from graphraft_spark.ops.sketches import cms_build, cms_merge, cms_probe
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = load_pq(spark, f"{sf_dir}/events.parquet") \
         .filter(F.col("event_type").isNotNull()) \
         .select(F.col("event_type").alias("v"),
                 F.pmod(F.col("event_id"), F.lit(3)).alias("epoch"))

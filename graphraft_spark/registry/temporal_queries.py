@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from graphraft_spark.registry import register
 from graphraft_spark.streaming.events import load_events
+from graphraft_spark.sources.pq_cache import load_pq
 
 
 @register(
@@ -117,7 +118,7 @@ def ev_funnel(spark, sf_dir):
     both engines."""
     from graphraft_spark.ops.funnel import funnel_counts
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_pq(spark, f"{sf_dir}/events.parquet")
     return funnel_counts(ev, ["view", "click", "purchase"],
                          within_seconds=7 * 86400)
 
@@ -141,7 +142,7 @@ def ev_retention(spark, sf_dir):
     no calendar-week convention), two user-keyed shuffles."""
     from graphraft_spark.ops.funnel import retention_cohorts
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_pq(spark, f"{sf_dir}/events.parquet")
     return retention_cohorts(ev)
 
 
@@ -165,7 +166,7 @@ def tm_window_percentiles(spark, sf_dir):
     the percentile's sort is bounded per (day, type) group.  At 100 TB
     swap in approx_percentile (t-digest sketch, mergeable) — the
     sketches module documents the tolerance."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = load_pq(spark, f"{sf_dir}/events.parquet")
     return (e.groupBy(
         F.to_date("ts").cast("string").alias("day"),
         "event_type")
@@ -195,7 +196,7 @@ def tm_user_rfm(spark, sf_dir):
     aggregate plus a 1-row broadcast anchor; all map-side-combinable
     except the exact distinct (which partial-aggregates on the
     composite key first)."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = load_pq(spark, f"{sf_dir}/events.parquet")
     anchor = F.broadcast(e.agg(F.max("ts").alias("mx")))
     us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     mx_us = F.unix_micros(F.col("mx").cast("timestamp_ltz"))
@@ -239,7 +240,7 @@ def tm_scd2_versions(spark, sf_dir):
     window passes."""
     from graphraft_spark.data.ops import scd2_compact
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    e = load_pq(spark, f"{sf_dir}/events.parquet") \
         .select("user_id", "ts", "event_id", "event_type")
     out = scd2_compact(e, "user_id", "ts", ("event_type",),
                        tiebreak_col="event_id")
@@ -266,7 +267,7 @@ def tm_value_outliers(spark, sf_dir):
     metric-anomaly sweep.  Stats are one map-side-combined aggregate
     broadcast back onto the scan; at 100 TB swap the exact stddev for
     the same one-pass partials (it already is one)."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = load_pq(spark, f"{sf_dir}/events.parquet")
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd"))
     z = (F.col("value") - F.col("mu")) / F.col("sd")

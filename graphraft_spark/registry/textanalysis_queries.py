@@ -19,6 +19,7 @@ from graphraft_spark.registry._sql_fragments import (  # noqa: F401
     _WORDS,
     _stop_sql,
 )
+from graphraft_spark.sources.pq_cache import load_pq
 
 _H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT % 1000000007)"
 
@@ -35,7 +36,7 @@ FROM documents
 def t_token_counts(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex tokens (alnum
     runs, punctuation singletons) — the budget-counting primitives."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     return d.select(
         "doc_id",
         token_count_ws(F.col("text")).cast("int").alias("n_ws_tokens"),
@@ -62,7 +63,7 @@ def t_quality_features(spark, sf_dir):
     """Quality scoring features: length, word stats, punctuation ratio,
     stopword ratio — one codegen'd projection, the cheap pre-filter for
     corpus cleaning."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     f = quality_features(F.col("text"))
     return d.select(
         "doc_id", f["n_chars"].alias("n_chars"),
@@ -97,7 +98,7 @@ FROM scores
 def t_langid(spark, sf_dir):
     """Language-ID heuristic: per-language stopword-hit ratio, argmax —
     compared against the table's labeled lang column."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     # round scores before ranking so oracle tie-order matches exactly
     from graphraft_spark.ops.dedup import words as words_col
 
@@ -144,7 +145,7 @@ def t_fingerprint(spark, sf_dir):
     (sorted) so the driver canonicalizer sees scalars."""
     from graphraft_spark.ops.text_analysis import content_signature
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     return d.select(
         "doc_id",
         F.concat_ws("|", F.transform(
@@ -168,7 +169,7 @@ def t_source_quota(spark, sf_dir):
     doc_id order) — the per-domain cap step of corpus curation."""
     from graphraft_spark.ops.text_analysis import source_quota
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     return source_quota(d, cap=10).select("doc_id", "source")
 
 
@@ -187,7 +188,7 @@ def t_pack_bins(spark, sf_dir):
     packing)."""
     from graphraft_spark.ops.text_analysis import pack_bins
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     return pack_bins(d.select("doc_id", "n_chars"), budget=10_000,
                      size_col="n_chars").select("doc_id", "bin_id")
 
@@ -216,7 +217,7 @@ def t_pii_scrub(spark, sf_dir):
     PII); verified via md5 of the scrubbed text + removed-char count."""
     from graphraft_spark.ops.text_analysis import scrub_pii
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     seeded = d.select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" contact user"),
@@ -265,7 +266,7 @@ def t_decontaminate(spark, sf_dir):
     from graphraft_spark.ops.dedup import words
     from graphraft_spark.ops.decontaminate import contamination_flags
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     ws = words(F.col("text"))
     bench = (docs.filter((F.col("doc_id") % 7 == 3) & (F.size(ws) >= 11))
              .select(F.concat_ws(" ", F.slice(ws, 4, 8)).alias("text")))
@@ -285,7 +286,7 @@ def t_bloom_decontaminate(spark, sf_dir):
     from graphraft_spark.ops.dedup import words
     from graphraft_spark.ops.decontaminate import bloom_decontaminate
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     ws = words(F.col("text"))
     bench = (docs.filter((F.col("doc_id") % 7 == 3) & (F.size(ws) >= 11))
              .select(F.concat_ws(" ", F.slice(ws, 4, 8)).alias("text")))
@@ -328,7 +329,7 @@ def t_repetition(spark, sf_dir):
     for corpus quality gating."""
     from graphraft_spark.ops.text_analysis import repetition_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     out = repetition_features(docs)
     return out.select(
         "doc_id", F.col("n_words").cast("int").alias("n_words"),
@@ -370,7 +371,7 @@ def t_quality_gate(spark, sf_dir):
 
     from graphraft_spark.ops.text_analysis import quality_score
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
     pr = F.percent_rank().over(Window.orderBy("quality", "doc_id"))
     return (scored.withColumn("pr", pr).filter(F.col("pr") >= 0.25)
@@ -399,7 +400,7 @@ def t_temperature_mix(spark, sf_dir):
     pins the thinning operator itself against the oracle."""
     from graphraft_spark.ops.text_analysis import temperature_mix
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     rates = {f"src{i}": (i + 1) / 20 for i in range(20)}
     return temperature_mix(d, rates).select("doc_id", "source")
 
@@ -424,7 +425,7 @@ def t_corpus_report(spark, sf_dir):
     dataset-documentation numbers (counts, char-length min/avg/max)
     every curated corpus ships with.  Map-side partial aggregation;
     one shuffle regardless of how many grouping levels."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     return (
         d.rollup("source", "lang")
         .agg(F.count("*").alias("n_docs"),
@@ -449,7 +450,7 @@ def t_bpe_tokenize(spark, sf_dir):
     implementation (identical merge sequences and encodings)."""
     from graphraft_spark.ops.bpe import encode_bpe, train_bpe
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     merges = train_bpe(docs, num_merges=8)
     return (
         encode_bpe(docs, merges)
@@ -492,7 +493,7 @@ def t_chunk_overlap(spark, sf_dir):
     scan; the oracle replays start arithmetic and slicing in SQL."""
     from graphraft_spark.ops.text_analysis import chunk_documents
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     out = chunk_documents(d, chunk_tokens=32, overlap=8)
     return out.select("doc_id", F.col("chunk_id").cast("int"),
                       F.col("start_token").cast("int"), "chunk",
@@ -520,7 +521,7 @@ def t_top_ngrams(spark, sf_dir):
     count is map-side-combined; the top-k is a tiny sorted tail."""
     from graphraft_spark.ops.text_analysis import bigrams_all
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     return (d.select(F.explode(bigrams_all(F.col("text"))).alias("ngram"))
             .groupBy("ngram").agg(F.count("*").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("ngram")).limit(100))
@@ -541,7 +542,7 @@ def e_shuffle_det(spark, sf_dir):
     total order, reproduced bit-for-bit by the SQL oracle."""
     from graphraft_spark.data.ops import deterministic_shuffle
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    d = load_pq(spark, f"{sf_dir}/documents.parquet") \
         .select("doc_id")
     return deterministic_shuffle(d, "doc_id", seed="epoch0") \
         .select("doc_id", F.col("shuffle_rank").cast("int"))
@@ -592,7 +593,7 @@ def t_dsir_weights(spark, sf_dir):
     the per-doc sum."""
     from graphraft_spark.ops.text_analysis import dsir_weights
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    d = load_pq(spark, f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
     target = d.filter(F.col("doc_id") % 10 == 0)
     out = dsir_weights(d, target)
@@ -646,7 +647,7 @@ def t_bigram_lm_score(spark, sf_dir):
     from graphraft_spark.ops.word_lm import (stupid_backoff_score,
                                              train_bigram_lm)
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    d = load_pq(spark, f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
     bi, uni = train_bigram_lm(d.filter(F.col("doc_id") % 2 == 0))
     out = stupid_backoff_score(d, bi, uni)
@@ -684,7 +685,7 @@ def t_source_kl(spark, sf_dir):
     a vocab-sized completion frame per source."""
     from graphraft_spark.ops.text_analysis import source_divergence
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     out = source_divergence(d, group_col="source")
     return out.select("source", F.round("kl", 6).alias("kl"))
 
@@ -723,7 +724,7 @@ def t_winnow(spark, sf_dir):
     detector; pure codegen scan here."""
     from graphraft_spark.ops.text_analysis import winnow_fingerprints
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     return (d.select("doc_id",
                      F.explode(winnow_fingerprints(F.col("text"),
                                                    k=3, w=4)).alias("fp"))
@@ -788,7 +789,7 @@ def t_ppl_band(spark, sf_dir):
     from graphraft_spark.ops.word_lm import (stupid_backoff_score,
                                              train_bigram_lm)
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    d = load_pq(spark, f"{sf_dir}/documents.parquet") \
         .select("doc_id", "source", "text")
     bi, uni = train_bigram_lm(d.filter(F.col("doc_id") % 2 == 0))
     scored = stupid_backoff_score(d, bi, uni)
@@ -835,7 +836,7 @@ def t_c4_clean(spark, sf_dir):
     text is md5'd so the compared columns stay scalar."""
     from graphraft_spark.ops.text_analysis import c4_clean
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     lined = d.select(
         "doc_id",
         F.regexp_replace("text", r"\. ", ".\n").alias("text"))
@@ -883,7 +884,7 @@ def t_gopher_gates(spark, sf_dir):
     (ops/text_analysis.py:gopher_gates)."""
     from graphraft_spark.ops.text_analysis import gopher_gates
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     return gopher_gates(d)
 
 
@@ -906,7 +907,7 @@ def t_url_canon(spark, sf_dir):
     closed-form expected canonical string."""
     from graphraft_spark.ops.url import canonicalize_url, url_host
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     url = F.concat(
         F.lit("HTTP://Example.COM:80/"), F.col("source"), F.lit("/"),
         F.col("doc_id").cast("string"),
@@ -958,7 +959,7 @@ def t_cms_wordfreq(spark, sf_dir):
     from graphraft_spark.ops.dedup import words as words_col
     from graphraft_spark.ops.sketches import cms_build, cms_probe
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     w = d.select(F.explode(words_col(F.col("text"))).alias("v"))
     cms = cms_build(w, "v", depth=4, width=2048)
     counts = w.groupBy("v").agg(F.count("*").alias("n"))
@@ -1010,7 +1011,7 @@ def t_pack_sequences(spark, sf_dir):
     from graphraft_spark.ops.dedup import words as words_col
     from graphraft_spark.ops.text_analysis import pack_sequences
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     toks = d.select("doc_id", words_col(F.col("text")).alias("tokens"))
     out = pack_sequences(toks, budget=512)
     return out.select(
@@ -1064,7 +1065,7 @@ def t_span_corruption(spark, sf_dir):
     from graphraft_spark.ops.dedup import words as words_col
     from graphraft_spark.ops.text_analysis import span_corruption
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     toks = d.select("doc_id", words_col(F.col("text")).alias("tokens"))
     out = span_corruption(toks)
     n_sent = (F.size("target_tokens") - F.col("n_masked")).cast("int")
@@ -1107,7 +1108,7 @@ def t_langid_margin(spark, sf_dir):
     from graphraft_spark.ops.dedup import words as words_col
     from graphraft_spark.ops.text_analysis import STOPWORDS
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     ws = words_col(F.col("text"))
     n = F.size(ws)
     entries = []
@@ -1166,7 +1167,7 @@ def t_tfidf_topterms(spark, sf_dir):
     (no broadcast hint — AQE decides), one per-document window."""
     from graphraft_spark.ops.text_analysis import tfidf_top_terms
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     return tfidf_top_terms(docs, m=3)
 
 
@@ -1245,7 +1246,7 @@ def p_curate_corpus(spark, sf_dir):
 
     from graphraft_spark.ops.text_analysis import predicted_lang_rounded
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     ws = words_col(F.col("text"))
     bench = (docs.filter((F.col("doc_id") % 7 == 3) & (F.size(ws) >= 11))
              .select(F.concat_ws(" ", F.slice(ws, 4, 8)).alias("text")))
@@ -1282,7 +1283,7 @@ def t_word_embeddings(spark, sf_dir):
     from graphraft_spark.graph.embeddings import train_sgns
     from graphraft_spark.ops.word_lm import _transitions
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     pairs = (_transitions(docs, "text", "doc_id")
              .groupBy(F.col("prev").alias("center"),
                       F.col("cur").alias("context"))
@@ -1308,7 +1309,7 @@ def t_word_embeddings_u75(spark, sf_dir):
     from graphraft_spark.graph.embeddings import train_sgns
     from graphraft_spark.ops.word_lm import _transitions
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     pairs = (_transitions(docs, "text", "doc_id")
              .groupBy(F.col("prev").alias("center"),
                       F.col("cur").alias("context"))
@@ -1335,7 +1336,7 @@ def t_word_embeddings_w2v(spark, sf_dir):
     from graphraft_spark.graph.embeddings import train_sgns
     from graphraft_spark.ops.word_lm import _transitions
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     pairs = (_transitions(docs, "text", "doc_id")
              .groupBy(F.col("prev").alias("center"),
                       F.col("cur").alias("context"))
@@ -1369,7 +1370,7 @@ def t_word_embeddings_decay(spark, sf_dir):
     from graphraft_spark.graph.embeddings import train_sgns
     from graphraft_spark.ops.word_lm import _transitions
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_pq(spark, f"{sf_dir}/documents.parquet")
     pairs = (_transitions(docs, "text", "doc_id")
              .groupBy(F.col("prev").alias("center"),
                       F.col("cur").alias("context"))
@@ -1422,7 +1423,7 @@ def t_quality_gate_scalable(spark, sf_dir):
     from graphraft_spark.ops.quantile import keep_top_fraction
     from graphraft_spark.ops.text_analysis import quality_score
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     scored = d.select(
         "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
     return keep_top_fraction(scored, "quality", "doc_id", 1, 4)

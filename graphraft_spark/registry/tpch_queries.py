@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from graphraft_spark.registry import register
+from graphraft_spark.sources.pq_cache import load_pq
 
 
 def _dec(c):
@@ -37,7 +38,7 @@ GROUP BY l_returnflag, l_linestatus
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-heavy grouped aggregation; the filter and
     the 4-column projection push to the parquet scan."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast(
             "timestamp_ntz"))
@@ -76,9 +77,9 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 def q_top_revenue(spark, sf_dir):
     """TPC-H Q3 shape: selective dimension filter → fact join → grouped
     revenue → top-k (TakeOrderedAndProject; customer side broadcasts)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
+    c = load_pq(spark, f"{sf_dir}/customer.parquet")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
@@ -116,11 +117,11 @@ GROUP BY n.n_name, r.r_name
 def q_market_volume(spark, sf_dir):
     """TPC-H Q5 shape: star join through two dimension hops — nation and
     region broadcast; one shuffle for the fact-side agg."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
+    c = load_pq(spark, f"{sf_dir}/customer.parquet")
+    n = load_pq(spark, f"{sf_dir}/nation.parquet")
+    r = load_pq(spark, f"{sf_dir}/region.parquet")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -147,8 +148,8 @@ GROUP BY o.o_orderstatus
 """)
 def q_orders_without_lineitems(spark, sf_dir):
     """Anti-join coverage: orders with no lineitems (left_anti)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
         .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
@@ -166,8 +167,8 @@ GROUP BY o.o_orderpriority
 """)
 def q_priority_orders_semi(spark, sf_dir):
     """TPC-H Q4 shape: semi-join (EXISTS) + grouped count."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
     return (
         o.join(li.filter(F.col("l_quantity") > 45),
                o.o_orderkey == li.l_orderkey, "left_semi")
@@ -187,7 +188,7 @@ FROM orders WHERE o_custkey < 50
 """)
 def q_running_customer_spend(spark, sf_dir):
     """Window coverage: per-customer running total in order-date order."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
     w = (Window.partitionBy("o_custkey")
          .orderBy("o_orderdate", "o_orderkey")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -211,7 +212,7 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """)
 def q_rollup_status_priority(spark, sf_dir):
     """Grouping-sets coverage: ROLLUP over status/priority."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("n"),
@@ -240,7 +241,7 @@ def q_monthly_revenue(spark, sf_dir):
     """Date-dimension rollup (scalar date-function coverage, §2.H):
     year/month buckets, decimal-exact revenue, weekend-order counts;
     the date filter pushes down to the parquet scan."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
     # Spark dayofweek: Sun=1..Sat=7; DuckDB dayofweek: Sun=0..Sat=6
     return (
         o.filter(F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
@@ -267,7 +268,7 @@ def q_price_percentiles(spark, sf_dir):
     linear-interpolation quantile_cont) — the distribution-profiling
     classic; at scale swap to approx_percentile with a documented error
     bound."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p = load_pq(spark, f"{sf_dir}/part.parquet")
     return p.groupBy("p_brand").agg(
         F.round(F.expr("percentile(p_retailprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(p_retailprice, 0.9)"), 4).alias("p90"),
@@ -288,7 +289,7 @@ def q_moving_avg_30d(spark, sf_dir):
     """Event-time RANGE window: 30-day trailing average order value —
     the time-based moving aggregate classic (RANGE frame over an
     interval, not a row count)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    o = load_pq(spark, f"{sf_dir}/orders.parquet").filter(
         F.col("o_orderkey") < 5000)
     return o.select(
         "o_orderkey",
@@ -312,7 +313,7 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 def q_cube_status_priority(spark, sf_dir):
     """Grouping-sets coverage, full CUBE: all four grouping combinations
     in one pass (Expand + single aggregation — not four scans)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("n"),
@@ -337,7 +338,7 @@ def q_pivot_status(spark, sf_dir):
     """Pivot coverage: order counts per priority, one column per order
     status.  An explicit value list keeps the pivot a single pass (no
     distinct-values pre-scan) — required at scale."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
     return (
         o.groupBy(F.col("o_orderpriority").alias("priority"))
         .pivot("o_orderstatus", ["F", "O", "P"]).count()
@@ -365,7 +366,7 @@ def q_unpivot_quality(spark, sf_dir):
     (doc_id, feature, value) — the feature-store export shape."""
     from graphraft_spark.ops.dedup import words
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_pq(spark, f"{sf_dir}/documents.parquet")
     wide = d.select(
         "doc_id",
         F.length("text").cast("double").alias("n_chars"),

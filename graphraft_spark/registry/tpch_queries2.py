@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from graphraft_spark.registry import register
+from graphraft_spark.sources.pq_cache import load_pq
 
 
 def _dec(c):
@@ -48,7 +49,7 @@ def q_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: no join at all — three pushable predicates and a
     two-column projection; the whole query is one parquet scan plus a
     partial+final agg (map-side combine, single-row shuffle)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
@@ -86,11 +87,11 @@ def q_nation_pair_volume(spark, sf_dir):
     """TPC-H Q7 shape: shipping volume between distinct nation pairs by
     year.  Both nation dims and the supplier dim broadcast; the only
     shuffles are the two fact-side equijoins and the final agg."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    s = load_pq(spark, f"{sf_dir}/supplier.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
+    c = load_pq(spark, f"{sf_dir}/customer.parquet")
+    n = load_pq(spark, f"{sf_dir}/nation.parquet")
     n1 = n.select(F.col("n_nationkey").alias("n1_key"),
                   F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"),
@@ -143,12 +144,12 @@ def q_market_share(spark, sf_dir):
     sums computed in the SAME aggregate (conditional numerator), cast to
     double only for the final IEEE division — bitwise identical on both
     engines."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    s = load_pq(spark, f"{sf_dir}/supplier.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
+    c = load_pq(spark, f"{sf_dir}/customer.parquet")
+    n = load_pq(spark, f"{sf_dir}/nation.parquet")
+    r = load_pq(spark, f"{sf_dir}/region.parquet")
     n1 = n.select(F.col("n_nationkey").alias("n1_key"),
                   F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"),
@@ -199,10 +200,10 @@ def q_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: customers who returned the most revenue in one
     quarter — selective order-date window, returnflag filter pushed to
     the lineitem scan, top-20 via TakeOrderedAndProject."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
+    c = load_pq(spark, f"{sf_dir}/customer.parquet")
+    n = load_pq(spark, f"{sf_dir}/nation.parquet")
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(o.filter(
@@ -243,8 +244,8 @@ def q_customer_distribution(spark, sf_dir):
     INCLUDING zero-order customers — the left join keeps them and
     COUNT(o_orderkey) ignores the null rows, exactly the classic
     trap this query exists to test."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
+    c = load_pq(spark, f"{sf_dir}/customer.parquet")
     return (
         c.join(o.filter(F.col("o_orderpriority") != "1-URGENT"),
                F.col("c_custkey") == F.col("o_custkey"), "left")
@@ -277,8 +278,8 @@ def q_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape: share of one month's revenue from promo parts —
     conditional numerator and unconditional denominator in one
     aggregate over a broadcast part join."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    p = load_pq(spark, f"{sf_dir}/part.parquet")
     zero = F.lit(0).cast("decimal(18,4)")
     return (
         li.filter(
@@ -321,8 +322,8 @@ def q_small_qty_revenue(spark, sf_dir):
     engine's decimal-division scale rule touches the predicate; the
     per-part aggregate joins back to the fact on the same key (one
     shuffle, reused partitioning under AQE)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    p = load_pq(spark, f"{sf_dir}/part.parquet")
     per_part = (
         li.groupBy(F.col("l_partkey").alias("a_partkey"))
         .agg(F.sum(_dec("l_quantity")).alias("sum_qty"),
@@ -363,9 +364,9 @@ def q_large_volume_customers(spark, sf_dir):
     """TPC-H Q18 shape: orders whose total quantity clears a threshold
     (HAVING subquery → semi join), re-joined to customer detail, top-25
     by order price.  The qty threshold compares exact decimals."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
+    c = load_pq(spark, f"{sf_dir}/customer.parquet")
     big = (
         li.groupBy(F.col("l_orderkey").alias("big_okey"))
         .agg(F.sum(_dec("l_quantity")).alias("big_qty"))
@@ -414,8 +415,8 @@ def q_dormant_rich_customers(spark, sf_dir):
     multiplicative above-average predicate on exact decimals, and a
     left-anti join against the filtered orders; grouped by nation in
     lieu of the reference's phone country code (column absent)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
+    c = load_pq(spark, f"{sf_dir}/customer.parquet")
     stats = (
         c.filter(F.col("c_acctbal") > 0)
         .agg(F.sum(_dec("c_acctbal")).alias("total"),
@@ -461,7 +462,7 @@ def q_setops_customers(spark, sf_dir):
     the native DataFrame set ops, which Catalyst plans as
     distinct+semi/anti joins (AQE picks broadcast when a cohort is
     small)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
 
     def cohort(y0, y1):
         return (o.filter(
@@ -510,7 +511,7 @@ def q_order_gaps(spark, sf_dir):
     percent_rank-over-ranges or the GK sketch (ops/sketches.py)."""
     from pyspark.sql import Window
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
     day = (F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz"))
            - F.pmod(F.unix_micros(F.col("o_orderdate").cast(
                "timestamp_ltz")), F.lit(86400000000))) / F.lit(86400000000)
@@ -549,7 +550,7 @@ def q_copurchase_pairs(spark, sf_dir):
     never corpus²  — the co-occurrence-projection shape that stays
     linear at fleet scale; dedup-first keeps multiplicity out of the
     counts."""
-    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = (load_pq(spark, f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", "l_partkey").distinct())
     a = li.select(F.col("l_orderkey").alias("okey"),
                   F.col("l_partkey").alias("part_a"))
@@ -584,7 +585,7 @@ def q_zorder_key(spark, sf_dir):
     tests/test_layout.py's min/max-tightness property."""
     from graphraft_spark.ops.layout import with_zorder_key
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = load_pq(spark, f"{sf_dir}/orders.parquet").select(
         (F.col("o_custkey") % 65536).alias("a"),
         (F.col("o_orderkey") % 65536).alias("b"),
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"))
@@ -615,8 +616,8 @@ def q_disjunctive_revenue(spark, sf_dir):
     (brand IN ...) pushes into the dimension scan, the mixed residual
     evaluates post-join.  Decimal-exact aggregate; the join stays a
     broadcast hash join on partkey."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    p = load_pq(spark, f"{sf_dir}/part.parquet")
     j = li.join(p, li.l_partkey == p.p_partkey)
     blk = lambda brand, s0, s1, q0, q1: (
         (F.col("p_brand") == brand)
@@ -668,10 +669,10 @@ def q_min_price_supplier(spark, sf_dir):
     inner join (not semi-then-rejoin) so PART is scanned once."""
     from pyspark.sql import Window
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    p = load_pq(spark, f"{sf_dir}/part.parquet") \
         .filter(F.col("p_type") == "PROMO")
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    s = load_pq(spark, f"{sf_dir}/supplier.parquet")
     li = (li.select("l_partkey", "l_suppkey", "l_extendedprice")
           .join(F.broadcast(p.select("p_partkey", "p_name")),
                 F.col("l_partkey") == F.col("p_partkey")))
@@ -710,12 +711,12 @@ def q_nation_profit(spark, sf_dir):
     part/supplier/nation broadcast; the orders join is the only big-big
     edge and AQE picks its side.  Profit uses quantity as the unit cost
     stand-in (no partsupp table in this corpus) — decimal-exact."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    p = load_pq(spark, f"{sf_dir}/part.parquet") \
         .filter(F.col("p_name").like("%red%"))
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = load_pq(spark, f"{sf_dir}/supplier.parquet")
+    n = load_pq(spark, f"{sf_dir}/nation.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
     profit = (F.col("l_extendedprice").cast("decimal(18,4)")
               * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
               - F.col("l_quantity").cast("decimal(18,4)"))
@@ -762,8 +763,8 @@ def q_top_supplier(spark, sf_dir):
     OUTPUT column is cast to double (r10 verdict: decimal pandas
     objects stringify with trailing zeros and hash-diverge from the
     oracle's float64 even when numerically identical)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    s = load_pq(spark, f"{sf_dir}/supplier.parquet")
     rev = (li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz")))
@@ -832,9 +833,9 @@ def q_lonely_late_supplier(spark, sf_dir):
     in-process pairs, rows identical)."""
     from pyspark.sql import Window
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = load_pq(spark, f"{sf_dir}/lineitem.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
+    s = load_pq(spark, f"{sf_dir}/supplier.parquet")
     per_supp = (li.join(o, li.l_orderkey == o.o_orderkey)
                 .repartition(F.col("l_orderkey"))
                 .groupBy("l_orderkey", "l_suppkey")
@@ -889,7 +890,7 @@ def q_order_gaps_scalable(spark, sf_dir):
 
     from graphraft_spark.ops.quantile import exact_ntile
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = load_pq(spark, f"{sf_dir}/orders.parquet")
     day = (F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz"))
            - F.pmod(F.unix_micros(F.col("o_orderdate").cast(
                "timestamp_ltz")), F.lit(86400000000))) / F.lit(86400000000)

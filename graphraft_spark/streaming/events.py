@@ -17,6 +17,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+from graphraft_spark.sources.pq_cache import load_pq
 
 # The driver's events.parquet has stored `ts` as TIMESTAMP(NANOS)
 # (read as INT64 nanos under spark.sql.legacy.parquet.nanosAsLong) in
@@ -43,7 +44,7 @@ def _with_event_time(df: DataFrame) -> DataFrame:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch read with normalized TIMESTAMP event time."""
-    return _with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return _with_event_time(load_pq(spark, f"{sf_dir}/events.parquet"))
 
 
 def read_events_stream(spark: SparkSession, path_glob: str,
