@@ -573,6 +573,26 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
     def _normalize(raw: DataFrame, raw_col: str, out_col: str) -> DataFrame:
         # zero-guard: an edgeless graph (or all-zero round) has t=0;
         # dividing would yield NULL and poison every later round
+        if swap:
+            # BROADCAST-SIZED score frames (the swap gate already
+            # asserts |V| fits a broadcast): attach the L1 total with a
+            # single-partition window ON TOP of the half-step aggregate
+            # — one linear pipeline, so the half-step frame has exactly
+            # ONE consumer (the next half-step's broadcast join) and
+            # needs NO materialization.  The whole n_iter-round
+            # iteration then runs as one job whose per-half-step
+            # broadcast exchanges are each built once (identical
+            # BroadcastExchange subtrees dedupe via ReusedExchange) —
+            # dropping the 2·n_iter eager-checkpoint jobs plus their
+            # per-half-step total-broadcast builds.  The 1-partition
+            # window over |V| rows is safe exactly where the broadcast
+            # of those same rows is; the unguarded-scale path below
+            # keeps the checkpoint+broadcast-total shape.
+            from pyspark.sql import Window
+            t = F.sum(raw_col).over(Window.partitionBy())
+            return raw.select("nodeId",
+                              F.when(t != 0, F.col(raw_col) / t)
+                              .otherwise(F.lit(0.0)).alias(out_col))
         tot = raw.agg(F.sum(raw_col).alias("t"))
         return (raw.crossJoin(F.broadcast(tot))
                 .select("nodeId",
@@ -594,18 +614,21 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
                 "src")
                 .groupBy(F.col("dst").alias("nodeId"))
                 .agg(F.sum("hub").alias("a_raw")))
-        # eager, deliberately: the first consumer of each half-step is
-        # the normalization total's 1-row BROADCAST aggregate, and the
-        # pagerank A/B measured the lazy-materialize-inside-broadcast
-        # shape consistently slower than the dedicated eager job
-        a_raw = a_raw.localCheckpoint(eager=True)
+        if not swap:
+            # eager, deliberately: on this path the first consumer of
+            # each half-step is the normalization total's 1-row
+            # BROADCAST aggregate, and the pagerank A/B measured the
+            # lazy-materialize-inside-broadcast shape consistently
+            # slower than the dedicated eager job
+            a_raw = a_raw.localCheckpoint(eager=True)
         auth = _normalize(a_raw, "a_raw", "authority")
         h_raw = (e_for_h.join(
             _hint(auth.select(F.col("nodeId").alias("dst"), "authority")),
             "dst")
             .groupBy(F.col("src").alias("nodeId"))
-            .agg(F.sum("authority").alias("h_raw"))
-            .localCheckpoint(eager=True))
+            .agg(F.sum("authority").alias("h_raw")))
+        if not swap:
+            h_raw = h_raw.localCheckpoint(eager=True)
         hub = _normalize(h_raw, "h_raw", "hub")
     out = (n_nodes.join(auth, "nodeId", "left")
            .join(hub, "nodeId", "left")
@@ -819,15 +842,31 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
     # distinct-then-repartition shape paid an extra full exchange).
     n_part = int(edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
-    e = (edges.select("src", "dst")
-         .filter(F.col("src") != F.col("dst"))
-         .repartition(n_part, F.col("src"))
-         .dropDuplicates(["src", "dst"])
-         .sortWithinPartitions("src")
-         .persist())
-    e.count()
-    e_rev = _keyed_cache(e, "dst")
+    # The dst-keyed copy is the one EVERY phase reads (forward levels
+    # under the broadcast gate join it so the (source, dst) aggregation
+    # rides hash(dst); every backward round joins it on dst), so the
+    # dedup rides ITS exchange and it is built first, straight from the
+    # raw edges.  The src-keyed copy is only consumed by forward levels
+    # whose frontier does NOT fit a broadcast — build it lazily from
+    # the deduped cache on first such level (guide §1.2: at bench scale
+    # every level broadcasts and the src-keyed exchange+persist+count
+    # was a dead setup job; the 100 TB wide-middle-level path builds it
+    # once on demand, from |E| already-deduped cached rows).
+    e_rev = (edges.select("src", "dst")
+             .filter(F.col("src") != F.col("dst"))
+             .repartition(n_part, F.col("dst"))
+             .dropDuplicates(["src", "dst"])
+             .sortWithinPartitions("dst")
+             .persist())
     e_rev.count()
+    e = None
+
+    def _e_src() -> DataFrame:
+        nonlocal e
+        if e is None:
+            e = _keyed_cache(e_rev, "src")
+            e.count()
+        return e
     if sources is None:
         sources = [r.nodeId for r in
                    ids.orderBy("nodeId").limit(n_sources).collect()]
@@ -869,7 +908,8 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
                     .groupBy("source", F.col("dst").alias("node"))
                     .agg(F.sum("sigma").alias("sigma")))
         else:
-            cand = (frontier.join(e, frontier.node == e.src)
+            e_src = _e_src()
+            cand = (frontier.join(e_src, frontier.node == e_src.src)
                     .groupBy("source", F.col("dst").alias("node"))
                     .agg(F.sum("sigma").alias("sigma")))
         # LAZY checkpoint + count: the count() is the materializing
@@ -949,7 +989,8 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
                    F.round(F.coalesce("betweenness", F.lit(0.0)), 9)
                    .alias("betweenness"))
            .localCheckpoint(eager=True))
-    e.unpersist()
+    if e is not None:
+        e.unpersist()
     e_rev.unpersist()
     ids.unpersist()
     return out

@@ -143,6 +143,13 @@ GLOBAL_WINDOW_OK = {
     "e_shuffle_det",
     # 30-day RANGE moving average over an orderkey<5000-bounded frame
     "q_moving_avg_30d",
+    # HITS L1-normalization totals: the global window runs over the
+    # per-node score frame ONLY on the broadcast-gated path
+    # (graph/algos.py hits(): swap = _fits_broadcast(|V|)), so its
+    # input is bounded by the session broadcast threshold by
+    # construction; the unguarded-scale path keeps the checkpointed
+    # broadcast-total shape with no global window
+    "g_hits_top",
 }
 
 
