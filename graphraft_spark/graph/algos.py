@@ -886,13 +886,16 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
 
     router = _SettledRouter(settled_filter, bloom_bits, bloom_k,
                             auto_switch_at, frontier)
+    # settled is a LAZY union of the checkpointed levels (same
+    # rationale as bfs_distances: per-level settled rewrites cost
+    # O(levels x |settled|) materialization traffic).  Grown
+    # INCREMENTALLY — re-reducing the whole union each level costs
+    # O(levels²) DataFrame calls, and on a slow-py4j driver (measured
+    # ~1.1 ms/round-trip, ~14 ms/DataFrame op on this host) that
+    # driver-side chatter was a visible slice of the line.
+    settled_v = frontier.select("source", "node")
     for d in range(1, max_depth + 1):
         router.maybe_switch(levels)
-        # settled is a LAZY union of the checkpointed levels (same
-        # rationale as bfs_distances: per-level settled rewrites cost
-        # O(levels x |settled|) materialization traffic)
-        settled_v = reduce(lambda a, b: a.unionByName(b),
-                           [lv.select("source", "node") for lv in levels])
         # Per-LEVEL shape gate (guide §2.4/§3.1): the frontier's exact
         # row count is already known from the previous termination
         # probe.  When it fits a broadcast, join against the DST-keyed
@@ -928,6 +931,7 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
         frontier = nxt
         frontier_rows = n_new
         levels.append(nxt)
+        settled_v = settled_v.unionByName(nxt.select("source", "node"))
     else:
         raise RuntimeError(
             f"betweenness BFS exceeded max_depth={max_depth}")
@@ -1182,10 +1186,12 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
     levels = [frontier]
     router = _SettledRouter(settled_filter, bloom_bits, bloom_k,
                             auto_switch_at, frontier)
+    # grown incrementally — one unionByName per level instead of
+    # re-reducing the whole union (O(levels²) DataFrame calls; see
+    # betweenness_sampled)
+    settled_v = frontier.select("source", "node")
     for d in range(1, max_depth + 1):
         router.maybe_switch(levels)
-        settled_v = reduce(lambda a, b: a.unionByName(b),
-                           [lv.select("source", "node") for lv in levels])
         cand = (frontier.join(e, frontier.node == e.src)
                 .select("source", F.col("dst").alias("node"))
                 .distinct())
@@ -1201,6 +1207,7 @@ def bfs_distances(nodes: DataFrame, edges: DataFrame,
         router.observe(nxt, n_new)
         levels.append(nxt)
         frontier = nxt
+        settled_v = settled_v.unionByName(nxt.select("source", "node"))
     else:
         raise RuntimeError(f"bfs exceeded max_depth={max_depth}")
     e.unpersist()

@@ -237,27 +237,72 @@ def compact_text_index(spark, index_dir: str) -> None:
     shutil.rmtree(staged, ignore_errors=True)
 
 
+# (app_id, realpath, size, mtime_ns) -> collected 1-row meta (static
+# index-layout constants: n_buckets).  The meta table is written once
+# at index build and never appended, so the stat-keyed memo saves a
+# footer read + a 1-row collect JOB per query construction.
+_META_MEMO: dict[tuple, object] = {}
+
+
+def _index_meta(spark, index_dir: str):
+    import os
+
+    from graphraft_spark.sources.pq_cache import _app_id
+
+    p = f"{index_dir}/meta"
+    try:
+        st = os.stat(p)
+        key = (_app_id(spark), os.path.realpath(p),
+               st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = None
+    if key is not None and key in _META_MEMO:
+        return _META_MEMO[key]
+    [meta] = spark.read.parquet(p).collect()
+    if key is not None:
+        _META_MEMO[key] = meta
+    return meta
+
+
 def bm25_query_indexed(spark, index_dir: str, query_terms: list[str],
                        k: int = 20, id_col: str = "doc_id",
-                       k1: float = 1.2, b: float = 0.75) -> DataFrame:
+                       k1: float = 1.2, b: float = 0.75,
+                       snapshot: bool = False) -> DataFrame:
     """Top-k by BM25 against a persisted index: reads only the queried
     terms' postings partitions.  Result is identical (at the rounded-6
     output precision) to :func:`bm25_topk` over the indexed corpus.
 
     Per-term document frequency is recovered from the pruned postings
     themselves (a term's posting count IS its df), so no separate df
-    table has to stay in sync."""
+    table has to stay in sync.
+
+    ``snapshot=True`` treats the index as an IMMUTABLE published
+    snapshot (the serving contract: a built, compacted index that is
+    swapped — never appended — under readers): postings/stats table
+    handles are memoized via load_pq, skipping the per-query
+    footer/listing cost.  Leave False for an index under concurrent
+    ``text_index_append``/compaction, where new epoch directories must
+    be re-listed on every query."""
     if not query_terms or len(query_terms) > 64:
         raise ValueError("query_terms must be a non-empty list of at "
                          f"most 64 terms, got {len(query_terms)}")
-    [meta] = spark.read.parquet(f"{index_dir}/meta").collect()
+    if snapshot:
+        from graphraft_spark.sources.pq_cache import load_pq
+
+        meta = _index_meta(spark, index_dir)
+        postings = load_pq(spark, f"{index_dir}/postings")
+        stats_src = load_pq(spark, f"{index_dir}/stats")
+    else:
+        [meta] = spark.read.parquet(f"{index_dir}/meta").collect()
+        postings = spark.read.parquet(f"{index_dir}/postings")
+        stats_src = spark.read.parquet(f"{index_dir}/stats")
     n_buckets = meta.n_buckets
     buckets = sorted({term_bucket_py(t, n_buckets) for t in query_terms})
-    cand = (spark.read.parquet(f"{index_dir}/postings")
+    cand = (postings
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(list(query_terms))))
     dfs = cand.groupBy("term").agg(F.count("*").alias("df"))
-    stats = spark.read.parquet(f"{index_dir}/stats").agg(
+    stats = stats_src.agg(
         F.sum("n_docs").alias("n"),
         (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"))
     tf = F.col("tf").cast("double")
