@@ -394,9 +394,11 @@ def _lsh_verified_pairs(hashed: DataFrame, arrs: DataFrame, num_perm: int,
         # persist+count was a dedicated materialization job buying
         # nothing.  Band inline instead: both self-join sides carry the
         # identical signature+explode subtree over the caller-persisted
-        # ``hashed`` frame, so the (band, bucket) exchange is built once
-        # and the second side reads it as a ReusedExchange — one job
-        # total, no cached frames to free.  Capped/repair paths keep the
+        # ``hashed`` frame — the planner broadcasts one banded side
+        # (plans/r14/lsh_inline_banding_probe_after.txt), so the
+        # duplicated signature pass costs ~0.05 s over cached shingles
+        # while the persist+count job it replaces was ~0.4 s, and no
+        # cached frames are left to free.  Capped/repair paths keep the
         # indexed shape (the tagged window frame feeds three consumers).
         rows = num_perm // bands
         sig = hashed.select(
