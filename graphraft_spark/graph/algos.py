@@ -670,7 +670,15 @@ def bipartite_project(edges: DataFrame, left: str = "src",
     reuse the one exchange, and the degree cap's aggregate + semi-join
     are co-partitioned too.  The old distinct-then-join shape paid a
     full (l, r) exchange AND an r exchange back-to-back (measured
-    ~0.6× on the co-purchase line; rows identical)."""
+    ~0.6× on the co-purchase line; rows identical).
+
+    TRADE (r13 advice): the shared exchange ships RAW (pre-dedup) rows
+    with no map-side partial aggregation, and keying on ``r`` alone
+    disables AQE skew splitting for the dedup — a hub right-node or a
+    heavily-duplicated input concentrates dedup work on one partition.
+    On such inputs fall back to distinct-then-join (map-side combine
+    compresses the duplication before the exchange) or salt the dedup
+    key; ``max_degree`` already bounds the hub's JOIN cost either way."""
     n_part = int(edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
     m = (edges.select(F.col(left).alias("l"), F.col(right).alias("r"))

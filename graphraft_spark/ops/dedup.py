@@ -598,7 +598,14 @@ def minhash_lsh_dedup_hashed(hs: DataFrame, num_perm: int = 16,
     (and optionally prebuild ``index`` via :func:`build_lsh_index`) and
     hold the references so every run scans warm artifacts
     (``eager_cleanup`` never touches the caller-owned ``hs``/``index``;
-    it only frees the frames the pipeline itself persists)."""
+    it only frees the frames the pipeline itself persists).
+
+    PRECONDITION: ``hs`` values must be mod-P shingle hashes
+    (< 2^31 — what :func:`hashed_shingles` produces).  The verify stage
+    narrows the pair-side arrays to INT to halve the candidate-join
+    shuffle bytes, which is lossless exactly for that domain; raw
+    64-bit hashes would wrap silently and corrupt Jaccard scores —
+    re-hash them mod P (see ``xxhash60``) before calling."""
     return _lsh_verified_pairs(
         hs, _verify_arrs32(hs),
         num_perm, bands, threshold, max_bucket_size, repair_capped,
